@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish parquet testdata (see
+  * TESTDATA.md). Each scale-factor directory holds one parquet file per
+  * table; reads go straight to the vectorized parquet reader so Catalyst
+  * can push filters and prune columns into the scan.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
+
+/** A named bundle of driver-checkable queries. Every query takes the
+  * SparkSession and a scale-factor directory and returns a DataFrame whose
+  * column names match its DuckDB oracle exactly (the driver sorts columns
+  * by name before hashing). Queries with no exact SQL equivalent (e.g.
+  * approximate/MinHash operators) omit the oracle and get a rows-only
+  * check.
+  */
+trait QueryGroup {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracles: Map[String, String]
+}

@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryGroup, Tables}
+
+/** Relational operator inventory over the TPC-H-ish testdata.
+  *
+  * Numeric policy (hash-match with the DuckDB oracle requires bit-exact
+  * values): double columns are cast to DECIMAL per row *before* any
+  * aggregation, so sums are exact decimal arithmetic and therefore
+  * independent of partial-aggregation order. Integer-valued counts are
+  * emitted as LongType. Every output is totally ordered by a unique key so
+  * row order is deterministic on both sides.
+  */
+object Relational extends QueryGroup {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: scan + filter + hash aggregate with partial
+    // (map-side) aggregation; the filter and the 7-column projection are
+    // pushed into the parquet scan.
+    "q1_pricing_summary" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dec2(sum(dec2(col("l_quantity")))).as("sum_qty"),
+          dec2(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+          dec4(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // TPC-H Q3 shape: 3-way join narrowed by selective filters, then
+    // top-k by aggregate. customer is small → broadcast; lineitem⋈orders
+    // shuffles on the join key.
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-03-15")))
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1998-03-15")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(dec4(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: star join through two broadcastable dims.
+    "q5_revenue_by_nation" -> ((s, dir) => {
+      val region = Tables(s, dir, "region")
+      val nation = Tables(s, dir, "nation")
+      val cust = Tables(s, dir, "customer")
+      val ord = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dec4(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Semi join (EXISTS): orders that contain at least one big line.
+    "join_semi_big_lines" -> ((s, dir) => {
+      val big = Tables(s, dir, "lineitem").filter(col("l_quantity") >= 49.0)
+      Tables(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Anti join (NOT EXISTS): customers with no urgent order — the
+    // engine's idiom for UNIQUE-constraint style "insert only new keys"
+    // (SURVEY.md §2.3 dedup).
+    "join_anti_no_orders" -> ((s, dir) => {
+      val urgent = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      Tables(s, dir, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Window: rank customers by total spend within market segment.
+    "window_top_spenders" -> ((s, dir) => {
+      val totals = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(dec2(sum(dec2(col("o_totalprice")))).as("total_spend"))
+      val cust = Tables(s, dir, "customer")
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("total_spend").desc, col("c_custkey"))
+      cust.join(totals, col("c_custkey") === col("o_custkey"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("rn"), col("c_custkey"), col("total_spend"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    }),
+
+    // Window: running sum over an explicit ROWS frame.
+    "window_running_spend" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "orders")
+        .filter(col("o_custkey") % 100 === 0)
+        .withColumn("running_spend", dec2(sum(dec2(col("o_totalprice"))).over(w)))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Sort + limit (top-k by value with deterministic tie-break).
+    "sort_topk_orders" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), dec2(col("o_totalprice")).as("price"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // Set op: UNION ALL of two disjoint selections.
+    "union_priorities" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      val low = o.filter(col("o_orderpriority") === "5-LOW")
+      urgent.unionAll(low)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Distinct.
+    "distinct_segments" -> ((s, dir) => {
+      Tables(s, dir, "customer")
+        .select(col("c_mktsegment"))
+        .distinct()
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Global aggregate: count / exact count-distinct / min / max.
+    "agg_global_stats" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        dec2(min(col("l_extendedprice"))).as("min_price"),
+        dec2(max(col("l_extendedprice"))).as("max_price"))
+    }),
+
+    // Grouping sets via ROLLUP (status, priority) → includes subtotal and
+    // grand-total rows with NULL keys.
+    "rollup_order_counts" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // CASE WHEN bucketing + aggregation.
+    "case_quantity_buckets" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .withColumn("bucket",
+          when(col("l_quantity") < 10, "small")
+            .when(col("l_quantity") < 35, "medium")
+            .otherwise("large"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), dec2(sum(dec2(col("l_quantity")))).as("qty"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Row-level scalar function surface: string + date functions, all
+    // whole-stage-codegen built-ins.
+    "scalar_string_date" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 1000 === 0)
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderpriority")).as("pri_upper"),
+          substring(col("o_orderstatus"), 1, 1).as("status_c"),
+          length(col("o_orderpriority")).cast("long").as("pri_len"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_pri"),
+          year(col("o_orderdate")).cast("long").as("order_year"),
+          month(col("o_orderdate")).cast("long").as("order_month"))
+        .orderBy(col("o_orderkey"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-03-15'
+           AND l_shipdate > TIMESTAMP '1998-03-15'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "join_semi_big_lines" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
+         ORDER BY o_orderkey""",
+    "join_anti_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "window_top_spenders" ->
+      """WITH totals AS (
+           SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spend
+           FROM orders GROUP BY o_custkey)
+         SELECT c_mktsegment, rn, c_custkey, total_spend FROM (
+           SELECT c_mktsegment,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+               ORDER BY total_spend DESC, c_custkey) AS BIGINT) AS rn,
+             c_custkey, total_spend
+           FROM customer JOIN totals ON c_custkey = o_custkey) t
+         WHERE rn <= 3 ORDER BY c_mktsegment, rn""",
+    "window_running_spend" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_spend
+         FROM orders WHERE o_custkey % 100 = 0
+         ORDER BY o_custkey, o_orderkey""",
+    "sort_topk_orders" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+         FROM orders ORDER BY price DESC, o_orderkey LIMIT 20""",
+    "union_priorities" ->
+      """SELECT o_orderkey, o_orderpriority FROM (
+           SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+           UNION ALL
+           SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '5-LOW') t
+         ORDER BY o_orderkey""",
+    "distinct_segments" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "agg_global_stats" ->
+      """SELECT COUNT(*) AS n_rows,
+         COUNT(DISTINCT l_orderkey) AS n_orders,
+         COUNT(DISTINCT l_partkey) AS n_parts,
+         CAST(MIN(l_extendedprice) AS DECIMAL(18,2)) AS min_price,
+         CAST(MAX(l_extendedprice) AS DECIMAL(18,2)) AS max_price
+         FROM lineitem""",
+    "rollup_order_counts" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "case_quantity_buckets" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 'small'
+                     WHEN l_quantity < 35 THEN 'medium'
+                     ELSE 'large' END AS bucket,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+         FROM lineitem GROUP BY 1 ORDER BY bucket""",
+    "scalar_string_date" ->
+      """SELECT o_orderkey,
+         UPPER(o_orderpriority) AS pri_upper,
+         SUBSTRING(o_orderstatus, 1, 1) AS status_c,
+         CAST(LENGTH(o_orderpriority) AS BIGINT) AS pri_len,
+         o_orderstatus || '-' || o_orderpriority AS status_pri,
+         CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+         CAST(MONTH(o_orderdate) AS BIGINT) AS order_month
+         FROM orders WHERE o_orderkey % 1000 = 0 ORDER BY o_orderkey""")
+}

@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+
+For each query dir under verifyOutDir: read the Spark parquet result,
+run the matching oracle_sql.json SQL in DuckDB with views over the sfDir
+parquet tables, sort columns by name, and compare values. Reports both
+strict (exact value) and tolerant (float rtol=1e-9) verdicts so we can
+see how close to a hash match we are before the real driver runs.
+Dev-time tooling only — the shipped engine is the Scala code.
+"""
+import json, sys, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    # Normalize to comparable python values: Decimal kept exact, floats as-is.
+    import decimal, datetime
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v.normalize()))
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return ("ts", v.isoformat())
+    if isinstance(v, float):
+        return ("f", v)
+    if isinstance(v, list):
+        return ("l", tuple(norm_cell(x) for x in v))
+    return (type(v).__name__, v)
+
+
+def rows_of(table):
+    cols = sorted(table.column_names)
+    data = {c: table.column(c).to_pylist() for c in cols}
+    n = table.num_rows
+    return cols, [tuple(norm_cell(data[c][i]) for c in cols) for i in range(n)]
+
+
+def close(a, b):
+    if a == b:
+        return True
+    if isinstance(a, tuple) and isinstance(b, tuple) and len(a) == len(b):
+        if a[0] == "f" and b[0] == "f":
+            x, y = a[1], b[1]
+            return abs(x - y) <= 1e-9 * max(1.0, abs(x), abs(y))
+        if a[0] == "dec" and b[0] == "dec":
+            from decimal import Decimal
+            return abs(Decimal(a[1]) - Decimal(b[1])) <= Decimal("0.0001")
+        return all(close(x, y) for x, y in zip(a, b))
+    return False
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_exact = n_tol = n_fail = n_rowsonly = 0
+    for name in names:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        got = pq.read_table(files[0]) if files else None
+        if name not in oracles:
+            status = f"rows-only ({got.num_rows if got is not None else 0} rows)"
+            n_rowsonly += 1
+            print(f"  {name:32s} {status}")
+            continue
+        want = con.sql(oracles[name]).fetch_arrow_table()
+        gc, gr = rows_of(got)
+        wc, wr = rows_of(want)
+        if gc != wc:
+            print(f"  {name:32s} FAIL columns: spark={gc} oracle={wc}")
+            n_fail += 1
+            continue
+        if len(gr) != len(wr):
+            print(f"  {name:32s} FAIL rowcount: spark={len(gr)} oracle={len(wr)}")
+            n_fail += 1
+            continue
+        if gr == wr:
+            print(f"  {name:32s} EXACT ({len(gr)} rows)")
+            n_exact += 1
+        elif all(close(a, b) for a, b in zip(sorted(gr), sorted(wr))):
+            bad = next(i for i, (a, b) in enumerate(zip(gr, wr)) if a != b)
+            print(f"  {name:32s} TOLERANT-ONLY (first diff row {bad}):")
+            print(f"    spark : {gr[bad]}")
+            print(f"    oracle: {wr[bad]}")
+            n_tol += 1
+        else:
+            bad = [i for i, (a, b) in enumerate(zip(gr, wr)) if not close(a, b)][:3]
+            print(f"  {name:32s} FAIL values at rows {bad}:")
+            for i in bad:
+                print(f"    spark : {gr[i]}")
+                print(f"    oracle: {wr[i]}")
+            n_fail += 1
+    print(f"\nexact={n_exact} tolerant={n_tol} fail={n_fail} rows-only={n_rowsonly}")
+    return 0 if n_fail == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
