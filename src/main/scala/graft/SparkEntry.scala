@@ -9,7 +9,11 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   */
 object SparkEntry {
   private def groups: Seq[QueryGroup] = Seq(
-    graft.queries.Relational)
+    graft.queries.Relational,
+    graft.queries.TextAnalysis,
+    graft.queries.DedupQueries,
+    graft.queries.Similarity,
+    graft.queries.Events)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

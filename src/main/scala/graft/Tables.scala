@@ -12,8 +12,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The events table stores TIMESTAMP(NANOS), which Spark 4 rejects by
+    // default (PARQUET_TYPE_ILLEGAL). Read nanos as long and let queries
+    // convert with integer division — set here (idempotent, runtime
+    // conf) so queries work under any caller-provided session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 }
 
 /** A named bundle of driver-checkable queries. Every query takes the

@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass JVM kernels behind the custom Catalyst expressions in
+  * [[Exprs]]. Why these exist: composing minhash/simhash out of Spark's
+  * higher-order functions re-evaluates the captured child expression per
+  * lambda element (`transform(sequence(0,127), i -> f(tokens(text)))`
+  * tokenizes the document 128 times — observed as a ~100× slowdown), and
+  * HOFs sit outside whole-stage codegen anyway. A single expression that
+  * does tokenize→shingle→hash→sketch in one pass over the string is both
+  * the fastest and the idiomatic-Spark way to add an operator Catalyst
+  * lacks (custom Expression with doGenCode, per the preference order:
+  * built-ins > custom Expression > UDF).
+  *
+  * All hashing is xxhash64 (Spark's own XXH64), so results are
+  * deterministic across JVMs/executors — required for shuffle-stable
+  * LSH band joins.
+  */
+object TextKernels {
+
+  private val HASH_SEED = 42L
+  private val FOLD = 2147483647L          // 2^31 - 1: keeps products < 2^62
+  private val MERSENNE61 = 2305843009213693951L // 2^61 - 1
+
+  /** Whitespace tokens of the trimmed text; matches
+    * split(regexp_replace(trim(text), '\s+', ' '), ' ') exactly
+    * (including the single-empty-token result for blank input).
+    */
+  def tokens(text: UTF8String): Array[String] =
+    text.toString.trim.split("\\s+", -1)
+
+  private def xx(s: String): Long = {
+    val u = UTF8String.fromString(s)
+    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, HASH_SEED)
+  }
+
+  /** Distinct word n-gram shingles as strings, first-occurrence order —
+    * set-equal to the HOF/SQL formulation
+    * `list_distinct([w[i]||' '||w[i+1]||...])` used by the DuckDB oracle.
+    */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokens(text)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = UTF8String.fromString(it.next()); m += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct word n-gram shingle hashes, folded into [0, 2^31). */
+  private def shingleHashes(text: UTF8String, n: Int): Array[Long] = {
+    val toks = tokens(text)
+    if (toks.length < n) return Array.empty
+    val seen = new java.util.HashSet[Long]()
+    val out = new Array[Long](toks.length - n + 1)
+    var m = 0
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      val h = java.lang.Math.floorMod(xx(sb.toString), FOLD)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, m)
+  }
+
+  /** Same universal-hash family as documented in SURVEY §2 extensions:
+    * sig_i = min over shingles of (a_i*h + b_i) mod (2^61-1).
+    */
+  private def aConst(i: Int): Long = 2654435761L ^ (2L * i + 1)
+  private def bConst(i: Int): Long = 40503L * (i + 7)
+
+  /** MinHash signature (length k) + LSH banding (k/bands rows per band)
+    * in one pass. Returns the band hashes (array<long>, length `bands`);
+    * empty shingle set → per-band sentinel hashes of Long.MaxValue
+    * minima (identical for all empty docs — they are legitimately
+    * candidate pairs: two empty docs ARE duplicates).
+    */
+  def minhashBands(text: UTF8String, n: Int, k: Int, bands: Int): ArrayData = {
+    val hs = shingleHashes(text, n)
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var si = 0
+    while (si < hs.length) {
+      val h = hs(si)
+      var i = 0
+      while (i < k) {
+        val v = (aConst(i) * h + bConst(i)) % MERSENNE61
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      si += 1
+    }
+    val r = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = HASH_SEED
+      var j = 0
+      while (j < r) { acc = XXH64.hashLong(sig(b * r + j), acc); j += 1 }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, majority vote of
+    * token-hash bits (ties → 0).
+    */
+  def simhash64(text: UTF8String): Long = {
+    val toks = tokens(text)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = xx(toks(i))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  /** FNV-1a 64-bit content fingerprint over the raw UTF-8 bytes — a
+    * cheap, codegen-friendly rolling hash for exact-dup bucketing where
+    * a cryptographic md5 would be overkill.
+    */
+  def fingerprint64(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+}

@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed state table with the `customers` contract the
+  * reference keeps in Postgres (csv-crm-upload database/database.go):
+  * unique id+email enforced as anti-join dedup (the Spark idiom for
+  * "INSERT that doesn't violate UNIQUE" — init-db.sh:13,16), point
+  * updates as partition-pruned rewrites, and the uploaded work-queue
+  * flag as a partition column so `pending()` prunes to the
+  * uploaded=false partition exactly like the reference's upload_idx
+  * index scan (init-db.sh:25, database.go:18).
+  *
+  * Scale: partitioning by a boolean splits the table into hot (pending)
+  * and cold (done) halves; the hot half is what the uploader rescans,
+  * so the rescan cost tracks the backlog, not the table. markUploaded
+  * rewrites only the pending partition. At 100 TB you'd swap the
+  * directory-overwrite for a transactional table format, but the plan
+  * shapes (anti-join insert, pruned scan, partition rewrite) carry over
+  * unchanged.
+  */
+class CustomerStore(spark: SparkSession, path: String) {
+
+  import CustomerSchema._
+
+  private def tableExists: Boolean =
+    new java.io.File(path).exists() &&
+      new java.io.File(path).listFiles().exists(f => f.getName.startsWith("uploaded="))
+
+  def all(): DataFrame =
+    if (tableExists)
+      spark.read.schema(tableSchema).parquet(path)
+        .select(tableSchema.fieldNames.map(col): _*)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+
+  /** Work-queue scan (S6): filter on the partition column prunes to the
+    * uploaded=false directory — no data files of the done partition are
+    * even listed. Column pruning to the 5 upload columns mirrors
+    * database.go:18 and is derived by Catalyst from the projection.
+    */
+  def pending(): DataFrame =
+    all().filter(!col("uploaded")).select(uploadColumns.map(col): _*)
+
+  /** Batched insert honoring the UNIQUE(id), UNIQUE(email) contract:
+    * intra-batch dedup keeps the deterministic first row per key
+    * (row_number over the ingest order — distributed dropDuplicates
+    * would pick an arbitrary winner), then an anti-join drops rows whose
+    * id or email already exist. Returns rows actually inserted.
+    * At scale both joins shuffle on the key; the existing-side scan
+    * prunes to key columns only.
+    */
+  def insertNew(batch: DataFrame): Long = {
+    val ordered = batch.withColumn("_seq", monotonically_increasing_id())
+    val byId = Window.partitionBy(col("id")).orderBy(col("_seq"))
+    val byEmail = Window.partitionBy(col("email")).orderBy(col("_seq"))
+    val intra = ordered
+      .withColumn("_r1", row_number().over(byId))
+      .filter(col("_r1") === 1)
+      .withColumn("_r2", row_number().over(byEmail))
+      .filter(col("_r2") === 1)
+      .drop("_seq", "_r1", "_r2")
+    val existing = all().select(col("id").as("_eid"), col("email").as("_eemail"))
+    val fresh = intra
+      .join(existing.select("_eid"), col("id") === col("_eid"), "left_anti")
+      .join(existing.select("_eemail"), col("email") === col("_eemail"), "left_anti")
+      .select(tableSchema.fieldNames.map(col): _*)
+      .cache()
+    val n = fresh.count()
+    if (n > 0) // empty-batch no-op: the reference panics here (SURVEY §2.1 S3)
+      fresh.write.mode(SaveMode.Append).partitionBy("uploaded").parquet(path)
+    fresh.unpersist()
+    n
+  }
+
+  /** Post-ack state transition (S7, database.go:176-198): flip
+    * uploaded=true for the given emails and touch modified_ts — the
+    * explicit form of the reference's BEFORE UPDATE trigger
+    * (init-db.sh:28-36). Only the pending partition is read or
+    * rewritten; acked rows move to the done partition.
+    */
+  def markUploaded(ackedEmails: DataFrame): Unit = {
+    if (!tableExists) return
+    val pendingRows = all().filter(!col("uploaded"))
+    val acked = ackedEmails.select(col("email").as("_ack")).distinct()
+    // Materialize both sides BEFORE touching files — their lineage reads
+    // the very partition being rewritten.
+    val moved = pendingRows.join(acked, col("email") === col("_ack"), "left_semi")
+      .withColumn("uploaded", lit(true))
+      .withColumn("modified_ts", current_timestamp())
+      .select(tableSchema.fieldNames.map(col): _*)
+      .localCheckpoint(true)
+    val kept = pendingRows.join(acked, col("email") === col("_ack"), "left_anti")
+      .select(tableSchema.fieldNames.map(col): _*)
+      .localCheckpoint(true)
+    // Acked rows append into the done partition; the pending partition
+    // directory is replaced outright (correct even when `kept` is empty,
+    // which dynamic partition overwrite would silently skip).
+    moved.write.mode(SaveMode.Append).partitionBy("uploaded").parquet(path)
+    kept.drop("uploaded").write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/uploaded=false")
+  }
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryGroup, Tables}
+import graft.functions.{Exprs, TextFunctions}
+import graft.functions.TextFunctions.contentFingerprint
+import graft.functions.MinHash._
+import graft.functions.VectorFunctions._
+
+/** Deduplication operator family over `documents` / `embeddings` — the
+  * first-class training-data-pipeline operators (exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash, embedding-cosine).
+  *
+  * Scale notes (100 TB):
+  *  - Exact dedup is a hash groupBy on a 128-bit content fingerprint —
+  *    one shuffle keyed by the hash, perfectly balanced unless the corpus
+  *    is pathologically duplicated; AQE skew-split handles that.
+  *  - The exact shingle inverted-index join (`dedup_ngram_jaccard`) is
+  *    quadratic in per-shingle posting length; production runs prune
+  *    high-DF shingles first (they contribute pairs that verification
+  *    discards anyway). We keep it exact here because it doubles as the
+  *    verification oracle for the LSH variant.
+  *  - MinHash+LSH (`dedup_minhash_lsh`) is the operator you'd actually
+  *    run at 100 TB: candidate generation is an equi-join on
+  *    (band, bandHash) — a plain shuffle join — and exact verification
+  *    touches only candidate pairs. With k=128, b=64, r=2 the miss
+  *    probability for a true pair at j≥0.5 is (1-0.25)^64 ≈ 1e-8, so its
+  *    verified output equals the exact join's (that is the oracle).
+  */
+object DedupQueries extends QueryGroup {
+
+  private val SHINGLE_N = 3
+  private val MINHASH_K = 128
+  private val LSH_BANDS = 64 // r = 2
+
+  private def ppm(c: Column): Column = floor(c * lit(1000000.0)).cast("long")
+
+  /** doc_id, distinct word 3-gram shingles, shingle-set size. Uses the
+    * one-pass ShinglesExpr kernel (set-equal to the oracle's SQL list
+    * comprehension; see TextKernels for why not the HOF composition).
+    */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), Exprs.shingles(col("text"), SHINGLE_N).as("shingles"))
+      .withColumn("n_sh", size(col("shingles")).cast("long"))
+
+  private def jaccardPpm(common: Column, na: Column, nb: Column): Column =
+    floor(common.cast("double") * lit(1000000.0) / (na + nb - common)).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy on the md5 content fingerprint; survivor
+    // is the smallest doc_id (deterministic "first wins", cf. the
+    // reference's UNIQUE-constraint dedup keeping the first arrival,
+    // csv-crm-upload postgres/entrypoint-init.d/init-db.sh:13,16).
+    "dedup_exact" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), contentFingerprint(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("survivor_id"))
+        .orderBy(col("survivor_id"))
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs (threshold 0.2) via shingle
+    // inverted index: explode → equi-join on shingle → count common →
+    // verify. The join shuffles on the shingle string; map-side partial
+    // count keeps the shuffle narrow.
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+      val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("sh").as("sh_a"))
+      val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("sh").as("sh_b"))
+      a.join(b, col("sh_a") === col("sh_b") && col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("n_common"))
+        .filter(col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")) >= 0.2)
+        .select(col("doc_a"), col("doc_b"), col("n_common"),
+          jaccardPpm(col("n_common"), col("na"), col("nb")).as("jaccard_ppm"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // MinHash + LSH banding with exact verification at j ≥ 0.5. Candidate
+    // generation: posexplode band hashes → self-equi-join on
+    // (band, hash) → distinct pairs; verification: array_intersect on the
+    // (much smaller) candidate set only.
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      val ex = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(Exprs.minhashBands(col("text"), SHINGLE_N, MINHASH_K, LSH_BANDS))
+            .as(Seq("band", "bh")))
+      val cand = ex.as("x").join(ex.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val lhs = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"), col("n_sh").as("na"))
+      val rhs = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("n_sh").as("nb"))
+      cand.join(lhs, "doc_a").join(rhs, "doc_b")
+        .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .filter(col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          jaccardPpm(col("n_common"), col("na"), col("nb")).as("jaccard_ppm"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash near-dup pairs at hamming distance ≤ 7, using 8-bit
+    // pigeonhole bands — EXACT blocking for d ≤ 7 (any such pair agrees
+    // on ≥ 1 of 8 bands), so this is the same equi-join shape as LSH and
+    // scales identically. Rows-only check (simhash uses xxhash64, which
+    // DuckDB cannot reproduce); cross-checked in ScalaTest instead.
+    "dedup_simhash" -> ((s, dir) => {
+      val sig = Tables(s, dir, "documents")
+        .select(col("doc_id"), Exprs.simhash64(col("text")).as("sig"))
+        .withColumn("bands", simHashBands(col("sig")))
+      val ex = sig.select(col("doc_id"), col("sig"), posexplode(col("bands")).as(Seq("band", "bv")))
+      ex.as("x").join(ex.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          hamming64(col("x.sig"), col("y.sig")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 7)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Embedding-cosine near-dup pairs (quantized integer cosine ≥ 0.45).
+    // Kept exact/pairwise here — it is the verification oracle shape; the
+    // LSH-bucketed ANN in Similarity is the 100 TB path.
+    "dedup_embedding" -> ((s, dir) => {
+      val q = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+        .withColumn("sq", qnormSq(col("qv")))
+      val a = q.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("sq").as("sa"))
+      val b = q.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("sq").as("sb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cos_ppm", cosPpm(qdot(col("qa"), col("qb")), col("sa"), col("sb")))
+        .filter(col("cos_ppm") >= 450000)
+        .select(col("vec_a"), col("vec_b"), col("cos_ppm"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }))
+
+  private val normSql = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
+  private val toksSql = s"string_split($normSql, ' ')"
+  // DuckDB 3-gram shingles: 1-based list comprehension, i ∈ [1, len-2].
+  private val shinglesSql =
+    "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])"
+
+  private def exactJaccardSql(threshold: String): String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+        sh AS (SELECT doc_id, $shinglesSql AS shingles FROM toks),
+        sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        co AS (SELECT a.doc_id ai, b.doc_id bi, count(*) AS common
+               FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+        SELECT ai AS doc_a, bi AS doc_b, CAST(common AS BIGINT) AS n_common,
+          CAST(floor(CAST(common AS DOUBLE)*1000000.0/(na.n + nb.n - common)) AS BIGINT) AS jaccard_ppm
+        FROM co JOIN sz na ON co.ai = na.doc_id JOIN sz nb ON co.bi = nb.doc_id
+        WHERE CAST(common AS DOUBLE)/(na.n + nb.n - common) >= $threshold
+        ORDER BY doc_a, doc_b"""
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT md5($normSql) AS fp, COUNT(*) AS n_docs,
+          CAST(MIN(doc_id) AS BIGINT) AS survivor_id
+          FROM documents GROUP BY 1 ORDER BY survivor_id""",
+    "dedup_ngram_jaccard" -> exactJaccardSql("0.2"),
+    // LSH recall at j≥0.5 with b=64,r=2 is 1-1e-8 → verified output ==
+    // exact join output; the oracle IS the exact formulation minus the
+    // n_common column.
+    "dedup_minhash_lsh" ->
+      s"""SELECT doc_a, doc_b, jaccard_ppm FROM (${exactJaccardSql("0.5")})""",
+    "dedup_embedding" ->
+      """WITH q AS (SELECT vec_id,
+            [CAST(floor(CAST(x AS DOUBLE)*1000.0) AS BIGINT) for x in embedding] AS qv
+          FROM embeddings),
+        n AS (SELECT vec_id, qv, CAST(list_sum([x*x for x in qv]) AS BIGINT) AS sq FROM q),
+        p AS (SELECT a.vec_id ai, b.vec_id bi,
+                CAST(list_sum([a.qv[i]*b.qv[i] for i in range(1, len(a.qv)+1)]) AS BIGINT) AS dot,
+                a.sq sa, b.sq sb
+              FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        SELECT ai AS vec_a, bi AS vec_b,
+          CAST(floor(CAST(dot AS DOUBLE)*1000000.0/(sqrt(CAST(sa AS DOUBLE))*sqrt(CAST(sb AS DOUBLE)))) AS BIGINT) AS cos_ppm
+        FROM p
+        WHERE CAST(floor(CAST(dot AS DOUBLE)*1000000.0/(sqrt(CAST(sa AS DOUBLE))*sqrt(CAST(sb AS DOUBLE)))) AS BIGINT) >= 450000
+        ORDER BY vec_a, vec_b""")
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryGroup, Tables}
+
+/** Batch analytics over the `events` stream table: tumbling windows,
+  * sessionization, as-of joins, and semi-structured (JSON) extraction.
+  * The same transforms run as Structured Streaming in
+  * [[graft.streaming.EventStreams]]; here they are expressed in batch
+  * form so the DuckDB oracle can check them.
+  *
+  * Timestamps are compared at microsecond precision (`unix_micros` /
+  * `epoch_us`) — the parquet files store nanos, Spark truncates to
+  * micros on read and DuckDB's epoch_us truncates identically, so the
+  * integers hash-match. Double `value` sums go through DECIMAL(18,2)
+  * per-row casts (exact, order-independent).
+  */
+object Events extends QueryGroup {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private val SESSION_GAP_US = 1800L * 1000000 // 30 min
+
+  /** events with `ts` (nanos-as-long, see Tables) converted to exact
+    * microseconds via integer division — the nano value (~1.7e18)
+    * exceeds double's 2^53 mantissa, so float division would corrupt it.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events").withColumn("us", expr("ts DIV 1000"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour windows per event type: the batch form of the
+    // streaming groupBy(window($"ts", "1 hour"), $"event_type").
+    "events_hourly" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_trunc("hour", timestamp_micros(col("us"))).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dec2(sum(dec2(col("value")))).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // Sessionization: 30-minute-gap sessions per user via the classic
+    // lag → gap flag → running sum pattern. One shuffle on user_id; both
+    // windows share the same partitioning so Catalyst plans one exchange.
+    "events_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("us"))
+        .withColumn("new_sess",
+          when(col("us") - lag(col("us"), 1).over(byUser) > SESSION_GAP_US || lag(col("us"), 1).over(byUser).isNull, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(cum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          ((max(col("us")) - min(col("us"))) / lit(1000000L)).cast("long").as("duration_sec"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // As-of join: for each purchase, the user's most recent strictly
+    // earlier view. Implemented as union + last(ignoreNulls) over one
+    // user-partitioned window — a single shuffle, no range join, which is
+    // exactly how you'd do it at 100 TB (a point-in-time lookup join).
+    "events_asof_view_before_purchase" -> ((s, dir) => {
+      val e = events(s, dir)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("us"),
+          (col("event_type") === "view").cast("int").as("is_view"))
+      // Views sort after purchases at equal timestamps → "strictly
+      // earlier" semantics for the running last().
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("is_view"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("last_view_id",
+          last(when(col("is_view") === 1, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("last_view_us",
+          last(when(col("is_view") === 1, col("us")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+          col("last_view_id"), col("last_view_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Semi-structured extraction: pull the integer k out of the JSON
+    // props (regexp keeps it engine-portable), bucket by k % 10.
+    "events_props_extract" -> ((s, dir) => {
+      events(s, dir)
+        .select(regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"),
+          col("value"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), dec2(sum(dec2(col("value")))).as("sum_value"))
+        .orderBy(col("k_mod"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         f AS (SELECT user_id, event_id, us,
+                 CASE WHEN us - lag(us) OVER w > 1800000000
+                      OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         g AS (SELECT user_id, us,
+                 CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+               FROM f)
+         SELECT user_id, session_id, COUNT(*) AS n_events,
+           CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS duration_sec
+         FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "events_asof_view_before_purchase" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                 CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view
+               FROM events WHERE event_type IN ('view', 'purchase')),
+         f AS (SELECT *,
+                 last_value(CASE WHEN is_view = 1 THEN event_id END IGNORE NULLS)
+                   OVER w AS last_view_id,
+                 last_value(CASE WHEN is_view = 1 THEN us END IGNORE NULLS)
+                   OVER w AS last_view_us
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, is_view, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, us AS purchase_us, last_view_id, last_view_us
+         FROM f WHERE event_type = 'purchase' ORDER BY event_id""",
+    "events_props_extract" ->
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_mod,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+         FROM events GROUP BY 1 ORDER BY k_mod""")
+}

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryGroup, Tables}
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * language ID, quality scoring, fingerprinting, per-source profiling.
+  *
+  * All column math is codegen'd built-ins (no UDFs); ratio outputs are
+  * emitted as integer micro-units (floor(x*1e6)) so the DuckDB oracle
+  * compares longs, not rounded decimals — identical IEEE doubles on both
+  * engines then yield identical integers.
+  */
+object TextAnalysis extends QueryGroup {
+
+  private def ppm(c: Column): Column = floor(c * lit(1000000.0)).cast("long")
+
+  /** Shared SQL fragments so Spark and oracle stay in lockstep. */
+  private def inList(items: Seq[String]): String =
+    items.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens + BPE-ish subword estimate.
+    // Narrow projection → parquet reads only (doc_id, text).
+    "text_token_stats" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val norm = normText(col("text"))
+      val toks = tokens(col("text"))
+      d.select(
+        col("doc_id"),
+        length(norm).cast("long").as("n_chars_norm"),
+        size(toks).cast("long").as("n_tokens"),
+        tokenEstimate(norm, toks).as("token_est"),
+        ppm(avgTokenLen(norm, toks)).as("avg_token_len_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language ID via marker-lexicon argmax; reports prediction and
+    // agreement with the generator's label.
+    "text_langid" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"), col("lang"),
+          langId(toks).as("lang_pred"))
+        .withColumn("is_match", (col("lang") === col("lang_pred")).as("is_match"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: punctuation ratio, stopword ratio, composite score.
+    "text_quality" -> ((s, dir) => {
+      val norm = normText(col("text"))
+      val toks = tokens(col("text"))
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          ppm(punctRatio(norm)).as("punct_ppm"),
+          ppm(stopwordRatio(toks)).as("stopword_ppm"),
+          ppm(qualityScore(norm, toks)).as("quality_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Content fingerprinting (md5 of normalized text) — the exact-dedup key.
+    "text_fingerprint" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), contentFingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-(source, lang) corpus profile: doc count, char sum, mean quality.
+    // Map-side partial aggregation; group key cardinality is tiny (~100)
+    // so the shuffle is negligible at any scale.
+    "text_source_profile" -> ((s, dir) => {
+      val norm = normText(col("text"))
+      val toks = tokens(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          tokenEstimate(norm, toks).as("tok"))
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("tok")).as("sum_tokens"))
+        .orderBy(col("source"), col("lang"))
+    }))
+
+  // DuckDB mirrors. Notes: DuckDB regexp_replace needs the 'g' flag
+  // (Spark's is global by default); string_split == Spark split on a
+  // single-space separator after whitespace normalization.
+  private val normSql = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
+  private val toksSql = s"string_split($normSql, ' ')"
+
+  private def hitsSql(markers: Seq[String]): String =
+    s"len(list_filter(w, t -> t IN ${inList(markers)}))"
+
+  private val langPredSql: String = {
+    val scores = langMarkers.map { case (lang, m) => lang -> s"s_$lang" }
+    val defs = langMarkers.map { case (lang, m) => s"${hitsSql(m)} AS s_$lang" }
+    val cases = scores.zipWithIndex.map { case ((lang, sc), i) =>
+      val rest = scores.drop(i + 1).map { case (_, o) => s"$sc >= $o" }
+      val conds = (s"$sc > 0" +: rest).mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }
+    s"""SELECT doc_id, lang,
+        CASE ${cases.mkString(" ")} ELSE 'und' END AS lang_pred
+        FROM (SELECT doc_id, lang, ${defs.mkString(", ")}
+              FROM (SELECT doc_id, lang, $toksSql AS w FROM documents))"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_token_stats" ->
+      s"""SELECT doc_id,
+          CAST(length(norm) AS BIGINT) AS n_chars_norm,
+          CAST(len(w) AS BIGINT) AS n_tokens,
+          CAST(len(w) + len(list_filter(w, t -> length(t) > 8)) AS BIGINT) AS token_est,
+          CAST(floor(CASE WHEN len(w) = 0 THEN 0.0
+            ELSE CAST(length(norm) - len(w) + 1 AS DOUBLE) / len(w) END * 1000000.0) AS BIGINT)
+            AS avg_token_len_ppm
+          FROM (SELECT doc_id, $normSql AS norm, $toksSql AS w FROM documents)
+          ORDER BY doc_id""",
+    "text_langid" ->
+      s"""SELECT doc_id, lang, lang_pred, lang = lang_pred AS is_match
+          FROM ($langPredSql) ORDER BY doc_id""",
+    "text_quality" ->
+      s"""SELECT doc_id,
+          CAST(floor(punct * 1000000.0) AS BIGINT) AS punct_ppm,
+          CAST(floor(stop * 1000000.0) AS BIGINT) AS stopword_ppm,
+          CAST(floor((0.4 * least(CAST(len(w) AS DOUBLE) / 64.0, 1.0)
+                    + 0.4 * least(stop * 4.0, 1.0)
+                    + 0.2 * (1.0 - least(punct * 4.0, 1.0))) * 1000000.0) AS BIGINT)
+            AS quality_ppm
+          FROM (
+            SELECT doc_id, w,
+              CASE WHEN length(norm) = 0 THEN 0.0
+                ELSE CAST(length(regexp_replace(norm, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                     / length(norm) END AS punct,
+              CASE WHEN len(w) = 0 THEN 0.0
+                ELSE CAST(${hitsSql(stopwords)} AS DOUBLE) / len(w) END AS stop
+            FROM (SELECT doc_id, $normSql AS norm, $toksSql AS w FROM documents))
+          ORDER BY doc_id""",
+    "text_fingerprint" ->
+      s"SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id",
+    "text_source_profile" ->
+      s"""SELECT source, lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          CAST(SUM(len(w) + len(list_filter(w, t -> length(t) > 8))) AS BIGINT) AS sum_tokens
+          FROM (SELECT source, lang, n_chars, $toksSql AS w FROM documents)
+          GROUP BY source, lang ORDER BY source, lang""")
+}

@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+/** Ingest semantics ported from the reference's csvreader specs
+  * (cmd/csvreader/csvreader_test.go) plus the corrected behaviors from
+  * SURVEY §7.4: single header skip, empty-batch no-op, quarantine
+  * reasons.
+  */
+class IngestSpec extends SparkSpec {
+
+  private def writeCsv(lines: Seq[String]): String = {
+    val f = Files.createTempFile("ingest", ".csv")
+    Files.write(f, lines.mkString("\n").getBytes)
+    f.toString
+  }
+
+  // Mirrors assets/MOCK_BAD_DATA.csv semantics (no header: bad id "500l",
+  // empty email, duplicate email) without copying its content.
+  private val badDataLines = Seq(
+    "1,Ann,Aardvark,ann@example.com,555-0001",
+    "2x,Bob,Badger,bob@example.com,555-0002", // bad id → quarantined
+    "3,Cai,Crane,,555-0003", // empty email → quarantined
+    "4,Dee,Deer,ann@example.com,555-0004", // dup email → dedup drops
+    "5,Eli,Eagle,eli@example.com,555-0005")
+
+  test("validate splits bad id and empty email into quarantine with reasons") {
+    val raw = Ingest.readCsv(spark, writeCsv(badDataLines), header = false)
+    val (good, bad) = Ingest.validate(raw)
+    assert(good.count() === 3) // rows 1, 4, 5 (dup email is dedup's job)
+    val reasons = bad.select("reason").collect().map(_.getString(0)).sorted
+    assert(reasons === Array("bad_id", "empty_email"))
+  }
+
+  test("header is skipped exactly once (reference double-skip bug corrected)") {
+    val withHeader = "id,first_name,last_name,email,phone" +: badDataLines
+    val raw = Ingest.readCsv(spark, writeCsv(withHeader), header = true)
+    val (good, bad) = Ingest.validate(raw)
+    // The reference loses data row 1 here (csvreader.go:38-42 + 55-59);
+    // correct behavior keeps all 5 data rows.
+    assert(good.count() + bad.count() === 5)
+  }
+
+  test("enrich adds uploaded=false and timestamps") {
+    val raw = Ingest.readCsv(spark, writeCsv(badDataLines), header = false)
+    val (good, _) = Ingest.validate(raw)
+    val enriched = Ingest.enrich(good)
+    assert(enriched.columns.toSet === CustomerSchema.tableSchema.fieldNames.toSet)
+    assert(enriched.filter("uploaded").count() === 0)
+    assert(enriched.filter("created_ts IS NULL OR modified_ts IS NULL").count() === 0)
+  }
+
+  test("store insert dedups within batch (first wins) and across batches") {
+    val dir = tmpDir("store")
+    val store = new CustomerStore(spark, s"$dir/customers")
+    val raw = Ingest.readCsv(spark, writeCsv(badDataLines), header = false)
+    val (good, _) = Ingest.validate(raw)
+    // Intra-batch: id 4 reuses ann@example.com → dropped (first wins).
+    assert(store.insertNew(Ingest.enrich(good)) === 2)
+    assert(store.pending().count() === 2)
+    // Cross-batch: re-inserting the same file inserts nothing.
+    assert(store.insertNew(Ingest.enrich(good)) === 0)
+    assert(store.pending().count() === 2)
+    // Fresh id+email still lands.
+    val more = Ingest.readCsv(spark,
+      writeCsv(Seq("9,Zoe,Zebra,zoe@example.com,555-0009")), header = false)
+    val (good2, _) = Ingest.validate(more)
+    assert(store.insertNew(Ingest.enrich(good2)) === 1)
+    assert(store.pending().count() === 3)
+  }
+
+  test("empty batch is a no-op (reference panics on exact-multiple buffer)") {
+    val dir = tmpDir("store")
+    val store = new CustomerStore(spark, s"$dir/customers")
+    val raw = Ingest.readCsv(spark, writeCsv(Seq("nonsense")), header = false)
+    val (good, _) = Ingest.validate(raw)
+    assert(store.insertNew(Ingest.enrich(good)) === 0)
+    assert(store.pending().count() === 0)
+  }
+
+  test("markUploaded flips the flag, touches modified_ts, preserves done rows") {
+    val dir = tmpDir("store")
+    val store = new CustomerStore(spark, s"$dir/customers")
+    val raw = Ingest.readCsv(spark, writeCsv(badDataLines), header = false)
+    val (good, _) = Ingest.validate(raw)
+    store.insertNew(Ingest.enrich(good))
+    import spark.implicits._
+    store.markUploaded(Seq("ann@example.com").toDF("email"))
+    assert(store.pending().count() === 1)
+    assert(store.all().filter("uploaded").count() === 1)
+    // Second ack must not clobber the first done row.
+    store.markUploaded(Seq("eli@example.com").toDF("email"))
+    assert(store.pending().count() === 0)
+    assert(store.all().filter("uploaded").count() === 2)
+    val touched = store.all().filter("uploaded")
+      .filter("modified_ts >= created_ts").count()
+    assert(touched === 2)
+  }
+}

@@ -71,7 +71,12 @@ def main(sf_dir, out_dir):
             n_rowsonly += 1
             print(f"  {name:32s} {status}")
             continue
-        want = con.sql(oracles[name]).fetch_arrow_table()
+        try:
+            want = con.sql(oracles[name]).fetch_arrow_table()
+        except Exception as e:
+            print(f"  {name:32s} ORACLE-ERROR {str(e)[:120]}")
+            n_fail += 1
+            continue
         gc, gr = rows_of(got)
         wc, wr = rows_of(want)
         if gc != wc:
