@@ -13,7 +13,8 @@ object SparkEntry {
     graft.queries.TextAnalysis,
     graft.queries.DedupQueries,
     graft.queries.Similarity,
-    graft.queries.Events)
+    graft.queries.Events,
+    graft.queries.Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

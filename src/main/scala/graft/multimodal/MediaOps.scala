@@ -1,0 +1,114 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal columns: image/audio/video as opaque `binary` with typed
+  * metadata, plus decode / feature-extract / resize / frame-sample
+  * stages. The container has no codec libraries, so the DECODE step is a
+  * deterministic fake (documented per method); everything Spark-side —
+  * schema, binary handling, partition-iterator plumbing, batch shapes,
+  * output contracts — is real and tested. In PySpark the per-partition
+  * stages would be Pandas UDFs over mapInPandas; the Scala-native
+  * equivalent is mapPartitions over a typed Dataset, which keeps the
+  * same "one iterator per partition, stream batches through a model"
+  * shape a real extractor (ONNX/JNI codec) would plug into.
+  *
+  * Scale notes: media blobs make row sizes KB-MB; the knobs that matter
+  * at 100 TB are spark.sql.files.maxPartitionBytes (bound partition
+  * memory), binary columns NEVER in join/shuffle keys (metadata joins
+  * carry media_id only), and feature extraction emitting narrow rows so
+  * the expensive shuffle ships 64 floats, not the blob.
+  */
+object MediaOps {
+
+  val KINDS = Seq("image", "audio", "video")
+  val FEATURE_DIM = 64
+  val FRAME_BYTES = 256
+
+  /** Synthesize a media table from `documents` (deterministic: the text
+    * bytes stand in for the blob; kind cycles by doc_id). Stand-in for
+    * `spark.read.format("binaryFile")` over an object store.
+    */
+  def fakeMediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      element_at(lit(KINDS.toArray), (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      struct(
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        (col("doc_id") % 1920 + 1).cast("int").as("width"),
+        (col("doc_id") % 1080 + 1).cast("int").as("height")).as("meta"))
+
+  case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte])
+  case class MediaFeatures(media_id: Long, kind: String, features: Array[Float])
+  case class MediaFrame(media_id: Long, kind: String, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** STUB DECODER: a real implementation hands `bytes` to a codec and a
+    * vision/audio model per partition; this fake derives FEATURE_DIM
+    * floats from a rolling hash of the bytes — deterministic, so specs
+    * can assert exact pipeline behavior end-to-end.
+    */
+  private[multimodal] def fakeDecodeFeatures(bytes: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](FEATURE_DIM)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L
+      out(i % FEATURE_DIM) += ((h >>> 40).toInt & 0xffff) / 65536.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Feature extraction: binary → fixed-dim float vector, one model
+    * session per partition (the expensive init happens once per
+    * iterator, not per row — the mapInPandas batch contract).
+    */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "bytes").as[MediaRow]
+      .mapPartitions { rows =>
+        // real impl: val session = loadModel() — once per partition
+        rows.map(r => MediaFeatures(r.media_id, r.kind, fakeDecodeFeatures(r.bytes)))
+      }
+  }
+
+  /** Frame sampling: one blob → many fixed-size frame rows. STUB: frames
+    * are FRAME_BYTES-sized chunks; a real impl seeks keyframes. The
+    * explode keeps frames narrow so downstream shuffles never carry the
+    * full blob.
+    */
+  def sampleFrames(media: DataFrame): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "bytes").as[MediaRow]
+      .flatMap { r =>
+        r.bytes.grouped(FRAME_BYTES).zipWithIndex.map {
+          case (chunk, i) => MediaFrame(r.media_id, r.kind, i, chunk)
+        }
+      }
+  }
+
+  /** Resize: bytes → bytes with updated metadata. STUB: truncate/pad to
+    * the target byte budget (a real impl rescales pixels); metadata
+    * rewrite is the real contract.
+    */
+  def resize(media: DataFrame, width: Int, height: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val budget = width * height / 256 + 1
+    val resized = media.select("media_id", "kind", "bytes").as[MediaRow]
+      .map { r =>
+        val b = java.util.Arrays.copyOf(r.bytes, budget)
+        MediaRow(r.media_id, r.kind, b)
+      }
+      .toDF("media_id", "kind", "bytes")
+    resized.withColumn("meta", struct(
+      octet_length(col("bytes")).cast("long").as("n_bytes"),
+      lit(width).as("width"), lit(height).as("height")))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream operators as Structured Streaming transforms. The batch
+  * twins (checked against the DuckDB oracle) live in
+  * [[graft.queries.Events]]; these run the same logic with watermarks
+  * over unbounded input. The reference has no event-time concept
+  * (arrival-time only, SURVEY §2.4) — this is part of the
+  * beyond-reference surface.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour counts per event type, 2-hour watermark: late rows
+    * beyond the watermark are dropped and state for closed windows is
+    * reclaimed — the property that keeps state bounded at 100 TB/day.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"))
+
+  /** Session aggregates via the built-in session_window (30-min gap) —
+    * the streaming form of the batch lag/cumsum sessionization.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  case class UserEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state (KeyValueGroupedDataset.mapGroupsWithState):
+    * running per-user counters — the pattern for state Spark's built-in
+    * aggregations can't express. State is per-key and partitioned by the
+    * grouping key, so it scales horizontally with executors.
+    *
+    * `ttl`: pass a processing-time duration ("1 hour") to evict idle
+    * keys — required for unbounded key spaces at 100 TB. Note the cost:
+    * with processing-time timeouts Spark schedules timeout-check
+    * micro-batches continuously even with no input (that is why the
+    * default here is no TTL — tests and bounded key spaces don't want a
+    * busy-looping query).
+    */
+  def runningUserTotals(events: Dataset[UserEvent],
+      ttl: Option[String] = None): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(timeoutConf) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          if (state.hasTimedOut) {
+            val cur = state.get
+            state.remove()
+            cur
+          } else {
+            val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+            var n = prev.n_events
+            var total = prev.total_value
+            rows.foreach { e => n += 1; total += e.value }
+            val next = UserRunning(userId, n, total)
+            state.update(next)
+            ttl.foreach(state.setTimeoutDuration)
+            next
+          }
+      }
+  }
+}

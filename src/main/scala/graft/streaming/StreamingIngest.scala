@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.pipeline.{CustomerSchema, CustomerStore, Ingest, Signal}
+
+/** Incremental CSV ingestion — the reference csvReader's streaming soul
+  * (SURVEY §2.4 T1/T2) on Structured Streaming. The file source
+  * discovers new CSVs per trigger; each micro-batch runs the same
+  * validate→enrich→dedup-insert plan as the batch job inside
+  * foreachBatch, then fires the conflating signal exactly where the
+  * reference RPCs after a successful insert (csvreader.go:97,103).
+  *
+  * Count-based 5-row buffering is an implementation detail of the Go
+  * reader; the semantics that matter — every valid row inserted exactly
+  * once per arrival, tail rows not lost at EOF, malformed rows skipped
+  * without stopping the stream — hold per micro-batch (SURVEY §7.4.1).
+  * Checkpointing makes file discovery replay-safe: a crashed batch is
+  * reprocessed and the anti-join dedup makes the replay idempotent —
+  * the exactly-once upgrade over the reference's at-least-once.
+  */
+object StreamingIngest {
+
+  def start(spark: SparkSession, inDir: String, store: CustomerStore,
+      checkpoint: String, signal: Option[Signal] = None,
+      header: Boolean = true): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(CustomerSchema.csvSchema)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("maxFilesPerTrigger", 1) // micro-batch per file, T1 analog
+      .csv(inDir)
+    raw.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (good, _) = Ingest.validate(batch)
+        val inserted = store.insertNew(Ingest.enrich(good))
+        if (inserted > 0) signal.foreach(_.notifyData())
+        ()
+      }
+      .start()
+  }
+}
