@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Dozens of whole-stage-codegen classes across a 30+-query run exhaust
+  // the default 240m code cache; the JIT then silently deoptimizes hot
+  // generated loops to interpreted bytecode (observed: a 1s aggregate
+  // taking 25s late in a bench run, random query each time).
+  "-XX:ReservedCodeCacheSize=1g",
 )
