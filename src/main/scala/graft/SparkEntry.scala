@@ -14,7 +14,8 @@ object SparkEntry {
     graft.queries.DedupQueries,
     graft.queries.Similarity,
     graft.queries.Events,
-    graft.queries.Multimodal)
+    graft.queries.Multimodal,
+    graft.queries.Extended)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

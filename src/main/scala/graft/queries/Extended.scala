@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryGroup, Tables}
+
+/** Remaining relational/ETL surface: JSON record round-trip (the
+  * reference's JSON_POPULATE_RECORDSET interchange, SURVEY §2.2 P6/P7),
+  * pivot, INTERSECT/EXCEPT, salted two-phase aggregation (the skew
+  * pattern), and exact percentiles.
+  */
+object Extended extends QueryGroup {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // JSON round-trip: rows → to_json → from_json(schema) → fields —
+    // the reference's wire format (struct→JSON→record, database.go:91,
+    // 123,147) as a lossless identity the oracle checks by aggregating
+    // the decoded side.
+    "json_roundtrip_agg" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      Tables(s, dir, "events")
+        .select(to_json(struct(col("user_id"), col("event_type"), col("value"))).as("doc"))
+        .select(from_json(col("doc"), schema).as("rec"))
+        .select(col("rec.user_id"), col("rec.event_type"), col("rec.value"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          dec2(sum(dec2(col("value")))).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Pivot: order counts as priority × status matrix.
+    "pivot_priority_status" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // INTERSECT / EXCEPT: building-segment customers who did place an
+    // urgent order (intersect), minus those with small accounts (except).
+    "setops_intersect_except" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+      val building = cust.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val urgent = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("c_custkey"))
+      val lowBal = cust.filter(col("c_acctbal") < 0).select(col("c_custkey"))
+      building.intersect(urgent).except(lowBal)
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Salted two-phase aggregation: 5 hot keys (event_type) would hash
+    // to ≤5 reducers at any cluster size — the canonical skew case. The
+    // salt (user_id % 16) fans the partial aggregate over 80 reducers;
+    // the final combine touches 80 rows. Result is exactly the plain
+    // groupBy the oracle runs.
+    "skew_salted_counts" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"), (col("user_id") % 16).as("salt"))
+        .agg(count(lit(1)).as("pn"), dec2(sum(dec2(col("value")))).as("pv"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"), dec2(sum(col("pv"))).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Exact percentiles (Spark `percentile` = DuckDB quantile_cont,
+    // both linear interpolation over the sorted set).
+    "percentile_prices" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          floor(expr("percentile(o_totalprice, 0.5)") * 100).cast("long").as("p50_cents"),
+          floor(expr("percentile(o_totalprice, 0.9)") * 100).cast("long").as("p90_cents"))
+        .orderBy(col("o_orderstatus"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "json_roundtrip_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+         COUNT(DISTINCT user_id) AS n_users,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "pivot_priority_status" ->
+      """SELECT o_orderpriority,
+         COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
+         COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
+         COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "setops_intersect_except" ->
+      """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         EXCEPT
+         SELECT c_custkey FROM customer WHERE c_acctbal < 0
+         ORDER BY c_custkey""",
+    "skew_salted_counts" ->
+      """SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "percentile_prices" ->
+      """SELECT o_orderstatus,
+         CAST(floor(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT) AS p50_cents,
+         CAST(floor(quantile_cont(o_totalprice, 0.9) * 100) AS BIGINT) AS p90_cents
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+}
