@@ -12,6 +12,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup at the smallest SF: compiles every query's codegen classes
+    // and JIT-warms the kernels so the timed run measures the operator,
+    // not first-run compilation (~5s of the first query otherwise).
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.foreach { case (name, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench-warm] $name: $e") }
+      }
     // noop sink, not count(): count() lets Catalyst prune every computed
     // column out of projection-only queries, timing a metadata scan
     // instead of the operator. The noop writer materializes every row.

@@ -22,8 +22,6 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextKernels {
 
   private val HASH_SEED = 42L
-  private val FOLD = 2147483647L          // 2^31 - 1: keeps products < 2^62
-  private val MERSENNE61 = 2305843009213693951L // 2^61 - 1
 
   /** Whitespace tokens of the trimmed text; matches
     * split(regexp_replace(trim(text), '\s+', ' '), ' ') exactly
@@ -64,7 +62,7 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
-  /** Distinct word n-gram shingle hashes, folded into [0, 2^31). */
+  /** Distinct word n-gram shingle hashes (full 64-bit). */
   private def shingleHashes(text: UTF8String, n: Int): Array[Long] = {
     val toks = tokens(text)
     if (toks.length < n) return Array.empty
@@ -80,18 +78,18 @@ object TextKernels {
         if (j > 0) sb.append(' ')
         sb.append(toks(i + j)); j += 1
       }
-      val h = java.lang.Math.floorMod(xx(sb.toString), FOLD)
+      val h = xx(sb.toString)
       if (seen.add(h)) { out(m) = h; m += 1 }
       i += 1
     }
     java.util.Arrays.copyOf(out, m)
   }
 
-  /** Same universal-hash family as documented in SURVEY §2 extensions:
-    * sig_i = min over shingles of (a_i*h + b_i) mod (2^61-1).
-    */
-  private def aConst(i: Int): Long = 2654435761L ^ (2L * i + 1)
-  private def bConst(i: Int): Long = 40503L * (i + 7)
+  // Per-permutation rehash MUST be a real scramble (xxhash of the base
+  // hash, seeded by the permutation index). The affine family
+  // (a_i*h+b_i mod M) tried first keeps the 128 minima correlated —
+  // monotone-ish maps of the same base hash pick the same argmin — so
+  // LSH bands missed together: observed 8/256 true pairs lost at sf0.1.
 
   /** MinHash signature (length k) + LSH banding (k/bands rows per band)
     * in one pass. Returns the band hashes (array<long>, length `bands`);
@@ -108,7 +106,7 @@ object TextKernels {
       val h = hs(si)
       var i = 0
       while (i < k) {
-        val v = (aConst(i) * h + bConst(i)) % MERSENNE61
+        val v = XXH64.hashLong(h, i)
         if (v < sig(i)) sig(i) = v
         i += 1
       }

@@ -75,6 +75,32 @@ object Extended extends QueryGroup {
         .orderBy(col("event_type"))
     }),
 
+    // Range join: value-band lookup via broadcast non-equi join — the
+    // small-dim interval-join pattern (BroadcastNestedLoop with a
+    // 5-row build side; never a shuffle of the fact table).
+    "range_join_value_bands" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("tiny", 0.0, 50.0), ("small", 50.0, 150.0), ("mid", 150.0, 250.0),
+        ("large", 250.0, 400.0), ("huge", 400.0, 1e9))
+        .toDF("band", "lo", "hi")
+      Tables(s, dir, "events")
+        .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), dec2(sum(dec2(col("value")))).as("sum_value"))
+        .orderBy(col("band"))
+    }),
+
+    // HLL sketch cardinalities — the 100 TB substitute for exact
+    // distinct counts (no expand, no second shuffle). Rows-only vs the
+    // oracle (approximation); ExtendedSpec pins the ≤5% error instead.
+    "approx_distinct_stats" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("apx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("apx_supps"))
+    }),
+
     // Exact percentiles (Spark `percentile` = DuckDB quantile_cont,
     // both linear interpolation over the sorted set).
     "percentile_prices" -> ((s, dir) => {
@@ -109,6 +135,15 @@ object Extended extends QueryGroup {
       """SELECT event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "range_join_value_bands" ->
+      """SELECT band, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+         FROM events
+         JOIN (VALUES ('tiny', 0.0, 50.0), ('small', 50.0, 150.0),
+                      ('mid', 150.0, 250.0), ('large', 250.0, 400.0),
+                      ('huge', 400.0, 1000000000.0)) AS bands(band, lo, hi)
+           ON value >= lo AND value < hi
+         GROUP BY band ORDER BY band""",
     "percentile_prices" ->
       """SELECT o_orderstatus,
          CAST(floor(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT) AS p50_cents,

@@ -56,6 +56,25 @@ class StreamingSpec extends SparkSpec {
     assert(rows.exists(r => r.getAs[String]("event_type") == "click" && r.getAs[Long]("n") == 2))
   }
 
+  test("streaming dropDuplicates suppresses redelivered keys across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "payload")
+      .dropDuplicates("id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append())
+      .start()
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((2L, "b-again"), (3L, "c")) // cross-batch redelivery
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids === Array(1L, 2L, 3L))
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
