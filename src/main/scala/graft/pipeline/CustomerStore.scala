@@ -36,6 +36,15 @@ class CustomerStore(spark: SparkSession, path: String) {
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
 
+  /** Typed view (SURVEY §1.3: Dataset[Customer] alongside the untyped
+    * SQL surface) — compile-time field checks for callers that want
+    * them; same plan underneath, no extra cost until an action.
+    */
+  def typed(): org.apache.spark.sql.Dataset[Customer] = {
+    import spark.implicits._
+    all().as[Customer]
+  }
+
   /** Work-queue scan (S6): filter on the partition column prunes to the
     * uploaded=false directory — no data files of the done partition are
     * even listed. Column pruning to the 5 upload columns mirrors

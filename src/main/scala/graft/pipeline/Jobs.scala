@@ -13,9 +13,14 @@ object IngestJob {
     * Spark's partition streaming replaces the 5-row micro-batch.
     */
   def run(spark: SparkSession, csvPath: String, store: CustomerStore,
-      header: Boolean = true, signal: Option[Signal] = None): (Long, DataFrame) = {
+      header: Boolean = true, signal: Option[Signal] = None,
+      rejectDir: Option[String] = None): (Long, DataFrame) = {
     val raw = Ingest.readCsv(spark, csvPath, header)
     val (good, bad) = Ingest.validate(raw)
+    // P4 upgrade: quarantined rows land in a queryable reject table
+    // (reason column included), not a log line (csvreader.go:79-83).
+    rejectDir.foreach(d =>
+      bad.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(d))
     val inserted = store.insertNew(Ingest.enrich(good))
     if (inserted > 0) signal.foreach(_.notifyData()) // csvreader.go:97,103
     (inserted, bad)

@@ -71,6 +71,20 @@ class IngestSpec extends SparkSpec {
     assert(store.pending().count() === 3)
   }
 
+  test("IngestJob writes quarantined rows to the reject sink and typed view works") {
+    val dir = tmpDir("rej")
+    val store = new CustomerStore(spark, s"$dir/customers")
+    val (inserted, _) = IngestJob.run(spark, writeCsv(badDataLines), store,
+      header = false, rejectDir = Some(s"$dir/rejects"))
+    assert(inserted === 2)
+    val rejects = spark.read.parquet(s"$dir/rejects")
+    assert(rejects.count() === 2)
+    assert(rejects.columns.contains("reason"))
+    // Typed Dataset surface: compile-time field access.
+    val emails = store.typed().collect().map(_.email).sorted
+    assert(emails === Array("ann@example.com", "eli@example.com"))
+  }
+
   test("empty batch is a no-op (reference panics on exact-multiple buffer)") {
     val dir = tmpDir("store")
     val store = new CustomerStore(spark, s"$dir/customers")
