@@ -53,24 +53,45 @@ class CustomerStore(spark: SparkSession, path: String) {
   def pending(): DataFrame =
     all().filter(!col("uploaded")).select(uploadColumns.map(col): _*)
 
-  /** Batched insert honoring the UNIQUE(id), UNIQUE(email) contract:
-    * intra-batch dedup keeps the deterministic first row per key
-    * (row_number over the ingest order — distributed dropDuplicates
-    * would pick an arbitrary winner), then an anti-join drops rows whose
-    * id or email already exist. Returns rows actually inserted.
-    * At scale both joins shuffle on the key; the existing-side scan
-    * prunes to key columns only.
+  /** Batched insert honoring the UNIQUE(id), UNIQUE(email) contract
+    * with the reference's exact sequential semantics: row i survives
+    * iff no EARLIER SURVIVOR shares its id or email (row-at-a-time
+    * INSERTs against both constraints, csvreader.go:87-101). That is a
+    * chained condition — a naive id-dedup-then-email-dedup pass gets it
+    * wrong when constraints interact (a row dropped for a dup id must
+    * NOT reserve its email; caught by DedupPropertySpec). Distributed
+    * form: fixpoint of "keep rows that are min-ingest-seq for BOTH
+    * their id and their email among remaining rows", then remove rows
+    * conflicting with the round's winners. Each round resolves at least
+    * the global-min row, and in practice conflict chains are 1-2 links,
+    * so 2 rounds cover real batches; each round is two key-partitioned
+    * windows + two anti-joins, all shuffle-partitioned by the key.
+    * Returns the number of rows actually inserted.
     */
   def insertNew(batch: DataFrame): Long = {
-    val ordered = batch.withColumn("_seq", monotonically_increasing_id())
-    val byId = Window.partitionBy(col("id")).orderBy(col("_seq"))
-    val byEmail = Window.partitionBy(col("email")).orderBy(col("_seq"))
-    val intra = ordered
-      .withColumn("_r1", row_number().over(byId))
-      .filter(col("_r1") === 1)
-      .withColumn("_r2", row_number().over(byEmail))
-      .filter(col("_r2") === 1)
-      .drop("_seq", "_r1", "_r2")
+    // Partition-ordered ids preserve single-file CSV ingest order.
+    var remaining = batch.withColumn("_seq", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val byId = Window.partitionBy(col("id"))
+    val byEmail = Window.partitionBy(col("email"))
+    var survivors: DataFrame = null
+    var remainingCount = remaining.count()
+    while (remainingCount > 0) {
+      val winners = remaining
+        .withColumn("_mi", min(col("_seq")).over(byId))
+        .withColumn("_me", min(col("_seq")).over(byEmail))
+        .filter(col("_seq") === col("_mi") && col("_seq") === col("_me"))
+        .drop("_mi", "_me")
+        .localCheckpoint(true)
+      survivors = if (survivors == null) winners else survivors.unionByName(winners)
+      remaining = remaining
+        .join(winners.select(col("id").as("_wid")), col("id") === col("_wid"), "left_anti")
+        .join(winners.select(col("email").as("_wem")), col("email") === col("_wem"), "left_anti")
+        .localCheckpoint(true)
+      remainingCount = remaining.count()
+    }
+    if (survivors == null) return 0 // empty batch: reference panics here (SURVEY §2.1 S3)
+    val intra = survivors.drop("_seq")
     val existing = all().select(col("id").as("_eid"), col("email").as("_eemail"))
     val fresh = intra
       .join(existing.select("_eid"), col("id") === col("_eid"), "left_anti")
@@ -78,7 +99,7 @@ class CustomerStore(spark: SparkSession, path: String) {
       .select(tableSchema.fieldNames.map(col): _*)
       .cache()
     val n = fresh.count()
-    if (n > 0) // empty-batch no-op: the reference panics here (SURVEY §2.1 S3)
+    if (n > 0)
       fresh.write.mode(SaveMode.Append).partitionBy("uploaded").parquet(path)
     fresh.unpersist()
     n

@@ -61,6 +61,28 @@ object Extended extends QueryGroup {
         .orderBy(col("c_custkey"))
     }),
 
+    // CUBE grouping sets (rollup's sibling; all 4 subtotal combos).
+    "cube_status_priority" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // Multiset set ops: INTERSECT ALL / EXCEPT ALL preserve
+    // multiplicities (vs the distinct-ifying plain variants).
+    "setops_multiset" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val urgentCust = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val highCust = o.filter(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_custkey"))
+      urgentCust.intersectAll(highCust)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // Salted two-phase aggregation: 5 hot keys (event_type) would hash
     // to ≤5 reducers at any cluster size — the canonical skew case. The
     // salt (user_id % 16) fans the partial aggregate over 80 reducers;
@@ -135,6 +157,16 @@ object Extended extends QueryGroup {
       """SELECT event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "cube_status_priority" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "setops_multiset" ->
+      """SELECT o_custkey, COUNT(*) AS n FROM (
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+           INTERSECT ALL
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+         GROUP BY o_custkey ORDER BY o_custkey""",
     "range_join_value_bands" ->
       """SELECT band, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
