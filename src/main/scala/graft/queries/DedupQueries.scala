@@ -105,11 +105,11 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // SimHash near-dup pairs at hamming distance ≤ 7, using 8-bit
-    // pigeonhole bands — EXACT blocking for d ≤ 7 (any such pair agrees
-    // on ≥ 1 of 8 bands), so this is the same equi-join shape as LSH and
-    // scales identically. Rows-only check (simhash uses xxhash64, which
-    // DuckDB cannot reproduce); cross-checked in ScalaTest instead.
+    // SimHash near-dup pairs at hamming distance ≤ 3, using 16-bit
+    // pigeonhole bands — EXACT blocking for d ≤ 3 (any such pair agrees
+    // on ≥ 1 of 4 bands), the same equi-join shape as LSH. Rows-only
+    // check (simhash uses xxhash64, which DuckDB cannot reproduce);
+    // cross-checked in ScalaTest instead.
     "dedup_simhash" -> ((s, dir) => {
       val sig = Tables(s, dir, "documents")
         .select(col("doc_id"), Exprs.simhash64(col("text")).as("sig"))
@@ -121,7 +121,7 @@ object DedupQueries extends QueryGroup {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           hamming64(col("x.sig"), col("y.sig")).as("hamming"))
         .distinct()
-        .filter(col("hamming") <= 7)
+        .filter(col("hamming") <= 3)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
