@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions._
+
+/** The broadcast-matrix sweep must emit exactly what the declarative
+  * column-math formulation emits — same pairs, same integer cosines.
+  */
+class VectorOpsSpec extends SparkSpec {
+
+  test("exactCosinePairs equals the join+column formulation on random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("sq", qnormSq(col("qv")))
+    val sweep = VectorOps.exactCosinePairs(df, 100000L).collect()
+      .map(p => (p.vec_a, p.vec_b, p.cos_ppm)).sorted
+    val a = df.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("sq").as("sa"))
+    val b = df.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("sq").as("sb"))
+    val joined = a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos_ppm", cosPpm(qdot(col("qa"), col("qb")), col("sa"), col("sb")))
+      .filter(col("cos_ppm") >= 100000L)
+      .select("vec_a", "vec_b", "cos_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(sweep.nonEmpty, "threshold produced no pairs — test vacuous")
+    assert(sweep.toSeq === joined.toSeq)
+  }
+}

@@ -70,6 +70,25 @@ class UploadSpec extends SparkSpec {
     }
   }
 
+  test("hung server hits the client timeout and the row stays pending") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/customers", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        Thread.sleep(5000) // longer than the client timeout
+        ex.sendResponseHeaders(201, -1); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val store = seedStore(2)
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/customers"
+      val acked = HttpSink.upload(store.pending(), url, concurrency = 2,
+        timeoutMs = 300).count()
+      assert(acked === 0)
+      assert(store.pending().count() === 2) // nothing marked, redelivery next poll
+    } finally server.stop(0)
+  }
+
   test("backoff follows fibonacci and resets on success") {
     val b = new Backoff()
     val seq = (1 to 6).map(_ => b.nextInterval())
