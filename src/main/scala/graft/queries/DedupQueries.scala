@@ -125,6 +125,51 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Near-dup clustering: connected components over the verified
+    // near-dup pairs (j ≥ 0.2), cluster id = min doc_id reachable —
+    // the step that turns pair lists into one canonical survivor per
+    // duplicate group. Iterative min-label propagation: each round is
+    // one groupBy-min over the (undirected) edge list; rounds needed =
+    // graph diameter (near-dup components are tiny, so 2-4). The
+    // 100 TB version is the same loop with the label table
+    // checkpointed per round (Pregel-style); no different plan shape.
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = {
+        val sh = shingled(s, dir)
+        val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+        val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("sh").as("sh_a"))
+        val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("sh").as("sh_b"))
+        a.join(b, col("sh_a") === col("sh_b") && col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+          .agg(count(lit(1)).as("n_common"))
+          .filter(col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")) >= 0.2)
+          .select(col("doc_a"), col("doc_b"))
+      }
+      val edges = pairs
+        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .localCheckpoint(true)
+      var labels = edges.select(col("doc_a").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+        .localCheckpoint(true)
+      var changed = 1L
+      while (changed > 0) {
+        val viaNeighbor = edges
+          .join(labels, col("doc_a") === col("node"))
+          .select(col("doc_b").as("node"), col("lbl"))
+        val next = labels.select(col("node"), col("lbl"))
+          .unionByName(viaNeighbor)
+          .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint(true)
+        changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
+          .filter(col("lbl") =!= col("old")).count()
+        labels = next
+      }
+      labels
+        .groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc_id"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // Embedding-cosine near-dup pairs (quantized integer cosine ≥ 0.45),
     // exact over all pairs via the broadcast-matrix sweep in
     // [[graft.functions.VectorOps]] (same integer math as the oracle;
@@ -165,6 +210,28 @@ object DedupQueries extends QueryGroup {
           CAST(MIN(doc_id) AS BIGINT) AS survivor_id
           FROM documents GROUP BY 1 ORDER BY survivor_id""",
     "dedup_ngram_jaccard" -> exactJaccardSql("0.2"),
+    // Connected components over the same pairs via recursive CTE
+    // (transitive closure; fine for the oracle's tiny components).
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE
+          toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+          sh AS (SELECT doc_id, $shinglesSql AS shingles FROM toks),
+          sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+          ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+          co AS (SELECT a.doc_id ai, b.doc_id bi, count(*) AS common
+                 FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          p AS (SELECT ai a, bi b
+                FROM co JOIN sz na ON co.ai = na.doc_id JOIN sz nb ON co.bi = nb.doc_id
+                WHERE CAST(common AS DOUBLE)/(na.n + nb.n - common) >= 0.2),
+          edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+          reach AS (SELECT a AS node, a AS lbl FROM edges
+                    UNION
+                    SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+          comp AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node)
+          SELECT lbl AS cluster_id, COUNT(*) AS n_docs,
+            CAST(MAX(node) AS BIGINT) AS max_doc_id
+          FROM comp GROUP BY lbl ORDER BY cluster_id""",
     // LSH recall at j≥0.5 with b=64,r=2 is 1-1e-8 → verified output ==
     // exact join output; the oracle IS the exact formulation minus the
     // n_common column.
