@@ -49,6 +49,46 @@ object DedupQueries extends QueryGroup {
   private def jaccardPpm(common: Column, na: Column, nb: Column): Column =
     floor(common.cast("double") * lit(1000000.0) / (na + nb - common)).cast("long")
 
+  /** Connected components over the verified near-dup pairs (j ≥ 0.2):
+    * iterative min-label propagation to fixpoint. Returns (node, lbl)
+    * with lbl = min doc_id of the component. Each round is one
+    * groupBy-min over the undirected edge list; rounds = diameter
+    * (near-dup components are tiny, so 2-4). The 100 TB version is the
+    * same loop with the label table checkpointed per round
+    * (Pregel-style) — no different plan shape.
+    */
+  private def components(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("sh").as("sh_a"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("sh").as("sh_b"))
+    val pairs = a.join(b, col("sh_a") === col("sh_b") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")) >= 0.2)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbor = edges
+        .join(labels, col("doc_a") === col("node"))
+        .select(col("doc_b").as("node"), col("lbl"))
+      val next = labels.select(col("node"), col("lbl"))
+        .unionByName(viaNeighbor)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+    }
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on the md5 content fingerprint; survivor
     // is the smallest doc_id (deterministic "first wins", cf. the
@@ -134,40 +174,33 @@ object DedupQueries extends QueryGroup {
     // 100 TB version is the same loop with the label table
     // checkpointed per round (Pregel-style); no different plan shape.
     "dedup_clusters" -> ((s, dir) => {
-      val pairs = {
-        val sh = shingled(s, dir)
-        val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
-        val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("sh").as("sh_a"))
-        val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("sh").as("sh_b"))
-        a.join(b, col("sh_a") === col("sh_b") && col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-          .agg(count(lit(1)).as("n_common"))
-          .filter(col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")) >= 0.2)
-          .select(col("doc_a"), col("doc_b"))
-      }
-      val edges = pairs
-        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .localCheckpoint(true)
-      var labels = edges.select(col("doc_a").as("node")).distinct()
-        .withColumn("lbl", col("node"))
-        .localCheckpoint(true)
-      var changed = 1L
-      while (changed > 0) {
-        val viaNeighbor = edges
-          .join(labels, col("doc_a") === col("node"))
-          .select(col("doc_b").as("node"), col("lbl"))
-        val next = labels.select(col("node"), col("lbl"))
-          .unionByName(viaNeighbor)
-          .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint(true)
-        changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
-          .filter(col("lbl") =!= col("old")).count()
-        labels = next
-      }
-      labels
+      components(s, dir)
         .groupBy(col("lbl").as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc_id"))
         .orderBy(col("cluster_id"))
+    }),
+
+    // End-to-end corpus curation — the composition a training-data
+    // pipeline actually runs: token-count floor AND language identified
+    // AND near-dup cluster canonical (or unclustered). Each piece is
+    // individually oracle-exact; this checks the composition.
+    "corpus_curation" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("toks", tokens(col("text")))
+        .select(col("doc_id"), col("lang"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          langId(col("toks")).as("lang_pred"))
+      val nonCanonical = components(s, dir)
+        .filter(col("node") =!= col("lbl"))
+        .select(col("node").as("_dup"))
+      docs
+        .filter(col("n_tokens") >= 32 && col("lang_pred") =!= "und")
+        .join(nonCanonical, col("doc_id") === col("_dup"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("lang"))
     }),
 
     // Embedding-cosine near-dup pairs (quantized integer cosine ≥ 0.45),
@@ -232,6 +265,33 @@ object DedupQueries extends QueryGroup {
           SELECT lbl AS cluster_id, COUNT(*) AS n_docs,
             CAST(MAX(node) AS BIGINT) AS max_doc_id
           FROM comp GROUP BY lbl ORDER BY cluster_id""",
+    "corpus_curation" ->
+      s"""WITH RECURSIVE
+          toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+          sh AS (SELECT doc_id, $shinglesSql AS shingles FROM toks),
+          sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+          ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+          co AS (SELECT a.doc_id ai, b.doc_id bi, count(*) AS common
+                 FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          p AS (SELECT ai a, bi b
+                FROM co JOIN sz na ON co.ai = na.doc_id JOIN sz nb ON co.bi = nb.doc_id
+                WHERE CAST(common AS DOUBLE)/(na.n + nb.n - common) >= 0.2),
+          edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+          reach AS (SELECT a AS node, a AS lbl FROM edges
+                    UNION
+                    SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+          comp AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node),
+          lp AS (${TextAnalysis.langPredSql}),
+          d AS (SELECT t.doc_id, lp.lang, CAST(len(t.w) AS BIGINT) AS n_tokens,
+                  lp.lang_pred
+                FROM toks t JOIN lp ON t.doc_id = lp.doc_id)
+          SELECT lang, COUNT(*) AS n_kept,
+            CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+          FROM d
+          WHERE n_tokens >= 32 AND lang_pred <> 'und'
+            AND doc_id NOT IN (SELECT node FROM comp WHERE node <> lbl)
+          GROUP BY lang ORDER BY lang""",
     // LSH recall at j≥0.5 with b=64,r=2 is 1-1e-8 → verified output ==
     // exact join output; the oracle IS the exact formulation minus the
     // n_common column.

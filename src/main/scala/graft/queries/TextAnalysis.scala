@@ -96,7 +96,7 @@ object TextAnalysis extends QueryGroup {
   private def hitsSql(markers: Seq[String]): String =
     s"len(list_filter(w, t -> t IN ${inList(markers)}))"
 
-  private val langPredSql: String = {
+  private[queries] val langPredSql: String = {
     val scores = langMarkers.map { case (lang, m) => lang -> s"s_$lang" }
     val defs = langMarkers.map { case (lang, m) => s"${hitsSql(m)} AS s_$lang" }
     val cases = scores.zipWithIndex.map { case ((lang, sc), i) =>
