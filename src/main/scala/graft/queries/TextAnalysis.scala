@@ -70,6 +70,22 @@ object TextAnalysis extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic hash-based train/eval split (7/8 vs 1/8 by the
+    // first hex digit of the content md5) — the standard splitter that
+    // is stable across runs, partitionings, and engines, unlike
+    // randomSplit. Content-keyed so exact dups land in the same split
+    // (no train/eval leakage).
+    "text_train_eval_split" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("split",
+          when(substring(contentFingerprint(col("text")), 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "d"), "train")
+            .otherwise("eval"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("split"))
+    }),
+
     // Per-(source, lang) corpus profile: doc count, char sum, mean quality.
     // Map-side partial aggregation; group key cardinality is tiny (~100)
     // so the shuffle is negligible at any scale.
@@ -143,6 +159,12 @@ object TextAnalysis extends QueryGroup {
           ORDER BY doc_id""",
     "text_fingerprint" ->
       s"SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id",
+    "text_train_eval_split" ->
+      s"""SELECT lang,
+          CASE WHEN substr(md5($normSql), 1, 1) IN ('0','1','2','3','4','5','6','d')
+               THEN 'train' ELSE 'eval' END AS split,
+          COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM documents GROUP BY 1, 2 ORDER BY lang, split""",
     "text_source_profile" ->
       s"""SELECT source, lang, COUNT(*) AS n_docs,
           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
