@@ -56,6 +56,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows.exists(r => r.getAs[String]("event_type") == "click" && r.getAs[Long]("n") == 2))
   }
 
+  test("streaming exact dedup on the custom fingerprint expression") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("text")
+      .withColumn("fp", graft.functions.Exprs.fingerprint64(
+        org.apache.spark.sql.functions.col("text")))
+      .dropDuplicates("fp")
+      .writeStream.format("memory").queryName("fp_dedup")
+      .outputMode(OutputMode.Append())
+      .start()
+    mem.addData("alpha doc", "beta doc")
+    q.processAllAvailable()
+    mem.addData("alpha doc", "gamma doc") // exact dup arrives later
+    q.processAllAvailable()
+    q.stop()
+    val texts = spark.table("fp_dedup").select("text")
+      .collect().map(_.getString(0)).sorted
+    assert(texts === Array("alpha doc", "beta doc", "gamma doc"))
+  }
+
   test("streaming dropDuplicates suppresses redelivered keys across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
