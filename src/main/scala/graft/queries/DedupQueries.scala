@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryGroup, Tables}
-import graft.functions.{Exprs, TextFunctions}
+import graft.functions.Exprs
 import graft.functions.TextFunctions.contentFingerprint
 import graft.functions.MinHash._
 import graft.functions.VectorFunctions._
@@ -34,8 +34,6 @@ object DedupQueries extends QueryGroup {
   private val SHINGLE_N = 3
   private val MINHASH_K = 128
   private val LSH_BANDS = 64 // r = 2
-
-  private def ppm(c: Column): Column = floor(c * lit(1000000.0)).cast("long")
 
   /** doc_id, distinct word 3-gram shingles, shingle-set size. Uses the
     * one-pass ShinglesExpr kernel (set-equal to the oracle's SQL list
