@@ -22,12 +22,38 @@ object VectorOps {
     * partitioned at any size. Same integer-exact math as
     * [[VectorFunctions]], so results hash-match the oracle.
     */
-  def exactCosinePairs(quantized: DataFrame, thresholdPpm: Long): Dataset[CosPair] = {
+  def exactCosinePairs(quantized: DataFrame, thresholdPpm: Long): Dataset[CosPair] =
+    exactCosinePairsTiled(quantized, thresholdPpm, tile = Int.MaxValue)
+
+  /** Tiled form for collections past executor memory: the broadcast
+    * side is processed in `tile`-sized id-range blocks, one sweep per
+    * block, results unioned. Each sweep broadcasts ≤ tile vectors
+    * (~0.5 KB each), so memory is bounded regardless of collection
+    * size while the stream side stays partitioned; total work is
+    * identical (every pair computed exactly once across blocks). The
+    * matrix is still collected on the driver here; past driver memory,
+    * replace the collect with per-block id-range scans — the sweep
+    * itself is unchanged.
+    */
+  def exactCosinePairsTiled(quantized: DataFrame, thresholdPpm: Long,
+      tile: Int): Dataset[CosPair] = {
     val spark = quantized.sparkSession
     import spark.implicits._
     val vecs = quantized.select(col("vec_id"), col("qv"), col("sq")).as[QVec]
-    val matrix = vecs.collect().sortBy(_.vec_id)
-    val bc = spark.sparkContext.broadcast(matrix)
+    val all = vecs.collect().sortBy(_.vec_id)
+    if (all.length > tile) {
+      return all.grouped(tile).map { block =>
+        sweep(vecs, spark.sparkContext.broadcast(block), thresholdPpm)
+      }.reduce(_ unionByName _)
+    }
+    sweep(vecs, spark.sparkContext.broadcast(all), thresholdPpm)
+  }
+
+  private def sweep(vecs: Dataset[QVec],
+      bc: org.apache.spark.broadcast.Broadcast[Array[QVec]],
+      thresholdPpm: Long): Dataset[CosPair] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
     // The stream side is typically one small parquet file → 1 partition
     // → 1 task sweeping the whole matrix; spread the n² work over every
     // core (the shuffle moves only the narrow quantized rows).

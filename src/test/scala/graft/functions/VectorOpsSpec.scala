@@ -28,5 +28,10 @@ class VectorOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     assert(sweep.nonEmpty, "threshold produced no pairs — test vacuous")
     assert(sweep.toSeq === joined.toSeq)
+    // Tiled sweeps (beyond-memory path) must partition the pair space
+    // exactly — same result for any tile size.
+    val tiled = VectorOps.exactCosinePairsTiled(df, 100000L, tile = 16).collect()
+      .map(p => (p.vec_a, p.vec_b, p.cos_ppm)).sorted
+    assert(tiled.toSeq === sweep.toSeq)
   }
 }
