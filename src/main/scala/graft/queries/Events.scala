@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.DecimalType
 
 import graft.{QueryGroup, Tables}
 
@@ -16,12 +15,13 @@ import graft.{QueryGroup, Tables}
   * Timestamps are compared at microsecond precision (`unix_micros` /
   * `epoch_us`) — the parquet files store nanos, Spark truncates to
   * micros on read and DuckDB's epoch_us truncates identically, so the
-  * integers hash-match. Double `value` sums go through DECIMAL(18,2)
-  * per-row casts (exact, order-independent).
+  * integers hash-match. Double `value` sums are floored to integer cents
+  * per row (IEEE multiply + floor is bit-identical in both engines;
+  * long sums are exact and order-independent).
   */
 object Events extends QueryGroup {
 
-  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def cents(c: Column): Column = floor(c * 100)
   private val SESSION_GAP_US = 1800L * 1000000 // 30 min
 
   /** events with `ts` (nanos-as-long, see Tables) converted to exact
@@ -38,7 +38,7 @@ object Events extends QueryGroup {
       events(s, dir)
         .groupBy(date_trunc("hour", timestamp_micros(col("us"))).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          dec2(sum(dec2(col("value")))).as("sum_value"))
+          sum(cents(col("value"))).as("sum_value_cents"))
         .orderBy(col("hour"), col("event_type"))
     }),
 
@@ -92,14 +92,14 @@ object Events extends QueryGroup {
         .select(regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"),
           col("value"))
         .groupBy((col("k") % 10).as("k_mod"))
-        .agg(count(lit(1)).as("n"), dec2(sum(dec2(col("value")))).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_cents"))
         .orderBy(col("k_mod"))
     }))
 
   val oracles: Map[String, String] = Map(
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
@@ -130,6 +130,6 @@ object Events extends QueryGroup {
     "events_props_extract" ->
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_mod,
          COUNT(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
          FROM events GROUP BY 1 ORDER BY k_mod""")
 }

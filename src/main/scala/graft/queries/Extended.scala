@@ -13,7 +13,10 @@ import graft.{QueryGroup, Tables}
   */
 object Extended extends QueryGroup {
 
-  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  // Money/value doubles are floored to integer cents per row before any
+  // aggregation: IEEE double multiply + floor is bit-identical in Spark
+  // and DuckDB, unlike double→DECIMAL casts (engine-divergent rounding).
+  private def cents(c: Column): Column = floor(c * 100)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // JSON round-trip: rows → to_json → from_json(schema) → fields —
@@ -32,7 +35,7 @@ object Extended extends QueryGroup {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"),
-          dec2(sum(dec2(col("value")))).as("sum_value"))
+          sum(cents(col("value"))).as("sum_value_cents"))
         .orderBy(col("event_type"))
     }),
 
@@ -91,9 +94,9 @@ object Extended extends QueryGroup {
     "skew_salted_counts" -> ((s, dir) => {
       Tables(s, dir, "events")
         .groupBy(col("event_type"), (col("user_id") % 16).as("salt"))
-        .agg(count(lit(1)).as("pn"), dec2(sum(dec2(col("value")))).as("pv"))
+        .agg(count(lit(1)).as("pn"), sum(cents(col("value"))).as("pv"))
         .groupBy(col("event_type"))
-        .agg(sum(col("pn")).as("n"), dec2(sum(col("pv"))).as("sum_value"))
+        .agg(sum(col("pn")).as("n"), sum(col("pv")).as("sum_value_cents"))
         .orderBy(col("event_type"))
     }),
 
@@ -109,7 +112,7 @@ object Extended extends QueryGroup {
       Tables(s, dir, "events")
         .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
         .groupBy(col("band"))
-        .agg(count(lit(1)).as("n"), dec2(sum(dec2(col("value")))).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_cents"))
         .orderBy(col("band"))
     }),
 
@@ -138,7 +141,7 @@ object Extended extends QueryGroup {
     "json_roundtrip_agg" ->
       """SELECT event_type, COUNT(*) AS n,
          COUNT(DISTINCT user_id) AS n_users,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
     "pivot_priority_status" ->
       """SELECT o_orderpriority,
@@ -155,7 +158,7 @@ object Extended extends QueryGroup {
          ORDER BY c_custkey""",
     "skew_salted_counts" ->
       """SELECT event_type, COUNT(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
     "cube_status_priority" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
@@ -169,7 +172,7 @@ object Extended extends QueryGroup {
          GROUP BY o_custkey ORDER BY o_custkey""",
     "range_join_value_bands" ->
       """SELECT band, COUNT(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
          FROM events
          JOIN (VALUES ('tiny', 0.0, 50.0), ('small', 50.0, 150.0),
                       ('mid', 150.0, 250.0), ('large', 250.0, 400.0),

@@ -3,23 +3,26 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.DecimalType
 
 import graft.{QueryGroup, Tables}
 
 /** Relational operator inventory over the TPC-H-ish testdata.
   *
   * Numeric policy (hash-match with the DuckDB oracle requires bit-exact
-  * values): double columns are cast to DECIMAL per row *before* any
-  * aggregation, so sums are exact decimal arithmetic and therefore
-  * independent of partial-aggregation order. Integer-valued counts are
-  * emitted as LongType. Every output is totally ordered by a unique key so
-  * row order is deterministic on both sides.
+  * values): money/value doubles are floored to integer cents
+  * (`floor(x*100)` → long) or micro-units (`floor(x*1e6)`) per row
+  * *before* any aggregation. IEEE-754 double multiply + floor is
+  * bit-identical in Spark and DuckDB, and long sums are exact and
+  * order-independent — unlike `CAST(double AS DECIMAL)`, whose rounding
+  * of the binary expansion differs between the engines (Spark rounds the
+  * shortest decimal string, DuckDB the exact expansion). Integer-valued
+  * counts are emitted as LongType. Every output is totally ordered by a
+  * unique key so row order is deterministic on both sides.
   */
 object Relational extends QueryGroup {
 
-  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
-  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  private def cents(c: Column): Column = floor(c * 100)
+  private def micros(c: Column): Column = floor(c * 1000000)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: scan + filter + hash aggregate with partial
@@ -30,9 +33,9 @@ object Relational extends QueryGroup {
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dec2(sum(dec2(col("l_quantity")))).as("sum_qty"),
-          dec2(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
-          dec4(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("sum_disc_price"),
+          sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_price_cents"),
+          sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price_micros"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -49,8 +52,8 @@ object Relational extends QueryGroup {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(dec4(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .agg(sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_micros"))
+        .orderBy(col("revenue_micros").desc, col("l_orderkey"))
         .limit(10)
     }),
 
@@ -66,7 +69,7 @@ object Relational extends QueryGroup {
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(dec4(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("revenue"))
+        .agg(sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_micros"))
         .orderBy(col("r_name"), col("n_name"))
     }),
 
@@ -95,14 +98,14 @@ object Relational extends QueryGroup {
     "window_top_spenders" -> ((s, dir) => {
       val totals = Tables(s, dir, "orders")
         .groupBy(col("o_custkey"))
-        .agg(dec2(sum(dec2(col("o_totalprice")))).as("total_spend"))
+        .agg(sum(cents(col("o_totalprice"))).as("total_spend_cents"))
       val cust = Tables(s, dir, "customer")
       val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("total_spend").desc, col("c_custkey"))
+        .orderBy(col("total_spend_cents").desc, col("c_custkey"))
       cust.join(totals, col("c_custkey") === col("o_custkey"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
-        .select(col("c_mktsegment"), col("rn"), col("c_custkey"), col("total_spend"))
+        .select(col("c_mktsegment"), col("rn"), col("c_custkey"), col("total_spend_cents"))
         .orderBy(col("c_mktsegment"), col("rn"))
     }),
 
@@ -113,16 +116,16 @@ object Relational extends QueryGroup {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables(s, dir, "orders")
         .filter(col("o_custkey") % 100 === 0)
-        .withColumn("running_spend", dec2(sum(dec2(col("o_totalprice"))).over(w)))
-        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+        .withColumn("running_spend_cents", sum(cents(col("o_totalprice"))).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend_cents"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
     // Sort + limit (top-k by value with deterministic tie-break).
     "sort_topk_orders" -> ((s, dir) => {
       Tables(s, dir, "orders")
-        .select(col("o_orderkey"), dec2(col("o_totalprice")).as("price"))
-        .orderBy(col("price").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+        .orderBy(col("price_cents").desc, col("o_orderkey"))
         .limit(20)
     }),
 
@@ -150,8 +153,8 @@ object Relational extends QueryGroup {
         count(lit(1)).as("n_rows"),
         countDistinct(col("l_orderkey")).as("n_orders"),
         countDistinct(col("l_partkey")).as("n_parts"),
-        dec2(min(col("l_extendedprice"))).as("min_price"),
-        dec2(max(col("l_extendedprice"))).as("max_price"))
+        cents(min(col("l_extendedprice"))).as("min_price_cents"),
+        cents(max(col("l_extendedprice"))).as("max_price_cents"))
     }),
 
     // Grouping sets via ROLLUP (status, priority) → includes subtotal and
@@ -171,7 +174,7 @@ object Relational extends QueryGroup {
             .when(col("l_quantity") < 35, "medium")
             .otherwise("large"))
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"), dec2(sum(dec2(col("l_quantity")))).as("qty"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("l_quantity"))).as("qty_cents"))
         .orderBy(col("bucket"))
     }),
 
@@ -194,25 +197,25 @@ object Relational extends QueryGroup {
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+         CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) AS sum_disc_price_micros,
          COUNT(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate,
-         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) AS revenue_micros
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING'
            AND o_orderdate < TIMESTAMP '1998-03-15'
            AND l_shipdate > TIMESTAMP '1998-03-15'
          GROUP BY l_orderkey, o_orderdate
-         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+         ORDER BY revenue_micros DESC, l_orderkey LIMIT 10""",
     "q5_revenue_by_nation" ->
       """SELECT r_name, n_name,
-         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) AS revenue_micros
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
@@ -232,25 +235,25 @@ object Relational extends QueryGroup {
     "window_top_spenders" ->
       """WITH totals AS (
            SELECT o_custkey,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spend
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_spend_cents
            FROM orders GROUP BY o_custkey)
-         SELECT c_mktsegment, rn, c_custkey, total_spend FROM (
+         SELECT c_mktsegment, rn, c_custkey, total_spend_cents FROM (
            SELECT c_mktsegment,
              CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
-               ORDER BY total_spend DESC, c_custkey) AS BIGINT) AS rn,
-             c_custkey, total_spend
+               ORDER BY total_spend_cents DESC, c_custkey) AS BIGINT) AS rn,
+             c_custkey, total_spend_cents
            FROM customer JOIN totals ON c_custkey = o_custkey) t
          WHERE rn <= 3 ORDER BY c_mktsegment, rn""",
     "window_running_spend" ->
       """SELECT o_custkey, o_orderkey,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_spend
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_spend_cents
          FROM orders WHERE o_custkey % 100 = 0
          ORDER BY o_custkey, o_orderkey""",
     "sort_topk_orders" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
-         FROM orders ORDER BY price DESC, o_orderkey LIMIT 20""",
+      """SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 20""",
     "union_priorities" ->
       """SELECT o_orderkey, o_orderpriority FROM (
            SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -263,8 +266,8 @@ object Relational extends QueryGroup {
       """SELECT COUNT(*) AS n_rows,
          COUNT(DISTINCT l_orderkey) AS n_orders,
          COUNT(DISTINCT l_partkey) AS n_parts,
-         CAST(MIN(l_extendedprice) AS DECIMAL(18,2)) AS min_price,
-         CAST(MAX(l_extendedprice) AS DECIMAL(18,2)) AS max_price
+         CAST(FLOOR(MIN(l_extendedprice) * 100) AS BIGINT) AS min_price_cents,
+         CAST(FLOOR(MAX(l_extendedprice) * 100) AS BIGINT) AS max_price_cents
          FROM lineitem""",
     "rollup_order_counts" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
@@ -275,7 +278,7 @@ object Relational extends QueryGroup {
                      WHEN l_quantity < 35 THEN 'medium'
                      ELSE 'large' END AS bucket,
          COUNT(*) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+         CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
          FROM lineitem GROUP BY 1 ORDER BY bucket""",
     "scalar_string_date" ->
       """SELECT o_orderkey,
