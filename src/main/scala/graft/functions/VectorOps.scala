@@ -27,26 +27,48 @@ object VectorOps {
 
   /** Tiled form for collections past executor memory: the broadcast
     * side is processed in `tile`-sized id-range blocks, one sweep per
-    * block, results unioned. Each sweep broadcasts ≤ tile vectors
-    * (~0.5 KB each), so memory is bounded regardless of collection
-    * size while the stream side stays partitioned; total work is
-    * identical (every pair computed exactly once across blocks). The
-    * matrix is still collected on the driver here; past driver memory,
-    * replace the collect with per-block id-range scans — the sweep
-    * itself is unchanged.
+    * block, results unioned. Only one block is ever resident: block
+    * boundaries come from a scan of the ids alone (8 bytes/row), each
+    * block is fetched by an id-range `filter` + collect (≤ tile rows on
+    * the driver), swept, and its (small) pair output locally
+    * checkpointed so the broadcast can be destroyed before the next
+    * block is read. Driver and executor memory are therefore bounded by
+    * the tile, not the collection, while the stream side stays
+    * partitioned at any size; total work is identical (every pair
+    * computed exactly once across blocks, since a pair (a,b), a<b,
+    * is emitted only by the block containing b).
     */
   def exactCosinePairsTiled(quantized: DataFrame, thresholdPpm: Long,
       tile: Int): Dataset[CosPair] = {
     val spark = quantized.sparkSession
     import spark.implicits._
     val vecs = quantized.select(col("vec_id"), col("qv"), col("sq")).as[QVec]
-    val all = vecs.collect().sortBy(_.vec_id)
-    if (all.length > tile) {
-      return all.grouped(tile).map { block =>
-        sweep(vecs, spark.sparkContext.broadcast(block), thresholdPpm)
-      }.reduce(_ unionByName _)
+    val n = vecs.count()
+    if (n <= tile)
+      return sweep(vecs, spark.sparkContext.broadcast(vecs.collect().sortBy(_.vec_id)), thresholdPpm)
+    // Every tile-th vec_id in sorted order = block lower bounds. The
+    // global row_number sorts ids on one task — acceptable because only
+    // the 8-byte ids flow through it (at 1B vectors: ~8 GB spill-backed
+    // sort producing n/tile boundary rows, a rounding error next to the
+    // n²/2 sweep it gates).
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    val starts = vecs.select(col("vec_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter((col("rn") - 1) % tile === 0)
+      .select(col("vec_id")).as[Long].collect().sorted
+    val blocks = starts.zipWithIndex.map { case (lo, i) =>
+      val blockDf =
+        if (i + 1 < starts.length) vecs.filter(col("vec_id") >= lo && col("vec_id") < starts(i + 1))
+        else vecs.filter(col("vec_id") >= lo)
+      val arr = blockDf.collect().sortBy(_.vec_id) // ≤ tile rows
+      val bc = spark.sparkContext.broadcast(arr)
+      // Eager checkpoint materializes this block's pairs now, so the
+      // broadcast is released before the next block is collected.
+      val out = sweep(vecs, bc, thresholdPpm).localCheckpoint(true)
+      bc.destroy()
+      out
     }
-    sweep(vecs, spark.sparkContext.broadcast(all), thresholdPpm)
+    blocks.reduce(_ unionByName _)
   }
 
   private def sweep(vecs: Dataset[QVec],
