@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
 class CustomerStore(spark: SparkSession, path: String) {
 
   import CustomerSchema._
+  import CustomerStore._
+
+  // Finish (or discard) any commit interrupted by a crash before the
+  // store is first read — see markUploaded's commit protocol.
+  recover()
 
   private def tableExists: Boolean =
     new java.io.File(path).exists() &&
@@ -55,22 +60,30 @@ class CustomerStore(spark: SparkSession, path: String) {
 
   /** Batched insert honoring the UNIQUE(id), UNIQUE(email) contract
     * with the reference's exact sequential semantics: row i survives
-    * iff no EARLIER SURVIVOR shares its id or email (row-at-a-time
-    * INSERTs against both constraints, csvreader.go:87-101). That is a
-    * chained condition — a naive id-dedup-then-email-dedup pass gets it
-    * wrong when constraints interact (a row dropped for a dup id must
-    * NOT reserve its email; caught by DedupPropertySpec). Distributed
-    * form: fixpoint of "keep rows that are min-ingest-seq for BOTH
-    * their id and their email among remaining rows", then remove rows
-    * conflicting with the round's winners. Each round resolves at least
-    * the global-min row, and in practice conflict chains are 1-2 links,
-    * so 2 rounds cover real batches; each round is two key-partitioned
-    * windows + two anti-joins, all shuffle-partitioned by the key.
-    * Returns the number of rows actually inserted.
+    * iff no stored row and no EARLIER SURVIVOR shares its id or email
+    * (row-at-a-time INSERTs against both constraints,
+    * csvreader.go:87-101). Rows that conflict with the existing store
+    * are removed FIRST — the reference's INSERT rejects them outright,
+    * so they must not reserve their other key against later batch rows
+    * (batch [(storedId, emailA), (newId, emailA)] inserts the second
+    * row). The remainder runs the chained-condition fixpoint: "keep
+    * rows that are min-ingest-seq for BOTH their id and their email
+    * among remaining rows", then remove rows conflicting with the
+    * round's winners (a naive id-dedup-then-email-dedup pass gets this
+    * wrong when constraints interact; caught by DedupPropertySpec).
+    * Each round resolves at least the global-min row, and in practice
+    * conflict chains are 1-2 links, so 2 rounds cover real batches;
+    * each round is two key-partitioned windows + two anti-joins, all
+    * shuffle-partitioned by the key. Returns the number of rows
+    * actually inserted.
     */
   def insertNew(batch: DataFrame): Long = {
     // Partition-ordered ids preserve single-file CSV ingest order.
-    var remaining = batch.withColumn("_seq", monotonically_increasing_id())
+    val seqd = batch.withColumn("_seq", monotonically_increasing_id())
+    val existing = all().select(col("id").as("_eid"), col("email").as("_eemail"))
+    var remaining = seqd
+      .join(existing.select("_eid"), col("id") === col("_eid"), "left_anti")
+      .join(existing.select("_eemail"), col("email") === col("_eemail"), "left_anti")
       .localCheckpoint(true)
     val byId = Window.partitionBy(col("id"))
     val byEmail = Window.partitionBy(col("email"))
@@ -91,11 +104,7 @@ class CustomerStore(spark: SparkSession, path: String) {
       remainingCount = remaining.count()
     }
     if (survivors == null) return 0 // empty batch: reference panics here (SURVEY §2.1 S3)
-    val intra = survivors.drop("_seq")
-    val existing = all().select(col("id").as("_eid"), col("email").as("_eemail"))
-    val fresh = intra
-      .join(existing.select("_eid"), col("id") === col("_eid"), "left_anti")
-      .join(existing.select("_eemail"), col("email") === col("_eemail"), "left_anti")
+    val fresh = survivors.drop("_seq")
       .select(tableSchema.fieldNames.map(col): _*)
       .cache()
     val n = fresh.count()
@@ -110,26 +119,97 @@ class CustomerStore(spark: SparkSession, path: String) {
     * explicit form of the reference's BEFORE UPDATE trigger
     * (init-db.sh:28-36). Only the pending partition is read or
     * rewritten; acked rows move to the done partition.
+    *
+    * Commit protocol (the analog of the reference's BEGIN/COMMIT,
+    * database.go:131-153): both partition outputs are first written to
+    * an underscore-prefixed staging directory (invisible to the parquet
+    * reader), then a single atomic directory rename marks the commit
+    * point, then the staged outputs are promoted — pending directory
+    * swapped, done-partition files moved in under commit-unique names.
+    * A crash before the rename leaves the table untouched; a crash
+    * after it is finished idempotently by [[recover]] on next open. At
+    * no point can a row exist in both partitions, and the kept pending
+    * rows are never the only copy at risk mid-write.
     */
   def markUploaded(ackedEmails: DataFrame): Unit = {
     if (!tableExists) return
+    recover()
     val pendingRows = all().filter(!col("uploaded"))
     val acked = ackedEmails.select(col("email").as("_ack")).distinct()
-    // Materialize both sides BEFORE touching files — their lineage reads
-    // the very partition being rewritten.
     val moved = pendingRows.join(acked, col("email") === col("_ack"), "left_semi")
       .withColumn("uploaded", lit(true))
       .withColumn("modified_ts", current_timestamp())
       .select(tableSchema.fieldNames.map(col): _*)
-      .localCheckpoint(true)
     val kept = pendingRows.join(acked, col("email") === col("_ack"), "left_anti")
       .select(tableSchema.fieldNames.map(col): _*)
-      .localCheckpoint(true)
-    // Acked rows append into the done partition; the pending partition
-    // directory is replaced outright (correct even when `kept` is empty,
-    // which dynamic partition overwrite would silently skip).
-    moved.write.mode(SaveMode.Append).partitionBy("uploaded").parquet(path)
-    kept.drop("uploaded").write.mode(SaveMode.Overwrite)
-      .parquet(s"$path/uploaded=false")
+    stageCommit(moved, kept)
+    applyStaged()
+  }
+
+  /** Write both partition outputs to `_staging.tmp` and atomically
+    * rename it to `_staging` (the commit point). Separated from
+    * [[applyStaged]] so crash-recovery specs can stop exactly at the
+    * commit point. Partition column is carried by directory name, not
+    * file content, so both outputs drop `uploaded`.
+    */
+  private[pipeline] def stageCommit(moved: DataFrame, kept: DataFrame): Unit = {
+    val tmp = new java.io.File(path, StagingTmp)
+    deleteRecursively(tmp)
+    moved.drop("uploaded").write.parquet(new java.io.File(tmp, "done-append").toString)
+    kept.drop("uploaded").write.parquet(new java.io.File(tmp, "pending").toString)
+    // Commit-unique file names now, so replay after a crash cannot
+    // clobber files a previous commit already promoted.
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val doneStage = new java.io.File(tmp, "done-append")
+    doneStage.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      require(f.renameTo(new java.io.File(doneStage, s"ack-$commitId-${f.getName}")),
+        s"staging rename failed for $f")
+    }
+    val staging = new java.io.File(path, Staging)
+    require(tmp.renameTo(staging), s"commit rename $tmp -> $staging failed")
+  }
+
+  /** Promote a committed staging directory into the table. Idempotent:
+    * each step checks what a previous (crashed) attempt already did.
+    */
+  private[pipeline] def applyStaged(): Unit = {
+    val staging = new java.io.File(path, Staging)
+    if (!staging.exists()) return
+    val pendingStage = new java.io.File(staging, "pending")
+    val doneStage = new java.io.File(staging, "done-append")
+    if (pendingStage.exists()) {
+      val pendingDir = new java.io.File(path, "uploaded=false")
+      deleteRecursively(pendingDir)
+      require(pendingStage.renameTo(pendingDir), s"promote $pendingStage failed")
+    }
+    if (doneStage.exists()) {
+      val doneDir = new java.io.File(path, "uploaded=true")
+      doneDir.mkdirs()
+      doneStage.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        require(f.renameTo(new java.io.File(doneDir, f.getName)), s"promote $f failed")
+      }
+      deleteRecursively(doneStage)
+    }
+    deleteRecursively(staging)
+  }
+
+  /** Crash recovery, run at open and before each commit: a committed
+    * staging directory is applied to completion; an uncommitted
+    * `_staging.tmp` (crash before the commit point) is discarded.
+    */
+  def recover(): Unit = {
+    applyStaged()
+    deleteRecursively(new java.io.File(path, StagingTmp))
+  }
+}
+
+object CustomerStore {
+  /** Underscore prefix keeps both out of Spark/Hadoop data discovery. */
+  private[pipeline] val Staging = "_staging"
+  private[pipeline] val StagingTmp = "_staging.tmp"
+
+  private[pipeline] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    if (f.exists()) require(f.delete(), s"could not delete $f")
   }
 }

@@ -19,6 +19,63 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  /** Greedy first-wins against a pre-seeded store: rows conflicting
+    * with a STORED id or email are rejected outright and must not
+    * reserve their other key (the reference's INSERT fails the row;
+    * csvreader.go:87-101 moves on without any constraint side effect).
+    */
+  private def greedyWithStore(stored: Seq[(Long, String)],
+      rows: Seq[(Long, String)]): Seq[(Long, String)] = {
+    val storedIds = stored.map(_._1).toSet
+    val storedEmails = stored.map(_._2).toSet
+    val ids = scala.collection.mutable.Set[Long]()
+    val emails = scala.collection.mutable.Set[String]()
+    rows.filter { case (id, e) =>
+      if (storedIds.contains(id) || storedEmails.contains(e)) false
+      else if (ids.contains(id) || emails.contains(e)) false
+      else { ids += id; emails += e; true }
+    }
+  }
+
+  private def toBatch(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    Ingest.enrich(rows.toDF("id", "email")
+      .selectExpr("id", "'f' AS first_name", "'l' AS last_name", "email", "'p' AS phone"))
+  }
+
+  test("store conflicts do not reserve keys against later batch rows") {
+    val store = new CustomerStore(spark, tmpDir("prop") + "/c")
+    assert(store.insertNew(toBatch(Seq((1L, "a@x")))) === 1)
+    // (1,b@x): stored id — rejected, must NOT reserve b@x.
+    // (2,b@x): both keys free after the rejection — inserted.
+    // (3,a@x): stored email — rejected.
+    // (4,c@x): inserted.
+    val n = store.insertNew(toBatch(Seq((1L, "b@x"), (2L, "b@x"), (3L, "a@x"), (4L, "c@x"))))
+    assert(n === 2)
+    val got = store.all().collect().map(r => (r.getLong(0), r.getString(3))).sorted
+    assert(got.toSeq === Seq((1L, "a@x"), (2L, "b@x"), (4L, "c@x")))
+  }
+
+  test("insertNew == greedy first-wins against arbitrary pre-seeded stores") {
+    val rnd = new scala.util.Random(7)
+    (1 to 6).foreach { trial =>
+      val stored = Seq.fill(2 + rnd.nextInt(4))(
+        (1L + rnd.nextInt(10), s"u${1 + rnd.nextInt(10)}@example.com"))
+      val batch = Seq.fill(4 + rnd.nextInt(16))(
+        (1L + rnd.nextInt(10), s"u${1 + rnd.nextInt(10)}@example.com"))
+      val store = new CustomerStore(spark, tmpDir("prop") + "/c")
+      store.insertNew(toBatch(stored))
+      val storedKept = greedyFirstWins(stored)
+      val n = store.insertNew(toBatch(batch))
+      val want = greedyWithStore(storedKept, batch)
+      assert(n === want.length, s"trial $trial stored=$storedKept batch=$batch")
+      val got = store.all().collect()
+        .map(r => (r.getLong(0), r.getString(3))).sorted
+      assert(got.toSeq === (storedKept ++ want).sorted,
+        s"trial $trial stored=$storedKept batch=$batch")
+    }
+  }
+
   test("insertNew == greedy first-wins for arbitrary duplicate-heavy batches") {
     val rnd = new scala.util.Random(42)
     (1 to 8).foreach { trial =>
