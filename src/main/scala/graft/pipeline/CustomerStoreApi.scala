@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The `customers` state-table contract the reference keeps in Postgres
+  * (csv-crm-upload database/database.go:16-19): UNIQUE(id),
+  * UNIQUE(email) inserts with first-wins semantics, the uploaded
+  * work-queue scan, and the post-ack point update. Two interchangeable
+  * implementations: [[CustomerStore]] (partitioned parquet with a
+  * staged atomic commit) and [[JdbcCustomerStore]] (embedded relational
+  * DB — the reference's actual sink shape, database.go:114-129).
+  *
+  * The batch-dedup fixpoint is shared here so both stores enforce the
+  * identical sequential semantics; only the physical read/append/update
+  * differs per backend.
+  */
+trait CustomerStoreApi {
+
+  import CustomerSchema._
+
+  protected def spark: SparkSession
+
+  /** Full table scan. */
+  def all(): DataFrame
+
+  /** Post-ack state transition (S7, database.go:176-198): flip
+    * uploaded=true for the given emails and touch modified_ts.
+    */
+  def markUploaded(ackedEmails: DataFrame): Unit
+
+  /** Append already-deduplicated survivor rows to the table; returns
+    * the number of rows actually written (per-row salvage may drop
+    * racers in the JDBC impl).
+    */
+  protected def appendRows(fresh: DataFrame): Long
+
+  /** Typed view (SURVEY §1.3: Dataset[Customer] alongside the untyped
+    * SQL surface) — compile-time field checks for callers that want
+    * them; same plan underneath, no extra cost until an action.
+    */
+  def typed(): Dataset[Customer] = {
+    val s = spark // stable identifier for the implicits import
+    import s.implicits._
+    all().as[Customer]
+  }
+
+  /** Work-queue scan (S6): the uploaded=false subset projected to the
+    * 5 upload columns, mirroring database.go:18. Parquet impl prunes to
+    * the pending partition; JDBC impl pushes the filter to the DB's
+    * upload_idx index.
+    */
+  def pending(): DataFrame =
+    all().filter(!col("uploaded")).select(uploadColumns.map(col): _*)
+
+  /** Batched insert honoring the UNIQUE(id), UNIQUE(email) contract
+    * with the reference's exact sequential semantics: row i survives
+    * iff no stored row and no EARLIER SURVIVOR shares its id or email
+    * (row-at-a-time INSERTs against both constraints,
+    * csvreader.go:87-101). Rows that conflict with the existing store
+    * are removed FIRST — the reference's INSERT rejects them outright,
+    * so they must not reserve their other key against later batch rows
+    * (batch [(storedId, emailA), (newId, emailA)] inserts the second
+    * row). The remainder runs the chained-condition fixpoint: "keep
+    * rows that are min-ingest-seq for BOTH their id and their email
+    * among remaining rows", then remove rows conflicting with the
+    * round's winners (a naive id-dedup-then-email-dedup pass gets this
+    * wrong when constraints interact; caught by DedupPropertySpec).
+    * Each round resolves at least the global-min row, and in practice
+    * conflict chains are 1-2 links, so 2 rounds cover real batches;
+    * each round is two key-partitioned windows + two anti-joins, all
+    * shuffle-partitioned by the key. Returns the number of rows
+    * actually inserted.
+    */
+  def insertNew(batch: DataFrame): Long = {
+    // Partition-ordered ids preserve single-file CSV ingest order.
+    val seqd = batch.withColumn("_seq", monotonically_increasing_id())
+    val existing = all().select(col("id").as("_eid"), col("email").as("_eemail"))
+    var remaining = seqd
+      .join(existing.select("_eid"), col("id") === col("_eid"), "left_anti")
+      .join(existing.select("_eemail"), col("email") === col("_eemail"), "left_anti")
+      .localCheckpoint(true)
+    val byId = Window.partitionBy(col("id"))
+    val byEmail = Window.partitionBy(col("email"))
+    var survivors: DataFrame = null
+    var remainingCount = remaining.count()
+    while (remainingCount > 0) {
+      val winners = remaining
+        .withColumn("_mi", min(col("_seq")).over(byId))
+        .withColumn("_me", min(col("_seq")).over(byEmail))
+        .filter(col("_seq") === col("_mi") && col("_seq") === col("_me"))
+        .drop("_mi", "_me")
+        .localCheckpoint(true)
+      survivors = if (survivors == null) winners else survivors.unionByName(winners)
+      remaining = remaining
+        .join(winners.select(col("id").as("_wid")), col("id") === col("_wid"), "left_anti")
+        .join(winners.select(col("email").as("_wem")), col("email") === col("_wem"), "left_anti")
+        .localCheckpoint(true)
+      remainingCount = remaining.count()
+    }
+    if (survivors == null) return 0 // empty batch: reference panics here (SURVEY §2.1 S3)
+    appendRows(survivors.drop("_seq").select(tableSchema.fieldNames.map(col): _*))
+  }
+}

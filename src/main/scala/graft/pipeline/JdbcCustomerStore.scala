@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import java.sql.{Connection, DriverManager}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** JDBC-backed `customers` store against an embedded relational DB —
+  * the reference's actual sink IS a relational database
+  * (csv-crm-upload database/database.go:16-19; batch insert via
+  * JSON_POPULATE_RECORDSET at database.go:114-129 with per-row salvage,
+  * transactional point updates at database.go:131-153,176-198). DDL
+  * mirrors postgres/entrypoint-init.d/init-db.sh:11-25: UNIQUE(id),
+  * UNIQUE(email), and the upload_idx index backing the work-queue scan.
+  *
+  * Scale shape: reads go through Spark's JDBC source (predicate
+  * pushdown carries the uploaded=false work-queue filter to the DB
+  * index; at real scale add partitionColumn/bounds for parallel reads),
+  * writes are per-partition transactional batch INSERTs with the
+  * reference's per-row salvage on constraint violation — only the
+  * offending rows are dropped, the rest of the batch lands
+  * (database.go:140-151). The DB enforces UNIQUE as the final arbiter;
+  * the shared [[CustomerStoreApi]] fixpoint makes the surviving set
+  * deterministic (first-wins in ingest order) rather than race-order.
+  */
+class JdbcCustomerStore(protected val spark: SparkSession, url: String)
+    extends CustomerStoreApi {
+
+  import CustomerSchema._
+  import JdbcCustomerStore._
+
+  ensureTable(url)
+
+  /** Lowercase aliases: Derby stores identifiers uppercase; aliasing
+    * keeps the frame column-compatible with the parquet impl.
+    */
+  def all(): DataFrame =
+    spark.read.jdbc(url, TableName, new java.util.Properties)
+      .select(tableSchema.fieldNames.map(n => col(n).as(n)): _*)
+
+  protected def appendRows(fresh: DataFrame): Long = {
+    val inserted = spark.sparkContext.longAccumulator("jdbc-inserted")
+    val dbUrl = url
+    fresh.select(tableSchema.fieldNames.map(col): _*)
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val buf = rows.toVector
+        if (buf.nonEmpty) withConnection(dbUrl) { conn =>
+          val ps = conn.prepareStatement(
+            s"""INSERT INTO $TableName
+                (id, first_name, last_name, email, phone, uploaded, created_ts, modified_ts)
+                VALUES (?, ?, ?, ?, ?, ?, ?, ?)""")
+          try {
+            def bind(r: Row): Unit = {
+              ps.setLong(1, r.getLong(0))
+              ps.setString(2, r.getString(1))
+              ps.setString(3, r.getString(2))
+              ps.setString(4, r.getString(3))
+              ps.setString(5, r.getString(4))
+              ps.setBoolean(6, r.getBoolean(5))
+              ps.setTimestamp(7, r.getTimestamp(6))
+              ps.setTimestamp(8, r.getTimestamp(7))
+            }
+            try {
+              // Fast path: one transactional batch INSERT (the
+              // JSON_POPULATE_RECORDSET analog, database.go:114-129).
+              buf.foreach { r => bind(r); ps.addBatch() }
+              ps.executeBatch()
+              conn.commit()
+              inserted.add(buf.size)
+            } catch {
+              case _: java.sql.SQLException =>
+                // Per-row salvage (S5, database.go:140-151): replay the
+                // batch row-at-a-time so only offenders are dropped.
+                conn.rollback()
+                buf.foreach { r =>
+                  try {
+                    bind(r); ps.executeUpdate(); conn.commit(); inserted.add(1)
+                  } catch {
+                    case _: java.sql.SQLException => conn.rollback()
+                  }
+                }
+            }
+          } finally ps.close()
+        }
+      }
+    inserted.value
+  }
+
+  /** Transactional point update (database.go:176-198): the BEFORE
+    * UPDATE trigger's modified_ts touch is explicit. Idempotent
+    * (uploaded=false guard), so at-least-once redelivery is safe.
+    */
+  def markUploaded(ackedEmails: DataFrame): Unit = {
+    val dbUrl = url
+    ackedEmails.select(col("email")).distinct()
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val buf = rows.toVector
+        if (buf.nonEmpty) withConnection(dbUrl) { conn =>
+          val ps = conn.prepareStatement(
+            s"""UPDATE $TableName
+                SET uploaded = TRUE, modified_ts = CURRENT_TIMESTAMP
+                WHERE email = ? AND uploaded = FALSE""")
+          try {
+            buf.foreach { r => ps.setString(1, r.getString(0)); ps.addBatch() }
+            ps.executeBatch()
+            conn.commit()
+          } finally ps.close()
+        }
+      }
+  }
+}
+
+object JdbcCustomerStore {
+
+  private[pipeline] val TableName = "customers"
+
+  // Keep Derby's log out of the working directory.
+  System.setProperty("derby.stream.error.file",
+    s"${System.getProperty("java.io.tmpdir")}/derby.log")
+
+  private def withConnection[A](url: String)(body: Connection => A): A = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      body(conn)
+    } finally conn.close()
+  }
+
+  /** init-db.sh:11-25 translated to Derby DDL (no IF NOT EXISTS in
+    * Derby — existing-table errors are ignored by SQLState X0Y32).
+    */
+  private def ensureTable(url: String): Unit = withConnection(url) { conn =>
+    val st = conn.createStatement()
+    try {
+      Seq(
+        s"""CREATE TABLE $TableName (
+            id BIGINT NOT NULL PRIMARY KEY,
+            first_name VARCHAR(256),
+            last_name VARCHAR(256),
+            email VARCHAR(256) NOT NULL,
+            phone VARCHAR(64),
+            uploaded BOOLEAN NOT NULL,
+            created_ts TIMESTAMP,
+            modified_ts TIMESTAMP,
+            CONSTRAINT customers_email_uq UNIQUE (email))""",
+        s"CREATE INDEX upload_idx ON $TableName (uploaded)"
+      ).foreach { ddl =>
+        try { st.execute(ddl); conn.commit() }
+        catch {
+          case e: java.sql.SQLException if e.getSQLState == "X0Y32" =>
+            conn.rollback() // already exists
+        }
+      }
+    } finally st.close()
+  }
+}

@@ -12,7 +12,7 @@ object IngestJob {
     * One declarative plan per stage; no driver loop, no row buffer —
     * Spark's partition streaming replaces the 5-row micro-batch.
     */
-  def run(spark: SparkSession, csvPath: String, store: CustomerStore,
+  def run(spark: SparkSession, csvPath: String, store: CustomerStoreApi,
       header: Boolean = true, signal: Option[Signal] = None,
       rejectDir: Option[String] = None): (Long, DataFrame) = {
     val raw = Ingest.readCsv(spark, csvPath, header)
@@ -32,7 +32,7 @@ object UploadJob {
   /** One crmIntegrator poll cycle (uploader.go:99-114): work-queue scan →
     * bounded-concurrency POST → mark acked. Returns #acked.
     */
-  def pollOnce(store: CustomerStore, url: String, concurrency: Int = 25): Long = {
+  def pollOnce(store: CustomerStoreApi, url: String, concurrency: Int = 25): Long = {
     val pending = store.pending()
     val acked = HttpSink.upload(pending, url, concurrency).cache()
     val n = acked.count()
@@ -46,7 +46,7 @@ object UploadJob {
     * is drained `idleRounds` consecutive times (a bounded stand-in for
     * the reference's run-forever loop so tests terminate).
     */
-  def drain(store: CustomerStore, url: String, signal: Signal,
+  def drain(store: CustomerStoreApi, url: String, signal: Signal,
       backoff: Backoff, concurrency: Int = 25, idleRounds: Int = 3,
       maxRounds: Int = 100, sleepFn: Long => Unit = s => Thread.sleep(s)): Long = {
     var total = 0L

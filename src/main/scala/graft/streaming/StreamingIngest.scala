@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.pipeline.{CustomerSchema, CustomerStore, Ingest, Signal}
+import graft.pipeline.{CustomerSchema, CustomerStoreApi, Ingest, Signal}
 
 /** Incremental CSV ingestion — the reference csvReader's streaming soul
   * (SURVEY §2.4 T1/T2) on Structured Streaming. The file source
@@ -22,7 +22,7 @@ import graft.pipeline.{CustomerSchema, CustomerStore, Ingest, Signal}
   */
 object StreamingIngest {
 
-  def start(spark: SparkSession, inDir: String, store: CustomerStore,
+  def start(spark: SparkSession, inDir: String, store: CustomerStoreApi,
       checkpoint: String, signal: Option[Signal] = None,
       header: Boolean = true): StreamingQuery = {
     val raw = spark.readStream

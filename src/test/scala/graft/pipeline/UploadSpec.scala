@@ -37,8 +37,15 @@ class UploadSpec extends SparkSpec {
     finally server.stop(0)
   }
 
-  private def seedStore(n: Int): CustomerStore = {
-    val store = new CustomerStore(spark, tmpDir("upl") + "/customers")
+  // Store-contract tests run against both backends (parquet + embedded
+  // JDBC) — same upload/ack semantics either way.
+  private val storeFactories: Seq[(String, () => CustomerStoreApi)] = Seq(
+    "parquet" -> (() => new CustomerStore(spark, tmpDir("upl") + "/customers")),
+    "jdbc" -> (() => new JdbcCustomerStore(spark,
+      s"jdbc:derby:${tmpDir("upldb")}/cust;create=true")))
+
+  private def seedStore(mk: () => CustomerStoreApi, n: Int): CustomerStoreApi = {
+    val store = mk()
     import spark.implicits._
     val rows = (1 to n).map(i =>
       (i.toLong, s"F$i", s"L$i", s"user$i@example.com", s"555-$i"))
@@ -47,9 +54,10 @@ class UploadSpec extends SparkSpec {
     store
   }
 
-  test("pollOnce uploads pending rows and flips flags for acked ones") {
+  storeFactories.foreach { case (label, mkStore) =>
+  test(s"pollOnce uploads pending rows and flips flags for acked ones [$label]") {
     withStub(failEvery = 0) { (url, _, accepted) =>
-      val store = seedStore(20)
+      val store = seedStore(mkStore, 20)
       val acked = UploadJob.pollOnce(store, url, concurrency = 5)
       assert(acked === 20)
       assert(accepted.get() === 20)
@@ -58,9 +66,9 @@ class UploadSpec extends SparkSpec {
     }
   }
 
-  test("failed posts stay pending and are redelivered until acked (at-least-once)") {
+  test(s"failed posts stay pending and are redelivered until acked (at-least-once) [$label]") {
     withStub(failEvery = 10) { (url, requests, _) =>
-      val store = seedStore(30)
+      val store = seedStore(mkStore, 30)
       val signal = new Signal
       val total = UploadJob.drain(store, url, signal, new Backoff(), concurrency = 5,
         idleRounds = 2, maxRounds = 20, sleepFn = _ => ())
@@ -68,6 +76,7 @@ class UploadSpec extends SparkSpec {
       assert(store.pending().count() === 0)
       assert(requests.get() > 30) // redeliveries happened
     }
+  }
   }
 
   test("hung server hits the client timeout and the row stays pending") {
@@ -80,7 +89,7 @@ class UploadSpec extends SparkSpec {
     })
     server.start()
     try {
-      val store = seedStore(2)
+      val store = seedStore(storeFactories.head._2, 2)
       val url = s"http://127.0.0.1:${server.getAddress.getPort}/customers"
       val acked = HttpSink.upload(store.pending(), url, concurrency = 2,
         timeoutMs = 300).count()
