@@ -74,8 +74,12 @@ trait CustomerStoreApi {
     * actually inserted.
     */
   def insertNew(batch: DataFrame): Long = {
-    // Partition-ordered ids preserve single-file CSV ingest order.
-    val seqd = batch.withColumn("_seq", monotonically_increasing_id())
+    // A caller-provided _seq (Ingest.sequenced — file-order pinning for
+    // directory ingests) wins; otherwise partition-ordered ids preserve
+    // single-file CSV ingest order.
+    val seqd =
+      if (batch.columns.contains("_seq")) batch
+      else batch.withColumn("_seq", monotonically_increasing_id())
     val existing = all().select(col("id").as("_eid"), col("email").as("_eemail"))
     var remaining = seqd
       .join(existing.select("_eid"), col("id") === col("_eid"), "left_anti")

@@ -59,4 +59,26 @@ object Ingest {
       .withColumn("uploaded", lit(false))
       .withColumn("created_ts", current_timestamp())
       .withColumn("modified_ts", current_timestamp())
+
+  /** Pin the batch's ingest order to FILE order for directory ingests:
+    * the reference's dedup winner is defined by the order files are
+    * read (csvreader.go:54-85), but Spark packs scan partitions by file
+    * SIZE descending, so `monotonically_increasing_id` alone would make
+    * the winner depend on file sizes. `_seq` = row_number over
+    * (input_file_name, partition-sequence): exact for files below the
+    * split threshold (one scan partition per file — every ingest CSV
+    * here; a split file interleaves only with itself). The global sort
+    * is over one bounded ingest batch, not a table — the reference
+    * buffers 5-row batches at the same point (csvreader.go:60-77).
+    * [[CustomerStoreApi.insertNew]] honors a pre-computed `_seq`.
+    */
+  def sequenced(batch: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_file"), col("_pseq"))
+    batch
+      .withColumn("_file", input_file_name())
+      .withColumn("_pseq", monotonically_increasing_id())
+      .withColumn("_seq", row_number().over(w).cast("long"))
+      .drop("_file", "_pseq")
+  }
 }

@@ -21,7 +21,7 @@ object IngestJob {
     // (reason column included), not a log line (csvreader.go:79-83).
     rejectDir.foreach(d =>
       bad.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(d))
-    val inserted = store.insertNew(Ingest.enrich(good))
+    val inserted = store.insertNew(Ingest.sequenced(Ingest.enrich(good)))
     if (inserted > 0) signal.foreach(_.notifyData()) // csvreader.go:97,103
     (inserted, bad)
   }

@@ -76,6 +76,25 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("multi-file ingest order is file order, not file-size order") {
+    // Spark packs scan partitions largest-file-first, so without
+    // explicit sequencing the dedup winner would come from b.csv (the
+    // big file). The reference reads files in order (csvreader.go:54-85)
+    // — a.csv's row must win the shared email.
+    val dir = java.nio.file.Files.createTempDirectory("multifile")
+    java.nio.file.Files.write(dir.resolve("a.csv"),
+      "100,A,A,shared@example.com,555-a\n".getBytes)
+    val bulk = (1 to 60).map(i => s"${1000 + i},B$i,B$i,b$i@example.com,555-b$i")
+    java.nio.file.Files.write(dir.resolve("b.csv"),
+      (("200,B,B,shared@example.com,555-b" +: bulk).mkString("\n") + "\n").getBytes)
+    val store = new CustomerStore(spark, tmpDir("prop") + "/c")
+    val (inserted, _) = IngestJob.run(spark, dir.toString, store, header = false)
+    assert(inserted === 61) // 60 bulk + exactly one shared-email winner
+    val winner = store.all().filter("email = 'shared@example.com'")
+      .collect().map(_.getLong(0)).toSeq
+    assert(winner === Seq(100L), "file order must decide the winner")
+  }
+
   test("insertNew == greedy first-wins for arbitrary duplicate-heavy batches") {
     val rnd = new scala.util.Random(42)
     (1 to 8).foreach { trial =>
