@@ -24,11 +24,22 @@ object TextKernels {
   private val HASH_SEED = 42L
 
   /** Whitespace tokens of the trimmed text; matches
-    * split(regexp_replace(trim(text), '\s+', ' '), ' ') exactly
-    * (including the single-empty-token result for blank input).
+    * split(regexp_replace(trim(text), '\s+', ' '), ' ') exactly,
+    * including the single-empty-token result for blank input and the
+    * empty edge tokens when the text starts/ends with NON-SPACE
+    * whitespace: SQL trim strips only ' ', so a leading tab survives
+    * the trim, collapses to ' ', and splits into a leading "" token.
+    * (Java String.trim strips every char ≤ U+0020 and would silently
+    * drop those tokens — KernelsSpec pins the divergence.)
     */
-  def tokens(text: UTF8String): Array[String] =
-    text.toString.trim.split("\\s+", -1)
+  def tokens(text: UTF8String): Array[String] = {
+    val s = text.toString
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e).split("\\s+", -1)
+  }
 
   private def xx(s: String): Long = {
     val u = UTF8String.fromString(s)

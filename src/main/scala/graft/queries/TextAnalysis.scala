@@ -70,17 +70,17 @@ object TextAnalysis extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
-    // Deterministic hash-based train/eval split (7/8 vs 1/8 by the
-    // first hex digit of the content md5) — the standard splitter that
-    // is stable across runs, partitionings, and engines, unlike
-    // randomSplit. Content-keyed so exact dups land in the same split
-    // (no train/eval leakage).
+    // Deterministic hash-based train/eval split (7/8 vs 1/8: first hex
+    // digit of the content md5 outside {e,f} → train, 14 of 16 digits)
+    // — the standard splitter that is stable across runs,
+    // partitionings, and engines, unlike randomSplit. Content-keyed so
+    // exact dups land in the same split (no train/eval leakage).
     "text_train_eval_split" -> ((s, dir) => {
       Tables(s, dir, "documents")
         .withColumn("split",
           when(substring(contentFingerprint(col("text")), 1, 1)
-            .isin("0", "1", "2", "3", "4", "5", "6", "d"), "train")
-            .otherwise("eval"))
+            .isin("e", "f"), "eval")
+            .otherwise("train"))
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"), col("split"))
@@ -161,8 +161,8 @@ object TextAnalysis extends QueryGroup {
       s"SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id",
     "text_train_eval_split" ->
       s"""SELECT lang,
-          CASE WHEN substr(md5($normSql), 1, 1) IN ('0','1','2','3','4','5','6','d')
-               THEN 'train' ELSE 'eval' END AS split,
+          CASE WHEN substr(md5($normSql), 1, 1) IN ('e','f')
+               THEN 'eval' ELSE 'train' END AS split,
           COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
           FROM documents GROUP BY 1, 2 ORDER BY lang, split""",
     "text_source_profile" ->

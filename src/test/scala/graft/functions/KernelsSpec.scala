@@ -13,13 +13,29 @@ class KernelsSpec extends SparkSpec {
     import spark.implicits._
     val docs = Seq(
       "a b c d e", "one two", "", "  padded   text  here now ",
-      "x x x x x", "alpha beta gamma delta").toDF("text")
+      "x x x x x", "alpha beta gamma delta",
+      // Leading/trailing NON-SPACE whitespace: SQL trim strips only
+      // spaces, so these must produce the same (empty-edge-token)
+      // shingle sets in both formulations — Java String.trim would not.
+      "\tlead tab doc one two", "trail newline doc one two\n",
+      "\n\t mixed ws doc one two \t").toDF("text")
     val both = docs.select(
       Exprs.shingles(col("text"), 3).as("kernel"),
       TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3).as("hof"))
     both.collect().foreach { r =>
       assert(r.getSeq[String](0).toSet === r.getSeq[String](1).toSet)
     }
+  }
+
+  test("kernel tokens match the SQL trim semantics for tab/newline edges") {
+    // trim(' x\t') strips the space but not the tab: the SQL pipeline
+    // collapses "\t" to " " and splits into an empty trailing token.
+    assert(TextKernels.tokens(u(" x\t")).toSeq === Seq("x", ""))
+    assert(TextKernels.tokens(u("\tx")).toSeq === Seq("", "x"))
+    assert(TextKernels.tokens(u("\na b\r\n")).toSeq === Seq("", "a", "b", ""))
+    assert(TextKernels.tokens(u("  a  b  ")).toSeq === Seq("a", "b"))
+    assert(TextKernels.tokens(u("")).toSeq === Seq(""))
+    assert(TextKernels.tokens(u("   ")).toSeq === Seq(""))
   }
 
   test("simhash: identical docs collide, near-dups are close, disjoint docs are far") {
