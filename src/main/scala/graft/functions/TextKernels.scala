@@ -136,15 +136,38 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of md5(token) as a big-endian long — bit-identical
+    * to DuckDB's ('0x' || substr(md5(t),1,16))::UBIGINT, which is what
+    * makes the simhash signature reproducible by the SQL oracle
+    * (xxhash64 does not exist in DuckDB). Hashing is not the simhash
+    * bottleneck — the band join is (SCALING.md) — so the cryptographic
+    * hash costs nothing measurable while buying cross-engine checks.
+    */
+  private def md5Hash64(s: String): Long = {
+    val d = md5Digest.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, majority vote of
-    * token-hash bits (ties → 0).
+    * token-hash bits (ties → 0). Token hash is md5-derived so the
+    * DuckDB oracle can recompute the signature exactly.
     */
   def simhash64(text: UTF8String): Long = {
     val toks = tokens(text)
     val counts = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
-      val h = xx(toks(i))
+      val h = md5Hash64(toks(i))
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1

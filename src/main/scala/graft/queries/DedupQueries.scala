@@ -187,9 +187,11 @@ object DedupQueries extends QueryGroup {
 
     // SimHash near-dup pairs at hamming distance ≤ 3, using 16-bit
     // pigeonhole bands — EXACT blocking for d ≤ 3 (any such pair agrees
-    // on ≥ 1 of 4 bands), the same equi-join shape as LSH. Rows-only
-    // check (simhash uses xxhash64, which DuckDB cannot reproduce);
-    // cross-checked in ScalaTest instead.
+    // on ≥ 1 of 4 bands), the same equi-join shape as LSH. The token
+    // hash is md5-derived (TextKernels.md5Hash64), so the oracle
+    // recomputes the full signature in SQL and checks the banded join
+    // against an exhaustive cross-join at d ≤ 3 — hash-exact, not
+    // rows-only.
     "dedup_simhash" -> ((s, dir) => {
       val sig = Tables(s, dir, "documents")
         .select(col("doc_id"), Exprs.simhash64(col("text")).as("sig"))
@@ -337,6 +339,30 @@ object DedupQueries extends QueryGroup {
     // n_common column.
     "dedup_minhash_lsh" ->
       s"""SELECT doc_a, doc_b, jaccard_ppm FROM (${exactJaccardSql("0.5")})""",
+    // Exhaustive cross-join reformulation of the banded simhash query:
+    // pigeonhole banding is EXACT for d≤3, so the banded equi-join and
+    // this all-pairs check must emit identical rows. The signature is
+    // recomputed from scratch in SQL — md5-derived token hash, ±1 bit
+    // votes with ties → 0 — mirroring TextKernels.simhash64.
+    "dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+          tok AS (SELECT doc_id, unnest(w) AS t FROM toks),
+          h AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT) AS hv
+                FROM tok),
+          bits AS (SELECT doc_id, b,
+                     SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                   FROM h CROSS JOIN (SELECT unnest(range(64)) AS b)
+                   GROUP BY doc_id, b),
+          sig AS (SELECT doc_id,
+                    CAST(SUM(CASE WHEN s > 0 THEN (1::UBIGINT << b)
+                             ELSE 0::UBIGINT END) AS UBIGINT) AS sig
+                  FROM bits GROUP BY doc_id)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sig, b.sig)) <= 3
+          ORDER BY doc_a, doc_b""",
     "dedup_embedding" ->
       """WITH q AS (SELECT vec_id,
             [CAST(floor(CAST(x AS DOUBLE)*1000.0) AS BIGINT) for x in embedding] AS qv
