@@ -6,22 +6,33 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The SQL surface of the custom expressions via SparkSessionExtensions. */
 class ExtensionsSpec extends AnyFunSuite {
 
-  test("custom functions are callable from SQL via spark.sql.extensions") {
-    // Materialize the shared context first, then build a SIBLING session
-    // on it with the extensions applied (clearing the default forces a
-    // new SparkSession instance; stopping it would kill the shared
-    // context, so we only restore the previous default instead).
+  /** Materialize the shared context first, then build a SIBLING session
+    * on it with the extensions applied (clearing the default forces a
+    * new SparkSession instance; stopping it would kill the shared
+    * context, so we only restore the previous default instead).
+    * withExtensions, not .config("spark.sql.extensions", …): when the
+    * builder reuses an existing SparkContext, the conf key is only read
+    * from that context's conf (set at context creation), so the
+    * config-based route silently no-ops here.
+    */
+  private def withExtSession(body: SparkSession => Unit): Unit = {
     val prev = SparkSpec.session
     SparkSession.clearDefaultSession()
     SparkSession.clearActiveSession()
-    // withExtensions, not .config("spark.sql.extensions", …): when the
-    // builder reuses an existing SparkContext, the conf key is only read
-    // from that context's conf (set at context creation), so the
-    // config-based route silently no-ops here.
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .getOrCreate()
-    try {
+    try body(spark)
+    finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("custom functions are callable from SQL via spark.sql.extensions") {
+    withExtSession { spark =>
       val row = spark.sql(
         """SELECT simhash64('a b c') AS sh,
            fingerprint64('abc') AS fp,
@@ -35,11 +46,44 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getAs[Int]("nsh") === 2)
       assert(row.getAs[Int]("nb") === 64)
       assert(row.getAs[Long]("dot") === 11L)
-    } finally {
-      SparkSession.clearDefaultSession()
-      SparkSession.clearActiveSession()
-      SparkSession.setDefaultSession(prev)
-      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("a SQL-only user can run the full MinHash-LSH dedup pipeline") {
+    // The whole sketch → band-join → exact-verify operator written in
+    // nothing but SQL over the registered functions, checked against
+    // the DataFrame inventory query row for row.
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    withExtSession { spark =>
+      spark.read.parquet(s"$sf/documents.parquet")
+        .createOrReplaceTempView("documents")
+      val sqlOnly = spark.sql(
+        """WITH ex AS (
+             SELECT doc_id, band, bh FROM documents
+             LATERAL VIEW posexplode(minhash_bands(text, 3, 128, 64)) t AS band, bh),
+           cand AS (
+             SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             FROM ex x JOIN ex y
+               ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+           sh AS (
+             SELECT doc_id, word_shingles(text, 3) AS shingles,
+                    CAST(size(word_shingles(text, 3)) AS BIGINT) AS n
+             FROM documents),
+           v AS (
+             SELECT doc_a, doc_b,
+               CAST(size(array_intersect(a.shingles, b.shingles)) AS BIGINT) AS common,
+               a.n AS na, b.n AS nb
+             FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+                       JOIN sh b ON cand.doc_b = b.doc_id)
+           SELECT doc_a, doc_b,
+             CAST(floor(CAST(common AS DOUBLE) * 1000000.0 / (na + nb - common)) AS BIGINT) AS jaccard_ppm
+           FROM v
+           WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5
+           ORDER BY doc_a, doc_b""").collect()
+      val dataframe = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).collect()
+      assert(sqlOnly.nonEmpty, "no near-dup pairs at this SF — test vacuous")
+      assert(sqlOnly.map(_.toSeq).toSeq === dataframe.map(_.toSeq).toSeq)
     }
   }
 }
