@@ -37,6 +37,24 @@ class QueryContractsSpec extends SparkSpec {
       s"most ANN results are far: ${bad.length}/${ann.length} below floor $globalFloor")
   }
 
+  test("ivf ann recall vs brute force clears its floor and output is well-formed") {
+    val brute = SparkEntry.queries("sim_topk_bruteforce")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("sim_ivf_ann")(spark, sf)
+      .select("query_id", "rank", "neighbor_id").collect()
+    assert(ivf.nonEmpty, "IVF ANN returned no candidates")
+    // Per-query ranks must be 1..k without gaps (well-formed top-k).
+    ivf.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (1L to rows.length).toSeq,
+        s"ragged ranks for query $q")
+    }
+    val hits = ivf.count(r => brute.contains((r.getLong(0), r.getLong(2))))
+    val recall = hits.toDouble / brute.size
+    assert(recall >= 0.5,
+      f"IVF recall $recall%.2f below floor 0.5 (4/16 probed lists must cover most true neighbors)")
+  }
+
   test("minhash LSH verified pairs equal the exact jaccard join at the same threshold") {
     val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
