@@ -126,6 +126,20 @@ object Extended extends QueryGroup {
         approx_count_distinct(col("l_suppkey"), 0.02).as("apx_supps"))
     }),
 
+    // Approximate percentiles (KLL/GK-style sketch via
+    // approx_percentile) — the 100 TB substitute for exact percentiles:
+    // one pass, mergeable partial sketches, no full sort. Rows-only vs
+    // the oracle (sketch-valued); ExtendedSpec pins the rank-error
+    // bound against the exact percentiles instead.
+    "approx_percentile_prices" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          floor(expr("approx_percentile(o_totalprice, 0.5, 1000)") * 100).cast("long").as("p50_cents"),
+          floor(expr("approx_percentile(o_totalprice, 0.9, 1000)") * 100).cast("long").as("p90_cents"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Exact percentiles (Spark `percentile` = DuckDB quantile_cont,
     // both linear interpolation over the sorted set).
     "percentile_prices" -> ((s, dir) => {

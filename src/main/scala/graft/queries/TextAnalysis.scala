@@ -38,6 +38,25 @@ object TextAnalysis extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE-style pre-tokenization counts: the GPT-2 pre-tokenizer's
+    // class pattern (word / number / punctuation chunks with optional
+    // leading space; the lookahead-free form, since RE2 on the oracle
+    // side has no lookahead) counted per document — the number a data
+    // budget multiplies by tokens-per-chunk. Pure regexp_count column
+    // math; the identical RE2/Java semantics are checked by the oracle
+    // running the same pattern through regexp_extract_all.
+    "text_pretokenize" -> ((s, dir) => {
+      val all = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          regexp_count(col("text"), lit(all)).cast("long").as("n_pretokens"),
+          regexp_count(col("text"), lit(" ?[\\p{L}]+")).cast("long").as("n_word_chunks"),
+          regexp_count(col("text"), lit(" ?[\\p{N}]+")).cast("long").as("n_num_chunks"),
+          regexp_count(col("text"), lit(" ?[^\\s\\p{L}\\p{N}]+")).cast("long").as("n_other_chunks"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Language ID via marker-lexicon argmax; reports prediction and
     // agreement with the generator's label.
     "text_langid" -> ((s, dir) => {
@@ -127,6 +146,13 @@ object TextAnalysis extends QueryGroup {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_pretokenize" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_pretokens,
+         CAST(len(regexp_extract_all(text, ' ?[\p{L}]+')) AS BIGINT) AS n_word_chunks,
+         CAST(len(regexp_extract_all(text, ' ?[\p{N}]+')) AS BIGINT) AS n_num_chunks,
+         CAST(len(regexp_extract_all(text, ' ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_other_chunks
+         FROM documents ORDER BY doc_id""",
     "text_token_stats" ->
       s"""SELECT doc_id,
           CAST(length(norm) AS BIGINT) AS n_chars_norm,

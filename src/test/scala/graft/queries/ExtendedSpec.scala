@@ -19,6 +19,19 @@ class ExtendedSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile lands within 2% of the exact percentiles") {
+    val apx = Extended.queries("approx_percentile_prices")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Extended.queries("percentile_prices")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(apx.keySet === exact.keySet)
+    exact.foreach { case (status, (p50, p90)) =>
+      val (a50, a90) = apx(status)
+      assert(math.abs(a50 - p50).toDouble / p50 <= 0.02, s"$status p50: $a50 vs $p50")
+      assert(math.abs(a90 - p90).toDouble / p90 <= 0.02, s"$status p90: $a90 vs $p90")
+    }
+  }
+
   test("range join covers every event exactly once (bands partition the domain)") {
     val total = Tables(spark, sf, "events").count()
     val joined = Extended.queries("range_join_value_bands")(spark, sf)
