@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions._
   * the shared [[CustomerStoreApi]] fixpoint makes the surviving set
   * deterministic (first-wins in ingest order) rather than race-order.
   */
-class JdbcCustomerStore(protected val spark: SparkSession, url: String)
+class JdbcCustomerStore(protected val spark: SparkSession, url: String,
+    readPartitions: Int = 1)
     extends CustomerStoreApi {
 
   import CustomerSchema._
@@ -32,11 +33,23 @@ class JdbcCustomerStore(protected val spark: SparkSession, url: String)
   ensureTable(url)
 
   /** Lowercase aliases: Derby stores identifiers uppercase; aliasing
-    * keeps the frame column-compatible with the parquet impl.
+    * keeps the frame column-compatible with the parquet impl. With
+    * readPartitions > 1 the scan is range-partitioned on the primary
+    * key (bounds from one MIN/MAX probe) so executors read in parallel
+    * — the knob a real cluster sets; tests default to a single
+    * partition.
     */
-  def all(): DataFrame =
-    spark.read.jdbc(url, TableName, new java.util.Properties)
-      .select(tableSchema.fieldNames.map(n => col(n).as(n)): _*)
+  def all(): DataFrame = {
+    val base =
+      if (readPartitions <= 1) spark.read.jdbc(url, TableName, new java.util.Properties)
+      else idBounds(url) match {
+        case Some((lo, hi)) =>
+          spark.read.jdbc(url, TableName, "id", lo, hi, readPartitions,
+            new java.util.Properties)
+        case None => spark.read.jdbc(url, TableName, new java.util.Properties)
+      }
+    base.select(tableSchema.fieldNames.map(n => col(n).as(n)): _*)
+  }
 
   protected def appendRows(fresh: DataFrame): Long = {
     val inserted = spark.sparkContext.longAccumulator("jdbc-inserted")
@@ -117,6 +130,20 @@ object JdbcCustomerStore {
   // Keep Derby's log out of the working directory.
   System.setProperty("derby.stream.error.file",
     s"${System.getProperty("java.io.tmpdir")}/derby.log")
+
+  /** (min, max) of the primary key, or None for an empty table. */
+  private def idBounds(url: String): Option[(Long, Long)] =
+    withConnection(url) { conn =>
+      val rs = conn.createStatement()
+        .executeQuery(s"SELECT MIN(id), MAX(id) FROM $TableName")
+      try {
+        if (rs.next() && rs.getObject(1) != null) Some((rs.getLong(1), rs.getLong(2)))
+        else None
+      } finally {
+        rs.close()
+        conn.commit() // Derby refuses to close with an open (read) txn
+      }
+    }
 
   private def withConnection[A](url: String)(body: Connection => A): A = {
     val conn = DriverManager.getConnection(url)

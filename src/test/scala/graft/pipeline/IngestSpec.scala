@@ -121,6 +121,19 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("JDBC range-partitioned read returns the same rows in parallel") {
+    val dbUrl = s"jdbc:derby:${tmpDir("db")}/par;create=true"
+    val seeded = new JdbcCustomerStore(spark, dbUrl)
+    val raw = Ingest.readCsv(spark, writeCsv(badDataLines), header = false)
+    val (good, _) = Ingest.validate(raw)
+    assert(seeded.insertNew(Ingest.enrich(good)) === 2)
+    val parallel = new JdbcCustomerStore(spark, dbUrl, readPartitions = 3)
+    val df = parallel.all()
+    assert(df.rdd.getNumPartitions === 3)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ===
+      seeded.all().collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("JDBC per-row salvage drops only offenders when the DB rejects a racer") {
     // Drive appendRows directly (bypassing insertNew's pre-filter) the
     // way a racing writer would: the batch INSERT hits the DB's UNIQUE
