@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan regression net: the optimizations the 100 TB story
+  * depends on (filter pushdown, column pruning, broadcast dims,
+  * semi/anti join shapes, shared window exchanges) must stay in the
+  * plan — a silent regression here would not fail correctness, only
+  * scale.
+  */
+class PlanContractsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    needle.r.findAllMatchIn(hay).length
+
+  test("q1 pushes the shipdate filter into the scan and prunes columns") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "date filter not pushed to parquet")
+    assert(!p.contains("l_orderkey"), "scan reads columns q1 never uses")
+  }
+
+  test("q5 star join broadcasts every dimension") {
+    val p = plan("q5_revenue_by_nation")
+    assert(count(p, "BroadcastHashJoin") >= 3,
+      "customer/nation/region must broadcast, never shuffle")
+  }
+
+  test("EXISTS / NOT EXISTS compile to semi and anti joins") {
+    assert(plan("join_semi_big_lines").contains("LeftSemi"))
+    assert(plan("join_anti_no_orders").contains("LeftAnti"))
+  }
+
+  test("range join builds a broadcast loop over the tiny band table") {
+    val p = plan("range_join_value_bands")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "band lookup must broadcast the 5-row side, not shuffle events")
+  }
+
+  test("sessionize plans exactly one user_id exchange for both windows and the groupBy") {
+    val p = plan("events_sessionize")
+    assert(count(p, "Exchange hashpartitioning\\(user_id") === 1,
+      "lag/running-sum windows and the aggregate must share one shuffle")
+  }
+
+  test("brute-force top-k broadcasts the query side") {
+    val p = plan("sim_topk_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query set must broadcast against the partitioned collection")
+  }
+}
