@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
-import graft.pipeline.CustomerStore
+import graft.pipeline.{CustomerStore, JdbcCustomerStore}
 
 class StreamingSpec extends SparkSpec {
 
@@ -30,6 +30,23 @@ class StreamingSpec extends SparkSpec {
       "3,Cai,C,cai@example.com,3",
       "1,Dup,D,ann2@example.com,4", // dup id vs stored → dropped
       "bad,Eli,E,eli@example.com,5")) // bad id → quarantined
+    StreamingIngest.start(spark, in, store, ckpt, header = false)
+      .awaitTermination()
+    assert(store.pending().count() === 3)
+    assert(store.all().count() === 3)
+  }
+
+  test("streaming ingest lands micro-batches in the JDBC store (CSV -> DB, the reference's shape)") {
+    val in = tmpDir("stream-in")
+    val ckpt = tmpDir("stream-ckpt")
+    val store = new JdbcCustomerStore(spark,
+      s"jdbc:derby:${tmpDir("streamdb")}/cust;create=true")
+    writeFile(in, "a.csv", Seq(
+      "1,Ann,A,ann@example.com,1",
+      "2,Bob,B,bob@example.com,2"))
+    writeFile(in, "b.csv", Seq(
+      "3,Cai,C,cai@example.com,3",
+      "2,Dup,D,bob2@example.com,4")) // dup id across files → dropped
     StreamingIngest.start(spark, in, store, ckpt, header = false)
       .awaitTermination()
     assert(store.pending().count() === 3)
