@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Whitespace-normalized text: trim + collapse runs of whitespace. */
-  def normText(c: Column): Column = regexp_replace(trim(c), "\\s+", " ")
+  // Explicit class, not \s: Java \s includes \x0B, RE2 (DuckDB) does
+  // not — the explicit class is RE2's \s, keeping both engines exact.
+  def normText(c: Column): Column = regexp_replace(trim(c), "[ \\t\\n\\f\\r]+", " ")
 
   /** Whitespace tokens of the normalized text. */
   def tokens(c: Column): Column = split(normText(c), " ")

@@ -38,7 +38,10 @@ object TextKernels {
     var e = s.length
     while (b < e && s.charAt(b) == ' ') b += 1
     while (e > b && s.charAt(e - 1) == ' ') e -= 1
-    s.substring(b, e).split("\\s+", -1)
+    // Explicit class, not \s: Java \s includes \x0B (vertical tab),
+    // RE2 — the oracle's regex engine — does not. The explicit class
+    // is RE2's \s, so both engines split identically.
+    s.substring(b, e).split("[ \\t\\n\\f\\r]+", -1)
   }
 
   private def xx(s: String): Long = {

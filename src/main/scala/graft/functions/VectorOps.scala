@@ -22,8 +22,14 @@ object VectorOps {
     * partitioned at any size. Same integer-exact math as
     * [[VectorFunctions]], so results hash-match the oracle.
     */
-  def exactCosinePairs(quantized: DataFrame, thresholdPpm: Long): Dataset[CosPair] =
-    exactCosinePairsTiled(quantized, thresholdPpm, tile = Int.MaxValue)
+  def exactCosinePairs(quantized: DataFrame, thresholdPpm: Long): Dataset[CosPair] = {
+    // Single collect — not the tiled path, whose block-bound discovery
+    // would cost an extra full materialization for nothing here.
+    val spark = quantized.sparkSession
+    import spark.implicits._
+    val vecs = quantized.select(col("vec_id"), col("qv"), col("sq")).as[QVec]
+    sweep(vecs, spark.sparkContext.broadcast(vecs.collect().sortBy(_.vec_id)), thresholdPpm)
+  }
 
   /** Tiled form for collections past executor memory: the broadcast
     * side is processed in `tile`-sized id-range blocks, one sweep per

@@ -51,6 +51,12 @@ class JdbcCustomerStore(protected val spark: SparkSession, url: String,
     base.select(tableSchema.fieldNames.map(n => col(n).as(n)): _*)
   }
 
+  /** Returned count comes from an accumulator, which on a real cluster
+    * can under-report if a task dies after its commit and the retry
+    * hits UNIQUE violations — the rows are in the DB, just not in the
+    * count. Acceptable for a progress signal (the reference's own count
+    * is a log line); anything transactional should query the DB.
+    */
   protected def appendRows(fresh: DataFrame): Long = {
     val inserted = spark.sparkContext.longAccumulator("jdbc-inserted")
     val dbUrl = url
@@ -73,6 +79,17 @@ class JdbcCustomerStore(protected val spark: SparkSession, url: String,
               ps.setTimestamp(7, r.getTimestamp(6))
               ps.setTimestamp(8, r.getTimestamp(7))
             }
+            // Only integrity violations (SQLState class 23) mean "a row
+            // lost the UNIQUE race" and may be salvaged/dropped; any
+            // other SQLException (lock timeout, disk full, …) must
+            // propagate, or rows would vanish silently while a
+            // streaming checkpoint advances past them.
+            def isConstraint(e: java.sql.SQLException): Boolean = {
+              val states = Iterator.iterate(e)(ex =>
+                ex.getNextException match { case n: java.sql.SQLException => n; case _ => null })
+                .takeWhile(_ != null).map(_.getSQLState)
+              states.exists(s => s != null && s.startsWith("23"))
+            }
             try {
               // Fast path: one transactional batch INSERT (the
               // JSON_POPULATE_RECORDSET analog, database.go:114-129).
@@ -81,7 +98,7 @@ class JdbcCustomerStore(protected val spark: SparkSession, url: String,
               conn.commit()
               inserted.add(buf.size)
             } catch {
-              case _: java.sql.SQLException =>
+              case e: java.sql.SQLException if isConstraint(e) =>
                 // Per-row salvage (S5, database.go:140-151): replay the
                 // batch row-at-a-time so only offenders are dropped.
                 conn.rollback()
@@ -89,7 +106,8 @@ class JdbcCustomerStore(protected val spark: SparkSession, url: String,
                   try {
                     bind(r); ps.executeUpdate(); conn.commit(); inserted.add(1)
                   } catch {
-                    case _: java.sql.SQLException => conn.rollback()
+                    case e2: java.sql.SQLException if isConstraint(e2) =>
+                      conn.rollback()
                   }
                 }
             }
@@ -150,6 +168,13 @@ object JdbcCustomerStore {
     try {
       conn.setAutoCommit(false)
       body(conn)
+    } catch {
+      case e: Throwable =>
+        // Roll back before close: Derby refuses to close a connection
+        // with an open transaction, and that secondary error would
+        // otherwise mask the real cause.
+        try conn.rollback() catch { case _: java.sql.SQLException => () }
+        throw e
     } finally conn.close()
   }
 

@@ -97,7 +97,13 @@ object DedupQueries extends QueryGroup {
 
   private def verifiedNearDupPairs(s: SparkSession, dir: String): DataFrame =
     verifiedPairsCache.computeIfAbsent((s, dir),
-      _ => lshVerifiedPairs(s, dir, bands = LSH_BANDS, threshold = 0.5).localCheckpoint(true))
+      _ => lshVerifiedPairs(s, dir, bands = LSH_BANDS, threshold = 0.5)
+        // Project the shingle arrays away BEFORE checkpointing: the
+        // consumers need only the five scalars, and pinning two
+        // trigram arrays per pair in the block manager for the whole
+        // session would cost hundreds of MB at sf0.1.
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"), col("nb"))
+        .localCheckpoint(true))
 
   /** Connected components over the verified near-dup pairs (j ≥ 0.5):
     * iterative min-label propagation to fixpoint. Returns (node, lbl)

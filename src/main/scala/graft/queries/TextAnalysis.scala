@@ -46,14 +46,16 @@ object TextAnalysis extends QueryGroup {
     // math; the identical RE2/Java semantics are checked by the oracle
     // running the same pattern through regexp_extract_all.
     "text_pretokenize" -> ((s, dir) => {
-      val all = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+      // Explicit whitespace class (= RE2's \s): Java's \s also matches
+      // \x0B, which would diverge from the DuckDB oracle.
+      val all = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
       Tables(s, dir, "documents")
         .select(
           col("doc_id"),
           regexp_count(col("text"), lit(all)).cast("long").as("n_pretokens"),
           regexp_count(col("text"), lit(" ?[\\p{L}]+")).cast("long").as("n_word_chunks"),
           regexp_count(col("text"), lit(" ?[\\p{N}]+")).cast("long").as("n_num_chunks"),
-          regexp_count(col("text"), lit(" ?[^\\s\\p{L}\\p{N}]+")).cast("long").as("n_other_chunks"))
+          regexp_count(col("text"), lit(" ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+")).cast("long").as("n_other_chunks"))
         .orderBy(col("doc_id"))
     }),
 
@@ -148,10 +150,10 @@ object TextAnalysis extends QueryGroup {
   val oracles: Map[String, String] = Map(
     "text_pretokenize" ->
       """SELECT doc_id,
-         CAST(len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_pretokens,
+         CAST(len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+')) AS BIGINT) AS n_pretokens,
          CAST(len(regexp_extract_all(text, ' ?[\p{L}]+')) AS BIGINT) AS n_word_chunks,
          CAST(len(regexp_extract_all(text, ' ?[\p{N}]+')) AS BIGINT) AS n_num_chunks,
-         CAST(len(regexp_extract_all(text, ' ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_other_chunks
+         CAST(len(regexp_extract_all(text, ' ?[^ \t\n\f\r\p{L}\p{N}]+')) AS BIGINT) AS n_other_chunks
          FROM documents ORDER BY doc_id""",
     "text_token_stats" ->
       s"""SELECT doc_id,

@@ -36,6 +36,9 @@ class KernelsSpec extends SparkSpec {
     assert(TextKernels.tokens(u("  a  b  ")).toSeq === Seq("a", "b"))
     assert(TextKernels.tokens(u("")).toSeq === Seq(""))
     assert(TextKernels.tokens(u("   ")).toSeq === Seq(""))
+    // \x0B (vertical tab) is whitespace to Java's \s but NOT to RE2 —
+    // the oracle's engine — so it must stay inside the token.
+    assert(TextKernels.tokens(u("a\u000Bb c")).toSeq === Seq("a\u000Bb", "c"))
   }
 
   test("simhash: identical docs collide, near-dups are close, disjoint docs are far") {
