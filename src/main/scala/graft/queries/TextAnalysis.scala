@@ -107,6 +107,27 @@ object TextAnalysis extends QueryGroup {
         .orderBy(col("lang"), col("split"))
     }),
 
+    // Corpus mixture sampling — the data-mixing step of a training
+    // recipe: per-language keep-rates (here en=100%, de/es=50%, fr=25%,
+    // rest=12.5%, expressed as thresholds out of 256 on the first byte
+    // of the content md5). Content-keyed like the train/eval split, so
+    // the sample is deterministic across runs, partitionings, and
+    // engines, and exact duplicates sample identically. Stateless
+    // per-row hash → embarrassingly parallel at any scale.
+    "corpus_mixture" -> ((s, dir) => {
+      val bucket = conv(substring(contentFingerprint(col("text")), 1, 2), 16, 10)
+        .cast("int")
+      val rate = when(col("lang") === "en", 256)
+        .when(col("lang").isin("de", "es"), 128)
+        .when(col("lang") === "fr", 64)
+        .otherwise(32)
+      Tables(s, dir, "documents")
+        .filter(bucket < rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // Per-(source, lang) corpus profile: doc count, char sum, mean quality.
     // Map-side partial aggregation; group key cardinality is tiny (~100)
     // so the shuffle is negligible at any scale.
@@ -187,6 +208,16 @@ object TextAnalysis extends QueryGroup {
           ORDER BY doc_id""",
     "text_fingerprint" ->
       s"SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id",
+    "corpus_mixture" ->
+      s"""SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM (SELECT lang, n_chars,
+                  CAST('0x' || substr(md5($normSql), 1, 2) AS INT) AS bucket,
+                  CASE WHEN lang = 'en' THEN 256
+                       WHEN lang IN ('de', 'es') THEN 128
+                       WHEN lang = 'fr' THEN 64
+                       ELSE 32 END AS rate
+                FROM documents)
+          WHERE bucket < rate GROUP BY lang ORDER BY lang""",
     "text_train_eval_split" ->
       s"""SELECT lang,
           CASE WHEN substr(md5($normSql), 1, 1) IN ('e','f')
