@@ -255,6 +255,29 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("lang"))
     }),
 
+    // Train/eval decontamination — the leakage check every training
+    // pipeline runs before evaluation: eval-split documents that are
+    // near-duplicates (j ≥ 0.5, verified) of a train-split document.
+    // Composes the content-hash splitter (TextAnalysis) with the shared
+    // verified-LSH pairs: one broadcast-able split lookup joined onto
+    // the (tiny) pair list, so the cost is the memoized sketch pass.
+    "dedup_decontaminate" -> ((s, dir) => {
+      val split = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          when(substring(graft.functions.TextFunctions.contentFingerprint(col("text")), 1, 1)
+            .isin("e", "f"), "eval").otherwise("train").as("split"))
+      val pairs = verifiedNearDupPairs(s, dir)
+      val undirected = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
+        .unionByName(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
+      undirected
+        .join(split.select(col("doc_id").as("x"), col("split").as("x_split")), "x")
+        .join(split.select(col("doc_id").as("y"), col("split").as("y_split")), "y")
+        .filter(col("x_split") === "eval" && col("y_split") === "train")
+        .groupBy(col("x").as("eval_doc_id"))
+        .agg(count(lit(1)).as("n_train_dups"), min(col("y")).as("min_train_dup"))
+        .orderBy(col("eval_doc_id"))
+    }),
+
     // Embedding-cosine near-dup pairs (quantized integer cosine ≥ 0.45),
     // exact over all pairs via the broadcast-matrix sweep in
     // [[graft.functions.VectorOps]] (same integer math as the oracle;
@@ -349,6 +372,20 @@ object DedupQueries extends QueryGroup {
     // n_common column.
     "dedup_minhash_lsh" ->
       s"""SELECT doc_a, doc_b, jaccard_ppm FROM (${exactJaccardSql("0.5")})""",
+    "dedup_decontaminate" ->
+      s"""WITH p0 AS (SELECT doc_a, doc_b FROM (${exactJaccardSql("0.5")})),
+          und AS (SELECT doc_a AS x, doc_b AS y FROM p0
+                  UNION ALL SELECT doc_b, doc_a FROM p0),
+          sp AS (SELECT doc_id,
+                   CASE WHEN substr(md5($normSql), 1, 1) IN ('e','f')
+                        THEN 'eval' ELSE 'train' END AS split
+                 FROM documents)
+          SELECT x AS eval_doc_id, COUNT(*) AS n_train_dups,
+            CAST(MIN(y) AS BIGINT) AS min_train_dup
+          FROM und JOIN sp sx ON und.x = sx.doc_id
+                   JOIN sp sy ON und.y = sy.doc_id
+          WHERE sx.split = 'eval' AND sy.split = 'train'
+          GROUP BY x ORDER BY eval_doc_id""",
     // Exhaustive cross-join reformulation of the banded simhash query:
     // pigeonhole banding is EXACT for d≤3, so the banded equi-join and
     // this all-pairs check must emit identical rows. The signature is
