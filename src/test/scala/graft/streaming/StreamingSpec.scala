@@ -113,6 +113,35 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Array(1L, 2L, 3L))
   }
 
+  test("corpus curation filters (tokens, langid, quality) run in a stream") {
+    // The text operators are stateless projections over custom
+    // expressions — this pins that they are streaming-safe, i.e. the
+    // curation pass can run as documents arrive instead of batch-only.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val toks = tokens(col("text"))
+    val q = mem.toDF().toDF("text")
+      .select(col("text"), size(toks).cast("long").as("n_tokens"),
+        langId(toks).as("lang_pred"))
+      .filter(col("n_tokens") >= 5 && col("lang_pred") =!= "und")
+      .writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append())
+      .start()
+    mem.addData(
+      "the cat and the hat is very happy today",        // en, long enough
+      "zzz qqq xxx yyy www vvv",                        // und → dropped
+      "der hund und das haus ist hier heute",           // de, kept
+      "the end")                                        // too short → dropped
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("curated").select("lang_pred")
+      .collect().map(_.getString(0)).sorted
+    assert(kept === Array("de", "en"))
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
