@@ -76,6 +76,22 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("insertNew resolves long alternating conflict chains (multi-round fixpoint)") {
+    // Chain built so each fixpoint round can resolve only one link:
+    // (1,a) kept → (1,b) dropped by id → (2,b) kept (b freed) →
+    // (2,c) dropped → (3,c) kept → (3,d) dropped → (4,d) kept.
+    val chain = Seq(
+      (1L, "a@x"), (1L, "b@x"), (2L, "b@x"), (2L, "c@x"),
+      (3L, "c@x"), (3L, "d@x"), (4L, "d@x"))
+    val store = new CustomerStore(spark, tmpDir("prop") + "/c")
+    val n = store.insertNew(toBatch(chain))
+    val want = greedyFirstWins(chain)
+    assert(want === Seq((1L, "a@x"), (2L, "b@x"), (3L, "c@x"), (4L, "d@x")))
+    assert(n === want.length)
+    val got = store.all().collect().map(r => (r.getLong(0), r.getString(3))).sorted
+    assert(got.toSeq === want.sorted)
+  }
+
   test("multi-file ingest order is file order, not file-size order") {
     // Spark packs scan partitions largest-file-first, so without
     // explicit sequencing the dedup winner would come from b.csv (the
