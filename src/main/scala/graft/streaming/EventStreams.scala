@@ -52,6 +52,61 @@ object EventStreams {
     * default here is no TTL — tests and bounded key spaces don't want a
     * busy-looping query).
     */
+  case class OpenSession(user_id: Long, startMs: Long, endMs: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** Completed 30-min-gap sessions via `flatMapGroupsWithState` — the
+    * 0..n-outputs-per-group form of custom keyed state: a batch can
+    * close several sessions for one user (gap splits inside the batch)
+    * or none (session still open). Open sessions are finalized by an
+    * EVENT-TIME timeout at session end + gap, so emission needs no
+    * further events from that user and state is reclaimed as the
+    * watermark passes — the bounded-state contract at 100 TB/day. The
+    * batch twin is `events_sessionize` (oracle-checked).
+    */
+  def completedSessions(events: Dataset[UserEvent],
+      gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val out = Seq.newBuilder[SessionOut]
+            var open = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  open = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+                case Some(s) =>
+                  out += SessionOut(uid, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n)
+                  open = Some(OpenSession(uid, t, t, 1))
+                case None =>
+                  open = Some(OpenSession(uid, t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // Timeout may not be <= the current watermark; max() keeps
+              // a straggler session (within-watermark late data) legal —
+              // it will then fire on the next watermark advance.
+              state.setTimeoutTimestamp(
+                math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   def runningUserTotals(events: Dataset[UserEvent],
       ttl: Option[String] = None): Dataset[UserRunning] = {
     import events.sparkSession.implicits._

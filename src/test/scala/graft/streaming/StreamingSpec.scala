@@ -113,6 +113,38 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Array(1L, 2L, 3L))
   }
 
+  test("flatMapGroupsWithState emits completed sessions on gap split and event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.UserEvent]
+    val q = EventStreams.completedSessions(mem.toDS()).writeStream
+      .format("memory").queryName("sessions").outputMode(OutputMode.Append())
+      .start()
+    def ev(uid: Long, t: String) =
+      EventStreams.UserEvent(uid, Timestamp.valueOf(t), "click", 1.0)
+    // User 7: two events 5 min apart, then one 55 min later — the gap
+    // closes the first session inside the batch (flatMap: one output,
+    // one still-open session from a single invocation).
+    mem.addData(ev(7, "2024-01-01 10:00:00"), ev(7, "2024-01-01 10:05:00"),
+      ev(7, "2024-01-01 11:00:00"))
+    q.processAllAvailable()
+    val afterSplit = spark.table("sessions").collect()
+    assert(afterSplit.length === 1)
+    assert(afterSplit.head.getAs[Long]("n_events") === 2)
+    // Another user's events advance the watermark past 11:00 + gap; the
+    // open session must finalize via the event-time timeout with no
+    // further user-7 input (the state-reclaim contract).
+    mem.addData(ev(9, "2024-01-01 15:00:00"))
+    q.processAllAvailable()
+    mem.addData(ev(9, "2024-01-01 15:01:00"))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("sessions").collect()
+    val u7 = all.filter(_.getAs[Long]("user_id") == 7L)
+    assert(u7.length === 2, s"open session not finalized by timeout: ${all.toSeq}")
+    assert(u7.map(_.getAs[Long]("n_events")).sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("corpus curation filters (tokens, langid, quality) run in a stream") {
     // The text operators are stateless projections over custom
     // expressions — this pins that they are streaming-safe, i.e. the
