@@ -114,4 +114,18 @@ object TextFunctions {
     * (md5 exists in both Spark and DuckDB → oracle-able).
     */
   def contentFingerprint(c: Column): Column = md5(normText(c))
+
+  /** The ONE train/eval split rule (7/8 vs 1/8: first fingerprint hex
+    * digit in {e,f} → eval). Shared by the splitter query and the
+    * decontamination check — if these ever diverged, the leakage check
+    * would silently validate against a split training doesn't use.
+    * SQL mirror: [[trainEvalSplitSql]].
+    */
+  def trainEvalSplit(text: Column): Column =
+    when(substring(contentFingerprint(text), 1, 1).isin("e", "f"), "eval")
+      .otherwise("train")
+
+  /** DuckDB form of [[trainEvalSplit]] over a md5-hex expression. */
+  def trainEvalSplitSql(md5Expr: String): String =
+    s"CASE WHEN substr($md5Expr, 1, 1) IN ('e','f') THEN 'eval' ELSE 'train' END"
 }

@@ -128,11 +128,16 @@ object DedupQueries extends QueryGroup {
   private def components(s: SparkSession, dir: String): DataFrame =
     componentsCache.computeIfAbsent((s, dir), _ => computeComponents(s, dir))
 
+  /** Symmetrize a (doc_a, doc_b) pair list into an undirected (x, y)
+    * edge list (each pair in both orientations).
+    */
+  private def undirected(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
+      .unionByName(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
+
   private def computeComponents(s: SparkSession, dir: String): DataFrame = {
-    val pairs = verifiedNearDupPairs(s, dir)
-      .select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val edges = undirected(verifiedNearDupPairs(s, dir))
+      .select(col("x").as("doc_a"), col("y").as("doc_b"))
       .localCheckpoint(true)
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("lbl", col("node"))
@@ -262,14 +267,17 @@ object DedupQueries extends QueryGroup {
     // verified-LSH pairs: one broadcast-able split lookup joined onto
     // the (tiny) pair list, so the cost is the memoized sketch pass.
     "dedup_decontaminate" -> ((s, dir) => {
+      val und = undirected(verifiedNearDupPairs(s, dir))
+      // Fingerprint only the pair endpoints (semi-join first), not the
+      // corpus: the split lookup is then endpoint-sized and computed
+      // once for both sides of the join.
+      val endpoints = und.select(col("x").as("doc_id")).distinct()
       val split = Tables(s, dir, "documents")
+        .join(endpoints, Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
-          when(substring(graft.functions.TextFunctions.contentFingerprint(col("text")), 1, 1)
-            .isin("e", "f"), "eval").otherwise("train").as("split"))
-      val pairs = verifiedNearDupPairs(s, dir)
-      val undirected = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
-        .unionByName(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
-      undirected
+          graft.functions.TextFunctions.trainEvalSplit(col("text")).as("split"))
+        .localCheckpoint(true)
+      und
         .join(split.select(col("doc_id").as("x"), col("split").as("x_split")), "x")
         .join(split.select(col("doc_id").as("y"), col("split").as("y_split")), "y")
         .filter(col("x_split") === "eval" && col("y_split") === "train")
@@ -377,8 +385,7 @@ object DedupQueries extends QueryGroup {
           und AS (SELECT doc_a AS x, doc_b AS y FROM p0
                   UNION ALL SELECT doc_b, doc_a FROM p0),
           sp AS (SELECT doc_id,
-                   CASE WHEN substr(md5($normSql), 1, 1) IN ('e','f')
-                        THEN 'eval' ELSE 'train' END AS split
+                   ${graft.functions.TextFunctions.trainEvalSplitSql(s"md5($normSql)")} AS split
                  FROM documents)
           SELECT x AS eval_doc_id, COUNT(*) AS n_train_dups,
             CAST(MIN(y) AS BIGINT) AS min_train_dup

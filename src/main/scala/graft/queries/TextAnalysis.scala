@@ -98,10 +98,7 @@ object TextAnalysis extends QueryGroup {
     // exact dups land in the same split (no train/eval leakage).
     "text_train_eval_split" -> ((s, dir) => {
       Tables(s, dir, "documents")
-        .withColumn("split",
-          when(substring(contentFingerprint(col("text")), 1, 1)
-            .isin("e", "f"), "eval")
-            .otherwise("train"))
+        .withColumn("split", trainEvalSplit(col("text")))
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"), col("split"))
@@ -220,8 +217,7 @@ object TextAnalysis extends QueryGroup {
           WHERE bucket < rate GROUP BY lang ORDER BY lang""",
     "text_train_eval_split" ->
       s"""SELECT lang,
-          CASE WHEN substr(md5($normSql), 1, 1) IN ('e','f')
-               THEN 'eval' ELSE 'train' END AS split,
+          ${graft.functions.TextFunctions.trainEvalSplitSql(s"md5($normSql)")} AS split,
           COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
           FROM documents GROUP BY 1, 2 ORDER BY lang, split""",
     "text_source_profile" ->

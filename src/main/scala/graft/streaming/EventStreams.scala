@@ -52,7 +52,7 @@ object EventStreams {
     * default here is no TTL — tests and bounded key spaces don't want a
     * busy-looping query).
     */
-  case class OpenSession(user_id: Long, startMs: Long, endMs: Long, n: Long)
+  case class OpenSession(startMs: Long, endMs: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long)
 
@@ -85,13 +85,26 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               open match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  open = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+                // Within the gap of the OPEN session on either side:
+                // merge, extending both bounds — a within-watermark late
+                // event just before the session start belongs to it
+                // (batch-twin gap rule is symmetric over sorted times).
+                case Some(s) if t >= s.startMs - gapMs && t <= s.endMs + gapMs =>
+                  open = Some(OpenSession(math.min(s.startMs, t), math.max(s.endMs, t), s.n + 1))
+                // Late event more than a gap BEFORE the open session: a
+                // disjoint earlier session. Emit it closed immediately —
+                // nothing still in flight can extend it (anything within
+                // its gap would have to be earlier still, hence even
+                // later-arriving; bounded divergence from the batch twin
+                // only if such stragglers exist).
+                case Some(s) if t < s.startMs - gapMs =>
+                  out += SessionOut(uid, new Timestamp(t), new Timestamp(t), 1)
+                // More than a gap after: close the open session, start new.
                 case Some(s) =>
                   out += SessionOut(uid, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n)
-                  open = Some(OpenSession(uid, t, t, 1))
+                  open = Some(OpenSession(t, t, 1))
                 case None =>
-                  open = Some(OpenSession(uid, t, t, 1))
+                  open = Some(OpenSession(t, t, 1))
               }
             }
             open.foreach { s =>

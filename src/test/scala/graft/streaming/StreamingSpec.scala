@@ -131,6 +131,11 @@ class StreamingSpec extends SparkSpec {
     val afterSplit = spark.table("sessions").collect()
     assert(afterSplit.length === 1)
     assert(afterSplit.head.getAs[Long]("n_events") === 2)
+    // A within-watermark LATE event just before the open session's
+    // start must merge and extend the start backwards (symmetric gap
+    // rule), not inflate the count at the wrong boundary.
+    mem.addData(ev(7, "2024-01-01 10:45:00"))
+    q.processAllAvailable()
     // Another user's events advance the watermark past 11:00 + gap; the
     // open session must finalize via the event-time timeout with no
     // further user-7 input (the state-reclaim contract).
@@ -141,8 +146,11 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     val all = spark.table("sessions").collect()
     val u7 = all.filter(_.getAs[Long]("user_id") == 7L)
+      .map(r => (r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Long]("n_events"))).sortBy(_._1)
     assert(u7.length === 2, s"open session not finalized by timeout: ${all.toSeq}")
-    assert(u7.map(_.getAs[Long]("n_events")).sorted.toSeq === Seq(1L, 2L))
+    assert(u7 === Seq(("2024-01-01 10:00:00.0", 2L), ("2024-01-01 10:45:00.0", 2L)),
+      s"late merge must extend the session start: ${u7.toSeq}")
   }
 
   test("corpus curation filters (tokens, langid, quality) run in a stream") {
