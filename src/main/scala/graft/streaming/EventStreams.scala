@@ -79,35 +79,30 @@ object EventStreams {
             state.remove()
             Iterator(SessionOut(uid, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            val out = Seq.newBuilder[SessionOut]
-            var open = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              open match {
-                // Within the gap of the OPEN session on either side:
-                // merge, extending both bounds — a within-watermark late
-                // event just before the session start belongs to it
-                // (batch-twin gap rule is symmetric over sorted times).
-                case Some(s) if t >= s.startMs - gapMs && t <= s.endMs + gapMs =>
-                  open = Some(OpenSession(math.min(s.startMs, t), math.max(s.endMs, t), s.n + 1))
-                // Late event more than a gap BEFORE the open session: a
-                // disjoint earlier session. Emit it closed immediately —
-                // nothing still in flight can extend it (anything within
-                // its gap would have to be earlier still, hence even
-                // later-arriving; bounded divergence from the batch twin
-                // only if such stragglers exist).
-                case Some(s) if t < s.startMs - gapMs =>
-                  out += SessionOut(uid, new Timestamp(t), new Timestamp(t), 1)
-                // More than a gap after: close the open session, start new.
-                case Some(s) =>
-                  out += SessionOut(uid, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n)
-                  open = Some(OpenSession(t, t, 1))
-                case None =>
-                  open = Some(OpenSession(t, t, 1))
-              }
-            }
-            open.foreach { s =>
+            // Uniform interval merge over (state ∪ batch): the open
+            // session from state and every batch event are intervals;
+            // sorted by start, any interval within the gap of the current
+            // one merges (the batch twin's lag/cumsum rule, symmetric
+            // over sorted times — a within-watermark late event just
+            // before the open session's start belongs to it). In
+            // particular several late events that fall within one gap of
+            // EACH OTHER merge into one late session rather than per-
+            // event singletons.
+            val intervals = (state.getOption.toSeq ++
+              rows.map(e => OpenSession(e.ts.getTime, e.ts.getTime, 1)))
+              .sortBy(s => (s.startMs, s.endMs))
+            val merged = intervals.foldLeft(List.empty[OpenSession]) {
+              case (cur :: done, s) if s.startMs <= cur.endMs + gapMs =>
+                OpenSession(cur.startMs, math.max(cur.endMs, s.endMs), cur.n + s.n) :: done
+              case (acc, s) => s :: acc
+            }.reverse
+            // All but the latest merged session are closed: emit them now.
+            // Closed-and-emitted late sessions can no longer be extended —
+            // bounded divergence from the batch twin only if a yet-later-
+            // arriving straggler would have merged into one of them.
+            val out = merged.dropRight(1).map(s =>
+              SessionOut(uid, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n))
+            merged.lastOption.foreach { s =>
               state.update(s)
               // Timeout may not be <= the current watermark; max() keeps
               // a straggler session (within-watermark late data) legal —
@@ -115,7 +110,7 @@ object EventStreams {
               state.setTimeoutTimestamp(
                 math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
             }
-            out.result().iterator
+            out.iterator
           }
       }
   }

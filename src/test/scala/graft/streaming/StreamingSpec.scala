@@ -153,6 +153,33 @@ class StreamingSpec extends SparkSpec {
       s"late merge must extend the session start: ${u7.toSeq}")
   }
 
+  test("late events within one gap of each other merge into one late session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.UserEvent]
+    val q = EventStreams.completedSessions(mem.toDS()).writeStream
+      .format("memory").queryName("late_sessions").outputMode(OutputMode.Append())
+      .start()
+    def ev(uid: Long, t: String) =
+      EventStreams.UserEvent(uid, Timestamp.valueOf(t), "click", 1.0)
+    // Open a session at 12:00 (watermark lands at 10:00, 2h behind).
+    mem.addData(ev(4, "2024-01-01 12:00:00"))
+    q.processAllAvailable()
+    // Two within-watermark late events, 10 min apart, both more than a
+    // gap before the open session: they must merge into ONE late session
+    // (10:30-10:40, n=2), not two singletons.
+    mem.addData(ev(4, "2024-01-01 10:30:00"), ev(4, "2024-01-01 10:40:00"))
+    q.processAllAvailable()
+    q.stop()
+    val u4 = spark.table("late_sessions").collect()
+      .filter(_.getAs[Long]("user_id") == 4L)
+      .map(r => (r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Timestamp]("session_end").toString,
+        r.getAs[Long]("n_events")))
+    assert(u4.toSeq === Seq(("2024-01-01 10:30:00.0", "2024-01-01 10:40:00.0", 2L)),
+      s"late events within one gap must merge: ${u4.toSeq}")
+  }
+
   test("corpus curation filters (tokens, langid, quality) run in a stream") {
     // The text operators are stateless projections over custom
     // expressions — this pins that they are streaming-safe, i.e. the
