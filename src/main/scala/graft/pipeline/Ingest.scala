@@ -71,6 +71,16 @@ object Ingest {
     * is over one bounded ingest batch, not a table — the reference
     * buffers 5-row batches at the same point (csvreader.go:60-77).
     * [[CustomerStoreApi.insertNew]] honors a pre-computed `_seq`.
+    *
+    * "File order" here means LEXICOGRAPHIC path order (the sort is on
+    * the `input_file_name` string), which matches the reference's
+    * directory-listing order for its zero-padded/single-file inputs
+    * but diverges for unpadded numeric names (`b10.csv` sorts before
+    * `b2.csv`) — callers that need arrival order must encode it in the
+    * path (zero-padding, timestamp prefixes), the same contract as any
+    * path-ordered log ingest. Chosen over file modification time
+    * because mtime is not reproducible across copies of the same
+    * directory.
     */
   def sequenced(batch: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

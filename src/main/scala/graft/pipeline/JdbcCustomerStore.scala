@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   * (database.go:140-151). The DB enforces UNIQUE as the final arbiter;
   * the shared [[CustomerStoreApi]] fixpoint makes the surviving set
   * deterministic (first-wins in ingest order) rather than race-order.
+  *
+  * Deployment contract: executors open their own JDBC connections
+  * inside foreachPartition, so the URL must reach ONE shared database
+  * from every executor. An embedded-Derby URL (`jdbc:derby:<path>`)
+  * is per-JVM — on a multi-executor cluster each executor would boot
+  * its own empty database and writes would silently vanish from the
+  * driver's view. Embedded URLs are therefore rejected unless the
+  * master is local; a real cluster uses a client-server URL
+  * (`jdbc:derby://host/...`, `jdbc:postgresql://...`).
   */
 class JdbcCustomerStore(protected val spark: SparkSession, url: String,
     readPartitions: Int = 1)
@@ -29,6 +38,11 @@ class JdbcCustomerStore(protected val spark: SparkSession, url: String,
 
   import CustomerSchema._
   import JdbcCustomerStore._
+
+  require(!isEmbeddedDerby(url) || spark.sparkContext.isLocal,
+    s"embedded-Derby URL '$url' is per-JVM: executors on a non-local " +
+      "master would each open a private database; use a client-server " +
+      "URL (jdbc:derby://host/..., jdbc:postgresql://...) instead")
 
   ensureTable(url)
 
@@ -144,6 +158,12 @@ class JdbcCustomerStore(protected val spark: SparkSession, url: String,
 object JdbcCustomerStore {
 
   private[pipeline] val TableName = "customers"
+
+  /** Embedded (in-JVM) Derby: `jdbc:derby:<path>` but NOT the
+    * client-server form `jdbc:derby://host/...`.
+    */
+  private[pipeline] def isEmbeddedDerby(url: String): Boolean =
+    url.startsWith("jdbc:derby:") && !url.startsWith("jdbc:derby://")
 
   // Keep Derby's log out of the working directory.
   System.setProperty("derby.stream.error.file",

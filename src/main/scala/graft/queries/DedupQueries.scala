@@ -91,17 +91,18 @@ object DedupQueries extends QueryGroup {
     * computation shared by `dedup_minhash_lsh`, `dedup_clusters`, and
     * `corpus_curation` (memoized + locally checkpointed per
     * (session, dir) so the bench/verify run pays for it once).
-    * Cache contract: entries live for the session and assume the dir's
-    * data is immutable while cached — the same assumption a persisted
-    * index makes; a harness that rewrites testdata in-place must use a
-    * fresh session (the driver starts one per run).
+    * Cache contract: entries live for the session (evicted when its
+    * SparkContext stops — see [[graft.util.SessionCache]]) and assume
+    * the dir's data is immutable while cached — the same assumption a
+    * persisted index makes; a harness that rewrites a dir mid-session
+    * must call `clearCaches()` (the driver starts a fresh session per
+    * run, which also suffices).
     */
-  private val verifiedPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val verifiedPairsCache = new graft.util.SessionCache[DataFrame]
 
   private def verifiedNearDupPairs(s: SparkSession, dir: String): DataFrame =
-    verifiedPairsCache.computeIfAbsent((s, dir),
-      _ => lshVerifiedPairs(s, dir, bands = LSH_BANDS, threshold = 0.5)
+    verifiedPairsCache.getOrCompute(s, dir)(
+      lshVerifiedPairs(s, dir, bands = LSH_BANDS, threshold = 0.5)
         // Project the shingle arrays away BEFORE checkpointing: the
         // consumers need only the five scalars, and pinning two
         // trigram arrays per pair in the block manager for the whole
@@ -122,11 +123,18 @@ object DedupQueries extends QueryGroup {
     * per (session, dir): the label table is computed once and shared by
     * `dedup_clusters` and `corpus_curation` within a run.
     */
-  private val componentsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val componentsCache = new graft.util.SessionCache[DataFrame]
 
   private def components(s: SparkSession, dir: String): DataFrame =
-    componentsCache.computeIfAbsent((s, dir), _ => computeComponents(s, dir))
+    componentsCache.getOrCompute(s, dir)(computeComponents(s, dir))
+
+  /** Drop the memoized pair/component artifacts (long-lived-JVM hook;
+    * required only if a cached dir's data is rewritten mid-session).
+    */
+  def clearCaches(): Unit = {
+    verifiedPairsCache.clear()
+    componentsCache.clear()
+  }
 
   /** Symmetrize a (doc_a, doc_b) pair list into an undirected (x, y)
     * edge list (each pair in both orientations).

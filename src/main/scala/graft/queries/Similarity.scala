@@ -106,12 +106,16 @@ object Similarity extends QueryGroup {
     * (session, dir) exactly like a persisted vector index would be
     * loaded once in production; probe queries pay only the list join.
     */
-  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame)]()
+  private val ivfCache = new graft.util.SessionCache[(DataFrame, DataFrame)]
 
   private def ivfIndexCached(s: SparkSession, dir: String,
       all: DataFrame): (DataFrame, DataFrame) =
-    ivfCache.computeIfAbsent((s, dir), _ => ivfIndex(all))
+    ivfCache.getOrCompute(s, dir)(ivfIndex(all))
+
+  /** Drop the memoized IVF index (long-lived-JVM hook; required only
+    * if a cached dir's data is rewritten mid-session).
+    */
+  def clearCaches(): Unit = ivfCache.clear()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact top-k: every 100th vector queries the full collection.

@@ -155,4 +155,11 @@ class IngestSpec extends SparkSpec {
     val got = store.all().collect().map(r => (r.getLong(0), r.getString(3))).sorted
     assert(got.toSeq === Seq((1L, "a@x"), (2L, "b@x"), (4L, "c@x")))
   }
+
+  test("embedded-Derby URLs are classified; client-server forms are not") {
+    assert(JdbcCustomerStore.isEmbeddedDerby("jdbc:derby:/tmp/db;create=true"))
+    assert(JdbcCustomerStore.isEmbeddedDerby("jdbc:derby:memory:db"))
+    assert(!JdbcCustomerStore.isEmbeddedDerby("jdbc:derby://host:1527/db"))
+    assert(!JdbcCustomerStore.isEmbeddedDerby("jdbc:postgresql://host/db"))
+  }
 }
