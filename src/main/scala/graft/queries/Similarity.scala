@@ -16,11 +16,12 @@ import graft.functions.VectorFunctions._
   * happens (Catalyst turns filter+window-rank into partial top-k).
   *
   * `sim_lsh_ann` is the scale path: random-hyperplane signatures put
-  * vectors into 2^16-bucket space; probing a query's own bucket plus all
-  * 1-bit-flip neighbors (17 buckets) turns ANN into an equi-join on
-  * bucket id. Recall vs the brute-force baseline is asserted in
-  * ScalaTest rather than a SQL oracle (the bucketing has no DuckDB
-  * equivalent).
+  * vectors into 2^8-bucket space; probing a query's own bucket plus all
+  * 1-bit and 2-bit flips (37 buckets) turns ANN into an equi-join on
+  * bucket id. The hyperplanes are fixed integer literals, so the DuckDB
+  * oracle rebuilds the exact bucketing in SQL (hyperplanes interpolated
+  * as list literals) and the result is hash-exact — recall vs brute
+  * force is additionally asserted in ScalaTest.
   *
   * All cosine math uses the quantized-integer scheme from
   * [[graft.functions.VectorFunctions]] so results hash-match DuckDB.
@@ -47,11 +48,21 @@ object Similarity extends QueryGroup {
     Array.fill(N_PLANES)(Array.fill(64)((rnd.nextDouble() * 2000 - 1000).toLong))
   }
 
-  /** 16-bit bucket id: bit i = sign of <qv, plane_i>. */
+  /** 8-bit bucket id: bit i = sign of <qv, plane_i>. */
   private[queries] def bucketOf(qv: Column): Column =
     hyperplanes.zipWithIndex.map { case (p, i) =>
       when(qdot(qv, lit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
+
+  /** Multiprobe XOR masks — own bucket (0) plus every 1-bit and 2-bit
+    * flip (37 total), the standard recall/candidate-count dial for
+    * hyperplane LSH. One list shared by the Spark plan and the DuckDB
+    * oracle so the probe sets cannot drift apart.
+    */
+  private[queries] val probeMasks: Seq[Long] =
+    0L +: ((0 until N_PLANES).map(i => 1L << i) ++
+      (for { i <- 0 until N_PLANES; j <- (i + 1) until N_PLANES }
+        yield (1L << i) | (1L << j)))
 
   private def quantized(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -138,13 +149,8 @@ object Similarity extends QueryGroup {
     // probes. Equi-join on bucket id — shuffle-partitionable at any scale.
     "sim_lsh_ann" -> ((s, dir) => {
       val all = quantized(s, dir).withColumn("bucket", bucketOf(col("qv")))
-      // Multiprobe: own bucket + every 1-bit and 2-bit flip (37 probes)
-      // — the standard recall/candidate-count dial for hyperplane LSH.
-      val flips1 = (0 until N_PLANES).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
-      val flips2 = for {
-        i <- 0 until N_PLANES; j <- (i + 1) until N_PLANES
-      } yield col("bucket").bitwiseXOR(lit((1L << i) | (1L << j)))
-      val probes = array(col("bucket") +: (flips1 ++ flips2): _*)
+      val probes = array(probeMasks.map(m =>
+        col("bucket").bitwiseXOR(lit(m))): _*)
       val q = all.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("sq").as("q_sq"),
           explode(probes).as("probe"))
@@ -167,9 +173,11 @@ object Similarity extends QueryGroup {
     // Measured top-5 recall vs brute force at sf0.01: 0.68 (IVF,
     // 4/16 lists) vs 0.44 (hyperplane LSH, 37/256 buckets) on these
     // near-orthogonal synthetic embeddings — probing a quarter of the
-    // lists beats bit-flip probes here. Rows-only vs DuckDB (the
-    // trained index has no SQL equivalent); QueryContractsSpec pins
-    // recall against sim_topk_bruteforce.
+    // lists beats bit-flip probes here. The index build is
+    // deterministic (vec_id % lists seeding, fixed Lloyd rounds, all
+    // integer math), so the DuckDB oracle retrains the identical index
+    // as unrolled CTEs and the query is hash-exact; QueryContractsSpec
+    // additionally pins recall against sim_topk_bruteforce.
     "sim_ivf_ann" -> ((s, dir) => {
       val all = quantized(s, dir)
       val (assigned, cent) = ivfIndexCached(s, dir, all)
@@ -225,7 +233,102 @@ object Similarity extends QueryGroup {
        FROM embeddings),
        n AS (SELECT vec_id, label, qv, CAST(list_sum([x*x for x in qv]) AS BIGINT) AS sq FROM q)"""
 
+  /** The exact cosPpm formula as SQL text — same operation order as
+    * [[graft.functions.VectorFunctions.cosPpm]]: exact integer dot,
+    * then double mul/div/sqrt, then floor (one deterministic IEEE
+    * sequence on both engines).
+    */
+  private def cosPpmSql(aqv: String, bqv: String, asq: String, bsq: String): String =
+    s"""CAST(floor(CAST(CAST(list_sum([$aqv[i]*$bqv[i] for i in range(1, len($aqv)+1)]) AS BIGINT) AS DOUBLE)
+          * 1000000.0 / (sqrt(CAST($asq AS DOUBLE))*sqrt(CAST($bsq AS DOUBLE)))) AS BIGINT)"""
+
+  /** The fixed hyperplanes as a DuckDB VALUES list — the oracle rebuilds
+    * the exact bucketing from the same integer literals the Spark plan
+    * uses.
+    */
+  private def planesValuesSql: String =
+    hyperplanes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(", ")}])"
+    }.mkString(",\n          ")
+
+  /** IVF centroid CTE body: element-wise integer sums per list (the
+    * un-normalized sum IS the centroid), mirror of `listCentroids`.
+    */
+  private def ivfCentSql(from: String): String =
+    s"""(SELECT list_id, cv, CAST(list_sum([x*x for x in cv]) AS BIGINT) AS c_sq FROM (
+          SELECT list_id, list(sv ORDER BY pos) AS cv FROM (
+            SELECT a.list_id, i AS pos, CAST(SUM(a.qv[i]) AS BIGINT) AS sv
+            FROM $from a, range(1, 65) t(i) GROUP BY 1, 2) GROUP BY 1))"""
+
+  /** IVF assignment CTE body: nearest-centroid by (cosPpm DESC, list_id)
+    * — mirror of `assign`.
+    */
+  private def ivfAssignSql(cent: String): String =
+    s"""(SELECT vec_id, qv, sq, list_id FROM (
+          SELECT n.vec_id, n.qv, n.sq, c.list_id,
+            ROW_NUMBER() OVER (PARTITION BY n.vec_id
+              ORDER BY ${cosPpmSql("n.qv", "c.cv", "n.sq", "c.c_sq")} DESC, c.list_id) AS rn
+          FROM n, $cent c) WHERE rn = 1)"""
+
   val oracles: Map[String, String] = Map(
+    // The LSH index rebuilt in SQL: hyperplanes as list literals, sign
+    // bits → bucket, the shared probe-mask list XOR'd per query. All
+    // integer math up to the final cosPpm, so hash-exact.
+    "sim_lsh_ann" ->
+      s"""WITH $quantSql,
+          planes(pid, pv) AS (VALUES $planesValuesSql),
+          sb AS (SELECT n.vec_id,
+                   CASE WHEN CAST(list_sum([n.qv[i]*p.pv[i] for i in range(1, len(n.qv)+1)]) AS BIGINT) >= 0
+                        THEN CAST(1 AS BIGINT) << p.pid ELSE CAST(0 AS BIGINT) END AS bit
+                 FROM n, planes p),
+          bk AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket FROM sb GROUP BY 1),
+          v AS (SELECT n.vec_id, n.qv, n.sq, bk.bucket FROM n JOIN bk USING (vec_id)),
+          qp AS (SELECT v.vec_id AS query_id, v.qv AS q_qv, v.sq AS q_sq,
+                   xor(v.bucket, m.m) AS probe
+                 FROM v, (SELECT unnest(CAST([${probeMasks.mkString(", ")}] AS BIGINT[])) AS m) m
+                 WHERE v.vec_id % 100 = 0),
+          cand AS (SELECT qp.query_id, qp.q_qv, qp.q_sq,
+                     nb.vec_id AS neighbor_id, nb.qv, nb.sq
+                   FROM qp JOIN v nb ON nb.bucket = qp.probe AND nb.vec_id <> qp.query_id),
+          sc AS (SELECT query_id, neighbor_id,
+                   ${cosPpmSql("q_qv", "qv", "q_sq", "sq")} AS cos_ppm FROM cand),
+          r AS (SELECT query_id, neighbor_id, cos_ppm,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_ppm DESC, neighbor_id) AS BIGINT) AS rank
+                FROM sc)
+          SELECT query_id, rank, neighbor_id, cos_ppm FROM r
+          WHERE rank <= $TOP_K ORDER BY query_id, rank""",
+    // The IVF index retrained in SQL: seed lists = vec_id % LISTS, two
+    // Lloyd rounds unrolled as CTE pairs (centroid sums are exact
+    // integers, assignment ties break on list_id), then the probe +
+    // re-rank query — bit-identical to the Spark-side trained index.
+    "sim_ivf_ann" ->
+      s"""WITH $quantSql,
+          a0 AS (SELECT vec_id, qv, sq, CAST(vec_id % $IVF_LISTS AS BIGINT) AS list_id FROM n),
+          c0 AS ${ivfCentSql("a0")},
+          a1 AS ${ivfAssignSql("c0")},
+          c1 AS ${ivfCentSql("a1")},
+          a2 AS ${ivfAssignSql("c1")},
+          c2 AS ${ivfCentSql("a2")},
+          af AS ${ivfAssignSql("c2")},
+          qp AS (SELECT query_id, q_qv, q_sq, list_id FROM (
+                   SELECT n.vec_id AS query_id, n.qv AS q_qv, n.sq AS q_sq, c.list_id,
+                     ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY ${cosPpmSql("n.qv", "c.cv", "n.sq", "c.c_sq")} DESC, c.list_id) AS p_rn
+                   FROM n, c2 c WHERE n.vec_id % 100 = 0)
+                 WHERE p_rn <= $IVF_PROBES),
+          cand AS (SELECT qp.query_id, qp.q_qv, qp.q_sq,
+                     nb.vec_id AS neighbor_id, nb.qv, nb.sq
+                   FROM qp JOIN af nb USING (list_id)
+                   WHERE nb.vec_id <> qp.query_id),
+          sc AS (SELECT query_id, neighbor_id,
+                   ${cosPpmSql("q_qv", "qv", "q_sq", "sq")} AS cos_ppm FROM cand),
+          r AS (SELECT query_id, neighbor_id, cos_ppm,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_ppm DESC, neighbor_id) AS BIGINT) AS rank
+                FROM sc)
+          SELECT query_id, rank, neighbor_id, cos_ppm FROM r
+          WHERE rank <= $TOP_K ORDER BY query_id, rank""",
     "sim_topk_bruteforce" ->
       s"""WITH $quantSql,
           p AS (SELECT qq.vec_id AS query_id, nn.vec_id AS neighbor_id,
