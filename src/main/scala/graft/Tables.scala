@@ -20,6 +20,20 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Table feed for KERNEL-BOUND stages (per-token md5 signatures,
+    * n-gram language scoring): round-robin repartition to the cluster's
+    * core count before the expensive projection. Scan parallelism is
+    * row-group granularity — a compact table (one row group) otherwise
+    * pins the whole kernel pass to ONE task no matter how many cores
+    * exist, and even at scale round-robin balances doc-length skew that
+    * file splits preserve. The shuffle ships each row once, which is
+    * noise next to a kernel that hashes every token; do NOT use this
+    * for scan-bound or filter-then-project queries, where it would
+    * defeat pushdown locality for nothing.
+    */
+  def forKernels(spark: SparkSession, dir: String, name: String): DataFrame =
+    apply(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
 }
 
 /** A named bundle of driver-checkable queries. Every query takes the

@@ -40,7 +40,7 @@ object DedupQueries extends QueryGroup {
     * comprehension; see TextKernels for why not the HOF composition).
     */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    Tables.forKernels(s, dir, "documents")
       .select(col("doc_id"), Exprs.shingles(col("text"), SHINGLE_N).as("shingles"))
       .withColumn("n_sh", size(col("shingles")).cast("long"))
 
@@ -71,10 +71,16 @@ object DedupQueries extends QueryGroup {
   private def lshVerifiedPairs(s: SparkSession, dir: String,
       bands: Int, threshold: Double): DataFrame = {
     val sh = shingled(s, dir)
-    val ex = Tables(s, dir, "documents")
+    // Materialize the band table before the self-join: the k=128
+    // minhash kernel is the dominant cost of candidate generation and a
+    // bare self-join would run it on both sides. Narrow rows
+    // (doc_id, band, hash) — the same "signatures are a table" shape
+    // the 100 TB version persists.
+    val ex = Tables.forKernels(s, dir, "documents")
       .select(col("doc_id"),
         posexplode(Exprs.minhashBands(col("text"), SHINGLE_N, MINHASH_K, bands))
           .as(Seq("band", "bh")))
+      .localCheckpoint(true)
     val cand = ex.as("x").join(ex.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -152,16 +158,20 @@ object DedupQueries extends QueryGroup {
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
+      // Carry each node's OLD label through the min-aggregation (every
+      // node has exactly one labels row, so max(old) recovers it) —
+      // the convergence check is then a filter-count on the already-
+      // checkpointed result instead of an extra join per round.
       val viaNeighbor = edges
         .join(labels, col("doc_a") === col("node"))
-        .select(col("doc_b").as("node"), col("lbl"))
-      val next = labels.select(col("node"), col("lbl"))
+        .select(col("doc_b").as("node"), col("lbl"),
+          lit(null).cast("long").as("old"))
+      val next = labels.select(col("node"), col("lbl"), col("lbl").as("old"))
         .unionByName(viaNeighbor)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"), max(col("old")).as("old"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select(col("node"), col("lbl"))
     }
     labels
   }
@@ -172,7 +182,7 @@ object DedupQueries extends QueryGroup {
     // reference's UNIQUE-constraint dedup keeping the first arrival,
     // csv-crm-upload postgres/entrypoint-init.d/init-db.sh:13,16).
     "dedup_exact" -> ((s, dir) => {
-      Tables(s, dir, "documents")
+      Tables.forKernels(s, dir, "documents")
         .select(col("doc_id"), contentFingerprint(col("text")).as("fp"))
         .groupBy(col("fp"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("survivor_id"))
@@ -216,17 +226,26 @@ object DedupQueries extends QueryGroup {
     // against an exhaustive cross-join at d ≤ 3 — hash-exact, not
     // rows-only.
     "dedup_simhash" -> ((s, dir) => {
-      val sig = Tables(s, dir, "documents")
+      // Materialize the signature table before the self-join: the
+      // per-token-md5 signature kernel is the dominant cost and a bare
+      // self-join would evaluate it on BOTH sides (the 100 TB version
+      // writes signatures to a table for the same reason). The
+      // signature table is doc_id + two longs — trivially small
+      // relative to the corpus.
+      val sig = Tables.forKernels(s, dir, "documents")
         .select(col("doc_id"), Exprs.simhash64(col("text")).as("sig"))
         .withColumn("bands", simHashBands(col("sig")))
+        .localCheckpoint(true)
       val ex = sig.select(col("doc_id"), col("sig"), posexplode(col("bands")).as(Seq("band", "bv")))
       ex.as("x").join(ex.as("y"),
           col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           hamming64(col("x.sig"), col("y.sig")).as("hamming"))
-        .distinct()
+        // Filter BEFORE distinct: only d≤3 pairs enter the dedup
+        // shuffle instead of every same-band collision.
         .filter(col("hamming") <= 3)
+        .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -251,7 +270,7 @@ object DedupQueries extends QueryGroup {
     // individually oracle-exact; this checks the composition.
     "corpus_curation" -> ((s, dir) => {
       import graft.functions.TextFunctions._
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables.forKernels(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
         .withColumn("toks", tokens(col("text")))
         .select(col("doc_id"), col("lang"),

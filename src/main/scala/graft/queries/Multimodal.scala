@@ -43,8 +43,13 @@ object Multimodal extends QueryGroup {
     // per image among images — binary → vector → ANN integration.
     // Rows-only: the stub decoder has no SQL equivalent.
     "media_feature_knn" -> ((s, dir) => {
+      // Repartition to cores before the per-byte feature kernel: the
+      // scan is one row group, the decode pass is the cost (a real
+      // model/codec even more so) — the mapInPandas-style "spread the
+      // decode, then keep rows narrow" shape.
       val feats = MediaOps.extractFeatures(
-          MediaOps.fakeMediaTable(s, dir).filter(col("kind") === "image"))
+          MediaOps.fakeMediaTable(s, dir).filter(col("kind") === "image")
+            .repartition(s.sparkContext.defaultParallelism))
         .toDF()
         .select(col("media_id"), quantize(col("features")).as("qv"))
         .withColumn("sq", qnormSq(col("qv")))

@@ -26,7 +26,7 @@ object TextAnalysis extends QueryGroup {
     // Token counting: whitespace tokens + BPE-ish subword estimate.
     // Narrow projection → parquet reads only (doc_id, text).
     "text_token_stats" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents")
+      val d = Tables.forKernels(s, dir, "documents")
       val norm = normText(col("text"))
       val toks = tokens(col("text"))
       d.select(
@@ -49,7 +49,7 @@ object TextAnalysis extends QueryGroup {
       // Explicit whitespace class (= RE2's \s): Java's \s also matches
       // \x0B, which would diverge from the DuckDB oracle.
       val all = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
-      Tables(s, dir, "documents")
+      Tables.forKernels(s, dir, "documents")
         .select(
           col("doc_id"),
           regexp_count(col("text"), lit(all)).cast("long").as("n_pretokens"),
@@ -63,7 +63,7 @@ object TextAnalysis extends QueryGroup {
     // agreement with the generator's label.
     "text_langid" -> ((s, dir) => {
       val toks = tokens(col("text"))
-      Tables(s, dir, "documents")
+      Tables.forKernels(s, dir, "documents")
         .select(
           col("doc_id"), col("lang"),
           langId(toks).as("lang_pred"))
@@ -75,7 +75,7 @@ object TextAnalysis extends QueryGroup {
     "text_quality" -> ((s, dir) => {
       val norm = normText(col("text"))
       val toks = tokens(col("text"))
-      Tables(s, dir, "documents")
+      Tables.forKernels(s, dir, "documents")
         .select(
           col("doc_id"),
           ppm(punctRatio(norm)).as("punct_ppm"),
@@ -86,7 +86,7 @@ object TextAnalysis extends QueryGroup {
 
     // Content fingerprinting (md5 of normalized text) — the exact-dedup key.
     "text_fingerprint" -> ((s, dir) => {
-      Tables(s, dir, "documents")
+      Tables.forKernels(s, dir, "documents")
         .select(col("doc_id"), contentFingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     }),
@@ -97,7 +97,7 @@ object TextAnalysis extends QueryGroup {
     // partitionings, and engines, unlike randomSplit. Content-keyed so
     // exact dups land in the same split (no train/eval leakage).
     "text_train_eval_split" -> ((s, dir) => {
-      Tables(s, dir, "documents")
+      Tables.forKernels(s, dir, "documents")
         .withColumn("split", trainEvalSplit(col("text")))
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
@@ -118,7 +118,7 @@ object TextAnalysis extends QueryGroup {
         .when(col("lang").isin("de", "es"), 128)
         .when(col("lang") === "fr", 64)
         .otherwise(32)
-      Tables(s, dir, "documents")
+      Tables.forKernels(s, dir, "documents")
         .filter(bucket < rate)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
@@ -131,7 +131,7 @@ object TextAnalysis extends QueryGroup {
     "text_source_profile" -> ((s, dir) => {
       val norm = normText(col("text"))
       val toks = tokens(col("text"))
-      Tables(s, dir, "documents")
+      Tables.forKernels(s, dir, "documents")
         .select(col("source"), col("lang"), col("n_chars"),
           tokenEstimate(norm, toks).as("tok"))
         .groupBy(col("source"), col("lang"))
