@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryGroup, Tables}
+import graft.functions.Exprs
 import graft.functions.TextFunctions._
 
 /** Text-analysis operators over the `documents` table: token counting,
@@ -81,6 +82,45 @@ object TextAnalysis extends QueryGroup {
           ppm(punctRatio(norm)).as("punct_ppm"),
           ppm(stopwordRatio(toks)).as("stopword_ppm"),
           ppm(qualityScore(norm, toks)).as("quality_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition signals — the curation filter class that
+    // catches boilerplate and spam: duplicate 2-/3-gram fractions
+    // (1 − distinct/total) and the top token's share of the document.
+    // Everything is computed IN the projection: distinct-set sizes from
+    // the one-pass shingle kernel, max token multiplicity as the
+    // longest equal-run over the sorted token array (an `aggregate`
+    // HOF whose lambda touches only its own arguments, so the
+    // captured-child re-evaluation trap documented in TextKernels does
+    // not apply). Zero shuffles — unlike the naive explode+groupBy
+    // reformulation, this filter costs one map pass at any scale.
+    "text_repetition" -> ((s, dir) => {
+      val w = tokens(col("text"))
+      val topRun = aggregate(
+        array_sort(w),
+        struct(lit(null).cast("string").as("prev"),
+          lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val r = when(x === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), r.as("run"),
+            greatest(acc.getField("best"), r).as("best"))
+        },
+        acc => acc.getField("best"))
+      val nTok = size(w).cast("long")
+      val n2 = greatest(nTok - 1, lit(0L))
+      val n3 = greatest(nTok - 2, lit(0L))
+      val d2 = size(Exprs.shingles(col("text"), 2)).cast("long")
+      val d3 = size(Exprs.shingles(col("text"), 3)).cast("long")
+      def ratioPpm(part: Column, total: Column): Column =
+        when(total === 0, lit(0L))
+          .otherwise(floor(part.cast("double") * lit(1000000.0) / total).cast("long"))
+      Tables.forKernels(s, dir, "documents")
+        .select(col("doc_id"), nTok.as("n_tokens"),
+          ratioPpm(n2 - d2, n2).as("dup_2gram_ppm"),
+          ratioPpm(n3 - d3, n3).as("dup_3gram_ppm"),
+          ratioPpm(topRun, nTok).as("top_token_ppm"))
         .orderBy(col("doc_id"))
     }),
 
@@ -205,6 +245,20 @@ object TextAnalysis extends QueryGroup {
           ORDER BY doc_id""",
     "text_fingerprint" ->
       s"SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id",
+    "text_repetition" ->
+      s"""SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+          CAST(CASE WHEN n - 1 <= 0 THEN 0
+            ELSE floor(CAST(n - 1 - d2 AS DOUBLE) * 1000000.0 / (n - 1)) END AS BIGINT) AS dup_2gram_ppm,
+          CAST(CASE WHEN n - 2 <= 0 THEN 0
+            ELSE floor(CAST(n - 2 - d3 AS DOUBLE) * 1000000.0 / (n - 2)) END AS BIGINT) AS dup_3gram_ppm,
+          CAST(CASE WHEN n = 0 THEN 0
+            ELSE floor(CAST(topc AS DOUBLE) * 1000000.0 / n) END AS BIGINT) AS top_token_ppm
+          FROM (SELECT doc_id, len(w) AS n,
+                  len(list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS d2,
+                  len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])) AS d3,
+                  coalesce(list_max([len(list_filter(w, y -> y = t)) for t in list_distinct(w)]), 0) AS topc
+                FROM (SELECT doc_id, $toksSql AS w FROM documents))
+          ORDER BY doc_id""",
     "corpus_mixture" ->
       s"""SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
           FROM (SELECT lang, n_chars,

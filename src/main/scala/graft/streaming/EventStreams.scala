@@ -115,6 +115,36 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each purchase paired with the same
+    * user's views from the preceding `lookback`. Input needs columns
+    * (user_id, event_id, event_type, ts). The watermarks on BOTH sides
+    * plus the time-range join condition are what let Spark drop
+    * buffered view state once the watermark passes `p_ts - lookback` —
+    * the bounded-state contract for joining two unbounded streams.
+    * This is the streaming counterpart of the batch as-of join's
+    * candidate stage (`events_asof_view_before_purchase`): the batch
+    * twin then keeps only the latest view per purchase; streaming
+    * "latest" composes this join with a downstream keyed aggregation,
+    * so the operator exposes the interval-join surface directly.
+    */
+  def viewsBeforePurchases(events: DataFrame,
+      lookback: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(views,
+      col("v_user") === col("p_user") &&
+        col("v_ts") < col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("p_ts"),
+        col("view_id"), col("v_ts"))
+  }
+
   def runningUserTotals(events: Dataset[UserEvent],
       ttl: Option[String] = None): Dataset[UserRunning] = {
     import events.sparkSession.implicits._

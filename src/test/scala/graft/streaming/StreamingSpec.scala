@@ -180,6 +180,31 @@ class StreamingSpec extends SparkSpec {
       s"late events within one gap must merge: ${u4.toSeq}")
   }
 
+  test("stream-stream interval join pairs purchases with preceding views only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Timestamp)]
+    val df = mem.toDF().toDF("user_id", "event_id", "event_type", "ts")
+    val q = EventStreams.viewsBeforePurchases(df).writeStream
+      .format("memory").queryName("vbp").outputMode(OutputMode.Append())
+      .start()
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData(
+      (1L, 100L, "view", t("2024-01-01 09:00:00")),     // > 1h before → excluded
+      (1L, 101L, "view", t("2024-01-01 10:00:00")),     // in window
+      (1L, 102L, "view", t("2024-01-01 10:30:00")),     // == purchase ts → excluded (strict <)
+      (2L, 103L, "view", t("2024-01-01 10:15:00")),     // other user → excluded
+      (1L, 200L, "purchase", t("2024-01-01 10:30:00")),
+      (1L, 104L, "click", t("2024-01-01 10:20:00")))    // wrong type → excluded
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("vbp")
+      .select("purchase_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(rows.toSeq === Seq((200L, 101L)),
+      s"only the in-window strictly-earlier same-user view must match: ${rows.toSeq}")
+  }
+
   test("corpus curation filters (tokens, langid, quality) run in a stream") {
     // The text operators are stateless projections over custom
     // expressions — this pins that they are streaming-safe, i.e. the
