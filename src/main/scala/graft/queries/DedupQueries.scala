@@ -39,10 +39,18 @@ object DedupQueries extends QueryGroup {
     * one-pass ShinglesExpr kernel (set-equal to the oracle's SQL list
     * comprehension; see TextKernels for why not the HOF composition).
     */
+  /** Materialized once per call: both consumers (the LSH verification
+    * join and the exact inverted-index join) use it on BOTH sides of a
+    * self-join, which would otherwise run the tokenize+shingle kernel
+    * twice over the corpus. Linear in corpus size (per-DOC shingle
+    * sets — unlike per-pair arrays, which are why the verified-pairs
+    * checkpoint projects shingles away first).
+    */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables.forKernels(s, dir, "documents")
       .select(col("doc_id"), Exprs.shingles(col("text"), SHINGLE_N).as("shingles"))
       .withColumn("n_sh", size(col("shingles")).cast("long"))
+      .localCheckpoint(true)
 
   private def jaccardPpm(common: Column, na: Column, nb: Column): Column =
     floor(common.cast("double") * lit(1000000.0) / (na + nb - common)).cast("long")
@@ -136,6 +144,7 @@ object DedupQueries extends QueryGroup {
 
   /** Drop the memoized pair/component artifacts (long-lived-JVM hook;
     * required only if a cached dir's data is rewritten mid-session).
+    * [[graft.util.SessionCache.clearAll]] clears every module at once.
     */
   def clearCaches(): Unit = {
     verifiedPairsCache.clear()

@@ -130,6 +130,7 @@ object Similarity extends QueryGroup {
 
   /** Drop the memoized IVF index (long-lived-JVM hook; required only
     * if a cached dir's data is rewritten mid-session).
+    * [[graft.util.SessionCache.clearAll]] clears every module at once.
     */
   def clearCaches(): Unit = ivfCache.clear()
 

@@ -26,4 +26,13 @@ class SessionCacheSpec extends SparkSpec {
     assert(cache.getOrCompute(s2, "k")(2) === 2)
     assert(cache.size === 2)
   }
+
+  test("clearAll drops entries across every cache instance") {
+    val a = new SessionCache[Int]
+    val b = new SessionCache[String]
+    a.getOrCompute(spark, "x")(1)
+    b.getOrCompute(spark, "y")("v")
+    SessionCache.clearAll()
+    assert(a.size === 0 && b.size === 0)
+  }
 }
