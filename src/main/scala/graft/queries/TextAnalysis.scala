@@ -93,8 +93,10 @@ object TextAnalysis extends QueryGroup {
     // longest equal-run over the sorted token array (an `aggregate`
     // HOF whose lambda touches only its own arguments, so the
     // captured-child re-evaluation trap documented in TextKernels does
-    // not apply). Zero shuffles — unlike the naive explode+groupBy
-    // reformulation, this filter costs one map pass at any scale.
+    // not apply). No aggregation shuffle — unlike the naive
+    // explode+groupBy reformulation, the metrics cost one map pass at
+    // any scale (the only exchanges are the kernel-balancing
+    // round-robin and the output sort; pinned by PlanContractsSpec).
     "text_repetition" -> ((s, dir) => {
       val w = tokens(col("text"))
       val topRun = aggregate(

@@ -48,6 +48,12 @@ class PlanContractsSpec extends SparkSpec {
       "lag/running-sum windows and the aggregate must share one shuffle")
   }
 
+  test("repetition scoring never aggregates — per-doc metrics stay in the projection") {
+    val p = plan("text_repetition")
+    assert(!p.contains("Aggregate"),
+      "dup-n-gram/top-token metrics must not compile to explode+groupBy")
+  }
+
   test("brute-force top-k broadcasts the query side") {
     val p = plan("sim_topk_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
