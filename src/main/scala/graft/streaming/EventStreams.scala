@@ -53,65 +53,64 @@ object EventStreams {
     * busy-looping query).
     */
   case class OpenSession(startMs: Long, endMs: Long, n: Long)
+  case class PendingSessions(sessions: Seq[OpenSession])
   case class SessionOut(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long)
 
   /** Completed 30-min-gap sessions via `flatMapGroupsWithState` — the
-    * 0..n-outputs-per-group form of custom keyed state: a batch can
-    * close several sessions for one user (gap splits inside the batch)
-    * or none (session still open). Open sessions are finalized by an
-    * EVENT-TIME timeout at session end + gap, so emission needs no
-    * further events from that user and state is reclaimed as the
-    * watermark passes — the bounded-state contract at 100 TB/day. The
-    * batch twin is `events_sessionize` (oracle-checked).
+    * 0..n-outputs-per-group form of custom keyed state. State holds ALL
+    * of a user's not-yet-final sessions, and a session is emitted only
+    * once the watermark passes its end + gap — the point where no
+    * admissible event (ts ≥ watermark) can extend it on either side
+    * (an extender would need ts ≤ end + gap < watermark). Emission
+    * therefore EXACTLY matches the batch twin `events_sessionize`
+    * (oracle-checked) over all data the watermark admits; sub-watermark
+    * stragglers are dropped by Spark itself, the same rows every
+    * watermarked operator drops. Pending sessions per user are bounded
+    * by lateness/gap (≤ watermark-delay/gap + 1 ≈ 5 here), so state
+    * stays small and is reclaimed by the EVENT-TIME timeout as the
+    * watermark advances — the bounded-state contract at 100 TB/day.
     */
   def completedSessions(events: Dataset[UserEvent],
       gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
+
+    // Uniform interval merge over (state ∪ batch), sorted by start:
+    // any interval within the gap of the current one merges — the
+    // batch twin's lag/cumsum rule, symmetric over sorted times, so
+    // late events merge backwards into existing sessions and with each
+    // other.
+    def merge(intervals: Seq[OpenSession]): List[OpenSession] =
+      intervals.sortBy(s => (s.startMs, s.endMs))
+        .foldLeft(List.empty[OpenSession]) {
+          case (cur :: done, s) if s.startMs <= cur.endMs + gapMs =>
+            OpenSession(cur.startMs, math.max(cur.endMs, s.endMs), cur.n + s.n) :: done
+          case (acc, s) => s :: acc
+        }.reverse
+
     events
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, rows: Iterator[UserEvent], state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(SessionOut(uid, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n))
-          } else {
-            // Uniform interval merge over (state ∪ batch): the open
-            // session from state and every batch event are intervals;
-            // sorted by start, any interval within the gap of the current
-            // one merges (the batch twin's lag/cumsum rule, symmetric
-            // over sorted times — a within-watermark late event just
-            // before the open session's start belongs to it). In
-            // particular several late events that fall within one gap of
-            // EACH OTHER merge into one late session rather than per-
-            // event singletons.
-            val intervals = (state.getOption.toSeq ++
-              rows.map(e => OpenSession(e.ts.getTime, e.ts.getTime, 1)))
-              .sortBy(s => (s.startMs, s.endMs))
-            val merged = intervals.foldLeft(List.empty[OpenSession]) {
-              case (cur :: done, s) if s.startMs <= cur.endMs + gapMs =>
-                OpenSession(cur.startMs, math.max(cur.endMs, s.endMs), cur.n + s.n) :: done
-              case (acc, s) => s :: acc
-            }.reverse
-            // All but the latest merged session are closed: emit them now.
-            // Closed-and-emitted late sessions can no longer be extended —
-            // bounded divergence from the batch twin only if a yet-later-
-            // arriving straggler would have merged into one of them.
-            val out = merged.dropRight(1).map(s =>
-              SessionOut(uid, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n))
-            merged.lastOption.foreach { s =>
-              state.update(s)
-              // Timeout may not be <= the current watermark; max() keeps
-              // a straggler session (within-watermark late data) legal —
-              // it will then fire on the next watermark advance.
-              state.setTimeoutTimestamp(
-                math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
-            }
-            out.iterator
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[PendingSessions]) =>
+          val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val merged = merge(prior ++
+            rows.map(e => OpenSession(e.ts.getTime, e.ts.getTime, 1)))
+          val wm = state.getCurrentWatermarkMs()
+          val (done, open) = merged.partition(_.endMs + gapMs < wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(PendingSessions(open))
+            // Re-arm at the earliest pending finalization point; the
+            // timestamp must be > the current watermark, so a pending
+            // session already due fires on the next watermark advance.
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.endMs + gapMs).min, wm + 1))
           }
+          done.map(s =>
+            SessionOut(uid, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n))
+            .iterator
       }
   }
 

@@ -128,9 +128,10 @@ class StreamingSpec extends SparkSpec {
     mem.addData(ev(7, "2024-01-01 10:00:00"), ev(7, "2024-01-01 10:05:00"),
       ev(7, "2024-01-01 11:00:00"))
     q.processAllAvailable()
-    val afterSplit = spark.table("sessions").collect()
-    assert(afterSplit.length === 1)
-    assert(afterSplit.head.getAs[Long]("n_events") === 2)
+    // Watermark semantics: even the gap-closed first session is held
+    // until the watermark passes its end + gap — nothing may emit yet
+    // (a within-watermark straggler could still extend it).
+    assert(spark.table("sessions").collect().isEmpty)
     // A within-watermark LATE event just before the open session's
     // start must merge and extend the start backwards (symmetric gap
     // rule), not inflate the count at the wrong boundary.
@@ -170,14 +171,21 @@ class StreamingSpec extends SparkSpec {
     // (10:30-10:40, n=2), not two singletons.
     mem.addData(ev(4, "2024-01-01 10:30:00"), ev(4, "2024-01-01 10:40:00"))
     q.processAllAvailable()
+    // Advance the watermark past both sessions' end + gap to flush them.
+    mem.addData(ev(9, "2024-01-01 16:00:00"))
+    q.processAllAvailable()
+    mem.addData(ev(9, "2024-01-01 16:01:00"))
+    q.processAllAvailable()
     q.stop()
     val u4 = spark.table("late_sessions").collect()
       .filter(_.getAs[Long]("user_id") == 4L)
       .map(r => (r.getAs[Timestamp]("session_start").toString,
         r.getAs[Timestamp]("session_end").toString,
-        r.getAs[Long]("n_events")))
-    assert(u4.toSeq === Seq(("2024-01-01 10:30:00.0", "2024-01-01 10:40:00.0", 2L)),
-      s"late events within one gap must merge: ${u4.toSeq}")
+        r.getAs[Long]("n_events"))).sortBy(_._1)
+    assert(u4.toSeq === Seq(
+      ("2024-01-01 10:30:00.0", "2024-01-01 10:40:00.0", 2L),
+      ("2024-01-01 12:00:00.0", "2024-01-01 12:00:00.0", 1L)),
+      s"late events within one gap must merge into one session: ${u4.toSeq}")
   }
 
   test("stream-stream interval join pairs purchases with preceding views only") {
