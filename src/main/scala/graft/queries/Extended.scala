@@ -119,24 +119,50 @@ object Extended extends QueryGroup {
     // HLL sketch cardinalities — the 100 TB substitute for exact
     // distinct counts (no expand, no second shuffle). Rows-only vs the
     // oracle (approximation); ExtendedSpec pins the ≤5% error instead.
+    // HLL cardinalities audited against exact counts IN the query: the
+    // output carries the exact distinct counts plus within-5% booleans
+    // for the rsd=0.02 sketches, so the DuckDB oracle (exact counts +
+    // literal TRUE) hash-GATES the sketch error bound instead of a
+    // rows-only pass. An audit query by nature — production uses the
+    // sketch alone; the exact side here is the oracle's half of the
+    // contract (Spark's HLL is deterministic, so the booleans are
+    // stable).
     "approx_distinct_stats" -> ((s, dir) => {
+      def within5(apx: Column, exact: Column): Column =
+        abs(apx.cast("double") - exact.cast("double")) / exact.cast("double") <= 0.05
       Tables(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_orderkey"), 0.02).as("apx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"),
-        approx_count_distinct(col("l_suppkey"), 0.02).as("apx_supps"))
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("apx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("apx_supps"))
+        .select(col("n_orders"), col("n_parts"), col("n_supps"),
+          within5(col("apx_orders"), col("n_orders")).as("orders_within_5pct"),
+          within5(col("apx_parts"), col("n_parts")).as("parts_within_5pct"),
+          within5(col("apx_supps"), col("n_supps")).as("supps_within_5pct"))
     }),
 
-    // Approximate percentiles (KLL/GK-style sketch via
-    // approx_percentile) — the 100 TB substitute for exact percentiles:
-    // one pass, mergeable partial sketches, no full sort. Rows-only vs
-    // the oracle (sketch-valued); ExtendedSpec pins the rank-error
-    // bound against the exact percentiles instead.
+    // Approximate percentiles (GK-style sketch via approx_percentile)
+    // — the 100 TB substitute for exact percentiles: one pass,
+    // mergeable partial sketches, no full sort. Same audit shape as
+    // approx_distinct_stats: exact percentile cents plus within-2%
+    // booleans for the sketch, hash-gated by the oracle (exact values
+    // + literal TRUE); the ScalaTest spec pins the same bound.
     "approx_percentile_prices" -> ((s, dir) => {
+      def within2(apxCents: Column, exactCents: Column): Column =
+        abs(apxCents - exactCents.cast("double")) / exactCents.cast("double") <= 0.02
       Tables(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(
-          floor(expr("approx_percentile(o_totalprice, 0.5, 1000)") * 100).cast("long").as("p50_cents"),
-          floor(expr("approx_percentile(o_totalprice, 0.9, 1000)") * 100).cast("long").as("p90_cents"))
+          floor(expr("percentile(o_totalprice, 0.5)") * 100).cast("long").as("p50_cents"),
+          floor(expr("percentile(o_totalprice, 0.9)") * 100).cast("long").as("p90_cents"),
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("_a50"),
+          expr("approx_percentile(o_totalprice, 0.9, 1000)").as("_a90"))
+        .select(col("o_orderstatus"),
+          col("p50_cents"), col("p90_cents"),
+          within2(col("_a50") * 100, col("p50_cents")).as("p50_within_2pct"),
+          within2(col("_a90") * 100, col("p90_cents")).as("p90_within_2pct"))
         .orderBy(col("o_orderstatus"))
     }),
 
@@ -152,6 +178,22 @@ object Extended extends QueryGroup {
     }))
 
   val oracles: Map[String, String] = Map(
+    // The booleans are the sketch-error gate: DuckDB supplies the
+    // exact values and expects TRUE; a sketch drifting past its bound
+    // hash-fails the query.
+    "approx_distinct_stats" ->
+      """SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+         TRUE AS orders_within_5pct, TRUE AS parts_within_5pct,
+         TRUE AS supps_within_5pct
+         FROM lineitem""",
+    "approx_percentile_prices" ->
+      """SELECT o_orderstatus,
+         CAST(FLOOR(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT) AS p50_cents,
+         CAST(FLOOR(quantile_cont(o_totalprice, 0.9) * 100) AS BIGINT) AS p90_cents,
+         TRUE AS p50_within_2pct, TRUE AS p90_within_2pct
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "json_roundtrip_agg" ->
       """SELECT event_type, COUNT(*) AS n,
          COUNT(DISTINCT user_id) AS n_users,
