@@ -39,18 +39,22 @@ object DedupQueries extends QueryGroup {
     * one-pass ShinglesExpr kernel (set-equal to the oracle's SQL list
     * comprehension; see TextKernels for why not the HOF composition).
     */
-  /** Materialized once per call: both consumers (the LSH verification
-    * join and the exact inverted-index join) use it on BOTH sides of a
-    * self-join, which would otherwise run the tokenize+shingle kernel
-    * twice over the corpus. Linear in corpus size (per-DOC shingle
-    * sets — unlike per-pair arrays, which are why the verified-pairs
-    * checkpoint projects shingles away first).
+  /** Checkpointed LAZILY (eager = false): both consumers (the LSH
+    * verification join and the exact inverted-index join) use it on
+    * BOTH sides of a self-join, which would otherwise run the
+    * tokenize+shingle kernel twice over the corpus — the lazy
+    * checkpoint computes it once at the first action and serves blocks
+    * to both sides, without running a full corpus job at
+    * DataFrame-CONSTRUCTION time (plan-only paths like Explain stay
+    * cheap). Linear in corpus size (per-DOC shingle sets — unlike
+    * per-pair arrays, which are why the verified-pairs checkpoint
+    * projects shingles away first).
     */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables.forKernels(s, dir, "documents")
       .select(col("doc_id"), Exprs.shingles(col("text"), SHINGLE_N).as("shingles"))
       .withColumn("n_sh", size(col("shingles")).cast("long"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
   private def jaccardPpm(common: Column, na: Column, nb: Column): Column =
     floor(common.cast("double") * lit(1000000.0) / (na + nb - common)).cast("long")
@@ -79,16 +83,16 @@ object DedupQueries extends QueryGroup {
   private def lshVerifiedPairs(s: SparkSession, dir: String,
       bands: Int, threshold: Double): DataFrame = {
     val sh = shingled(s, dir)
-    // Materialize the band table before the self-join: the k=128
-    // minhash kernel is the dominant cost of candidate generation and a
-    // bare self-join would run it on both sides. Narrow rows
-    // (doc_id, band, hash) — the same "signatures are a table" shape
-    // the 100 TB version persists.
+    // Lazily checkpoint the band table feeding the self-join: the
+    // k=128 minhash kernel is the dominant cost of candidate
+    // generation and a bare self-join would run it on both sides.
+    // Narrow rows (doc_id, band, hash) — the same "signatures are a
+    // table" shape the 100 TB version persists.
     val ex = Tables.forKernels(s, dir, "documents")
       .select(col("doc_id"),
         posexplode(Exprs.minhashBands(col("text"), SHINGLE_N, MINHASH_K, bands))
           .as(Seq("band", "bh")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val cand = ex.as("x").join(ex.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -235,16 +239,15 @@ object DedupQueries extends QueryGroup {
     // against an exhaustive cross-join at d ≤ 3 — hash-exact, not
     // rows-only.
     "dedup_simhash" -> ((s, dir) => {
-      // Materialize the signature table before the self-join: the
-      // per-token-md5 signature kernel is the dominant cost and a bare
-      // self-join would evaluate it on BOTH sides (the 100 TB version
-      // writes signatures to a table for the same reason). The
-      // signature table is doc_id + two longs — trivially small
-      // relative to the corpus.
+      // Lazily checkpoint the signature table before the self-join:
+      // the per-token-md5 signature kernel is the dominant cost and a
+      // bare self-join would evaluate it on BOTH sides (the 100 TB
+      // version writes signatures to a table for the same reason).
+      // doc_id + two longs — trivially small relative to the corpus.
       val sig = Tables.forKernels(s, dir, "documents")
         .select(col("doc_id"), Exprs.simhash64(col("text")).as("sig"))
         .withColumn("bands", simHashBands(col("sig")))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val ex = sig.select(col("doc_id"), col("sig"), posexplode(col("bands")).as(Seq("band", "bv")))
       ex.as("x").join(ex.as("y"),
           col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&

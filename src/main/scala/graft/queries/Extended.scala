@@ -116,9 +116,6 @@ object Extended extends QueryGroup {
         .orderBy(col("band"))
     }),
 
-    // HLL sketch cardinalities — the 100 TB substitute for exact
-    // distinct counts (no expand, no second shuffle). Rows-only vs the
-    // oracle (approximation); ExtendedSpec pins the ≤5% error instead.
     // HLL cardinalities audited against exact counts IN the query: the
     // output carries the exact distinct counts plus within-5% booleans
     // for the rsd=0.02 sketches, so the DuckDB oracle (exact counts +

@@ -104,11 +104,12 @@ object Similarity extends QueryGroup {
     * shapes), and the list count scales as ~sqrt(n) per shard.
     */
   private def ivfIndex(allIn: DataFrame): (DataFrame, DataFrame) = {
-    // Materialize the quantized collection once: the Lloyd loop
+    // Lazily checkpoint the quantized collection: the Lloyd loop
     // evaluates it ~7 times (3 assignments + 3 centroid passes), and
-    // re-running scan+quantize per evaluation is pure waste. At real
-    // scale this is the training sample you'd persist anyway.
-    val all = allIn.localCheckpoint(true)
+    // re-running scan+quantize per evaluation is pure waste — the
+    // first round's job materializes it once. At real scale this is
+    // the training sample you'd persist anyway.
+    val all = allIn.localCheckpoint(false)
     var assigned = all.withColumn("list_id", pmod(col("vec_id"), lit(IVF_LISTS)))
     var cent = listCentroids(assigned).localCheckpoint(true)
     (1 to IVF_ITERS).foreach { _ =>

@@ -34,7 +34,8 @@ object JsonLines {
     */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val withCorrupt =
-      StructType(schema.fields :+ StructField(CorruptCol, StringType, nullable = true))
+      if (schema.fieldNames.contains(CorruptCol)) schema
+      else StructType(schema.fields :+ StructField(CorruptCol, StringType, nullable = true))
     spark.read
       .schema(withCorrupt)
       .option("mode", "PERMISSIVE")
@@ -42,16 +43,26 @@ object JsonLines {
       .json(path)
   }
 
-  /** Split a PERMISSIVE read into (good, quarantined-raw-lines). The
-    * input is cached first: Spark disallows queries that project only
-    * the internal corrupt-record column straight off a file scan
+  /** Result of [[salvage]]. Call `release()` once both sides are
+    * consumed — the split holds the parsed input in executor storage
+    * (see salvage), and a long-lived JVM that never releases it pins
+    * one cached corpus copy per call.
+    */
+  case class Salvaged(good: DataFrame, bad: DataFrame, private val source: DataFrame) {
+    def release(): Unit = { source.unpersist(); () }
+  }
+
+  /** Split a PERMISSIVE read into good rows and quarantined raw lines.
+    * The input is cached first: Spark disallows queries that project
+    * only the internal corrupt-record column straight off a file scan
     * (SPARK-21610), and the two sides would otherwise scan twice.
     */
-  def salvage(raw: DataFrame): (DataFrame, DataFrame) = {
+  def salvage(raw: DataFrame): Salvaged = {
     val cached = raw.cache()
-    val good = cached.filter(col(CorruptCol).isNull).drop(CorruptCol)
-    val bad = cached.filter(col(CorruptCol).isNotNull)
-      .select(col(CorruptCol).as("raw_line"))
-    (good, bad)
+    Salvaged(
+      good = cached.filter(col(CorruptCol).isNull).drop(CorruptCol),
+      bad = cached.filter(col(CorruptCol).isNotNull)
+        .select(col(CorruptCol).as("raw_line")),
+      source = cached)
   }
 }

@@ -31,20 +31,28 @@ final class SessionCache[V] {
 
   def getOrCompute(s: SparkSession, key: String)(build: => V): V = {
     val sc = s.sparkContext
-    if (!sc.isStopped && hooked.add(sc)) {
+    // A stopped context can never fire the eviction listener, so a
+    // value computed against it must NOT enter the map (it would be
+    // pinned forever) — compute uncached and let the caller deal with
+    // whatever a stopped session returns.
+    if (sc.isStopped) return build
+    if (hooked.add(sc)) {
       try sc.addSparkListener(new SparkListener {
         override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit = {
           map.keySet.removeIf(_._1.sparkContext eq sc)
           hooked.remove(sc)
         }
       }) catch {
-        // Context stopped between the check and the registration: no
-        // eviction needed (nothing new can be cached against it that
-        // outlives anything), and the lookup below must still work.
-        case _: IllegalStateException => hooked.remove(sc)
+        // Context stopped between the check and the registration.
+        case _: IllegalStateException => hooked.remove(sc); return build
       }
     }
-    map.computeIfAbsent((s, key), _ => build)
+    val v = map.computeIfAbsent((s, key), _ => build)
+    // Close the remaining race: a stop whose ApplicationEnd was
+    // dispatched before our listener registered would strand entries
+    // inserted after it — self-evict on observation.
+    if (sc.isStopped) map.keySet.removeIf(_._1.sparkContext eq sc)
+    v
   }
 
   def size: Int = map.size
@@ -53,16 +61,22 @@ final class SessionCache[V] {
 }
 
 object SessionCache {
-  // Cache instances are object-level singletons (a handful per JVM),
-  // so this registry is bounded by the number of caching modules.
-  private val instances =
-    new java.util.concurrent.ConcurrentLinkedQueue[SessionCache[_]]()
+  // Weak references: intended instances are object-level singletons,
+  // but a stray per-use instance (tests construct them) must not be
+  // pinned by the registry for the JVM lifetime.
+  private val instances = new java.util.concurrent.ConcurrentLinkedQueue[
+    java.lang.ref.WeakReference[SessionCache[_]]]()
 
-  private def register(c: SessionCache[_]): Unit = instances.add(c)
+  private def register(c: SessionCache[_]): Unit =
+    instances.add(new java.lang.ref.WeakReference(c))
 
-  /** Drop every entry in every cache instance — the one-call
+  /** Drop every entry in every live cache instance — the one-call
     * invalidation hook for long-lived JVMs that rewrite a cached data
     * dir (per-module `clearCaches()` hooks cover the targeted case).
     */
-  def clearAll(): Unit = instances.forEach(_.clear())
+  def clearAll(): Unit = instances.removeIf { ref =>
+    val c = ref.get()
+    if (c != null) c.clear()
+    c == null // prune collected instances while we're here
+  }
 }

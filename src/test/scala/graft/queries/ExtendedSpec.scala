@@ -8,27 +8,36 @@ class ExtendedSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("approx_count_distinct lands within 5% of the exact cardinalities") {
-    val apx = Extended.queries("approx_distinct_stats")(spark, sf).head()
+  // The audit queries fold the sketch-error bounds into their own
+  // output (within-bound booleans the oracle expects TRUE); these
+  // specs assert the booleans AND that the exact columns agree with an
+  // independently computed exact answer, so a sketch regression fails
+  // here even without the DuckDB gate.
+  test("approx_distinct audit: exact columns correct, HLL within 5% (booleans true)") {
+    val row = Extended.queries("approx_distinct_stats")(spark, sf).head()
     val exact = Tables(spark, sf, "lineitem").agg(
       countDistinct(col("l_orderkey")), countDistinct(col("l_partkey")),
       countDistinct(col("l_suppkey"))).head()
     (0 until 3).foreach { i =>
-      val (a, e) = (apx.getLong(i).toDouble, exact.getLong(i).toDouble)
-      assert(math.abs(a - e) / e <= 0.05, s"col $i: approx $a vs exact $e")
+      assert(row.getLong(i) === exact.getLong(i), s"exact col $i must match")
+    }
+    (3 until 6).foreach { i =>
+      assert(row.getBoolean(i), s"HLL estimate out of its 5% bound (col $i)")
     }
   }
 
-  test("approx_percentile lands within 2% of the exact percentiles") {
-    val apx = Extended.queries("approx_percentile_prices")(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+  test("approx_percentile audit: exact cents correct, sketch within 2% (booleans true)") {
+    val audit = Extended.queries("approx_percentile_prices")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
     val exact = Extended.queries("percentile_prices")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(apx.keySet === exact.keySet)
+    assert(audit.keySet === exact.keySet)
     exact.foreach { case (status, (p50, p90)) =>
-      val (a50, a90) = apx(status)
-      assert(math.abs(a50 - p50).toDouble / p50 <= 0.02, s"$status p50: $a50 vs $p50")
-      assert(math.abs(a90 - p90).toDouble / p90 <= 0.02, s"$status p90: $a90 vs $p90")
+      val r = audit(status)
+      assert((r.getLong(1), r.getLong(2)) === ((p50, p90)),
+        s"$status: exact percentile columns must match percentile_prices")
+      assert(r.getBoolean(3) && r.getBoolean(4),
+        s"$status: approx_percentile out of its 2% bound")
     }
   }
 

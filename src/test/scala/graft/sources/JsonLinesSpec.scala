@@ -18,12 +18,13 @@ class JsonLinesSpec extends SparkSpec {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "lang", "text")
     JsonLines.write(docs, out)
-    val (good, bad) = JsonLines.salvage(JsonLines.read(spark, out, docSchema))
-    assert(bad.count() === 0)
+    val s = JsonLines.salvage(JsonLines.read(spark, out, docSchema))
+    assert(s.bad.count() === 0)
     val a = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
-    val b = good.select("doc_id", "lang", "text")
+    val b = s.good.select("doc_id", "lang", "text")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
     assert(a.toSeq === b.toSeq)
+    s.release()
   }
 
   test("gzip-compressed JSONL round-trips and produces .gz part files") {
@@ -33,8 +34,9 @@ class JsonLinesSpec extends SparkSpec {
     JsonLines.write(docs, out, compression = "gzip")
     val parts = new java.io.File(out).listFiles.map(_.getName).filter(_.startsWith("part-"))
     assert(parts.nonEmpty && parts.forall(_.endsWith(".json.gz")), parts.toSeq.toString)
-    val (good, _) = JsonLines.salvage(JsonLines.read(spark, out, docSchema))
-    assert(good.count() === docs.count())
+    val gz = JsonLines.salvage(JsonLines.read(spark, out, docSchema))
+    assert(gz.good.count() === docs.count())
+    gz.release()
   }
 
   test("malformed lines are quarantined whole; the rest of the batch lands") {
@@ -43,10 +45,11 @@ class JsonLinesSpec extends SparkSpec {
       """{"doc_id": 1, "lang": "en", "text": "ok one"}""",
       """{"doc_id": oops not json""",
       """{"doc_id": 3, "lang": "de", "text": "ok three"}""").mkString("\n").getBytes)
-    val (good, bad) = JsonLines.salvage(JsonLines.read(spark, dir, docSchema))
-    assert(good.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
-    val quarantined = bad.collect().map(_.getString(0))
+    val s = JsonLines.salvage(JsonLines.read(spark, dir, docSchema))
+    assert(s.good.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    val quarantined = s.bad.collect().map(_.getString(0))
     assert(quarantined.length === 1 && quarantined.head.contains("oops"),
       s"the raw offending line must be preserved: ${quarantined.toSeq}")
+    s.release()
   }
 }
