@@ -34,6 +34,7 @@ object DedupQueries extends QueryGroup {
   private val SHINGLE_N = 3
   private val MINHASH_K = 128
   private val LSH_BANDS = 64 // r = 2
+  private val CONTAM_N = 13 // GPT-3-style exact-collision window
 
   /** doc_id, distinct word 3-gram shingles, shingle-set size. Uses the
     * one-pass ShinglesExpr kernel (set-equal to the oracle's SQL list
@@ -325,6 +326,31 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("eval_doc_id"))
     }),
 
+    // Exact n-gram benchmark contamination — the OTHER standard
+    // leakage check (GPT-3 appendix style): eval-split documents
+    // sharing any exact 13-token run with any train-split document.
+    // Complements dedup_decontaminate (near-dup leakage): near-dup
+    // catches rephrasings, exact-13-gram catches verbatim quotation
+    // inside otherwise-different documents. Shuffle equi-join on the
+    // gram string with the train side deduplicated first — at 100 TB
+    // the train grams become a bloom/bucketed build side, same join
+    // shape.
+    "dedup_ngram_contamination" -> ((s, dir) => {
+      import graft.functions.TextFunctions.trainEvalSplit
+      val grams = Tables.forKernels(s, dir, "documents")
+        .withColumn("split", trainEvalSplit(col("text")))
+        .select(col("doc_id"), col("split"),
+          explode(Exprs.shingles(col("text"), CONTAM_N)).as("g"))
+        .localCheckpoint(false) // both sides of the split-vs-split join
+      val trainGrams = grams.filter(col("split") === "train")
+        .select(col("g")).distinct()
+      grams.filter(col("split") === "eval")
+        .join(trainGrams, "g")
+        .groupBy(col("doc_id").as("eval_doc_id"))
+        .agg(countDistinct(col("g")).as("n_contaminated_grams"))
+        .orderBy(col("eval_doc_id"))
+    }),
+
     // Embedding-cosine near-dup pairs (quantized integer cosine ≥ 0.45),
     // exact over all pairs via the broadcast-matrix sweep in
     // [[graft.functions.VectorOps]] (same integer math as the oracle;
@@ -341,9 +367,13 @@ object DedupQueries extends QueryGroup {
 
   private val normSql = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
   private val toksSql = s"string_split($normSql, ' ')"
-  // DuckDB 3-gram shingles: 1-based list comprehension, i ∈ [1, len-2].
-  private val shinglesSql =
-    "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])"
+  // DuckDB n-gram shingles: 1-based list comprehension over the token
+  // list, i ∈ [1, len-n+1] — mirrors ShinglesExpr for any n.
+  private def shinglesSqlN(n: Int): String = {
+    val joined = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    s"list_distinct([$joined for i in range(1, len(w) - ${n - 2})])"
+  }
+  private val shinglesSql = shinglesSqlN(SHINGLE_N)
 
   private def exactJaccardSql(threshold: String): String =
     s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
@@ -432,6 +462,18 @@ object DedupQueries extends QueryGroup {
                    JOIN sp sy ON und.y = sy.doc_id
           WHERE sx.split = 'eval' AND sy.split = 'train'
           GROUP BY x ORDER BY eval_doc_id""",
+    "dedup_ngram_contamination" ->
+      s"""WITH toks AS (SELECT doc_id,
+                 ${graft.functions.TextFunctions.trainEvalSplitSql(s"md5($normSql)")} AS split,
+                 $toksSql AS w
+               FROM documents),
+          g AS (SELECT doc_id, split, unnest(${shinglesSqlN(CONTAM_N)}) AS g FROM toks),
+          tr AS (SELECT DISTINCT g FROM g WHERE split = 'train'),
+          ev AS (SELECT doc_id, g FROM g WHERE split = 'eval')
+          SELECT ev.doc_id AS eval_doc_id,
+            CAST(COUNT(DISTINCT ev.g) AS BIGINT) AS n_contaminated_grams
+          FROM ev JOIN tr USING (g)
+          GROUP BY 1 ORDER BY eval_doc_id""",
     // Exhaustive cross-join reformulation of the banded simhash query:
     // pigeonhole banding is EXACT for d≤3, so the banded equi-join and
     // this all-pairs check must emit identical rows. The signature is

@@ -209,6 +209,28 @@ object Similarity extends QueryGroup {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // K-means-style topic grouping over the same deterministic Lloyd
+    // index: per-cluster size, dominant label, and purity — the
+    // curation view of embedding clustering (is this cluster coherent
+    // enough to filter/sample as a unit?). Reuses the memoized trained
+    // index; the oracle retrains it via the shared unrolled CTEs.
+    "sim_kmeans_groups" -> ((s, dir) => {
+      val all = quantized(s, dir)
+      val (assigned, _) = ivfIndexCached(s, dir, all)
+      val counts = assigned.groupBy(col("list_id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("list_id")).orderBy(col("c").desc, col("label"))
+      counts.withColumn("rn", row_number().over(w))
+        .groupBy(col("list_id"))
+        .agg(sum(col("c")).as("n_vecs"),
+          max(when(col("rn") === 1, col("label"))).as("top_label"),
+          max(when(col("rn") === 1, col("c"))).as("top_n"))
+        .select(col("list_id").as("cluster_id"), col("n_vecs"), col("top_label"),
+          floor(col("top_n").cast("double") * lit(1000000.0) / col("n_vecs"))
+            .cast("long").as("purity_ppm"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // Nearest-centroid classification: per-label element-wise sum vector
     // (exact integers; cosine is scale-invariant so the un-normalized sum
     // IS the centroid), then argmax over broadcast centroids.
@@ -271,11 +293,24 @@ object Similarity extends QueryGroup {
     * — mirror of `assign`.
     */
   private def ivfAssignSql(cent: String): String =
-    s"""(SELECT vec_id, qv, sq, list_id FROM (
-          SELECT n.vec_id, n.qv, n.sq, c.list_id,
+    s"""(SELECT vec_id, label, qv, sq, list_id FROM (
+          SELECT n.vec_id, n.label, n.qv, n.sq, c.list_id,
             ROW_NUMBER() OVER (PARTITION BY n.vec_id
               ORDER BY ${cosPpmSql("n.qv", "c.cv", "n.sq", "c.c_sq")} DESC, c.list_id) AS rn
           FROM n, $cent c) WHERE rn = 1)"""
+
+  /** The unrolled deterministic index build (seed → 2 Lloyd rounds →
+    * final assignment) shared by the IVF-ANN and k-means-groups
+    * oracles.
+    */
+  private def ivfBuildSql: String =
+    s"""a0 AS (SELECT vec_id, label, qv, sq, CAST(vec_id % $IVF_LISTS AS BIGINT) AS list_id FROM n),
+        c0 AS ${ivfCentSql("a0")},
+        a1 AS ${ivfAssignSql("c0")},
+        c1 AS ${ivfCentSql("a1")},
+        a2 AS ${ivfAssignSql("c1")},
+        c2 AS ${ivfCentSql("a2")},
+        af AS ${ivfAssignSql("c2")}"""
 
   val oracles: Map[String, String] = Map(
     // The LSH index rebuilt in SQL: hyperplanes as list literals, sign
@@ -311,13 +346,7 @@ object Similarity extends QueryGroup {
     // re-rank query — bit-identical to the Spark-side trained index.
     "sim_ivf_ann" ->
       s"""WITH $quantSql,
-          a0 AS (SELECT vec_id, qv, sq, CAST(vec_id % $IVF_LISTS AS BIGINT) AS list_id FROM n),
-          c0 AS ${ivfCentSql("a0")},
-          a1 AS ${ivfAssignSql("c0")},
-          c1 AS ${ivfCentSql("a1")},
-          a2 AS ${ivfAssignSql("c1")},
-          c2 AS ${ivfCentSql("a2")},
-          af AS ${ivfAssignSql("c2")},
+          $ivfBuildSql,
           qp AS (SELECT query_id, q_qv, q_sq, list_id FROM (
                    SELECT n.vec_id AS query_id, n.qv AS q_qv, n.sq AS q_sq, c.list_id,
                      ROW_NUMBER() OVER (PARTITION BY n.vec_id
@@ -336,6 +365,20 @@ object Similarity extends QueryGroup {
                 FROM sc)
           SELECT query_id, rank, neighbor_id, cos_ppm FROM r
           WHERE rank <= $TOP_K ORDER BY query_id, rank""",
+    "sim_kmeans_groups" ->
+      s"""WITH $quantSql,
+          $ivfBuildSql,
+          counts AS (SELECT list_id, label, COUNT(*) AS c FROM af GROUP BY 1, 2),
+          r AS (SELECT list_id, label, c,
+                  ROW_NUMBER() OVER (PARTITION BY list_id ORDER BY c DESC, label) AS rn
+                FROM counts),
+          agg AS (SELECT list_id, CAST(SUM(c) AS BIGINT) AS n_vecs,
+                    MAX(CASE WHEN rn = 1 THEN label END) AS top_label,
+                    MAX(CASE WHEN rn = 1 THEN c END) AS top_n
+                  FROM r GROUP BY 1)
+          SELECT CAST(list_id AS BIGINT) AS cluster_id, n_vecs, top_label,
+            CAST(FLOOR(CAST(top_n AS DOUBLE) * 1000000.0 / n_vecs) AS BIGINT) AS purity_ppm
+          FROM agg ORDER BY cluster_id""",
     "sim_topk_bruteforce" ->
       s"""WITH $quantSql,
           p AS (SELECT qq.vec_id AS query_id, nn.vec_id AS neighbor_id,
