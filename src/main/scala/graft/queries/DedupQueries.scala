@@ -40,22 +40,24 @@ object DedupQueries extends QueryGroup {
     * one-pass ShinglesExpr kernel (set-equal to the oracle's SQL list
     * comprehension; see TextKernels for why not the HOF composition).
     */
-  /** Checkpointed LAZILY (eager = false): both consumers (the LSH
-    * verification join and the exact inverted-index join) use it on
-    * BOTH sides of a self-join, which would otherwise run the
-    * tokenize+shingle kernel twice over the corpus — the lazy
-    * checkpoint computes it once at the first action and serves blocks
-    * to both sides, without running a full corpus job at
-    * DataFrame-CONSTRUCTION time (plan-only paths like Explain stay
-    * cheap). Linear in corpus size (per-DOC shingle sets — unlike
-    * per-pair arrays, which are why the verified-pairs checkpoint
-    * projects shingles away first).
+  /** Checkpointed EAGERLY: both consumers (the LSH verification join
+    * and the exact inverted-index join) use it on BOTH sides of a
+    * self-join, which would otherwise run the tokenize+shingle kernel
+    * twice over the corpus. Eager (not lazy) is deliberate and
+    * measured: a lazy checkpoint materializes inside the join's two
+    * CONCURRENT map stages, whose twin tasks contend on the per-
+    * partition cache locks and serialize the kernel (~2× on the family
+    * build); the eager job runs it once at full parallelism. The cost
+    * is a construction-time job on plan-only paths (Explain). Linear
+    * in corpus size (per-DOC shingle sets — unlike per-pair arrays,
+    * which are why the verified-pairs checkpoint projects shingles
+    * away first).
     */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables.forKernels(s, dir, "documents")
       .select(col("doc_id"), Exprs.shingles(col("text"), SHINGLE_N).as("shingles"))
       .withColumn("n_sh", size(col("shingles")).cast("long"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
 
   private def jaccardPpm(common: Column, na: Column, nb: Column): Column =
     floor(common.cast("double") * lit(1000000.0) / (na + nb - common)).cast("long")
@@ -84,16 +86,18 @@ object DedupQueries extends QueryGroup {
   private def lshVerifiedPairs(s: SparkSession, dir: String,
       bands: Int, threshold: Double): DataFrame = {
     val sh = shingled(s, dir)
-    // Lazily checkpoint the band table feeding the self-join: the
+    // Eagerly checkpoint the band table feeding the self-join: the
     // k=128 minhash kernel is the dominant cost of candidate
-    // generation and a bare self-join would run it on both sides.
-    // Narrow rows (doc_id, band, hash) — the same "signatures are a
-    // table" shape the 100 TB version persists.
+    // generation and a bare self-join would run it on both sides
+    // (eager, not lazy, for the concurrent-twin-stage cache-lock
+    // reason documented on `shingled`). Narrow rows (doc_id, band,
+    // hash) — the same "signatures are a table" shape the 100 TB
+    // version persists.
     val ex = Tables.forKernels(s, dir, "documents")
       .select(col("doc_id"),
         posexplode(Exprs.minhashBands(col("text"), SHINGLE_N, MINHASH_K, bands))
           .as(Seq("band", "bh")))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val cand = ex.as("x").join(ex.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -240,15 +244,16 @@ object DedupQueries extends QueryGroup {
     // against an exhaustive cross-join at d ≤ 3 — hash-exact, not
     // rows-only.
     "dedup_simhash" -> ((s, dir) => {
-      // Lazily checkpoint the signature table before the self-join:
+      // Eagerly checkpoint the signature table before the self-join:
       // the per-token-md5 signature kernel is the dominant cost and a
       // bare self-join would evaluate it on BOTH sides (the 100 TB
-      // version writes signatures to a table for the same reason).
+      // version writes signatures to a table for the same reason;
+      // eager vs lazy per the cache-lock note on `shingled`).
       // doc_id + two longs — trivially small relative to the corpus.
       val sig = Tables.forKernels(s, dir, "documents")
         .select(col("doc_id"), Exprs.simhash64(col("text")).as("sig"))
         .withColumn("bands", simHashBands(col("sig")))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val ex = sig.select(col("doc_id"), col("sig"), posexplode(col("bands")).as(Seq("band", "bv")))
       ex.as("x").join(ex.as("y"),
           col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
@@ -341,7 +346,8 @@ object DedupQueries extends QueryGroup {
         .withColumn("split", trainEvalSplit(col("text")))
         .select(col("doc_id"), col("split"),
           explode(Exprs.shingles(col("text"), CONTAM_N)).as("g"))
-        .localCheckpoint(false) // both sides of the split-vs-split join
+        // Both sides of the split-vs-split join; eager per `shingled`.
+        .localCheckpoint(true)
       val trainGrams = grams.filter(col("split") === "train")
         .select(col("g")).distinct()
       grams.filter(col("split") === "eval")

@@ -124,20 +124,23 @@ object Extended extends QueryGroup {
     // sketch alone; the exact side here is the oracle's half of the
     // contract (Spark's HLL is deterministic, so the booleans are
     // stable).
+    // One single-distinct aggregation PER column, cross-joined (all
+    // 1-row): several countDistincts in one agg compile to an Expand
+    // that replicates every input row per distinct group (measured 10×
+    // on this query); three column-pruned single-distinct scans stay
+    // in the cheap two-phase plan. Production runs the HLL alone — one
+    // scan, no distinct shuffle at all.
     "approx_distinct_stats" -> ((s, dir) => {
       def within5(apx: Column, exact: Column): Column =
         abs(apx.cast("double") - exact.cast("double")) / exact.cast("double") <= 0.05
-      Tables(s, dir, "lineitem").agg(
-          countDistinct(col("l_orderkey")).as("n_orders"),
-          countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_suppkey")).as("n_supps"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("apx_orders"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"),
-          approx_count_distinct(col("l_suppkey"), 0.02).as("apx_supps"))
-        .select(col("n_orders"), col("n_parts"), col("n_supps"),
-          within5(col("apx_orders"), col("n_orders")).as("orders_within_5pct"),
-          within5(col("apx_parts"), col("n_parts")).as("parts_within_5pct"),
-          within5(col("apx_supps"), col("n_supps")).as("supps_within_5pct"))
+      def audit(c: String, nName: String, bName: String) =
+        Tables(s, dir, "lineitem")
+          .agg(countDistinct(col(c)).as(nName),
+            approx_count_distinct(col(c), 0.02).as("apx"))
+          .select(col(nName), within5(col("apx"), col(nName)).as(bName))
+      audit("l_orderkey", "n_orders", "orders_within_5pct")
+        .crossJoin(audit("l_partkey", "n_parts", "parts_within_5pct"))
+        .crossJoin(audit("l_suppkey", "n_supps", "supps_within_5pct"))
     }),
 
     // Approximate percentiles (GK-style sketch via approx_percentile)

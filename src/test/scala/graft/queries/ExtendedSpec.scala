@@ -18,11 +18,11 @@ class ExtendedSpec extends SparkSpec {
     val exact = Tables(spark, sf, "lineitem").agg(
       countDistinct(col("l_orderkey")), countDistinct(col("l_partkey")),
       countDistinct(col("l_suppkey"))).head()
-    (0 until 3).foreach { i =>
-      assert(row.getLong(i) === exact.getLong(i), s"exact col $i must match")
+    Seq("n_orders", "n_parts", "n_supps").zipWithIndex.foreach { case (n, i) =>
+      assert(row.getAs[Long](n) === exact.getLong(i), s"exact $n must match")
     }
-    (3 until 6).foreach { i =>
-      assert(row.getBoolean(i), s"HLL estimate out of its 5% bound (col $i)")
+    Seq("orders_within_5pct", "parts_within_5pct", "supps_within_5pct").foreach { b =>
+      assert(row.getAs[Boolean](b), s"HLL estimate out of its 5% bound ($b)")
     }
   }
 
