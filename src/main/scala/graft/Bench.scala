@@ -25,10 +25,11 @@ object Bench {
     // column out of projection-only queries, timing a metadata scan
     // instead of the operator. The noop writer materializes every row.
     // Attribution note: query families sharing a memoized build
-    // (dedup_minhash_lsh/dedup_clusters/corpus_curation share the
-    // verified-pairs pass; sim_ivf_ann its index) charge that build to
-    // whichever member runs first in name order — read those timings
-    // as a family total, per SCALING.md.
+    // (dedup_minhash_lsh/dedup_clusters/corpus_curation/
+    // dedup_decontaminate share the verified-pairs pass;
+    // sim_ivf_ann/sim_kmeans_groups the trained IVF index) charge that
+    // build to whichever member runs first in name order — read those
+    // timings as a family total, per SCALING.md.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

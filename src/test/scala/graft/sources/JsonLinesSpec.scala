@@ -39,6 +39,28 @@ class JsonLinesSpec extends SparkSpec {
     gz.release()
   }
 
+  test("the same schema/options ingest JSONL incrementally under readStream") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = tmpDir("jsonl-stream")
+    Files.write(Paths.get(dir, "a.jsonl"),
+      """{"doc_id": 1, "lang": "en", "text": "first"}""".getBytes)
+    val q = spark.readStream
+      .schema(docSchema)
+      .json(dir)
+      .writeStream.format("memory").queryName("jsonl_stream")
+      .outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    Files.write(Paths.get(dir, "b.jsonl"),
+      """{"doc_id": 2, "lang": "de", "text": "second"}""".getBytes)
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("jsonl_stream").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L),
+      "files must be picked up incrementally with the explicit schema")
+  }
+
   test("malformed lines are quarantined whole; the rest of the batch lands") {
     val dir = tmpDir("jsonl-bad")
     Files.write(Paths.get(dir, "a.jsonl"), Seq(
