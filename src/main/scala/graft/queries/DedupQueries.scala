@@ -39,25 +39,30 @@ object DedupQueries extends QueryGroup {
   /** doc_id, distinct word 3-gram shingles, shingle-set size. Uses the
     * one-pass ShinglesExpr kernel (set-equal to the oracle's SQL list
     * comprehension; see TextKernels for why not the HOF composition).
+    *
+    * Memoized per (session, dir) and checkpointed EAGERLY: its two
+    * consumers (the memoized verified-pairs build and
+    * `dedup_ngram_jaccard`) each use it on BOTH sides of a self-join,
+    * so without the memo + checkpoint the tokenize+shingle kernel
+    * would run up to four times over the corpus per session. Eager
+    * (not lazy) is deliberate and measured: a lazy checkpoint
+    * materializes inside the join's two CONCURRENT map stages, whose
+    * twin tasks contend on the per-partition cache locks and serialize
+    * the kernel (~2× on the family build); the eager job runs it once
+    * at full parallelism. The cost is a construction-time job on
+    * plan-only paths (Explain) the first time a session touches a dir.
+    * Linear in corpus size (per-DOC shingle sets — unlike per-pair
+    * arrays, which are why the verified-pairs checkpoint projects
+    * shingles away first).
     */
-  /** Checkpointed EAGERLY: both consumers (the LSH verification join
-    * and the exact inverted-index join) use it on BOTH sides of a
-    * self-join, which would otherwise run the tokenize+shingle kernel
-    * twice over the corpus. Eager (not lazy) is deliberate and
-    * measured: a lazy checkpoint materializes inside the join's two
-    * CONCURRENT map stages, whose twin tasks contend on the per-
-    * partition cache locks and serialize the kernel (~2× on the family
-    * build); the eager job runs it once at full parallelism. The cost
-    * is a construction-time job on plan-only paths (Explain). Linear
-    * in corpus size (per-DOC shingle sets — unlike per-pair arrays,
-    * which are why the verified-pairs checkpoint projects shingles
-    * away first).
-    */
+  private val shingledCache = new graft.util.SessionCache[DataFrame]
+
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables.forKernels(s, dir, "documents")
-      .select(col("doc_id"), Exprs.shingles(col("text"), SHINGLE_N).as("shingles"))
-      .withColumn("n_sh", size(col("shingles")).cast("long"))
-      .localCheckpoint(true)
+    shingledCache.getOrCompute(s, dir)(
+      Tables.forKernels(s, dir, "documents")
+        .select(col("doc_id"), Exprs.shingles(col("text"), SHINGLE_N).as("shingles"))
+        .withColumn("n_sh", size(col("shingles")).cast("long"))
+        .localCheckpoint(true))
 
   private def jaccardPpm(common: Column, na: Column, nb: Column): Column =
     floor(common.cast("double") * lit(1000000.0) / (na + nb - common)).cast("long")
@@ -156,6 +161,7 @@ object DedupQueries extends QueryGroup {
     * [[graft.util.SessionCache.clearAll]] clears every module at once.
     */
   def clearCaches(): Unit = {
+    shingledCache.clear()
     verifiedPairsCache.clear()
     componentsCache.clear()
   }

@@ -38,6 +38,10 @@ object Similarity extends QueryGroup {
   private val IVF_LISTS = 16
   private val IVF_PROBES = 4
   private val IVF_ITERS = 2
+  // Embedding dimensionality of the `embeddings` table — used only
+  // where SQL needs an explicit per-position range; the Spark side is
+  // length-generic.
+  private val VEC_DIM = 64
 
   /** Deterministic pseudo-random hyperplanes (fixed seed): N_PLANES × 64
     * integer milli-unit components, materialized as literal arrays so the
@@ -287,7 +291,7 @@ object Similarity extends QueryGroup {
     s"""(SELECT list_id, cv, CAST(list_sum([x*x for x in cv]) AS BIGINT) AS c_sq FROM (
           SELECT list_id, list(sv ORDER BY pos) AS cv FROM (
             SELECT a.list_id, i AS pos, CAST(SUM(a.qv[i]) AS BIGINT) AS sv
-            FROM $from a, range(1, 65) t(i) GROUP BY 1, 2) GROUP BY 1))"""
+            FROM $from a, range(1, ${VEC_DIM + 1}) t(i) GROUP BY 1, 2) GROUP BY 1))"""
 
   /** IVF assignment CTE body: nearest-centroid by (cosPpm DESC, list_id)
     * — mirror of `assign`.
@@ -299,18 +303,25 @@ object Similarity extends QueryGroup {
               ORDER BY ${cosPpmSql("n.qv", "c.cv", "n.sq", "c.c_sq")} DESC, c.list_id) AS rn
           FROM n, $cent c) WHERE rn = 1)"""
 
-  /** The unrolled deterministic index build (seed → 2 Lloyd rounds →
-    * final assignment) shared by the IVF-ANN and k-means-groups
-    * oracles.
+  /** The unrolled deterministic index build (seed → IVF_ITERS Lloyd
+    * rounds → final assignment) shared by the IVF-ANN and
+    * k-means-groups oracles. GENERATED from the same IVF_* constants
+    * the Spark build uses, so retuning iterations/lists retunes the
+    * oracle with it.
     */
-  private def ivfBuildSql: String =
+  private def ivfBuildSql: String = {
+    val rounds = (0 until IVF_ITERS).map { i =>
+      s"""a${i + 1} AS ${ivfAssignSql(s"c$i")},
+          c${i + 1} AS ${ivfCentSql(s"a${i + 1}")}"""
+    }.mkString(",\n          ")
     s"""a0 AS (SELECT vec_id, label, qv, sq, CAST(vec_id % $IVF_LISTS AS BIGINT) AS list_id FROM n),
         c0 AS ${ivfCentSql("a0")},
-        a1 AS ${ivfAssignSql("c0")},
-        c1 AS ${ivfCentSql("a1")},
-        a2 AS ${ivfAssignSql("c1")},
-        c2 AS ${ivfCentSql("a2")},
-        af AS ${ivfAssignSql("c2")}"""
+        $rounds,
+        af AS ${ivfAssignSql(s"c$IVF_ITERS")}"""
+  }
+
+  /** Name of the final centroid CTE inside [[ivfBuildSql]]. */
+  private def ivfFinalCent: String = s"c$IVF_ITERS"
 
   val oracles: Map[String, String] = Map(
     // The LSH index rebuilt in SQL: hyperplanes as list literals, sign
@@ -351,7 +362,7 @@ object Similarity extends QueryGroup {
                    SELECT n.vec_id AS query_id, n.qv AS q_qv, n.sq AS q_sq, c.list_id,
                      ROW_NUMBER() OVER (PARTITION BY n.vec_id
                        ORDER BY ${cosPpmSql("n.qv", "c.cv", "n.sq", "c.c_sq")} DESC, c.list_id) AS p_rn
-                   FROM n, c2 c WHERE n.vec_id % 100 = 0)
+                   FROM n, $ivfFinalCent c WHERE n.vec_id % 100 = 0)
                  WHERE p_rn <= $IVF_PROBES),
           cand AS (SELECT qp.query_id, qp.q_qv, qp.q_sq,
                      nb.vec_id AS neighbor_id, nb.qv, nb.sq
@@ -394,7 +405,7 @@ object Similarity extends QueryGroup {
     "sim_centroid_classify" ->
       s"""WITH $quantSql,
           ex AS (SELECT label, i AS pos, qv[i] AS v
-                 FROM n, range(1, 65) t(i)),
+                 FROM n, range(1, ${VEC_DIM + 1}) t(i)),
           cs AS (SELECT label, pos, CAST(SUM(v) AS BIGINT) AS sv FROM ex GROUP BY 1, 2),
           cent AS (SELECT label AS c_label, list(sv ORDER BY pos) AS cv FROM cs GROUP BY 1),
           cn AS (SELECT c_label, cv, CAST(list_sum([x*x for x in cv]) AS BIGINT) AS c_sq FROM cent),

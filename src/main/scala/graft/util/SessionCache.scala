@@ -37,12 +37,23 @@ final class SessionCache[V] {
     // whatever a stopped session returns.
     if (sc.isStopped) return build
     if (hooked.add(sc)) {
-      try sc.addSparkListener(new SparkListener {
+      // The listener holds the cache only WEAKLY (a strong capture
+      // would pin a dropped instance — and everything it caches —
+      // via the context's listener bus until the context stops), and
+      // removes itself once fired so the bus does not accumulate dead
+      // listeners across session generations.
+      val ref = new java.lang.ref.WeakReference[SessionCache[V]](this)
+      val listener: SparkListener = new SparkListener {
         override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit = {
-          map.keySet.removeIf(_._1.sparkContext eq sc)
-          hooked.remove(sc)
+          val c = ref.get()
+          if (c != null) {
+            c.map.keySet.removeIf(_._1.sparkContext eq sc)
+            c.hooked.remove(sc)
+          }
+          sc.removeSparkListener(this)
         }
-      }) catch {
+      }
+      try sc.addSparkListener(listener) catch {
         // Context stopped between the check and the registration.
         case _: IllegalStateException => hooked.remove(sc); return build
       }
@@ -51,7 +62,10 @@ final class SessionCache[V] {
     // Close the remaining race: a stop whose ApplicationEnd was
     // dispatched before our listener registered would strand entries
     // inserted after it — self-evict on observation.
-    if (sc.isStopped) map.keySet.removeIf(_._1.sparkContext eq sc)
+    if (sc.isStopped) {
+      map.keySet.removeIf(_._1.sparkContext eq sc)
+      hooked.remove(sc)
+    }
     v
   }
 
