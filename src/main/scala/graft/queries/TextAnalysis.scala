@@ -126,6 +126,21 @@ object TextAnalysis extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // Vocabulary / IDF table builder — the first pass of tokenizer
+    // training and stopword derivation: global term frequency +
+    // document frequency, top-k by frequency (ties broken on the
+    // token for a total order). The classic word-count shape: explode
+    // → aggregate with map-side partial counts; the shuffle carries
+    // (token, partials), never documents — linear at any scale.
+    "text_vocabulary" -> ((s, dir) => {
+      Tables.forKernels(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .groupBy(col("t").as("token"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("token"))
+        .limit(50)
+    }),
+
     // Content fingerprinting (md5 of normalized text) — the exact-dedup key.
     "text_fingerprint" -> ((s, dir) => {
       Tables.forKernels(s, dir, "documents")
@@ -247,6 +262,12 @@ object TextAnalysis extends QueryGroup {
           ORDER BY doc_id""",
     "text_fingerprint" ->
       s"SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id",
+    "text_vocabulary" ->
+      s"""SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS tf,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+          FROM (SELECT doc_id, unnest(w) AS t
+                FROM (SELECT doc_id, $toksSql AS w FROM documents))
+          GROUP BY 1 ORDER BY tf DESC, token LIMIT 50""",
     "text_repetition" ->
       s"""SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
           CAST(CASE WHEN n - 1 <= 0 THEN 0
