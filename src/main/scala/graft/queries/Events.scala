@@ -85,6 +85,78 @@ object Events extends QueryGroup {
         .orderBy(col("event_id"))
     }),
 
+    // Conversion funnel view → click → purchase: per user, the first
+    // view, the first click strictly after it, the first purchase
+    // strictly after that; one output row per stage with the surviving
+    // user count. All three stages aggregate and join on user_id — the
+    // same shuffle key throughout, so at scale the exchanges co-locate
+    // and each stage carries only (user_id, first_ts) pairs, never the
+    // event stream itself.
+    "events_funnel" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"), col("us"))
+      def firstAfter(typ: String, prev: DataFrame, prevTs: String, outTs: String): DataFrame =
+        e.filter(col("event_type") === typ)
+          .join(prev, "user_id")
+          .filter(col("us") > col(prevTs))
+          .groupBy(col("user_id")).agg(min(col("us")).as(outTs))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+      val c = firstAfter("click", v, "v_us", "c_us")
+      val p = firstAfter("purchase", c, "c_us", "p_us")
+      def stage(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+      stage("1_view", v).unionByName(stage("2_click", c))
+        .unionByName(stage("3_purchase", p))
+        .orderBy(col("stage"))
+    }),
+
+    // Cohort retention: cohort = the user's first active day, cell =
+    // distinct users from that cohort active again `day_offset` days
+    // later. Day arithmetic stays in integer microseconds (us DIV
+    // 86_400_000_000) so both engines bucket identically — no date/
+    // timezone functions involved. Two shuffles, both on user_id.
+    "events_retention" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), expr("us DIV 86400000000").as("day"))
+      val first = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      e.join(first, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // Session path mining: the first three event types of each
+    // 30-minute-gap session, concatenated into a path string, with the
+    // top-10 paths by session count — the classic behavioral "what do
+    // sessions start with" query. Reuses the sessionize machinery
+    // (lag → gap → running sum); the per-session pivot uses
+    // max(CASE rn) rather than an ordered collect so no engine-specific
+    // array ordering is involved.
+    "events_paths" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("us"))
+        .withColumn("new_sess",
+          when(col("us") - lag(col("us"), 1).over(byUser) > SESSION_GAP_US || lag(col("us"), 1).over(byUser).isNull, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(cum))
+      val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("us"), col("event_id"))
+      sess.withColumn("rn", row_number().over(bySess))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(concat_ws(">",
+          max(when(col("rn") === 1, col("event_type"))),
+          max(when(col("rn") === 2, col("event_type"))),
+          max(when(col("rn") === 3, col("event_type")))).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(10)
+    }),
+
     // Semi-structured extraction: pull the integer k out of the JSON
     // props (regexp keeps it engine-portable), bucket by k % 10.
     "events_props_extract" -> ((s, dir) => {
@@ -127,6 +199,41 @@ object Events extends QueryGroup {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          SELECT event_id, user_id, us AS purchase_us, last_view_id, last_view_us
          FROM f WHERE event_type = 'purchase' ORDER BY event_id""",
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         v AS (SELECT user_id, MIN(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, MIN(us) AS c_us FROM e JOIN v USING(user_id)
+               WHERE event_type = 'click' AND us > v_us GROUP BY 1),
+         p AS (SELECT e.user_id, MIN(us) AS p_us FROM e JOIN c USING(user_id)
+               WHERE event_type = 'purchase' AND us > c_us GROUP BY 1)
+         SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+         UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+         UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+         ORDER BY stage""",
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+         f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1)
+         SELECT cohort_day, day - cohort_day AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+         FROM e JOIN f USING(user_id)
+         GROUP BY 1, 2 ORDER BY cohort_day, day_offset""",
+    "events_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+         f AS (SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000
+                      OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         g AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+               FROM f),
+         h AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                 ORDER BY us, event_id) AS rn FROM g),
+         p AS (SELECT user_id, session_id,
+                 concat_ws('>', MAX(CASE WHEN rn = 1 THEN event_type END),
+                                MAX(CASE WHEN rn = 2 THEN event_type END),
+                                MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+               FROM h WHERE rn <= 3 GROUP BY 1, 2)
+         SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM p
+         GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 10""",
     "events_props_extract" ->
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_mod,
          COUNT(*) AS n,

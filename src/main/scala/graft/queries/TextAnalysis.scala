@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.{QueryGroup, Tables}
 import graft.functions.Exprs
@@ -141,6 +142,43 @@ object TextAnalysis extends QueryGroup {
         .limit(50)
     }),
 
+    // Per-document keyword extraction: the top-3 distinguishing tokens
+    // by an integer tf/df score (floor(tf·1e6 / df) — term frequency in
+    // the doc, rarity across the corpus). The idf stays in integer
+    // arithmetic so both engines agree bit-for-bit; ln-based tf-idf
+    // would hinge on each engine's libm. df is derived from the tf
+    // table (one row per (doc, token)) so the tokenizer kernel runs
+    // once; the join shuffles on token and the top-k window on doc_id —
+    // both linear in corpus size.
+    "text_keywords" -> ((s, dir) => {
+      val tf = Tables.forKernels(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("t"))
+      tf.join(df, "t")
+        .withColumn("score", expr("tf * 1000000 DIV df"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn").cast("long").as("rank"),
+          col("t").as("token"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // Deterministic uniform sample: the k docs with the smallest content
+    // hash — the distributed analog of ORDER BY random() LIMIT k that is
+    // stable across runs, partitionings, and engines (and keyed on
+    // content, so exact duplicates sample together). Plans as
+    // TakeOrderedAndProject: each partition keeps a local top-k and the
+    // driver merges k·p rows — no global sort shuffle at any scale.
+    "corpus_sample_hash" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), contentFingerprint(col("text")).as("fp"))
+        .orderBy(col("fp"), col("doc_id"))
+        .limit(20)
+    }),
+
     // Content fingerprinting (md5 of normalized text) — the exact-dedup key.
     "text_fingerprint" -> ((s, dir) => {
       Tables.forKernels(s, dir, "documents")
@@ -262,6 +300,21 @@ object TextAnalysis extends QueryGroup {
           ORDER BY doc_id""",
     "text_fingerprint" ->
       s"SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id",
+    "text_keywords" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(w) AS t
+                 FROM (SELECT doc_id, $toksSql AS w FROM documents)),
+          tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+          df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          sc AS (SELECT doc_id, t, tf * 1000000 // df AS score,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY tf * 1000000 // df DESC, t) AS rn
+                 FROM tf JOIN df USING(t))
+          SELECT doc_id, CAST(rn AS BIGINT) AS rank, t AS token,
+            CAST(score AS BIGINT) AS score
+          FROM sc WHERE rn <= 3 ORDER BY doc_id, rank""",
+    "corpus_sample_hash" ->
+      s"""SELECT doc_id, lang, md5($normSql) AS fp FROM documents
+          ORDER BY fp, doc_id LIMIT 20""",
     "text_vocabulary" ->
       s"""SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS tf,
           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df

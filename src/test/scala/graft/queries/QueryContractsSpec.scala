@@ -55,6 +55,61 @@ class QueryContractsSpec extends SparkSpec {
       f"IVF recall $recall%.2f below floor 0.5 (4/16 probed lists must cover most true neighbors)")
   }
 
+  test("funnel stage counts are monotonically non-increasing") {
+    val rows = SparkEntry.queries("events_funnel")(spark, sf)
+      .orderBy("stage").collect().map(_.getLong(1))
+    assert(rows.length === 3)
+    assert(rows.sliding(2).forall(p => p(0) >= p(1)),
+      s"funnel widened downstream: ${rows.mkString(",")}")
+  }
+
+  test("retention day-offset 0 recovers every cohort's full size") {
+    val ret = SparkEntry.queries("events_retention")(spark, sf).collect()
+    // Each user is active on their own cohort day by construction, so the
+    // offset-0 cells must sum to the distinct-user count.
+    val day0 = ret.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    val users = SparkEntry.queries("events_sessionize")(spark, sf)
+      .select("user_id").distinct().count()
+    assert(day0 === users)
+    assert(ret.forall(_.getLong(1) >= 0L), "negative day offset")
+  }
+
+  test("session paths are well-formed event-type sequences of length <= 3") {
+    val types = Set("view", "click", "purchase", "signup", "error")
+    val paths = SparkEntry.queries("events_paths")(spark, sf).collect()
+    assert(paths.nonEmpty)
+    paths.foreach { r =>
+      val steps = r.getString(0).split(">")
+      assert(steps.nonEmpty && steps.length <= 3 && steps.forall(types),
+        s"malformed path '${r.getString(0)}'")
+      assert(r.getLong(1) > 0)
+    }
+  }
+
+  test("keyword ranks are dense 1..3 per doc and scores non-increasing") {
+    val kw = SparkEntry.queries("text_keywords")(spark, sf)
+      .select("doc_id", "rank", "score").collect()
+      .groupBy(_.getLong(0))
+    assert(kw.nonEmpty)
+    kw.foreach { case (doc, rows) =>
+      val byRank = rows.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq === (1L to byRank.length).toSeq,
+        s"ragged ranks for doc $doc")
+      val scores = byRank.map(_.getLong(2))
+      assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        s"scores not sorted for doc $doc")
+    }
+  }
+
+  test("hash sample is a deterministic size-k subset of the corpus") {
+    val a = SparkEntry.queries("corpus_sample_hash")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val b = SparkEntry.queries("corpus_sample_hash")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(a === b, "sample not deterministic across runs")
+    assert(a.length === 20 && a.distinct.length === 20)
+  }
+
   test("minhash LSH verified pairs equal the exact jaccard join at the same threshold") {
     val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
