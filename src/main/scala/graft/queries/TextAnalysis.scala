@@ -151,9 +151,12 @@ object TextAnalysis extends QueryGroup {
     // once; the join shuffles on token and the top-k window on doc_id —
     // both linear in corpus size.
     "text_keywords" -> ((s, dir) => {
+      // tf feeds both join sides; eager checkpoint so the tokenizer
+      // kernel and its aggregation run once, not once per side.
       val tf = Tables.forKernels(s, dir, "documents")
         .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
         .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
       val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("t"))
