@@ -46,18 +46,32 @@ object MediaOps {
   case class MediaFeatures(media_id: Long, kind: String, features: Array[Float])
   case class MediaFrame(media_id: Long, kind: String, frame_idx: Int, frame_bytes: Array[Byte])
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** STUB DECODER: a real implementation hands `bytes` to a codec and a
     * vision/audio model per partition; this fake derives FEATURE_DIM
-    * floats from a rolling hash of the bytes — deterministic, so specs
-    * can assert exact pipeline behavior end-to-end.
+    * values deterministically so specs — and the DuckDB oracle — can
+    * assert exact pipeline behavior end-to-end. Feature i is the first
+    * 16 bits of md5(bytes || ":" || i), which SQL rebuilds as
+    * ('0x' || substr(md5(text || ':' || i), 1, 4))::UBIGINT — the same
+    * md5-derivation trick that makes the simhash signature oracle-able
+    * (see [[graft.functions.TextKernels.simhash64]]). Values are
+    * integers ≤ 65535, exactly representable as Float, so the
+    * downstream milli-unit quantization stays integer-exact.
     */
   private[multimodal] def fakeDecodeFeatures(bytes: Array[Byte]): Array[Float] = {
+    val d = md5Digest.get()
     val out = new Array[Float](FEATURE_DIM)
-    var h = 0xcbf29ce484222325L
     var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L
-      out(i % FEATURE_DIM) += ((h >>> 40).toInt & 0xffff) / 65536.0f
+    while (i < FEATURE_DIM) {
+      d.reset()
+      d.update(bytes)
+      d.update((":" + i).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val h = d.digest()
+      out(i) = (((h(0) & 0xff) << 8) | (h(1) & 0xff)).toFloat
       i += 1
     }
     out

@@ -10,8 +10,11 @@ import graft.functions.VectorFunctions._
 
 /** Multimodal plumbing exercised as driver-checkable queries. The blob
   * content is a deterministic stand-in (see MediaOps), so the
-  * byte-count/metadata/frame arithmetic is fully oracle-able; the
-  * feature-kNN query is rows-only (stub features have no SQL twin).
+  * byte-count/metadata/frame arithmetic is fully oracle-able — and since
+  * round 4 the stub features are md5-derived, so the feature-kNN query
+  * is hash-exact too: the oracle recomputes feature i as the first 16
+  * bits of md5(text || ':' || i) and replays the quantized-integer
+  * cosine top-k in SQL.
   */
 object Multimodal extends QueryGroup {
 
@@ -41,7 +44,8 @@ object Multimodal extends QueryGroup {
 
     // Feature-space kNN: extract (stub) features, then top-3 neighbors
     // per image among images — binary → vector → ANN integration.
-    // Rows-only: the stub decoder has no SQL equivalent.
+    // Hash-exact: the md5-derived stub features are rebuilt by the
+    // oracle, and all cosine math is quantized-integer.
     "media_feature_knn" -> ((s, dir) => {
       // Repartition to cores before the per-byte feature kernel: the
       // scan is one row group, the decode pass is the cost (a real
@@ -77,5 +81,28 @@ object Multimodal extends QueryGroup {
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
          COUNT(*) AS n_media,
          CAST(SUM((strlen(text) + 255) // 256) AS BIGINT) AS n_frames
-         FROM documents GROUP BY 1 ORDER BY kind""")
+         FROM documents GROUP BY 1 ORDER BY kind""",
+    // Rebuild the md5-derived stub features (MediaOps.fakeDecodeFeatures)
+    // per dimension, quantize to milli-units, and replay the broadcast
+    // top-3 cosine join — integer math until the single final cosPpm
+    // division, so the hash matches Spark bit-for-bit.
+    "media_feature_knn" ->
+      s"""WITH f AS (
+            SELECT doc_id AS media_id, i,
+              CAST(CAST(('0x' || substr(md5(text || ':' || CAST(i AS VARCHAR)), 1, 4)) AS UBIGINT) AS BIGINT) AS fv
+            FROM documents, range(0, ${MediaOps.FEATURE_DIM}) t(i)
+            WHERE doc_id % 3 = 0),
+          n AS (SELECT media_id, list(fv * 1000 ORDER BY i) AS qv FROM f GROUP BY 1),
+          nn AS (SELECT media_id, qv, CAST(list_sum([x*x for x in qv]) AS BIGINT) AS sq FROM n),
+          qp AS (SELECT media_id AS query_id, qv AS q_qv, sq AS q_sq FROM nn WHERE media_id % 30 = 0),
+          sc AS (SELECT qp.query_id, nb.media_id AS neighbor_id,
+                   CAST(floor(CAST(CAST(list_sum([qp.q_qv[i]*nb.qv[i] for i in range(1, len(qp.q_qv)+1)]) AS BIGINT) AS DOUBLE)
+                     * 1000000.0 / (sqrt(CAST(qp.q_sq AS DOUBLE))*sqrt(CAST(nb.sq AS DOUBLE)))) AS BIGINT) AS cos_ppm
+                 FROM qp JOIN nn nb ON nb.media_id <> qp.query_id),
+          r AS (SELECT query_id, neighbor_id, cos_ppm,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_ppm DESC, neighbor_id) AS BIGINT) AS rank
+                FROM sc)
+          SELECT query_id, rank, neighbor_id, cos_ppm FROM r
+          WHERE rank <= 3 ORDER BY query_id, rank""")
 }
