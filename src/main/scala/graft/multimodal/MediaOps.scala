@@ -61,14 +61,25 @@ object MediaOps {
     * (see [[graft.functions.TextKernels.simhash64]]). Values are
     * integers ≤ 65535, exactly representable as Float, so the
     * downstream milli-unit quantization stays integer-exact.
+    *
+    * The blob is digested ONCE: md5 over `bytes` is absorbed into a
+    * base digest, which is then `clone()`d per dimension and fed only
+    * the tiny ":i" suffix. Cloning copies the 16-byte chain state plus
+    * at most 63 buffered bytes, so per-dim cost is O(1) regardless of
+    * blob size — versus the 64 full passes this replaced, which were
+    * O(FEATURE_DIM × n_bytes) and contradicted the file's own scale
+    * notes for MB-sized blobs. The result is bit-identical to
+    * md5(bytes || ":" || i) (a clone continues the same byte stream),
+    * so the DuckDB oracle rebuild is unchanged.
     */
   private[multimodal] def fakeDecodeFeatures(bytes: Array[Byte]): Array[Float] = {
-    val d = md5Digest.get()
+    val base = md5Digest.get()
+    base.reset()
+    base.update(bytes)
     val out = new Array[Float](FEATURE_DIM)
     var i = 0
     while (i < FEATURE_DIM) {
-      d.reset()
-      d.update(bytes)
+      val d = base.clone().asInstanceOf[java.security.MessageDigest]
       d.update((":" + i).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
       val h = d.digest()
       out(i) = (((h(0) & 0xff) << 8) | (h(1) & 0xff)).toFloat

@@ -364,15 +364,19 @@ object DedupQueries extends QueryGroup {
     }),
 
     // Embedding-cosine near-dup pairs (quantized integer cosine ≥ 0.45),
-    // exact over all pairs via the broadcast-matrix sweep in
+    // exact over all pairs via the tiled broadcast-matrix sweep in
     // [[graft.functions.VectorOps]] (same integer math as the oracle;
-    // ~90× the row-at-a-time nested-loop join it replaced). The
-    // LSH-bucketed ANN in Similarity remains the beyond-memory path.
+    // ~90× the row-at-a-time nested-loop join it replaced). The tiled
+    // form bounds driver and executor memory by the tile (512k rows ×
+    // 64 dims × 8 B ≈ 260 MB per block) instead of the collection, and
+    // short-circuits to a single sweep when n ≤ tile — so small inputs
+    // pay nothing for the bound. The LSH-bucketed ANN in Similarity
+    // remains the sub-quadratic path.
     "dedup_embedding" -> ((s, dir) => {
       val q = Tables(s, dir, "embeddings")
         .select(col("vec_id"), quantize(col("embedding")).as("qv"))
         .withColumn("sq", qnormSq(col("qv")))
-      graft.functions.VectorOps.exactCosinePairs(q, 450000L)
+      graft.functions.VectorOps.exactCosinePairsTiled(q, 450000L, tile = 512 * 1024)
         .toDF()
         .orderBy(col("vec_a"), col("vec_b"))
     }))

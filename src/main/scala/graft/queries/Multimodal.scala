@@ -50,13 +50,18 @@ object Multimodal extends QueryGroup {
       // Repartition to cores before the per-byte feature kernel: the
       // scan is one row group, the decode pass is the cost (a real
       // model/codec even more so) — the mapInPandas-style "spread the
-      // decode, then keep rows narrow" shape.
+      // decode, then keep rows narrow" shape. The eager localCheckpoint
+      // materializes the decoded features ONCE before the self-join:
+      // without it both join inputs re-run the decode subtree (2× the
+      // dominant cost; at scale you would persist this narrow table to
+      // parquet — see MediaOps scale notes).
       val feats = MediaOps.extractFeatures(
           MediaOps.fakeMediaTable(s, dir).filter(col("kind") === "image")
             .repartition(s.sparkContext.defaultParallelism))
         .toDF()
         .select(col("media_id"), quantize(col("features")).as("qv"))
         .withColumn("sq", qnormSq(col("qv")))
+        .localCheckpoint(true)
       val q = feats.filter(col("media_id") % 30 === 0)
         .select(col("media_id").as("query_id"), col("qv").as("q_qv"), col("sq").as("q_sq"))
       val w = Window.partitionBy(col("query_id"))

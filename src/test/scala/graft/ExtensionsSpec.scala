@@ -86,4 +86,34 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(sqlOnly.map(_.toSeq).toSeq === dataframe.map(_.toSeq).toSeq)
     }
   }
+
+  test("non-literal / invalid integer parameters fail analysis with a clean message") {
+    withExtSession { spark =>
+      import org.apache.spark.sql.AnalysisException
+      spark.range(1).selectExpr("CAST(id AS INT) AS n", "'a b c' AS text")
+        .createOrReplaceTempView("t")
+      // Column reference where a literal is required → NON_FOLDABLE_ARGUMENT,
+      // not the former obscure eval-time failure.
+      val nonFoldable = intercept[AnalysisException] {
+        spark.sql("SELECT word_shingles(text, n) FROM t").collect()
+      }
+      assert(nonFoldable.getCondition === "NON_FOLDABLE_ARGUMENT")
+      assert(nonFoldable.getMessage.contains("word_shingles"))
+      // NULL literal → INVALID_PARAMETER_VALUE.NULL.
+      val nullArg = intercept[AnalysisException] {
+        spark.sql("SELECT minhash_bands(text, 3, NULL, 64) FROM t").collect()
+      }
+      assert(nullArg.getCondition === "INVALID_PARAMETER_VALUE.NULL")
+      // Non-integer literal → INVALID_PARAMETER_VALUE.INTEGER.
+      val nonInt = intercept[AnalysisException] {
+        spark.sql("SELECT word_shingles(text, 'three') FROM t").collect()
+      }
+      assert(nonInt.getCondition === "INVALID_PARAMETER_VALUE.INTEGER")
+      // Wrong arity → WRONG_NUM_ARGS.
+      val arity = intercept[AnalysisException] {
+        spark.sql("SELECT simhash64(text, 1) FROM t").collect()
+      }
+      assert(arity.getCondition === "WRONG_NUM_ARGS.WITHOUT_SUGGESTION")
+    }
+  }
 }
