@@ -15,6 +15,7 @@ object SparkEntry {
     graft.queries.DedupQueries,
     graft.queries.Similarity,
     graft.queries.Events,
+    graft.queries.StreamingParity,
     graft.queries.Multimodal,
     graft.queries.Extended)
 

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.{QueryGroup, Tables}
+import graft.streaming.EventStreams
+
+/** Driver-checkable parity gate for the custom-state streaming path:
+  * runs [[EventStreams.completedSessions]] (flatMapGroupsWithState,
+  * event-time timeout) over the events table AS A STREAM with
+  * `Trigger.AvailableNow`, then compares the emitted sessions
+  * row-for-row against the batch twin's sessionization, restricted to
+  * the sessions the final watermark finalizes.
+  *
+  * The finalization cutoff is modeled exactly as Spark computes it:
+  * event-time stats are kept in floor-to-millisecond precision, so the
+  * final watermark is floor(max_us/1000) − 2 h, and a session emits iff
+  * its end-ms + gap < that watermark. Batch sessions are keyed at the
+  * same millisecond precision (floor is monotonic, so min/max commute
+  * with it). The four emitted counts — streamed sessions, modeled
+  * batch-final sessions, and the two anti-join residues — let the
+  * DuckDB oracle rebuild the first two from SQL alone and pin the
+  * residues at zero: any divergence between the streaming operator and
+  * the batch twin hash-fails the query.
+  *
+  * Note the contract being tested: the streaming operator sessionizes
+  * at millisecond granularity (`Timestamp.getTime`), the batch twin at
+  * microseconds. An event pair whose gap straddles the 30-min boundary
+  * within the same millisecond would be a genuine (and intended)
+  * parity failure; no such pair exists at any test SF.
+  */
+object StreamingParity extends QueryGroup {
+
+  private val GAP_MS = 1800000L
+  private val WATERMARK_DELAY_MS = 7200000L
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_sessionize_parity" -> ((s, dir) => {
+      import s.implicits._
+      // Batch read first: sets the nanos-as-long conf the streaming
+      // scan needs too.
+      val batch = Tables(s, dir, "events").withColumn("us", expr("ts DIV 1000"))
+
+      // --- streaming side: file source → completedSessions → parquet sink
+      val tmp = java.nio.file.Files.createTempDirectory("graft-parity-")
+      val streamed =
+        try {
+          // events.parquet is a single FILE; the file stream source
+          // derives basePath from the path and requires a directory, so
+          // address the file through a glob — globbed paths resolve
+          // their basePath to the parent directory.
+          val stream = s.readStream.schema(eventsSchema)
+            .parquet(s"$dir/{events.parquet}")
+            .select(col("user_id"),
+              timestamp_micros(expr("ts DIV 1000")).as("ts"),
+              col("event_type"), col("value"))
+            .as[EventStreams.UserEvent]
+          EventStreams.completedSessions(stream)
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/out")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+          s.read.schema(StructType(Seq(
+              StructField("user_id", LongType),
+              StructField("session_start", TimestampType),
+              StructField("session_end", TimestampType),
+              StructField("n_events", LongType))))
+            .parquet(s"$tmp/out")
+            .select(col("user_id"),
+              unix_millis(col("session_start")).as("start_ms"),
+              unix_millis(col("session_end")).as("end_ms"),
+              col("n_events"))
+            .localCheckpoint(true) // detach from the temp dir before cleanup
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+
+      // --- batch twin (events_sessionize grouping) + modeled watermark
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sessions = batch
+        .select(col("user_id"), col("event_id"), col("us"))
+        .withColumn("new_sess",
+          when(col("us") - lag(col("us"), 1).over(byUser) > 1800L * 1000000
+            || lag(col("us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(cum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("min(us) DIV 1000").as("start_ms"),
+          expr("max(us) DIV 1000").as("end_ms"))
+      val wmMs = batch.agg(expr("max(us) DIV 1000")).head().getLong(0) - WATERMARK_DELAY_MS
+      val batchFinal = sessions
+        .filter(col("end_ms") + GAP_MS < lit(wmMs))
+        .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+        .localCheckpoint(true) // feeds three counts below; materialize once
+
+      val keys = Seq("user_id", "start_ms", "end_ms", "n_events")
+      val nStream = streamed.count()
+      val nBatch = batchFinal.count()
+      val onlyStream = streamed.join(batchFinal, keys, "left_anti").count()
+      val onlyBatch = batchFinal.join(streamed, keys, "left_anti").count()
+      Seq((nStream, nBatch, onlyStream, onlyBatch))
+        .toDF("n_stream", "n_batch_final", "n_only_stream", "n_only_batch")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    // The oracle rebuilds the batch-final session count in SQL; parity
+    // forces n_stream to equal it and both anti-join residues to zero.
+    "streaming_sessionize_parity" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         f AS (SELECT user_id, event_id, us,
+                 CASE WHEN us - lag(us) OVER w > 1800000000
+                      OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         g AS (SELECT user_id, us,
+                 CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+               FROM f),
+         sess AS (SELECT user_id, session_id, COUNT(*) AS n_events,
+                    MIN(us) // 1000 AS start_ms, MAX(us) // 1000 AS end_ms
+                  FROM g GROUP BY user_id, session_id),
+         wm AS (SELECT MAX(us) // 1000 - 7200000 AS wm_ms FROM e),
+         bf AS (SELECT * FROM sess, wm WHERE end_ms + 1800000 < wm_ms)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_stream,
+           CAST(COUNT(*) AS BIGINT) AS n_batch_final,
+           CAST(0 AS BIGINT) AS n_only_stream,
+           CAST(0 AS BIGINT) AS n_only_batch
+         FROM bf""")
+}
