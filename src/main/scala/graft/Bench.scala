@@ -57,9 +57,10 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val best = scala.collection.mutable.Map[String, Double]()
     for (p <- 1 to passes) {
-      // Re-pay memoized builds each pass, so the min is a real
-      // end-to-end cost, not build-once-probe-thrice.
+      // Re-pay memoized AND persisted builds each pass, so the min is a
+      // real end-to-end cost, not build-once-probe-thrice.
       graft.util.SessionCache.clearAll()
+      graft.util.IndexStore.invalidateAll()
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()

@@ -131,7 +131,18 @@ object Similarity extends QueryGroup {
 
   private def ivfIndexCached(s: SparkSession, dir: String,
       all: DataFrame): (DataFrame, DataFrame) =
-    ivfCache.getOrCompute(s, dir)(ivfIndex(all))
+    // The assignments + centroids persist as one atomic artifact group
+    // (see [[graft.util.IndexStore]]): a fresh session LOADS the
+    // trained index instead of re-running the Lloyd rounds, which is
+    // what "the index is a build artifact" means in production.
+    ivfCache.getOrCompute(s, dir) {
+      val loaded = graft.util.IndexStore.loadOrBuildAll(
+        s, dir, Seq("ivf_assign", "ivf_centroids")) {
+        val (a, c) = ivfIndex(all)
+        Seq(a, c)
+      }
+      (loaded(0), loaded(1))
+    }
 
   /** Drop the memoized IVF index (long-lived-JVM hook; required only
     * if a cached dir's data is rewritten mid-session).
