@@ -223,6 +223,54 @@ object TextAnalysis extends QueryGroup {
         .orderBy(col("lang"))
     }),
 
+    // Sequence packing — the GPT-style "concatenate the corpus in a
+    // canonical order, then chunk into fixed-length training
+    // sequences" operator. Emits, per document, the sequence id and
+    // offset where its tokens land and how many sequences it spans;
+    // these are pure functions of the GLOBAL running token count
+    // before the doc (prefix sum in doc_id order).
+    //
+    // Scale design: the naive prefix sum — a global-order window with
+    // no partition key — plans as ONE task holding the whole corpus
+    // and is exactly what must not ship. This is instead the classic
+    // two-phase distributed scan: range-partition by doc_id, compute
+    // per-partition token totals (one tiny job: P rows to the driver),
+    // turn them into per-partition starting offsets, and add a
+    // partition-LOCAL cumulative window (partitioned by pid → runs on
+    // every core). The partials job reads the materialized counts, so
+    // both phases see the same partitioning; total cost is two passes
+    // over (doc_id, n_tokens) — 16 bytes/row — at any corpus size.
+    "corpus_pack_sequences" -> ((s, dir) => {
+      import s.implicits._
+      val SEQ = 512L
+      val parts = Tables.forKernels(s, dir, "documents")
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        // Materialize ONCE: the range partitioner samples boundaries,
+        // and the offsets below must describe the same partitioning
+        // the final window runs over.
+        .localCheckpoint(true)
+      val totals = parts.groupBy(col("pid")).agg(sum(col("n_tokens")).as("t"))
+        .collect().map(r => (r.getAs[Int]("pid"), r.getAs[Long]("t")))
+        .sortBy(_._1)
+      val offsets = totals.map(_._1)
+        .zip(totals.scanLeft(0L)(_ + _._2).dropRight(1))
+      val offDf = offsets.toSeq.toDF("pid", "part_off")
+      val local = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      parts.join(broadcast(offDf), "pid")
+        .withColumn("s", coalesce(sum(col("n_tokens")).over(local), lit(0L)) + col("part_off"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr(s"s DIV $SEQ").as("first_seq"),
+          expr(s"s % $SEQ").as("offset_in_first"),
+          when(col("n_tokens") === 0L, 0L)
+            .otherwise(expr(s"(s + n_tokens - 1) DIV $SEQ - s DIV $SEQ + 1"))
+            .as("n_seqs"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-(source, lang) corpus profile: doc count, char sum, mean quality.
     // Map-side partial aggregation; group key cardinality is tiny (~100)
     // so the shuffle is negligible at any scale.
@@ -318,6 +366,18 @@ object TextAnalysis extends QueryGroup {
     "corpus_sample_hash" ->
       s"""SELECT doc_id, lang, md5($normSql) AS fp FROM documents
           ORDER BY fp, doc_id LIMIT 20""",
+    "corpus_pack_sequences" ->
+      s"""WITH c AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+          p AS (SELECT doc_id, n_tokens,
+                  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+                FROM c)
+          SELECT doc_id, n_tokens,
+            CAST(s // 512 AS BIGINT) AS first_seq,
+            CAST(s % 512 AS BIGINT) AS offset_in_first,
+            CAST(CASE WHEN n_tokens = 0 THEN 0
+              ELSE (s + n_tokens - 1) // 512 - s // 512 + 1 END AS BIGINT) AS n_seqs
+          FROM p ORDER BY doc_id""",
     "text_vocabulary" ->
       s"""SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS tf,
           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
