@@ -91,31 +91,74 @@ object BpeTraining extends QueryGroup {
       .select("w", "freq", "pos", "sym")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_bpe_merges" -> ((s, dir) => {
-      import s.implicits._
-      // Eager checkpoint per round: bounds the lineage across the merge
-      // loop (same pattern as the IVF Lloyd loop) and makes each round
-      // read the previous round's materialized table, not replay it.
-      var syms = initialSymbols(s, dir).localCheckpoint(true)
-      val merges = Seq.newBuilder[(Long, String, String, Long)]
-      for (round <- 1 to BPE_MERGES) {
-        val best = syms
-          .withColumn("nxt", lead(col("sym"), 1).over(byPos))
-          .filter(col("nxt").isNotNull)
-          .groupBy(col("sym").as("l"), col("nxt").as("r"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1).collect()
-        if (best.nonEmpty) {
-          val (l, r, cnt) =
-            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-          merges += ((round.toLong, l, r, cnt))
-          syms = applyMerge(syms, l, r).localCheckpoint(true)
-        }
+  /** Run the K-round training loop: the merge table plus the final
+    * segmented vocabulary (word → subtoken count, end-of-word marker
+    * excluded — a standalone marker is not a token).
+    */
+  private def train(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    // Eager checkpoint per round: bounds the lineage across the merge
+    // loop (same pattern as the IVF Lloyd loop) and makes each round
+    // read the previous round's materialized table, not replay it.
+    var syms = initialSymbols(s, dir).localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (round <- 1 to BPE_MERGES) {
+      val best = syms
+        .withColumn("nxt", lead(col("sym"), 1).over(byPos))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("l"), col("nxt").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((round.toLong, l, r, cnt))
+        syms = applyMerge(syms, l, r).localCheckpoint(true)
       }
-      merges.result().toDF("merge_rank", "lhs", "rhs", "pair_count")
-        .orderBy(col("merge_rank"))
+    }
+    val mergesDf = merges.result().toDF("merge_rank", "lhs", "rhs", "pair_count")
+    val segDf = syms.filter(col("sym") =!= lit(EOW))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_sub"))
+    (mergesDf, segDf)
+  }
+
+  /** The trained tokenizer is a build artifact: merge table + segmented
+    * vocabulary persist as one atomic [[graft.util.IndexStore]] group
+    * (train once, load after), with the session memo on top.
+    */
+  private val trainedCache = new graft.util.SessionCache[(DataFrame, DataFrame)]
+
+  private def trained(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    trainedCache.getOrCompute(s, dir) {
+      val loaded = graft.util.IndexStore.loadOrBuildAll(
+        s, dir, Seq("bpe_merges", "bpe_vocab_segments")) {
+        val (m, g) = train(s, dir)
+        Seq(m, g)
+      }
+      (loaded(0), loaded(1))
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_merges" -> ((s, dir) =>
+      trained(s, dir)._1.orderBy(col("merge_rank"))),
+
+    // Tokenizer APPLICATION — the deploy half of BPE. Segmentation is a
+    // pure function of the word, so the expensive merge application
+    // already happened once on the vocabulary-bounded symbol table at
+    // training time; applying to the corpus is one explode + one
+    // broadcast-able join on the word + one per-doc aggregation, linear
+    // at any corpus size. Words outside the trained [a-z]+ vocabulary
+    // pass through as single tokens (the untrained-symbol fallback).
+    "text_bpe_tokenize" -> ((s, dir) => {
+      val seg = trained(s, dir)._2
+      Tables.forKernels(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .join(broadcast(seg), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("n_sub"), lit(1L))).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
     }))
 
   // ---- oracle ----------------------------------------------------------
@@ -153,22 +196,36 @@ object BpeTraining extends QueryGroup {
           WHERE NOT pm)"""
   }
 
+  /** Shared training CTE chain (w0 → s0 → K unrolled rounds). */
+  private def trainSql: String = {
+    val rounds = (0 until BPE_MERGES).map(roundSql).mkString(",\n        ")
+    s"""w0 AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT unnest($toksSql) AS w FROM documents)
+          WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY 1),
+        s0 AS (
+          SELECT w, freq, CAST(i AS INT) AS pos,
+            CASE WHEN i <= strlen(w) THEN substr(w, CAST(i AS INT), 1) ELSE '$EOW' END AS sym
+          FROM (SELECT w, freq, unnest(range(1, strlen(w) + 2)) AS i FROM w0)),
+        $rounds"""
+  }
+
   val oracles: Map[String, String] = Map(
     "text_bpe_merges" -> {
-      val rounds = (0 until BPE_MERGES).map(roundSql).mkString(",\n        ")
       val out = (1 to BPE_MERGES)
         .map(i => s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count FROM b$i")
         .mkString("\n          UNION ALL ")
-      s"""WITH w0 AS (
-            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-              SELECT unnest($toksSql) AS w FROM documents)
-            WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY 1),
-          s0 AS (
-            SELECT w, freq, CAST(i AS INT) AS pos,
-              CASE WHEN i <= strlen(w) THEN substr(w, CAST(i AS INT), 1) ELSE '$EOW' END AS sym
-            FROM (SELECT w, freq, unnest(range(1, strlen(w) + 2)) AS i FROM w0)),
-          $rounds
+      s"""WITH $trainSql
           $out
           ORDER BY merge_rank"""
-    })
+    },
+    "text_bpe_tokenize" ->
+      s"""WITH $trainSql,
+          seg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sub
+                  FROM s$BPE_MERGES WHERE sym <> '$EOW' GROUP BY 1),
+          tok AS (SELECT doc_id, unnest($toksSql) AS w FROM documents)
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+            CAST(SUM(COALESCE(n_sub, 1)) AS BIGINT) AS n_bpe_tokens
+          FROM tok LEFT JOIN seg USING (w)
+          GROUP BY doc_id ORDER BY doc_id""")
 }
