@@ -11,6 +11,7 @@ object SparkEntry {
   private def groups: Seq[QueryGroup] = Seq(
     graft.queries.Relational,
     graft.queries.TextAnalysis,
+    graft.queries.Curation,
     graft.queries.BpeTraining,
     graft.queries.DedupQueries,
     graft.queries.Similarity,

@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{QueryGroup, Tables}
+import graft.functions.Exprs
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators a production training-data pipeline runs
+  * between raw ingest and tokenization: PII scrubbing, corpus-common
+  * boilerplate measurement, n-gram-LM fluency scoring against the train
+  * split, per-domain document caps, and deterministic shard export.
+  *
+  * Everything is engine-exact: regexes restrict to the Java/RE2 common
+  * subset (explicit classes, no lookaround, no escapes that differ),
+  * ratios are integer DIV micro-units, and samples/caps key on the
+  * content md5 — so the DuckDB oracle replays every operator
+  * bit-for-bit (SURVEY.md §8.5 techniques).
+  */
+object Curation extends QueryGroup {
+
+  /** Java/RE2-common PII patterns: character classes only — `\d`/`\b`
+    * semantics differ in corner cases across engines, explicit classes
+    * never do.
+    */
+  private val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Boilerplate = distinct trigrams shared by ≥ BOILER_DF docs. At
+    * sf0.01 this splits the gram table ~151 common / ~16k rare — a real
+    * corpus would set the threshold as a rate of corpus size; constant
+    * here so every SF is deterministic and oracle-able.
+    */
+  private val BOILER_N = 3
+  private val BOILER_DF = 5
+  private val FLAG_PPM = 100000L
+
+  private val CAP_K = 15
+  private val SHARDS = 8
+  private val LM_TOPK = 20
+
+  /** The deterministic PII-injection fixture: the synthetic documents
+    * are PII-free word soup, so both engines append the same synthetic
+    * email/phone to a doc_id-keyed subset — the injection is the test
+    * fixture (like MediaOps.fakeMediaTable), the scrub operator is the
+    * real artifact.
+    */
+  private def rawWithPii: Column = concat(
+    col("text"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 5 === 0,
+      concat(lit(" call "), (col("doc_id") % 900 + 100).cast("long"), lit("-"),
+        (col("doc_id") % 700 + 200).cast("long"), lit("-"),
+        (col("doc_id") % 9000 + 1000).cast("long")))
+      .otherwise(lit("")))
+
+  private val rawSql: String =
+    """text || CASE WHEN doc_id % 3 = 0
+      |  THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+      ||| CASE WHEN doc_id % 5 = 0
+      |  THEN ' call ' || (doc_id % 900 + 100) || '-' || (doc_id % 700 + 200)
+      |       || '-' || (doc_id % 9000 + 1000) ELSE '' END""".stripMargin
+
+  /** Word bigrams WITH multiplicity (unlike the distinct
+    * [[Exprs.shingles]]) — an LM scores every occurrence. The HOF runs
+    * over a pre-materialized token column so the lambda captures only an
+    * attribute, not the tokenizer expression tree (the re-evaluation
+    * trap documented in TextKernels).
+    */
+  private def bigramsAll(w: Column): Column =
+    when(size(w) >= 2,
+      transform(sequence(lit(0), size(w) - 2), i => concat_ws(" ", slice(w, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PII scrubbing: count and strip emails/phones per source. The
+    // production form is regexp_replace(raw, re, '<EMAIL>') per doc;
+    // the driver-checked aggregate reports match counts and total
+    // redacted characters (length delta of strip-to-empty), which pins
+    // both the match SET and the match SPANS. Stateless per-row regex →
+    // embarrassingly parallel at any scale; one tiny per-source shuffle.
+    "text_pii_scrub" -> ((s, dir) => {
+      val d = Tables.forKernels(s, dir, "documents")
+        .select(col("source"), rawWithPii.as("raw"))
+        .withColumn("stripped",
+          regexp_replace(regexp_replace(col("raw"), lit(EMAIL_RE), lit("")),
+            lit(PHONE_RE), lit("")))
+      d.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(regexp_count(col("raw"), lit(EMAIL_RE))).cast("long").as("n_emails"),
+          sum(regexp_count(col("raw"), lit(PHONE_RE))).cast("long").as("n_phones"),
+          sum(length(col("raw")) - length(col("stripped"))).cast("long").as("n_pii_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // Corpus-common boilerplate fraction per doc, profiled per source —
+    // the C4-style "line appears in many pages" filter recast on
+    // trigrams (the synthetic docs have no line structure). Two linear
+    // shuffles: gram df (word-count shape) and the per-doc/per-source
+    // rollup; the gram table materializes once and feeds both the df
+    // count and the join back.
+    "text_boilerplate" -> ((s, dir) => {
+      val grams = Tables.forKernels(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode_outer(Exprs.shingles(col("text"), BOILER_N)).as("g"))
+        .localCheckpoint(true)
+      val common = grams.filter(col("g").isNotNull)
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= BOILER_DF)
+        .select(col("g"), lit(1L).as("is_common"))
+      grams.join(common, Seq("g"), "left")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(col("g")).as("n_grams"),
+          sum(coalesce(col("is_common"), lit(0L))).as("n_common"))
+        .withColumn("ppm", when(col("n_grams") === 0, lit(0L))
+          .otherwise(expr("n_common * 1000000 DIV n_grams")))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_grams")).as("n_grams"),
+          sum(col("n_common")).as("n_boiler_grams"),
+          expr("sum(ppm) DIV count(1)").as("avg_boiler_ppm"),
+          sum(when(col("ppm") >= FLAG_PPM, 1L).otherwise(0L)).as("n_flagged"))
+        .orderBy(col("source"))
+    }),
+
+    // Bigram-LM fluency scoring — the KenLM-style quality filter shape:
+    // train bigram counts on the train split, score eval docs by mean
+    // train-frequency of their bigrams. Integer counts end-to-end (a
+    // log-prob LM would hinge on each engine's libm; mean-count ranks
+    // documents the same way for this purpose). The gram table
+    // materializes once and feeds both sides; the join shuffles on the
+    // gram. At 100 TB the train-count table is the big side — it stays
+    // a shuffle join — and scores would normalize by corpus size.
+    "text_lm_score" -> ((s, dir) => {
+      val g = Tables.forKernels(s, dir, "documents")
+        .select(col("doc_id"), trainEvalSplit(col("text")).as("split"),
+          tokens(col("text")).as("w"))
+        .select(col("doc_id"), col("split"), explode(bigramsAll(col("w"))).as("g"))
+        .localCheckpoint(true)
+      val trainCnt = g.filter(col("split") === "train")
+        .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      g.filter(col("split") === "eval")
+        .join(trainCnt, Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(coalesce(col("cnt"), lit(0L))).as("lm_hits"))
+        .withColumn("score_ppm", expr("lm_hits * 1000000 DIV n_bigrams"))
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+        .limit(LM_TOPK)
+    }),
+
+    // Per-domain document caps — the "no single domain dominates the
+    // corpus" rule (URL-host caps in a web corpus; `source` here).
+    // Priority is the content md5 (deterministic across runs, engines,
+    // and partitionings; duplicates cap together), kept = first CAP_K.
+    // One shuffle on source; a skewed mega-domain would take the
+    // salted two-phase form of skew_salted_counts — the window only
+    // needs per-key local top-K merged, not a total sort.
+    "corpus_domain_caps" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("fp"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          contentFingerprint(col("text")).as("fp"))
+        .withColumn("kept", (row_number().over(w) <= CAP_K).cast("long"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("kept")).as("n_kept"),
+          (count(lit(1)) - sum(col("kept"))).as("n_dropped"),
+          sum(when(col("kept") === 1L, col("n_chars")).otherwise(0L)).as("sum_chars_kept"))
+        .orderBy(col("source"))
+    }),
+
+    // Deterministic shard export — the "global shuffle" of a training
+    // run: shard = content-hash byte mod SHARDS, so assignment is
+    // stateless, uniform, stable across engines, and independent of
+    // input partitioning (a write would partitionBy(shard) and sort
+    // each shard by fp — the order both engines agree on). min_fp pins
+    // the per-shard sort key the export would use.
+    "corpus_shard_export" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("source"), col("n_chars"),
+          contentFingerprint(col("text")).as("fp"))
+        .withColumn("shard", (conv(substring(col("fp"), 1, 2), 16, 10).cast("long") % SHARDS))
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("fp")).as("min_fp"))
+        .orderBy(col("shard"))
+    }))
+
+  private val normSql = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
+  private val toksSql = s"string_split($normSql, ' ')"
+  private val trigramSql =
+    "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])"
+
+  val oracles: Map[String, String] = Map(
+    "text_pii_scrub" ->
+      s"""WITH r AS (SELECT source, $rawSql AS raw FROM documents),
+          s AS (SELECT source, raw,
+                  regexp_replace(regexp_replace(raw, '$EMAIL_RE', '', 'g'),
+                    '$PHONE_RE', '', 'g') AS stripped FROM r)
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(len(regexp_extract_all(raw, '$EMAIL_RE'))) AS BIGINT) AS n_emails,
+            CAST(SUM(len(regexp_extract_all(raw, '$PHONE_RE'))) AS BIGINT) AS n_phones,
+            CAST(SUM(strlen(raw) - strlen(stripped)) AS BIGINT) AS n_pii_chars
+          FROM s GROUP BY source ORDER BY source""",
+    "text_boilerplate" ->
+      s"""WITH w AS (SELECT doc_id, source, $toksSql AS w FROM documents),
+          g AS (SELECT doc_id, source, unnest($trigramSql) AS g FROM w),
+          df AS (SELECT g, COUNT(*) AS df FROM g GROUP BY 1),
+          pc AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+                   SUM(CASE WHEN df.df >= $BOILER_DF THEN 1 ELSE 0 END) AS n_common
+                 FROM g JOIN df USING (g) GROUP BY 1),
+          pd AS (SELECT d.doc_id, d.source,
+                   COALESCE(pc.n_grams, 0) AS n_grams,
+                   COALESCE(pc.n_common, 0) AS n_common
+                 FROM documents d LEFT JOIN pc ON d.doc_id = pc.doc_id),
+          pp AS (SELECT source, n_grams, n_common,
+                   CASE WHEN n_grams = 0 THEN 0
+                     ELSE n_common * 1000000 // n_grams END AS ppm FROM pd)
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+            CAST(SUM(n_common) AS BIGINT) AS n_boiler_grams,
+            CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS avg_boiler_ppm,
+            CAST(SUM(CASE WHEN ppm >= $FLAG_PPM THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+          FROM pp GROUP BY source ORDER BY source""",
+    "text_lm_score" ->
+      s"""WITH w AS (SELECT doc_id,
+                  ${trainEvalSplitSql(s"md5($normSql)")} AS split,
+                  $toksSql AS w FROM documents),
+          g AS (SELECT doc_id, split,
+                  unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g FROM w),
+          tc AS (SELECT g, COUNT(*) AS cnt FROM g WHERE split = 'train' GROUP BY 1),
+          ev AS (SELECT g.doc_id, COUNT(*) AS n_bigrams,
+                   COALESCE(SUM(tc.cnt), 0) AS lm_hits
+                 FROM g LEFT JOIN tc USING (g) WHERE g.split = 'eval' GROUP BY 1)
+          SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+            CAST(lm_hits AS BIGINT) AS lm_hits,
+            CAST(lm_hits * 1000000 // n_bigrams AS BIGINT) AS score_ppm
+          FROM ev ORDER BY score_ppm DESC, doc_id LIMIT $LM_TOPK""",
+    "corpus_domain_caps" ->
+      s"""WITH f AS (SELECT source, doc_id, n_chars, md5($normSql) AS fp FROM documents),
+          r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY fp, doc_id) AS rn
+                FROM f)
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN rn <= $CAP_K THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            CAST(COUNT(*) - SUM(CASE WHEN rn <= $CAP_K THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+            CAST(SUM(CASE WHEN rn <= $CAP_K THEN n_chars ELSE 0 END) AS BIGINT) AS sum_chars_kept
+          FROM r GROUP BY source ORDER BY source""",
+    "corpus_shard_export" ->
+      s"""WITH f AS (SELECT source, n_chars, md5($normSql) AS fp FROM documents)
+          SELECT CAST(CAST('0x' || substr(fp, 1, 2) AS INT) % $SHARDS AS BIGINT) AS shard,
+            COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+            CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+            MIN(fp) AS min_fp
+          FROM f GROUP BY 1 ORDER BY shard""")
+}

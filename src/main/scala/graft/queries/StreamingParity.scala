@@ -43,6 +43,25 @@ object StreamingParity extends QueryGroup {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  private val documentsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Run `f` with a scratch dir for the stream's sink + checkpoint,
+    * deleting it afterwards. The result must be detached from the dir
+    * (localCheckpoint) before returning.
+    */
+  private def withTempDir[T](prefix: String)(f: java.nio.file.Path => T): T = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    try f(tmp)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_sessionize_parity" -> ((s, dir) => {
       import s.implicits._
@@ -51,43 +70,37 @@ object StreamingParity extends QueryGroup {
       val batch = Tables(s, dir, "events").withColumn("us", expr("ts DIV 1000"))
 
       // --- streaming side: file source → completedSessions → parquet sink
-      val tmp = java.nio.file.Files.createTempDirectory("graft-parity-")
-      val streamed =
-        try {
-          // events.parquet is a single FILE; the file stream source
-          // derives basePath from the path and requires a directory, so
-          // address the file through a glob — globbed paths resolve
-          // their basePath to the parent directory.
-          val stream = s.readStream.schema(eventsSchema)
-            .parquet(s"$dir/{events.parquet}")
-            .select(col("user_id"),
-              timestamp_micros(expr("ts DIV 1000")).as("ts"),
-              col("event_type"), col("value"))
-            .as[EventStreams.UserEvent]
-          EventStreams.completedSessions(stream)
-            .writeStream.format("parquet")
-            .option("path", s"$tmp/out")
-            .option("checkpointLocation", s"$tmp/ckpt")
-            .outputMode("append")
-            .trigger(Trigger.AvailableNow())
-            .start()
-            .awaitTermination()
-          s.read.schema(StructType(Seq(
-              StructField("user_id", LongType),
-              StructField("session_start", TimestampType),
-              StructField("session_end", TimestampType),
-              StructField("n_events", LongType))))
-            .parquet(s"$tmp/out")
-            .select(col("user_id"),
-              unix_millis(col("session_start")).as("start_ms"),
-              unix_millis(col("session_end")).as("end_ms"),
-              col("n_events"))
-            .localCheckpoint(true) // detach from the temp dir before cleanup
-        } finally {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        }
+      val streamed = withTempDir("graft-parity-") { tmp =>
+        // events.parquet is a single FILE; the file stream source
+        // derives basePath from the path and requires a directory, so
+        // address the file through a glob — globbed paths resolve
+        // their basePath to the parent directory.
+        val stream = s.readStream.schema(eventsSchema)
+          .parquet(s"$dir/{events.parquet}")
+          .select(col("user_id"),
+            timestamp_micros(expr("ts DIV 1000")).as("ts"),
+            col("event_type"), col("value"))
+          .as[EventStreams.UserEvent]
+        EventStreams.completedSessions(stream)
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.schema(StructType(Seq(
+            StructField("user_id", LongType),
+            StructField("session_start", TimestampType),
+            StructField("session_end", TimestampType),
+            StructField("n_events", LongType))))
+          .parquet(s"$tmp/out")
+          .select(col("user_id"),
+            unix_millis(col("session_start")).as("start_ms"),
+            unix_millis(col("session_end")).as("end_ms"),
+            col("n_events"))
+          .localCheckpoint(true) // detach from the temp dir before cleanup
+      }
 
       // --- batch twin (events_sessionize grouping) + modeled watermark
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
@@ -115,6 +128,46 @@ object StreamingParity extends QueryGroup {
       val onlyBatch = batchFinal.join(streamed, keys, "left_anti").count()
       Seq((nStream, nBatch, onlyStream, onlyBatch))
         .toDF("n_stream", "n_batch_final", "n_only_stream", "n_only_batch")
+    }),
+
+    // Incremental exact-dedup parity: the STREAMING form of dedup_exact —
+    // content fingerprints through stateful dropDuplicates over the
+    // documents table as a file stream (Trigger.AvailableNow). The
+    // emitted set must equal the batch distinct-fingerprint set exactly
+    // once each: a double emission inflates n_stream, a miss shows in
+    // the anti-joins, so the oracle's (n, n, 0, 0) hash-gates
+    // exactly-once-per-key delivery. State is one fingerprint per
+    // distinct doc — the production form bounds it with a watermark on
+    // an ingest-time column (dropDuplicatesWithinWatermark), same op
+    // shape.
+    "streaming_dedup_parity" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.contentFingerprint
+      val batchFps = Tables(s, dir, "documents")
+        .select(contentFingerprint(col("text")).as("fp")).distinct()
+        .localCheckpoint(true)
+      val streamedFps = withTempDir("graft-dedup-parity-") { tmp =>
+        s.readStream.schema(documentsSchema)
+          .parquet(s"$dir/{documents.parquet}")
+          .select(contentFingerprint(col("text")).as("fp"))
+          .dropDuplicates("fp")
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.schema(StructType(Seq(StructField("fp", StringType))))
+          .parquet(s"$tmp/out")
+          .localCheckpoint(true)
+      }
+      val nStream = streamedFps.count()
+      val nBatch = batchFps.count()
+      val onlyStream = streamedFps.join(batchFps, Seq("fp"), "left_anti").count()
+      val onlyBatch = batchFps.join(streamedFps, Seq("fp"), "left_anti").count()
+      Seq((nStream, nBatch, onlyStream, onlyBatch))
+        .toDF("n_stream", "n_batch", "n_only_stream", "n_only_batch")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -139,5 +192,13 @@ object StreamingParity extends QueryGroup {
            CAST(COUNT(*) AS BIGINT) AS n_batch_final,
            CAST(0 AS BIGINT) AS n_only_stream,
            CAST(0 AS BIGINT) AS n_only_batch
-         FROM bf""")
+         FROM bf""",
+    // Parity forces the streamed emission count to equal the batch
+    // distinct-fingerprint count and both residues to zero.
+    "streaming_dedup_parity" ->
+      """SELECT CAST(COUNT(DISTINCT md5(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_stream,
+           CAST(COUNT(DISTINCT md5(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_batch,
+           CAST(0 AS BIGINT) AS n_only_stream,
+           CAST(0 AS BIGINT) AS n_only_batch
+         FROM documents""")
 }

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec, Tables}
+
+/** Semantic contracts for the curation operators that the hash oracle
+  * cannot express (idempotence of the scrub, cap bounds, shard
+  * completeness, LM-score split containment).
+  */
+class CurationSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("pii scrub finds exactly the injected PII and redaction is complete") {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val rows = SparkEntry.queries("text_pii_scrub")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalEmails = rows.map(_.getAs[Long]("n_emails")).sum
+    val totalPhones = rows.map(_.getAs[Long]("n_phones")).sum
+    // Injection fixture: every doc_id % 3 == 0 carries one email,
+    // every doc_id % 5 == 0 one phone; base text is PII-free.
+    val n = Tables(spark, sf, "documents").count()
+    val expectEmails = Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 3 === 0).count()
+    val expectPhones = Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(totalEmails === expectEmails, s"emails found $totalEmails of $expectEmails")
+    assert(totalPhones === expectPhones, s"phones found $totalPhones of $expectPhones")
+    // Redaction completeness: after one replace pass nothing matches —
+    // checked on the raw production form, not the aggregate.
+    val residue = Tables(spark, sf, "documents")
+      .select(regexp_replace(regexp_replace(col("text"), lit(emailRe), lit("<EMAIL>")),
+        lit(phoneRe), lit("<PHONE>")).as("clean"))
+      .filter(regexp_count(col("clean"), lit(emailRe)) > 0
+        || regexp_count(col("clean"), lit(phoneRe)) > 0)
+      .count()
+    assert(residue === 0L, s"$residue docs still match PII patterns after scrub")
+  }
+
+  test("boilerplate ppm is a valid ratio and flagged docs are bounded by doc count") {
+    val rows = SparkEntry.queries("text_boilerplate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ppm = r.getAs[Long]("avg_boiler_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L, s"ppm out of range: $ppm")
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_boiler_grams") <= r.getAs[Long]("n_grams"))
+    }
+  }
+
+  test("lm scores rank eval docs only, with hits bounded by bigram mass") {
+    val evalIds = Tables(spark, sf, "documents")
+      .withColumn("split", graft.functions.TextFunctions.trainEvalSplit(col("text")))
+      .filter(col("split") === "eval")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = SparkEntry.queries("text_lm_score")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(evalIds.contains(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")} scored but is not in the eval split")
+      assert(r.getAs[Long]("n_bigrams") > 0L)
+      // score_ppm = 1e6 * lm_hits / n_bigrams exactly (integer DIV)
+      assert(r.getAs[Long]("score_ppm") ===
+        r.getAs[Long]("lm_hits") * 1000000L / r.getAs[Long]("n_bigrams"))
+    }
+    // Descending by score (the top-k contract).
+    val scores = rows.map(_.getAs[Long]("score_ppm")).toSeq
+    assert(scores === scores.sorted.reverse, "top-k not sorted by score desc")
+  }
+
+  test("domain caps keep at most K per source and counts reconcile") {
+    val rows = SparkEntry.queries("corpus_domain_caps")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, kept, dropped) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"))
+      assert(kept <= 15L, s"source ${r.getString(0)} kept $kept > 15")
+      assert(kept + dropped === n)
+      assert(kept === math.min(n, 15L), "cap must keep min(n, K) docs")
+    }
+  }
+
+  test("shard export covers every doc exactly once across shards") {
+    val rows = SparkEntry.queries("corpus_shard_export")(spark, sf).collect()
+    val total = Tables(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    val shards = rows.map(_.getAs[Long]("shard")).toSeq
+    assert(shards.distinct.size === shards.size)
+    assert(shards.forall(s => s >= 0 && s < 8))
+  }
+
+  test("streaming dedup parity holds at sf0.001 (exactly-once per fingerprint)") {
+    val r = SparkEntry.queries("streaming_dedup_parity")(spark, sf).head()
+    assert(r.getAs[Long]("n_stream") === r.getAs[Long]("n_batch"))
+    assert(r.getAs[Long]("n_only_stream") === 0L)
+    assert(r.getAs[Long]("n_only_batch") === 0L)
+  }
+}
