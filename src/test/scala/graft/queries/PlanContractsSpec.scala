@@ -59,4 +59,24 @@ class PlanContractsSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "query set must broadcast against the partitioned collection")
   }
+
+  test("pii scrub is projection + one tiny per-source aggregate — no joins, no windows") {
+    val p = plan("text_pii_scrub")
+    assert(!p.contains("Join"), "stateless per-row regex op must not join")
+    assert(!p.contains("Window"), "stateless per-row regex op must not window")
+    assert(count(p, "Exchange hashpartitioning\\(source") === 1,
+      "exactly the per-source aggregation exchange")
+  }
+
+  test("shard export reads only the columns it profiles") {
+    val p = plan("corpus_shard_export")
+    assert(!p.contains("doc_id"), "shard profile must prune doc_id from the scan")
+    assert(!p.contains("lang,"), "shard profile must prune lang from the scan")
+  }
+
+  test("domain caps share one source exchange between the window and the rollup") {
+    val p = plan("corpus_domain_caps")
+    assert(count(p, "Exchange hashpartitioning\\(source") === 1,
+      "row_number window and per-source aggregate must share the shuffle")
+  }
 }
