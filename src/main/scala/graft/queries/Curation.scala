@@ -41,6 +41,18 @@ object Curation extends QueryGroup {
   private val SHARDS = 8
   private val LM_TOPK = 20
 
+  /** Disjoint CHUNK_TOKS-token chunk fingerprints (sub-document dedup
+    * granularity — the line/paragraph-dedup analog for documents with
+    * no line structure). Trailing sub-chunk tokens are ignored; docs
+    * shorter than one chunk contribute nothing.
+    */
+  private val CHUNK_TOKS = 16
+  private def chunkFps(w: Column): Column =
+    when(size(w) >= CHUNK_TOKS,
+      transform(sequence(lit(0), floor(size(w) / CHUNK_TOKS).cast("int") - 1),
+        i => md5(concat_ws(" ", slice(w, i * CHUNK_TOKS + 1, lit(CHUNK_TOKS))))))
+      .otherwise(array().cast("array<string>"))
+
   /** The deterministic PII-injection fixture: the synthetic documents
     * are PII-free word soup, so both engines append the same synthetic
     * email/phone to a doc_id-keyed subset — the injection is the test
@@ -177,6 +189,59 @@ object Curation extends QueryGroup {
         .orderBy(col("source"))
     }),
 
+    // Sub-document dedup: fingerprint disjoint 16-token chunks and
+    // measure, per doc, the fraction of chunk instances whose
+    // fingerprint appears in ≥2 DISTINCT docs — the line/paragraph
+    // dedup pass (RefinedWeb-style) at chunk granularity, catching
+    // copy-paste containment that document-level fingerprints miss.
+    // Word-count shuffle on the chunk fingerprint, join back, top-k;
+    // the chunk table materializes once for both the df count and the
+    // join. Production would drop the flagged chunks and re-emit the
+    // cleaned text (same joins, plus a re-assembly projection).
+    "dedup_paragraphs" -> ((s, dir) => {
+      val chunks = Tables.forKernels(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .select(col("doc_id"), explode(chunkFps(col("w"))).as("ck"))
+        .localCheckpoint(true)
+      val shared = chunks.groupBy(col("ck"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+        .filter(col("n_docs_with") >= 2)
+        .select(col("ck"), lit(1L).as("is_shared"))
+      chunks.join(shared, Seq("ck"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(coalesce(col("is_shared"), lit(0L))).as("n_shared"))
+        .withColumn("shared_ppm", expr("n_shared * 1000000 DIV n_chunks"))
+        .orderBy(col("shared_ppm").desc, col("doc_id"))
+        .limit(LM_TOPK)
+    }),
+
+    // Rank-based quality banding — quantile curation without engine-
+    // dependent percentile interpolation: rank docs per source by the
+    // composite quality score, band = tercile of the rank (exact
+    // integer arithmetic, stable across engines and partitionings).
+    // The production filter keeps band 0 (or 0-1); the profile here
+    // pins the banding math. One source exchange shared by the two
+    // windows and the rollup (hashpartitioning(source) satisfies the
+    // (source, band) clustering).
+    "text_quality_bands" -> ((s, dir) => {
+      val norm = normText(col("text"))
+      val toks = tokens(col("text"))
+      val w = Window.partitionBy(col("source"))
+      val byQ = w.orderBy(col("qp").desc, col("doc_id"))
+      Tables.forKernels(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          floor(qualityScore(norm, toks) * lit(1000000.0)).cast("long").as("qp"))
+        .withColumn("rn", row_number().over(byQ).cast("long"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("band", expr("(rn - 1) * 3 DIV n"))
+        .groupBy(col("source"), col("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          expr("sum(qp) DIV count(1)").as("avg_quality_ppm"))
+        .orderBy(col("source"), col("band"))
+    }),
+
     // Deterministic shard export — the "global shuffle" of a training
     // run: shard = content-hash byte mod SHARDS, so assignment is
     // stateless, uniform, stable across engines, and independent of
@@ -201,6 +266,21 @@ object Curation extends QueryGroup {
   private val toksSql = s"string_split($normSql, ' ')"
   private val trigramSql =
     "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])"
+  // Disjoint CHUNK_TOKS-token chunk fingerprints (mirror of chunkFps).
+  private val chunkSql =
+    s"""[md5(list_aggregate(w[(i*$CHUNK_TOKS+1):(i*$CHUNK_TOKS+$CHUNK_TOKS)], 'string_agg', ' '))
+        for i in range(0, len(w) // $CHUNK_TOKS)]"""
+  private def inList(items: Seq[String]): String =
+    items.map(s => s"'$s'").mkString("(", ", ", ")")
+  // Mirror of TextFunctions.qualityScore in ppm (same IEEE op order as
+  // the text_quality oracle, which is hash-exact).
+  private val qualityPpmSql =
+    s"""CAST(floor((0.4 * least(CAST(len(w) AS DOUBLE) / 64.0, 1.0)
+          + 0.4 * least((CASE WHEN len(w) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(w, t -> t IN ${inList(stopwords)})) AS DOUBLE) / len(w) END) * 4.0, 1.0)
+          + 0.2 * (1.0 - least((CASE WHEN length(norm) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(norm, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(norm) END) * 4.0, 1.0)))
+        * 1000000.0) AS BIGINT)"""
 
   val oracles: Map[String, String] = Map(
     "text_pii_scrub" ->
@@ -247,6 +327,29 @@ object Curation extends QueryGroup {
             CAST(lm_hits AS BIGINT) AS lm_hits,
             CAST(lm_hits * 1000000 // n_bigrams AS BIGINT) AS score_ppm
           FROM ev ORDER BY score_ppm DESC, doc_id LIMIT $LM_TOPK""",
+    "dedup_paragraphs" ->
+      s"""WITH w AS (SELECT doc_id, $toksSql AS w FROM documents),
+          c AS (SELECT doc_id, unnest($chunkSql) AS ck FROM w),
+          df AS (SELECT ck, COUNT(DISTINCT doc_id) AS nd FROM c GROUP BY 1),
+          pd AS (SELECT c.doc_id, COUNT(*) AS n_chunks,
+                   SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS n_shared
+                 FROM c JOIN df USING (ck) GROUP BY 1)
+          SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+            CAST(n_shared AS BIGINT) AS n_shared,
+            CAST(n_shared * 1000000 // n_chunks AS BIGINT) AS shared_ppm
+          FROM pd ORDER BY shared_ppm DESC, doc_id LIMIT $LM_TOPK""",
+    "text_quality_bands" ->
+      s"""WITH q AS (SELECT source, doc_id, n_chars, $qualityPpmSql AS qp
+                 FROM (SELECT source, doc_id, n_chars, $normSql AS norm, $toksSql AS w
+                       FROM documents)),
+          r AS (SELECT *,
+                  row_number() OVER (PARTITION BY source ORDER BY qp DESC, doc_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY source) AS n FROM q)
+          SELECT source, CAST((rn - 1) * 3 // n AS BIGINT) AS band,
+            COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+            CAST(SUM(qp) // COUNT(*) AS BIGINT) AS avg_quality_ppm
+          FROM r GROUP BY source, band ORDER BY source, band""",
     "corpus_domain_caps" ->
       s"""WITH f AS (SELECT source, doc_id, n_chars, md5($normSql) AS fp FROM documents),
           r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY fp, doc_id) AS rn

@@ -91,6 +91,32 @@ class CurationSpec extends SparkSpec {
     assert(shards.forall(s => s >= 0 && s < 8))
   }
 
+  test("paragraph dedup ratios are valid and bounded by chunk counts") {
+    val rows = SparkEntry.queries("dedup_paragraphs")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_chunks") >= 1L)
+      assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_chunks"))
+      val ppm = r.getAs[Long]("shared_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+    }
+  }
+
+  test("quality bands form valid terciles with non-increasing mean quality") {
+    val rows = SparkEntry.queries("text_quality_bands")(spark, sf).collect()
+    val total = Tables(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    rows.groupBy(_.getString(0)).foreach { case (src, bs) =>
+      val bands = bs.map(_.getAs[Long]("band")).sorted.toSeq
+      assert(bands.forall(b => b >= 0 && b <= 2), s"$src has band outside 0-2")
+      assert(bands.distinct === bands, s"$src has duplicate bands")
+      // Banding is by quality rank desc: band 0 is the best tercile.
+      val avgs = bs.sortBy(_.getAs[Long]("band")).map(_.getAs[Long]("avg_quality_ppm")).toSeq
+      assert(avgs === avgs.sorted.reverse,
+        s"$src mean quality must not increase with band: $avgs")
+    }
+  }
+
   test("streaming dedup parity holds at sf0.001 (exactly-once per fingerprint)") {
     val r = SparkEntry.queries("streaming_dedup_parity")(spark, sf).head()
     assert(r.getAs[Long]("n_stream") === r.getAs[Long]("n_batch"))
