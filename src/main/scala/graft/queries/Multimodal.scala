@@ -42,6 +42,20 @@ object Multimodal extends QueryGroup {
         .orderBy(col("kind"))
     }),
 
+    // Resize contract driver-checked: every blob lands on the target
+    // byte budget (truncate/pad stub; a real impl rescales pixels) and
+    // the metadata rewrite reflects the new dimensions — the part of
+    // the operator that survives a real codec swap.
+    "media_resize_profile" -> ((s, dir) => {
+      MediaOps.resize(MediaOps.fakeMediaTable(s, dir), 320, 240)
+        .groupBy(col("kind"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("meta.n_bytes")).as("sum_bytes"),
+          countDistinct(col("meta.width")).as("n_widths"))
+        .orderBy(col("kind"))
+    }),
+
     // Feature-space kNN: extract (stub) features, then top-3 neighbors
     // per image among images — binary → vector → ANN integration.
     // Hash-exact: the md5-derived stub features are rebuilt by the
@@ -86,6 +100,13 @@ object Multimodal extends QueryGroup {
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
          COUNT(*) AS n_media,
          CAST(SUM((strlen(text) + 255) // 256) AS BIGINT) AS n_frames
+         FROM documents GROUP BY 1 ORDER BY kind""",
+    // Byte budget is the same integer expression the resize stub uses.
+    "media_resize_profile" ->
+      s"""SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         COUNT(*) AS n_items,
+         CAST(COUNT(*) * ${320 * 240 / 256 + 1} AS BIGINT) AS sum_bytes,
+         CAST(1 AS BIGINT) AS n_widths
          FROM documents GROUP BY 1 ORDER BY kind""",
     // Rebuild the md5-derived stub features (MediaOps.fakeDecodeFeatures)
     // per dimension, quantize to milli-units, and replay the broadcast

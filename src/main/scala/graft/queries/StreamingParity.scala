@@ -168,6 +168,103 @@ object StreamingParity extends QueryGroup {
       val onlyBatch = batchFps.join(streamedFps, Seq("fp"), "left_anti").count()
       Seq((nStream, nBatch, onlyStream, onlyBatch))
         .toDF("n_stream", "n_batch", "n_only_stream", "n_only_batch")
+    }),
+
+    // Watermarked tumbling-window parity: EventStreams.hourlyCounts
+    // (1-hour windows, 2-hour watermark, append mode) over the events
+    // file stream, compared against the batch hourly counts restricted
+    // to the windows the final watermark finalizes (append emits a
+    // window once the watermark passes its end). Watermark modeled at
+    // Spark's ms-floor precision exactly as in the sessionize gate.
+    "streaming_hourly_parity" -> ((s, dir) => {
+      import s.implicits._
+      val batch = Tables(s, dir, "events").withColumn("us", expr("ts DIV 1000"))
+      val streamed = withTempDir("graft-hourly-parity-") { tmp =>
+        EventStreams.hourlyCounts(
+            s.readStream.schema(eventsSchema)
+              .parquet(s"$dir/{events.parquet}")
+              .select(timestamp_micros(expr("ts DIV 1000")).as("ts"),
+                col("event_type")))
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.schema(StructType(Seq(
+            StructField("hour", TimestampType),
+            StructField("event_type", StringType),
+            StructField("n", LongType))))
+          .parquet(s"$tmp/out")
+          .select(unix_millis(col("hour")).as("hour_ms"), col("event_type"), col("n"))
+          .localCheckpoint(true)
+      }
+      val wmMs = batch.agg(expr("max(us) DIV 1000")).head().getLong(0) - WATERMARK_DELAY_MS
+      val batchFinal = batch
+        .groupBy(expr("us DIV 3600000000 * 3600000").as("hour_ms"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("hour_ms") + 3600000L <= lit(wmMs))
+        .localCheckpoint(true)
+      val keys = Seq("hour_ms", "event_type", "n")
+      Seq((streamed.count(), batchFinal.count(),
+          streamed.join(batchFinal, keys, "left_anti").count(),
+          batchFinal.join(streamed, keys, "left_anti").count()))
+        .toDF("n_stream", "n_batch_final", "n_only_stream", "n_only_batch")
+    }),
+
+    // Stream-stream interval-join parity: viewsBeforePurchases (both
+    // sides watermarked, time-range condition bounding buffered state)
+    // over the events file stream. Inner-join matches emit as they
+    // form; with AvailableNow over one parquet file everything lands
+    // in the first micro-batch, so the full match set must equal the
+    // batch interval join row-for-row.
+    "streaming_join_parity" -> ((s, dir) => {
+      import s.implicits._
+      val batch = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts DIV 1000").as("us"))
+        .localCheckpoint(true)
+      val streamed = withTempDir("graft-join-parity-") { tmp =>
+        EventStreams.viewsBeforePurchases(
+            s.readStream.schema(eventsSchema)
+              .parquet(s"$dir/{events.parquet}")
+              .select(col("event_id"), col("user_id"), col("event_type"),
+                timestamp_micros(expr("ts DIV 1000")).as("ts")))
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.schema(StructType(Seq(
+            StructField("purchase_id", LongType),
+            StructField("user_id", LongType),
+            StructField("p_ts", TimestampType),
+            StructField("view_id", LongType),
+            StructField("v_ts", TimestampType))))
+          .parquet(s"$tmp/out")
+          .select(col("purchase_id"), col("view_id"))
+          .localCheckpoint(true)
+      }
+      val views = batch.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("us").as("v_us"))
+      val purchases = batch.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("us").as("p_us"))
+      val batchPairs = purchases.join(views,
+          col("v_user") === col("p_user") &&
+            col("v_us") < col("p_us") &&
+            col("v_us") >= col("p_us") - 3600L * 1000000)
+        .select(col("purchase_id"), col("view_id"))
+        .localCheckpoint(true)
+      val keys = Seq("purchase_id", "view_id")
+      Seq((streamed.count(), batchPairs.count(),
+          streamed.join(batchPairs, keys, "left_anti").count(),
+          batchPairs.join(streamed, keys, "left_anti").count()))
+        .toDF("n_stream", "n_batch", "n_only_stream", "n_only_batch")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -200,5 +297,29 @@ object StreamingParity extends QueryGroup {
            CAST(COUNT(DISTINCT md5(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_batch,
            CAST(0 AS BIGINT) AS n_only_stream,
            CAST(0 AS BIGINT) AS n_only_batch
-         FROM documents""")
+         FROM documents""",
+    "streaming_hourly_parity" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+         wm AS (SELECT MAX(us) // 1000 - 7200000 AS wm_ms FROM e),
+         h AS (SELECT us // 3600000000 * 3600000 AS hour_ms, event_type,
+                 COUNT(*) AS n FROM e GROUP BY 1, 2),
+         bf AS (SELECT * FROM h, wm WHERE hour_ms + 3600000 <= wm_ms)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_stream,
+           CAST(COUNT(*) AS BIGINT) AS n_batch_final,
+           CAST(0 AS BIGINT) AS n_only_stream,
+           CAST(0 AS BIGINT) AS n_only_batch
+         FROM bf""",
+    "streaming_join_parity" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+         p AS (SELECT user_id, event_id AS purchase_id, us AS p_us FROM e
+               WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, event_id AS view_id, us AS v_us FROM e
+               WHERE event_type = 'view'),
+         j AS (SELECT purchase_id, view_id FROM p JOIN v USING (user_id)
+               WHERE v_us < p_us AND v_us >= p_us - 3600000000)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_stream,
+           CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(0 AS BIGINT) AS n_only_stream,
+           CAST(0 AS BIGINT) AS n_only_batch
+         FROM j""")
 }
