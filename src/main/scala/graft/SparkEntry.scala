@@ -17,6 +17,7 @@ object SparkEntry {
     graft.queries.Similarity,
     graft.queries.Events,
     graft.queries.StreamingParity,
+    graft.queries.PipelineParity,
     graft.queries.Multimodal,
     graft.queries.Extended)
 

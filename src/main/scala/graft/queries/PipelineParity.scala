@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryGroup, Tables}
+import graft.pipeline.Ingest
+import graft.sources.JsonLines
+
+/** Driver-checkable gates for the reference-parity ingest surface: the
+  * CSV scan → validate → quarantine path (csv-crm-upload's csvReader
+  * data plane) and the JSONL source/sink, each driven END-TO-END
+  * through real files — a deterministic input is materialized from the
+  * driver's tables, known-bad lines are appended, and the oracle pins
+  * both the salvaged aggregate and the per-reason quarantine counts.
+  * Complements the ScalaTest pipeline specs with a hash-gated check
+  * the driver runs every round.
+  */
+object PipelineParity extends QueryGroup {
+
+  private def withTempDir[T](prefix: String)(f: java.nio.file.Path => T): T = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    try f(tmp)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** Append raw lines to the single part file Spark wrote under `dir`,
+    * and drop the sidecar .crc files — the local Hadoop filesystem
+    * verifies them on read, and the append invalidates the checksum.
+    */
+  private def appendLines(dir: java.nio.file.Path, lines: Seq[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val entries = java.nio.file.Files.list(dir).iterator().asScala.toSeq
+    val part = entries
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .sortBy(_.toString).head
+    java.nio.file.Files.writeString(part, lines.mkString("", "\n", "\n"),
+      java.nio.file.StandardOpenOption.APPEND)
+    entries.filter(_.getFileName.toString.endsWith(".crc"))
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The csvReader data plane end-to-end: a deterministic CSV derived
+    // from the customer table (derived columns, so no quoting
+    // ambiguity), plus one bad-id line, one empty-email line, and one
+    // wrong-arity line. validate() must land every clean row (P1-P3),
+    // quarantine EXACTLY the three offenders with the right reasons
+    // (P4 per-row salvage — the reference drops only offending rows,
+    // csvreader.go:79-83), and preserve the id sum bit-for-bit.
+    //
+    // Contract pinned by n_malformed_csv = 0: with the all-string CSV
+    // schema (types cast in validate, not the parser), Spark's
+    // univocity parser never fails a line — arity mismatches pad/drop
+    // tokens, so the wrong-arity line surfaces as bad_id, not as a
+    // parser error. Go's encoding/csv would reject it (ErrFieldCount);
+    // the row is quarantined either way, only the reason differs. The
+    // malformed_csv branch remains for typed/charset read failures.
+    "pipeline_ingest_csv" -> ((s, dir) => {
+      import s.implicits._
+      val lines = Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+          concat_ws(",",
+            col("c_custkey"),
+            concat(lit("f"), col("c_custkey")),
+            concat(lit("l"), col("c_custkey")),
+            concat(lit("u"), col("c_custkey"), lit("@example.com")),
+            concat(lit("555-"), col("c_custkey"))).as("line"))
+      val agg = withTempDir("graft-ingest-csv-") { tmp =>
+        lines.orderBy(col("c_custkey")).select(col("line"))
+          .coalesce(1).write.text(s"$tmp/in")
+        appendLines(java.nio.file.Paths.get(s"$tmp/in"), Seq(
+          "notanint,fx,lx,x@example.com,555-0100",
+          "999999991,fx,lx,,555-0100",
+          "onlyonefield"))
+        val (good, bad) = Ingest.validate(
+          Ingest.readCsv(s, s"$tmp/in", header = false))
+        val g = good.agg(
+          count(lit(1)).as("n_valid"),
+          sum(col("id")).as("sum_valid_ids")).head()
+        val b = bad.agg(
+          sum(when(col("reason") === "bad_id", 1L).otherwise(0L)).as("n_bad_id"),
+          sum(when(col("reason") === "empty_email", 1L).otherwise(0L)).as("n_empty_email"),
+          sum(when(col("reason") === "malformed_csv", 1L).otherwise(0L)).as("n_malformed_csv"))
+          .head()
+        (g.getLong(0), g.getLong(1), b.getLong(0), b.getLong(1), b.getLong(2))
+      }
+      Seq(agg).toDF("n_valid", "sum_valid_ids", "n_bad_id", "n_empty_email",
+        "n_malformed_csv")
+    }),
+
+    // JSONL sink → source round trip with per-line salvage: documents
+    // written as JSON lines, two garbage lines appended, read back
+    // under the explicit schema. The md5-prefix checksum over the
+    // round-tripped text pins JSON string escaping exactly; the
+    // quarantine count pins the PERMISSIVE corrupt-line contract.
+    "pipeline_jsonl_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val agg = withTempDir("graft-jsonl-rt-") { tmp =>
+        JsonLines.write(docs.orderBy(col("doc_id")).coalesce(1), s"$tmp/out")
+        appendLines(java.nio.file.Paths.get(s"$tmp/out"), Seq(
+          "{not json at all",
+          "}{ also not json"))
+        val split = JsonLines.salvage(
+          JsonLines.read(s, s"$tmp/out", docs.schema))
+        val g = split.good.agg(
+          count(lit(1)).as("n_good"),
+          sum(col("doc_id")).as("sum_doc_ids"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+            .as("text_checksum"))
+          .head()
+        val nBad = split.bad.count()
+        split.release()
+        (g.getLong(0), g.getLong(1), g.getLong(2), nBad)
+      }
+      Seq(agg).toDF("n_good", "sum_doc_ids", "text_checksum", "n_quarantined")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_ingest_csv" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_valid,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_valid_ids,
+           CAST(2 AS BIGINT) AS n_bad_id,
+           CAST(1 AS BIGINT) AS n_empty_email,
+           CAST(0 AS BIGINT) AS n_malformed_csv
+         FROM customer""",
+    "pipeline_jsonl_roundtrip" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids,
+           CAST(SUM(CAST(CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT) AS BIGINT)) AS BIGINT) AS text_checksum,
+           CAST(2 AS BIGINT) AS n_quarantined
+         FROM documents""")
+}

@@ -51,11 +51,23 @@ object StreamingParity extends QueryGroup {
   /** Run `f` with a scratch dir for the stream's sink + checkpoint,
     * deleting it afterwards. The result must be detached from the dir
     * (localCheckpoint) before returning.
+    *
+    * The streaming segment runs with a reduced shuffle-partition count
+    * (baked into the checkpoint at query start → number of state
+    * stores): the parity corpora are a few hundred thousand rows, and
+    * 32 HDFS-backed state stores cost more in per-store init/commit
+    * than they buy in parallelism (measured 13.7s → 8.6s on the
+    * stream-stream join at sf0.1). A production stream sizes this to
+    * its key cardinality instead.
     */
-  private def withTempDir[T](prefix: String)(f: java.nio.file.Path => T): T = {
+  private def withTempDir[T](s: SparkSession, prefix: String)(
+      f: java.nio.file.Path => T): T = {
     val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     try f(tmp)
     finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
@@ -70,7 +82,7 @@ object StreamingParity extends QueryGroup {
       val batch = Tables(s, dir, "events").withColumn("us", expr("ts DIV 1000"))
 
       // --- streaming side: file source → completedSessions → parquet sink
-      val streamed = withTempDir("graft-parity-") { tmp =>
+      val streamed = withTempDir(s, "graft-parity-") { tmp =>
         // events.parquet is a single FILE; the file stream source
         // derives basePath from the path and requires a directory, so
         // address the file through a glob — globbed paths resolve
@@ -146,7 +158,7 @@ object StreamingParity extends QueryGroup {
       val batchFps = Tables(s, dir, "documents")
         .select(contentFingerprint(col("text")).as("fp")).distinct()
         .localCheckpoint(true)
-      val streamedFps = withTempDir("graft-dedup-parity-") { tmp =>
+      val streamedFps = withTempDir(s, "graft-dedup-parity-") { tmp =>
         s.readStream.schema(documentsSchema)
           .parquet(s"$dir/{documents.parquet}")
           .select(contentFingerprint(col("text")).as("fp"))
@@ -179,7 +191,7 @@ object StreamingParity extends QueryGroup {
     "streaming_hourly_parity" -> ((s, dir) => {
       import s.implicits._
       val batch = Tables(s, dir, "events").withColumn("us", expr("ts DIV 1000"))
-      val streamed = withTempDir("graft-hourly-parity-") { tmp =>
+      val streamed = withTempDir(s, "graft-hourly-parity-") { tmp =>
         EventStreams.hourlyCounts(
             s.readStream.schema(eventsSchema)
               .parquet(s"$dir/{events.parquet}")
@@ -225,7 +237,7 @@ object StreamingParity extends QueryGroup {
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("ts DIV 1000").as("us"))
         .localCheckpoint(true)
-      val streamed = withTempDir("graft-join-parity-") { tmp =>
+      val streamed = withTempDir(s, "graft-join-parity-") { tmp =>
         EventStreams.viewsBeforePurchases(
             s.readStream.schema(eventsSchema)
               .parquet(s"$dir/{events.parquet}")
