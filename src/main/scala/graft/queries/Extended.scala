@@ -175,6 +175,70 @@ object Extended extends QueryGroup {
           floor(expr("percentile(o_totalprice, 0.5)") * 100).cast("long").as("p50_cents"),
           floor(expr("percentile(o_totalprice, 0.9)") * 100).cast("long").as("p90_cents"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // Statistical profile via INTEGER moments: corr/covar/stddev over
+    // doubles are order-dependent (partition-order double sums), so the
+    // engine aggregates the six moments (n, Σx, Σy, Σxx, Σyy, Σxy) as
+    // exact longs — associative, partition-order-proof, hash-compared —
+    // and derives Pearson r in ONE double expression per group (the
+    // n·Σyy product would overflow long, so the formula runs in IEEE
+    // double: deterministic and identical on both engines). x =
+    // quantity (≤50), y = whole dollars (bounds the long moments at
+    // ~6e15 at sf0.1 and ~6e18 at 100×; beyond that the moments
+    // become DECIMAL sums, same shape).
+    "stat_moments_corr" -> ((s, dir) => {
+      val x = col("l_quantity").cast("long")
+      val y = floor(col("l_extendedprice") / 100).cast("long")
+      Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), x.as("x"), y.as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+          sum(col("x") * col("x")).as("sum_xx"),
+          sum(col("y") * col("y")).as("sum_yy"),
+          sum(col("x") * col("y")).as("sum_xy"))
+        .withColumn("corr_ppm",
+          floor(
+            (col("n").cast("double") * col("sum_xy").cast("double")
+              - col("sum_x").cast("double") * col("sum_y").cast("double"))
+            / sqrt(col("n").cast("double") * col("sum_xx").cast("double")
+              - col("sum_x").cast("double") * col("sum_x").cast("double"))
+            / sqrt(col("n").cast("double") * col("sum_yy").cast("double")
+              - col("sum_y").cast("double") * col("sum_y").cast("double"))
+            * lit(1000000.0)).cast("long"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Time-series gap fill: the dense hour × event_type grid from the
+    // observed bounds, zero-filled where no events landed — the
+    // resample/asfreq step before any rolling metric. The grid comes
+    // from ONE sequence() over the global bounds row cross-joined with
+    // the distinct types (both broadcast-sized at any corpus: the grid
+    // is hours × types, independent of event count); the left join
+    // back to the hourly counts is the only data-sized shuffle. Output
+    // profiles the fill per type so the result stays compact.
+    "events_gapfill" -> ((s, dir) => {
+      val hourMs = expr("ts DIV 1000 DIV 3600000000 * 3600000")
+      val counts = Tables(s, dir, "events")
+        .select(hourMs.as("hour_ms"), col("event_type"))
+        .groupBy(col("hour_ms"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val bounds = counts.agg(min(col("hour_ms")).as("lo"), max(col("hour_ms")).as("hi"))
+      val hours = bounds
+        .select(explode(sequence(col("lo"), col("hi"), lit(3600000L))).as("hour_ms"))
+      val types = counts.select(col("event_type")).distinct()
+      hours.crossJoin(broadcast(types))
+        .join(counts, Seq("hour_ms", "event_type"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_hours"),
+          sum(when(col("n") === 0L, 1L).otherwise(0L)).as("n_gap_hours"),
+          sum(col("n")).as("n_events"))
+        .orderBy(col("event_type"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -239,5 +303,42 @@ object Extended extends QueryGroup {
       """SELECT o_orderstatus,
          CAST(floor(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT) AS p50_cents,
          CAST(floor(quantile_cont(o_totalprice, 0.9) * 100) AS BIGINT) AS p90_cents
-         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // Long moments are exact and hash-compared; the Pearson derivation
+    // mirrors the Spark expression shape exactly (two sqrt divisions,
+    // then the ppm scale) so the IEEE doubles agree bit-for-bit.
+    "stat_moments_corr" ->
+      """SELECT l_returnflag, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+         CAST(floor(
+           (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+             - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+           / sqrt(CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+             - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+           / sqrt(CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+             - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE))
+           * 1000000.0) AS BIGINT) AS corr_ppm
+         FROM (
+           SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+             CAST(SUM(x*x) AS BIGINT) AS sum_xx, CAST(SUM(y*y) AS BIGINT) AS sum_yy,
+             CAST(SUM(x*y) AS BIGINT) AS sum_xy
+           FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+                   CAST(FLOOR(l_extendedprice / 100) AS BIGINT) AS y
+                 FROM lineitem)
+           GROUP BY l_returnflag)
+         ORDER BY l_returnflag""",
+    "events_gapfill" ->
+      """WITH c AS (SELECT epoch_us(ts) // 3600000000 * 3600000 AS hour_ms,
+                 event_type, COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+         b AS (SELECT MIN(hour_ms) AS lo, MAX(hour_ms) AS hi FROM c),
+         h AS (SELECT unnest(range(lo, hi + 1, 3600000)) AS hour_ms FROM b),
+         t AS (SELECT DISTINCT event_type FROM c),
+         g AS (SELECT h.hour_ms, t.event_type, COALESCE(c.n, 0) AS n
+               FROM h CROSS JOIN t
+               LEFT JOIN c ON c.hour_ms = h.hour_ms AND c.event_type = t.event_type)
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_hours,
+           CAST(SUM(n) AS BIGINT) AS n_events
+         FROM g GROUP BY event_type ORDER BY event_type""")
 }
