@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -211,6 +212,52 @@ object Extended extends QueryGroup {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Arbitrary GROUPING SETS (beyond the rollup/cube queries): the
+    // two one-dimension marginals plus the grand total in one pass —
+    // Spark compiles the sets to a single Expand + aggregate, one
+    // shuffle for all three groupings. grouping_id() disambiguates
+    // rows the way downstream consumers key marginal tables.
+    "groupingsets_status_priority" -> ((s, dir) => {
+      val v = s"orders_gs_${System.identityHashCode(s)}"
+      Tables(s, dir, "orders").createOrReplaceTempView(v)
+      s.sql(
+        s"""SELECT o_orderstatus, o_orderpriority,
+              CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM $v
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            ORDER BY gid, o_orderstatus, o_orderpriority""")
+    }),
+
+    // Trailing 24-hour rolling window over the DENSE gap-filled hourly
+    // series (rolling metrics are only correct over a dense series —
+    // a ROWS frame over sparse hours silently spans gaps; that is why
+    // the gap-fill operator precedes this one). The window is over the
+    // grid (hours × 1), not the corpus, so the global time order costs
+    // nothing at any corpus size; counts are integers end-to-end.
+    "events_rolling_24h" -> ((s, dir) => {
+      val hourMs = expr("ts DIV 1000 DIV 3600000000 * 3600000")
+      val counts = Tables(s, dir, "events")
+        .select(hourMs.as("hour_ms"))
+        .groupBy(col("hour_ms")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val bounds = counts.agg(min(col("hour_ms")).as("lo"), max(col("hour_ms")).as("hi"))
+      val dense = bounds
+        .select(explode(sequence(col("lo"), col("hi"), lit(3600000L))).as("hour_ms"))
+        .join(counts, Seq("hour_ms"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val w = Window.orderBy(col("hour_ms")).rowsBetween(-23, 0)
+      dense
+        .withColumn("sum_24h", sum(col("n")).over(w))
+        .withColumn("hours_in_frame", count(lit(1)).over(w))
+        .filter(col("hours_in_frame") === 24)
+        .orderBy(col("sum_24h").desc, col("hour_ms"))
+        .limit(10)
+        .select(col("hour_ms"), col("n").as("n_hour"), col("sum_24h"),
+          expr("sum_24h * 1000000 DIV 24").as("avg_hourly_ppm"))
+    }),
+
     // Time-series gap fill: the dense hour × event_type grid from the
     // observed bounds, zero-filled where no events landed — the
     // resample/asfreq step before any rolling metric. The grid comes
@@ -327,6 +374,28 @@ object Extended extends QueryGroup {
                  FROM lineitem)
            GROUP BY l_returnflag)
          ORDER BY l_returnflag""",
+    // DuckDB GROUPING() returns the same bitmask as Spark grouping_id.
+    "groupingsets_status_priority" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY gid, o_orderstatus, o_orderpriority""",
+    "events_rolling_24h" ->
+      """WITH c AS (SELECT epoch_us(ts) // 3600000000 * 3600000 AS hour_ms,
+                 COUNT(*) AS n FROM events GROUP BY 1),
+         b AS (SELECT MIN(hour_ms) AS lo, MAX(hour_ms) AS hi FROM c),
+         h AS (SELECT unnest(range(lo, hi + 1, 3600000)) AS hour_ms FROM b),
+         d AS (SELECT h.hour_ms, COALESCE(c.n, 0) AS n FROM h LEFT JOIN c USING (hour_ms)),
+         r AS (SELECT hour_ms, n,
+                 SUM(n) OVER (ORDER BY hour_ms ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS sum_24h,
+                 COUNT(*) OVER (ORDER BY hour_ms ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS hif
+               FROM d)
+         SELECT hour_ms, CAST(n AS BIGINT) AS n_hour, CAST(sum_24h AS BIGINT) AS sum_24h,
+           CAST(sum_24h * 1000000 // 24 AS BIGINT) AS avg_hourly_ppm
+         FROM r WHERE hif = 24 ORDER BY sum_24h DESC, hour_ms LIMIT 10""",
     "events_gapfill" ->
       """WITH c AS (SELECT epoch_us(ts) // 3600000000 * 3600000 AS hour_ms,
                  event_type, COUNT(*) AS n

@@ -277,6 +277,59 @@ object StreamingParity extends QueryGroup {
           streamed.join(batchPairs, keys, "left_anti").count(),
           batchPairs.join(streamed, keys, "left_anti").count()))
         .toDF("n_stream", "n_batch", "n_only_stream", "n_only_batch")
+    }),
+
+    // mapGroupsWithState parity: runningUserTotals over the events file
+    // stream — with AvailableNow the final emission per user is the
+    // all-time counter, which must equal the batch per-user counts
+    // key-for-key. The gate compares the INTEGER surface (user_id,
+    // n_events): the state's double total is order-dependent at the
+    // bit level (same reason corr is computed via integer moments), so
+    // hash-gating it would test summation order, not the operator.
+    "streaming_totals_parity" -> ((s, dir) => {
+      import s.implicits._
+      val batchCounts = Tables(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        .localCheckpoint(true)
+      val streamedCounts = withTempDir(s, "graft-totals-parity-") { tmp =>
+        EventStreams.runningUserTotals(
+            s.readStream.schema(eventsSchema)
+              .parquet(s"$dir/{events.parquet}")
+              .select(col("user_id"),
+                timestamp_micros(expr("ts DIV 1000")).as("ts"),
+                col("event_type"), col("value"))
+              .as[EventStreams.UserEvent])
+          .toDF()
+          .writeStream
+          // Update mode needs a sink that accepts upserts; the file
+          // sink is append-only, so each micro-batch's updates are
+          // appended via foreachBatch and the last emission per key
+          // wins below.
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(s"$tmp/out"); ()
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        // Last emission per user = the running counter's final value.
+        val w = Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)
+        s.read.schema(StructType(Seq(
+            StructField("user_id", LongType),
+            StructField("n_events", LongType),
+            StructField("total_value", DoubleType))))
+          .parquet(s"$tmp/out")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("n_events"))
+          .localCheckpoint(true)
+      }
+      val keys = Seq("user_id", "n_events")
+      Seq((streamedCounts.count(), batchCounts.count(),
+          streamedCounts.join(batchCounts, keys, "left_anti").count(),
+          batchCounts.join(streamedCounts, keys, "left_anti").count()))
+        .toDF("n_stream_users", "n_batch_users", "n_only_stream", "n_only_batch")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -333,5 +386,11 @@ object StreamingParity extends QueryGroup {
            CAST(COUNT(*) AS BIGINT) AS n_batch,
            CAST(0 AS BIGINT) AS n_only_stream,
            CAST(0 AS BIGINT) AS n_only_batch
-         FROM j""")
+         FROM j""",
+    "streaming_totals_parity" ->
+      """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_stream_users,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_batch_users,
+           CAST(0 AS BIGINT) AS n_only_stream,
+           CAST(0 AS BIGINT) AS n_only_batch
+         FROM events""")
 }
