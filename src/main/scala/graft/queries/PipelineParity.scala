@@ -93,6 +93,45 @@ object PipelineParity extends QueryGroup {
         "n_malformed_csv")
     }),
 
+    // The work-queue cycle (S4-S7) end-to-end against a real store:
+    // batched UNIQUE-semantics insert (with planted id- and email-
+    // conflict rows that must lose — explicit _seq pins the sequential
+    // order, so the survivor SET is partition-layout-proof), the
+    // uploaded=false pending scan, the post-ack point update, and the
+    // drained re-scan. Every count the oracle pins is derivable from
+    // the customer table: conflicts never survive, marking the even
+    // ids leaves exactly the odd ones pending.
+    "pipeline_workqueue_cycle" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          concat(lit("f"), col("c_custkey")).as("first_name"),
+          concat(lit("l"), col("c_custkey")).as("last_name"),
+          concat(lit("u"), col("c_custkey"), lit("@example.com")).as("email"),
+          concat(lit("555-"), col("c_custkey")).as("phone"))
+      val dupIds = base.filter(col("id") % 100 === 0)
+        .withColumn("email", concat(lit("dup"), col("id"), lit("@example.com")))
+      val dupEmails = base.filter(col("id") % 100 === 1)
+        .withColumn("id", col("id") + 10000000L)
+      val batch = base.withColumn("_seq", col("id") * 2)
+        .unionByName(dupIds.withColumn("_seq", col("id") * 2 + 1))
+        .unionByName(dupEmails.withColumn("_seq", col("id") * 2 + 1))
+        .withColumn("uploaded", lit(false))
+        .withColumn("created_ts", current_timestamp())
+        .withColumn("modified_ts", current_timestamp())
+      val out = withTempDir("graft-workqueue-") { tmp =>
+        val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
+        val nInserted = store.insertNew(batch)
+        val nPendingBefore = store.pending().count()
+        store.markUploaded(
+          store.pending().filter(col("id") % 2 === 0).select(col("email")))
+        val nPendingAfter = store.pending().count()
+        val nUploaded = store.all().filter(col("uploaded")).count()
+        (nInserted, nPendingBefore, nPendingAfter, nUploaded)
+      }
+      Seq(out).toDF("n_inserted", "n_pending_before", "n_pending_after", "n_uploaded")
+    }),
+
     // JSONL sink → source round trip with per-line salvage: documents
     // written as JSON lines, two garbage lines appended, read back
     // under the explicit schema. The md5-prefix checksum over the
@@ -129,6 +168,13 @@ object PipelineParity extends QueryGroup {
            CAST(2 AS BIGINT) AS n_bad_id,
            CAST(1 AS BIGINT) AS n_empty_email,
            CAST(0 AS BIGINT) AS n_malformed_csv
+         FROM customer""",
+    // Conflicts never survive; marking the evens leaves the odds.
+    "pipeline_workqueue_cycle" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_inserted,
+           CAST(COUNT(*) AS BIGINT) AS n_pending_before,
+           CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pending_after,
+           CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_uploaded
          FROM customer""",
     "pipeline_jsonl_roundtrip" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
