@@ -44,6 +44,44 @@ object PipelineParity extends QueryGroup {
       .foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
+  /** The S4-S7 cycle against any [[graft.pipeline.CustomerStoreApi]]
+    * backend: insert a batch with planted losing conflicts (explicit
+    * _seq pins the sequential order, so the survivor set is
+    * partition-layout-proof), scan pending, mark the even ids
+    * uploaded, re-scan. Returns the four oracle-pinned counts.
+    */
+  private def workqueueCycle(s: SparkSession, dir: String)(
+      mkStore: java.nio.file.Path => graft.pipeline.CustomerStoreApi): DataFrame = {
+    import s.implicits._
+    val base = Tables(s, dir, "customer")
+      .select(col("c_custkey").as("id"),
+        concat(lit("f"), col("c_custkey")).as("first_name"),
+        concat(lit("l"), col("c_custkey")).as("last_name"),
+        concat(lit("u"), col("c_custkey"), lit("@example.com")).as("email"),
+        concat(lit("555-"), col("c_custkey")).as("phone"))
+    val dupIds = base.filter(col("id") % 100 === 0)
+      .withColumn("email", concat(lit("dup"), col("id"), lit("@example.com")))
+    val dupEmails = base.filter(col("id") % 100 === 1)
+      .withColumn("id", col("id") + 10000000L)
+    val batch = base.withColumn("_seq", col("id") * 2)
+      .unionByName(dupIds.withColumn("_seq", col("id") * 2 + 1))
+      .unionByName(dupEmails.withColumn("_seq", col("id") * 2 + 1))
+      .withColumn("uploaded", lit(false))
+      .withColumn("created_ts", current_timestamp())
+      .withColumn("modified_ts", current_timestamp())
+    val out = withTempDir("graft-workqueue-") { tmp =>
+      val store = mkStore(tmp)
+      val nInserted = store.insertNew(batch)
+      val nPendingBefore = store.pending().count()
+      store.markUploaded(
+        store.pending().filter(col("id") % 2 === 0).select(col("email")))
+      val nPendingAfter = store.pending().count()
+      val nUploaded = store.all().filter(col("uploaded")).count()
+      (nInserted, nPendingBefore, nPendingAfter, nUploaded)
+    }
+    Seq(out).toDF("n_inserted", "n_pending_before", "n_pending_after", "n_uploaded")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The csvReader data plane end-to-end: a deterministic CSV derived
     // from the customer table (derived columns, so no quoting
@@ -101,36 +139,17 @@ object PipelineParity extends QueryGroup {
     // drained re-scan. Every count the oracle pins is derivable from
     // the customer table: conflicts never survive, marking the even
     // ids leaves exactly the odd ones pending.
-    "pipeline_workqueue_cycle" -> ((s, dir) => {
-      import s.implicits._
-      val base = Tables(s, dir, "customer")
-        .select(col("c_custkey").as("id"),
-          concat(lit("f"), col("c_custkey")).as("first_name"),
-          concat(lit("l"), col("c_custkey")).as("last_name"),
-          concat(lit("u"), col("c_custkey"), lit("@example.com")).as("email"),
-          concat(lit("555-"), col("c_custkey")).as("phone"))
-      val dupIds = base.filter(col("id") % 100 === 0)
-        .withColumn("email", concat(lit("dup"), col("id"), lit("@example.com")))
-      val dupEmails = base.filter(col("id") % 100 === 1)
-        .withColumn("id", col("id") + 10000000L)
-      val batch = base.withColumn("_seq", col("id") * 2)
-        .unionByName(dupIds.withColumn("_seq", col("id") * 2 + 1))
-        .unionByName(dupEmails.withColumn("_seq", col("id") * 2 + 1))
-        .withColumn("uploaded", lit(false))
-        .withColumn("created_ts", current_timestamp())
-        .withColumn("modified_ts", current_timestamp())
-      val out = withTempDir("graft-workqueue-") { tmp =>
-        val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
-        val nInserted = store.insertNew(batch)
-        val nPendingBefore = store.pending().count()
-        store.markUploaded(
-          store.pending().filter(col("id") % 2 === 0).select(col("email")))
-        val nPendingAfter = store.pending().count()
-        val nUploaded = store.all().filter(col("uploaded")).count()
-        (nInserted, nPendingBefore, nPendingAfter, nUploaded)
-      }
-      Seq(out).toDF("n_inserted", "n_pending_before", "n_pending_after", "n_uploaded")
-    }),
+    "pipeline_workqueue_cycle" -> ((s, dir) =>
+      workqueueCycle(s, dir)(tmp => new graft.pipeline.CustomerStore(s, s"$tmp/store"))),
+
+    // The identical cycle against the JDBC backend (embedded Derby —
+    // the reference's actual sink shape: transactional batch INSERT
+    // with per-row salvage, indexed pending scan, keyed UPDATE). Same
+    // oracle: the two store implementations are interchangeable under
+    // the CustomerStoreApi contract, and this pair of queries pins it.
+    "pipeline_workqueue_jdbc" -> ((s, dir) =>
+      workqueueCycle(s, dir)(tmp =>
+        new graft.pipeline.JdbcCustomerStore(s, s"jdbc:derby:$tmp/cust;create=true"))),
 
     // JSONL sink → source round trip with per-line salvage: documents
     // written as JSON lines, two garbage lines appended, read back
@@ -171,6 +190,12 @@ object PipelineParity extends QueryGroup {
          FROM customer""",
     // Conflicts never survive; marking the evens leaves the odds.
     "pipeline_workqueue_cycle" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_inserted,
+           CAST(COUNT(*) AS BIGINT) AS n_pending_before,
+           CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pending_after,
+           CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_uploaded
+         FROM customer""",
+    "pipeline_workqueue_jdbc" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_inserted,
            CAST(COUNT(*) AS BIGINT) AS n_pending_before,
            CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pending_after,
