@@ -41,6 +41,14 @@ object Curation extends QueryGroup {
   private val SHARDS = 8
   private val LM_TOPK = 20
 
+  /** Posting-list df cap for the containment join (set-similarity
+    * prefix filtering): grams seen in more docs than this are dropped
+    * from candidate generation AND the score definition. Above every
+    * df at the test SFs; at corpus scale it is the dial that keeps
+    * posting lists bounded.
+    */
+  private val DF_CAP = 1000
+
   /** Disjoint CHUNK_TOKS-token chunk fingerprints (sub-document dedup
     * granularity — the line/paragraph-dedup analog for documents with
     * no line structure). Trailing sub-chunk tokens are ignored; docs
@@ -165,6 +173,51 @@ object Curation extends QueryGroup {
         .withColumn("score_ppm", expr("lm_hits * 1000000 DIV n_bigrams"))
         .orderBy(col("score_ppm").desc, col("doc_id"))
         .limit(LM_TOPK)
+    }),
+
+    // ASYMMETRIC containment dedup: |A∩B| / |A| over distinct trigram
+    // sets — "doc A is (nearly) contained in doc B". Catches the
+    // quote-expansion / superset duplicates that symmetric Jaccard
+    // misses (a small A inside a big B has low Jaccard but containment
+    // ≈ 1). Inverted-index join restricted to grams with df ≤ DF_CAP:
+    // the prefix-filtering scale dial of set-similarity joins — the
+    // score is DEFINED over capped grams on both engines (identical
+    // semantics at any SF; at the test SFs the cap exceeds every df,
+    // so it equals exact containment), and posting lists are bounded
+    // so the join's pair mass tracks co-rare-gram mass, not n².
+    "dedup_containment" -> ((s, dir) => {
+      val grams = Tables.forKernels(s, dir, "documents")
+        .select(col("doc_id"), explode(Exprs.shingles(col("text"), BOILER_N)).as("g"))
+        .localCheckpoint(true)
+      val posting = grams.join(
+        grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= DF_CAP),
+        Seq("g"))
+        .localCheckpoint(true)
+      val sizes = posting.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      // Direct inverted-index join, intersections counted in ONE
+      // join + aggregate. PPJoin-style prefix filtering (candidates
+      // from each doc's floor(0.2·n)+1 rarest grams, exact verify —
+      // zero false negatives by pigeonhole) was implemented and
+      // MEASURED 4× WORSE on the duplicate-heavy 10× corpus (78s →
+      // 320s): with every doc carrying 9 near-identical twins,
+      // candidates ≈ qualifying pairs, so the filter's distinct pass
+      // and two verify joins prune nothing and repay nothing. On a
+      // natural sparse-dup corpus the prefix filter is the right
+      // dial; here df-capped posting lists bound the join and its
+      // cost tracks true-containment mass (SCALING.md).
+      posting.as("a").join(posting.select(col("doc_id"), col("g")).as("b"), Seq("g"))
+        .filter(col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("contained_id"), col("b.doc_id").as("container_id"))
+        .agg(count(lit(1)).as("shared"))
+        .join(sizes.withColumnRenamed("doc_id", "contained_id"), Seq("contained_id"))
+        .filter(col("n_grams") >= 5)
+        .withColumn("containment_ppm", expr("shared * 1000000 DIV n_grams"))
+        .filter(col("containment_ppm") >= 800000)
+        .select(col("contained_id"), col("container_id"), col("shared"),
+          col("n_grams"), col("containment_ppm"))
+        .orderBy(col("containment_ppm").desc, col("contained_id"), col("container_id"))
+        .limit(25)
     }),
 
     // Per-domain document caps — the "no single domain dominates the
@@ -350,6 +403,24 @@ object Curation extends QueryGroup {
             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
             CAST(SUM(qp) // COUNT(*) AS BIGINT) AS avg_quality_ppm
           FROM r GROUP BY source, band ORDER BY source, band""",
+    "dedup_containment" ->
+      s"""WITH w AS (SELECT doc_id, $toksSql AS w FROM documents),
+          g AS (SELECT doc_id, unnest($trigramSql) AS g FROM w),
+          df AS (SELECT g, COUNT(*) AS df FROM g GROUP BY 1),
+          p AS (SELECT g.doc_id, g.g FROM g JOIN df USING (g) WHERE df.df <= $DF_CAP),
+          sz AS (SELECT doc_id, COUNT(*) AS n_grams FROM p GROUP BY 1),
+          i AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+                  COUNT(*) AS shared
+                FROM p a JOIN p b USING (g) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+          c AS (SELECT contained_id, container_id, shared, sz.n_grams,
+                  shared * 1000000 // sz.n_grams AS containment_ppm
+                FROM i JOIN sz ON sz.doc_id = i.contained_id
+                WHERE sz.n_grams >= 5)
+          SELECT contained_id, container_id, CAST(shared AS BIGINT) AS shared,
+            CAST(n_grams AS BIGINT) AS n_grams,
+            CAST(containment_ppm AS BIGINT) AS containment_ppm
+          FROM c WHERE containment_ppm >= 800000
+          ORDER BY containment_ppm DESC, contained_id, container_id LIMIT 25""",
     "corpus_domain_caps" ->
       s"""WITH f AS (SELECT source, doc_id, n_chars, md5($normSql) AS fp FROM documents),
           r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY fp, doc_id) AS rn
