@@ -258,6 +258,38 @@ object Extended extends QueryGroup {
           expr("sum_24h * 1000000 DIV 24").as("avg_hourly_ppm"))
     }),
 
+    // Anomalous-hour detection composing the two techniques above:
+    // integer moments (n, Σx, Σxx as longs — order-proof) over the
+    // DENSE gap-filled hourly series give the mean/std in one shared-
+    // shape double derivation; an hour is anomalous when its count
+    // sits ≥ 3σ from the mean. Zero-filled hours count — a silent
+    // outage IS an anomaly, which is why gap fill precedes scoring.
+    "events_anomaly_hours" -> ((s, dir) => {
+      val hourMs = expr("ts DIV 1000 DIV 3600000000 * 3600000")
+      val counts = Tables(s, dir, "events")
+        .select(hourMs.as("hour_ms"))
+        .groupBy(col("hour_ms")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val bounds = counts.agg(min(col("hour_ms")).as("lo"), max(col("hour_ms")).as("hi"))
+      val dense = bounds
+        .select(explode(sequence(col("lo"), col("hi"), lit(3600000L))).as("hour_ms"))
+        .join(counts, Seq("hour_ms"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .localCheckpoint(true)
+      val m = dense.agg(count(lit(1)).as("cnt"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      dense.crossJoin(broadcast(m))
+        .withColumn("mean", col("s1").cast("double") / col("cnt").cast("double"))
+        .withColumn("sd", sqrt(
+          col("s2").cast("double") / col("cnt").cast("double")
+            - col("mean") * col("mean")))
+        .filter(abs(col("n").cast("double") - col("mean")) >= lit(3.0) * col("sd"))
+        .select(col("hour_ms"), col("n"),
+          floor(col("mean") * 1000000.0).cast("long").as("mean_ppm"),
+          floor(col("sd") * 1000000.0).cast("long").as("sd_ppm"))
+        .orderBy(col("hour_ms"))
+    }),
+
     // Time-series gap fill: the dense hour × event_type grid from the
     // observed bounds, zero-filled where no events landed — the
     // resample/asfreq step before any rolling metric. The grid comes
@@ -396,6 +428,24 @@ object Extended extends QueryGroup {
          SELECT hour_ms, CAST(n AS BIGINT) AS n_hour, CAST(sum_24h AS BIGINT) AS sum_24h,
            CAST(sum_24h * 1000000 // 24 AS BIGINT) AS avg_hourly_ppm
          FROM r WHERE hif = 24 ORDER BY sum_24h DESC, hour_ms LIMIT 10""",
+    "events_anomaly_hours" ->
+      """WITH c AS (SELECT epoch_us(ts) // 3600000000 * 3600000 AS hour_ms,
+                 COUNT(*) AS n FROM events GROUP BY 1),
+         b AS (SELECT MIN(hour_ms) AS lo, MAX(hour_ms) AS hi FROM c),
+         h AS (SELECT unnest(range(lo, hi + 1, 3600000)) AS hour_ms FROM b),
+         d AS (SELECT h.hour_ms, COALESCE(c.n, 0) AS n FROM h LEFT JOIN c USING (hour_ms)),
+         m AS (SELECT COUNT(*) AS cnt, SUM(n) AS s1, SUM(n * n) AS s2 FROM d),
+         sc AS (SELECT hour_ms, n,
+                  CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE) AS mean,
+                  sqrt(CAST(s2 AS DOUBLE) / CAST(cnt AS DOUBLE)
+                    - (CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))) AS sd
+                FROM d, m)
+         SELECT hour_ms, CAST(n AS BIGINT) AS n,
+           CAST(floor(mean * 1000000.0) AS BIGINT) AS mean_ppm,
+           CAST(floor(sd * 1000000.0) AS BIGINT) AS sd_ppm
+         FROM sc WHERE abs(CAST(n AS DOUBLE) - mean) >= 3.0 * sd
+         ORDER BY hour_ms""",
     "events_gapfill" ->
       """WITH c AS (SELECT epoch_us(ts) // 3600000000 * 3600000 AS hour_ms,
                  event_type, COUNT(*) AS n

@@ -117,6 +117,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("containment pairs are asymmetric-valid and mutually contained when sizes match") {
+    val rows = SparkEntry.queries("dedup_containment")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bySize = rows.map(r => r.getAs[Long]("contained_id") -> r.getAs[Long]("n_grams")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("shared") <= r.getAs[Long]("n_grams"))
+      assert(r.getAs[Long]("containment_ppm") >= 800000L)
+      assert(r.getAs[Long]("contained_id") !== r.getAs[Long]("container_id"))
+    }
+    // Full containment both ways + equal sizes ⇒ identical gram sets,
+    // so the reversed pair must also appear (top-k permitting: check
+    // only pairs whose reverse is in the returned set's id space).
+    val full = rows.filter(_.getAs[Long]("containment_ppm") === 1000000L)
+      .map(r => (r.getAs[Long]("contained_id"), r.getAs[Long]("container_id"))).toSet
+    full.foreach { case (a, b) =>
+      if (bySize.contains(b) && bySize.get(a) == bySize.get(b))
+        assert(full.contains((b, a)),
+          s"($a,$b) fully contained with equal sizes but ($b,$a) missing")
+    }
+  }
+
   test("streaming dedup parity holds at sf0.001 (exactly-once per fingerprint)") {
     val r = SparkEntry.queries("streaming_dedup_parity")(spark, sf).head()
     assert(r.getAs[Long]("n_stream") === r.getAs[Long]("n_batch"))
