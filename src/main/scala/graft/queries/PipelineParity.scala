@@ -131,6 +131,51 @@ object PipelineParity extends QueryGroup {
         "n_malformed_csv")
     }),
 
+    // Multi-file ingest ORDER: the reference's dedup winner is defined
+    // by file read order (csvreader.go:54-85); Ingest.sequenced pins
+    // it to lexicographic path order. Two CSV files with planted
+    // cross-file id- and email-conflicts run through the REAL
+    // IngestJob service (scan → validate → enrich → sequence →
+    // dedup-insert): every file-00 row must win, so the store holds
+    // exactly the customer-derived rows with their ORIGINAL emails —
+    // a file-order regression would surface dup* emails and hash-fail.
+    "pipeline_ingest_multifile" -> ((s, dir) => {
+      import s.implicits._
+      def lines(df: DataFrame): DataFrame = df.select(concat_ws(",",
+        col("id"), concat(lit("f"), col("id")), concat(lit("l"), col("id")),
+        col("email"), concat(lit("555-"), col("id"))).as("line"), col("id"))
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          concat(lit("u"), col("c_custkey"), lit("@example.com")).as("email"))
+      val idConf = base.filter(col("id") % 100 === 0)
+        .withColumn("email", concat(lit("dup"), col("id"), lit("@example.com")))
+      val emailConf = base.filter(col("id") % 100 === 1)
+        .withColumn("id", col("id") + 10000000L)
+      val out = withTempDir("graft-multifile-") { tmp =>
+        def writeOne(df: DataFrame, name: String): Unit = {
+          val stage = s"$tmp/stage_$name"
+          lines(df).orderBy(col("id")).select(col("line")).coalesce(1)
+            .write.text(stage)
+          import scala.jdk.CollectionConverters._
+          val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+            .iterator().asScala
+            .filter(_.getFileName.toString.startsWith("part-")).toSeq.head
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+          java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$tmp/in/$name"))
+        }
+        writeOne(base, "00.csv")
+        writeOne(idConf.unionByName(emailConf), "01.csv")
+        val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
+        val (inserted, bad) = graft.pipeline.IngestJob.run(
+          s, s"$tmp/in", store, header = false)
+        val nQuarantined = bad.count()
+        val nOriginalEmails = store.all()
+          .filter(col("email").startsWith("u")).count()
+        (inserted, store.pending().count(), nOriginalEmails, nQuarantined)
+      }
+      Seq(out).toDF("n_inserted", "n_pending", "n_original_emails", "n_quarantined")
+    }),
+
     // The work-queue cycle (S4-S7) end-to-end against a real store:
     // batched UNIQUE-semantics insert (with planted id- and email-
     // conflict rows that must lose — explicit _seq pins the sequential
@@ -187,6 +232,13 @@ object PipelineParity extends QueryGroup {
            CAST(2 AS BIGINT) AS n_bad_id,
            CAST(1 AS BIGINT) AS n_empty_email,
            CAST(0 AS BIGINT) AS n_malformed_csv
+         FROM customer""",
+    // Every file-00 row wins; conflicts from file 01 all lose.
+    "pipeline_ingest_multifile" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_inserted,
+           CAST(COUNT(*) AS BIGINT) AS n_pending,
+           CAST(COUNT(*) AS BIGINT) AS n_original_emails,
+           CAST(0 AS BIGINT) AS n_quarantined
          FROM customer""",
     // Conflicts never survive; marking the evens leaves the odds.
     "pipeline_workqueue_cycle" ->

@@ -79,4 +79,18 @@ class PlanContractsSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning\\(source") === 1,
       "row_number window and per-source aggregate must share the shuffle")
   }
+
+  test("integer moments compile to one aggregation pass — no joins, no windows") {
+    val p = plan("stat_moments_corr")
+    assert(!p.contains("Join"), "moment sums must not join")
+    assert(!p.contains("Window"), "moment sums must not window")
+    assert(count(p, "Exchange hashpartitioning\\(l_returnflag") === 1,
+      "exactly the per-flag aggregation exchange")
+  }
+
+  test("gap fill broadcasts the grid side of the left join") {
+    val p = plan("events_gapfill")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the hours x types grid must broadcast, never shuffle the counts")
+  }
 }
