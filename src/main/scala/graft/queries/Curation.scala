@@ -175,6 +175,51 @@ object Curation extends QueryGroup {
         .limit(LM_TOPK)
     }),
 
+    // Character-diversity stats — the entropy-family gibberish filter
+    // computed EXACTLY: distinct chars, the dominant char's count, and
+    // the collision mass Σc² (Rényi-2 entropy surrogate: −log₂(Σc²/n²)
+    // is monotone in collision_ppm, and unlike Shannon entropy needs
+    // no libm log whose last ulp differs across engines). One fold
+    // over the SORTED char array in the projection — runs of a sorted
+    // array are exactly the per-char counts — so no per-char explode:
+    // at 100 TB an explode+groupBy here would shuffle every byte of
+    // the corpus (the text_repetition precedent, taken further).
+    "text_char_stats" -> ((s, dir) => {
+      val norm = normText(col("text"))
+      val cs = array_sort(split(norm, ""))
+      val z = struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("sumsq"), lit(0L).as("nd"), lit(0L).as("best"))
+      val folded = aggregate(cs, z,
+        (acc, x) => {
+          val same = coalesce(x === acc.getField("prev"), lit(false))
+          val newRun = when(same, acc.getField("run") + 1).otherwise(lit(1L))
+          struct(x.as("prev"), newRun.as("run"),
+            when(same, acc.getField("sumsq"))
+              .otherwise(acc.getField("sumsq")
+                + acc.getField("run") * acc.getField("run")).as("sumsq"),
+            when(same, acc.getField("nd"))
+              .otherwise(acc.getField("nd") + 1).as("nd"),
+            greatest(acc.getField("best"), newRun).as("best"))
+        },
+        acc => struct(
+          (acc.getField("sumsq")
+            + acc.getField("run") * acc.getField("run")).as("sumsq"),
+          acc.getField("nd").as("nd"),
+          acc.getField("best").as("best")))
+      Tables.forKernels(s, dir, "documents")
+        .select(col("doc_id"), length(norm).cast("long").as("n_chars"),
+          folded.as("f"))
+        .select(col("doc_id"), col("n_chars"),
+          col("f.nd").as("n_distinct_chars"),
+          col("f.best").as("top_char_count"),
+          col("f.sumsq").as("collision_mass"),
+          when(col("n_chars") === 0, 0L)
+            .otherwise(floor(col("f.sumsq").cast("double") * lit(1000000.0)
+              / (col("n_chars").cast("double") * col("n_chars").cast("double")))
+              .cast("long")).as("collision_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ASYMMETRIC containment dedup: |A∩B| / |A| over distinct trigram
     // sets — "doc A is (nearly) contained in doc B". Catches the
     // quote-expansion / superset duplicates that symmetric Jaccard
@@ -403,6 +448,23 @@ object Curation extends QueryGroup {
             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
             CAST(SUM(qp) // COUNT(*) AS BIGINT) AS avg_quality_ppm
           FROM r GROUP BY source, band ORDER BY source, band""",
+    // The oracle takes the explode+groupBy form — same counts, only
+    // the plan shape differs (the fold is the Spark-side scale story).
+    "text_char_stats" ->
+      s"""WITH ch AS (SELECT doc_id, unnest(string_split($normSql, '')) AS ch
+                 FROM documents),
+          cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+          pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+                   CAST(SUM(c) AS BIGINT) AS n_chars,
+                   CAST(MAX(c) AS BIGINT) AS top_char_count,
+                   CAST(SUM(c * c) AS BIGINT) AS collision_mass
+                 FROM cc GROUP BY doc_id)
+          SELECT doc_id, n_chars, n_distinct_chars, top_char_count, collision_mass,
+            CAST(CASE WHEN n_chars = 0 THEN 0
+              ELSE floor(CAST(collision_mass AS DOUBLE) * 1000000.0
+                / (CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE))) END AS BIGINT)
+              AS collision_ppm
+          FROM pd ORDER BY doc_id""",
     "dedup_containment" ->
       s"""WITH w AS (SELECT doc_id, $toksSql AS w FROM documents),
           g AS (SELECT doc_id, unnest($trigramSql) AS g FROM w),

@@ -178,6 +178,27 @@ object Extended extends QueryGroup {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // FULL OUTER join (the one join type the inventory lacked): per-
+    // nation customer account mass vs supplier presence — nations
+    // appearing on either side survive with the other side null-filled.
+    // Both inputs are pre-aggregated to nation cardinality, so the
+    // outer join itself is trivially broadcastable at any scale.
+    "join_full_outer_nation" -> ((s, dir) => {
+      val custSide = Tables(s, dir, "customer")
+        .filter(col("c_acctbal") > 7000)
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_rich_customers"))
+      val suppSide = Tables(s, dir, "supplier")
+        .filter(col("s_acctbal") > 7000)
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_rich_suppliers"))
+      custSide.join(suppSide, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          coalesce(col("n_rich_customers"), lit(0L)).as("n_rich_customers"),
+          coalesce(col("n_rich_suppliers"), lit(0L)).as("n_rich_suppliers"))
+        .orderBy(col("nationkey"))
+    }),
+
     // Statistical profile via INTEGER moments: corr/covar/stddev over
     // doubles are order-dependent (partition-order double sums), so the
     // engine aggregates the six moments (n, Σx, Σy, Σxx, Σyy, Σxy) as
@@ -383,6 +404,17 @@ object Extended extends QueryGroup {
          CAST(floor(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT) AS p50_cents,
          CAST(floor(quantile_cont(o_totalprice, 0.9) * 100) AS BIGINT) AS p90_cents
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "join_full_outer_nation" ->
+      """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_rich_customers,
+           CAST(COALESCE(s.n, 0) AS BIGINT) AS n_rich_suppliers
+         FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n FROM customer
+               WHERE c_acctbal > 7000 GROUP BY 1) c
+         FULL OUTER JOIN
+              (SELECT s_nationkey AS nationkey, COUNT(*) AS n FROM supplier
+               WHERE s_acctbal > 7000 GROUP BY 1) s
+           ON c.nationkey = s.nationkey
+         ORDER BY nationkey""",
     // Long moments are exact and hash-compared; the Pearson derivation
     // mirrors the Spark expression shape exactly (two sqrt divisions,
     // then the ppm scale) so the IEEE doubles agree bit-for-bit.

@@ -279,6 +279,59 @@ object StreamingParity extends QueryGroup {
         .toDF("n_stream", "n_batch", "n_only_stream", "n_only_batch")
     }),
 
+    // CHECKPOINT-RESUME parity: the incremental-dedup stream run TWICE
+    // over a growing directory with one checkpoint — half the corpus,
+    // stop, add the other half, resume. The file-source log AND the
+    // dropDuplicates state must both restore: a lost source log
+    // re-emits the first half (n_stream > n_batch), lost dedup state
+    // re-emits cross-half duplicates. Final emission set must equal
+    // the batch distinct set over the full table exactly once each —
+    // the reference's exactly-once intent (README.md:113), upgraded
+    // from its actual at-least-once, across a restart boundary.
+    "streaming_resume_parity" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.contentFingerprint
+      val docs = Tables(s, dir, "documents")
+      val batchFps = docs.select(contentFingerprint(col("text")).as("fp"))
+        .distinct().localCheckpoint(true)
+      val streamedFps = withTempDir(s, "graft-resume-") { tmp =>
+        def addHalf(pred: org.apache.spark.sql.Column, name: String): Unit = {
+          val stage = s"$tmp/stage_$name"
+          docs.filter(pred).coalesce(1).write.parquet(stage)
+          import scala.jdk.CollectionConverters._
+          val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+            .iterator().asScala
+            .filter(_.getFileName.toString.startsWith("part-")).toSeq.head
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+          java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$tmp/src/$name"))
+        }
+        def runOnce(): Unit =
+          s.readStream.schema(documentsSchema)
+            .parquet(s"$tmp/src")
+            .select(contentFingerprint(col("text")).as("fp"))
+            .dropDuplicates("fp")
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/out")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        addHalf(col("doc_id") % 2 === 0, "00.parquet")
+        runOnce()
+        addHalf(col("doc_id") % 2 === 1, "01.parquet")
+        runOnce() // resumes from the same checkpoint: state + file log restore
+        s.read.schema(StructType(Seq(StructField("fp", StringType))))
+          .parquet(s"$tmp/out")
+          .localCheckpoint(true)
+      }
+      val keys = Seq("fp")
+      Seq((streamedFps.count(), batchFps.count(),
+          streamedFps.join(batchFps, keys, "left_anti").count(),
+          batchFps.join(streamedFps, keys, "left_anti").count()))
+        .toDF("n_stream", "n_batch", "n_only_stream", "n_only_batch")
+    }),
+
     // mapGroupsWithState parity: runningUserTotals over the events file
     // stream — with AvailableNow the final emission per user is the
     // all-time counter, which must equal the batch per-user counts
@@ -387,6 +440,12 @@ object StreamingParity extends QueryGroup {
            CAST(0 AS BIGINT) AS n_only_stream,
            CAST(0 AS BIGINT) AS n_only_batch
          FROM j""",
+    "streaming_resume_parity" ->
+      """SELECT CAST(COUNT(DISTINCT md5(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_stream,
+           CAST(COUNT(DISTINCT md5(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_batch,
+           CAST(0 AS BIGINT) AS n_only_stream,
+           CAST(0 AS BIGINT) AS n_only_batch
+         FROM documents""",
     "streaming_totals_parity" ->
       """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_stream_users,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_batch_users,
