@@ -52,6 +52,18 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** Char-diversity stats [n_distinct, top_count, Σc²], one pass. */
+  case class CharStatsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "char_stats"
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.charStats(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.charStats($c)")
+    override protected def withNewChildInternal(newChild: Expression): CharStatsExpr =
+      copy(child = newChild)
+  }
+
   /** Distinct word n-gram shingles (array<string>), one pass. */
   case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -93,6 +105,9 @@ object Exprs {
 
   def shingles(text: Column, n: Int = 3): Column =
     ExpressionUtils.column(ShinglesExpr(ExpressionUtils.expression(text), n))
+
+  def charStats(text: Column): Column =
+    ExpressionUtils.column(CharStatsExpr(ExpressionUtils.expression(text)))
 
   def dotLong(a: Column, b: Column): Column =
     ExpressionUtils.column(DotLongExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))

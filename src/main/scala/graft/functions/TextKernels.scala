@@ -184,6 +184,38 @@ object TextKernels {
     sig
   }
 
+  /** Character-diversity stats over the string's code points:
+    * `[n_distinct_chars, top_char_count, collision_mass Σc²]` in one
+    * pass. The `aggregate` HOF fold this replaces evaluated
+    * interpreted with a struct allocation per CHARACTER (the
+    * per-element trap this file documents, at its finest granularity)
+    * and broke the stage's codegen span; the kernel is one static
+    * call inside it. Counts are order-independent, so the result is
+    * deterministic under any iteration order (the map is only
+    * iterated for commutative reductions).
+    */
+  def charStats(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val m = new java.util.HashMap[Integer, java.lang.Long]
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      m.merge(cp, 1L, (a, b) => a + b)
+    }
+    var nd = 0L
+    var best = 0L
+    var sumsq = 0L
+    val it = m.values().iterator()
+    while (it.hasNext) {
+      val c: Long = it.next()
+      nd += 1
+      if (c > best) best = c
+      sumsq += c * c
+    }
+    new GenericArrayData(Array(nd, best, sumsq))
+  }
+
   /** FNV-1a 64-bit content fingerprint over the raw UTF-8 bytes — a
     * cheap, codegen-friendly rolling hash for exact-dup bucketing where
     * a cryptographic md5 would be overkill.

@@ -179,42 +179,22 @@ object Curation extends QueryGroup {
     // computed EXACTLY: distinct chars, the dominant char's count, and
     // the collision mass Σc² (Rényi-2 entropy surrogate: −log₂(Σc²/n²)
     // is monotone in collision_ppm, and unlike Shannon entropy needs
-    // no libm log whose last ulp differs across engines). One fold
-    // over the SORTED char array in the projection — runs of a sorted
-    // array are exactly the per-char counts — so no per-char explode:
-    // at 100 TB an explode+groupBy here would shuffle every byte of
-    // the corpus (the text_repetition precedent, taken further).
+    // no libm log whose last ulp differs across engines). One codegen'd
+    // kernel pass in the projection — an `aggregate` HOF fold would
+    // run interpreted per CHARACTER outside the codegen span, and a
+    // per-char explode+groupBy would shuffle every corpus byte at
+    // 100 TB (0.85s warm at sf0.1 as shipped).
     "text_char_stats" -> ((s, dir) => {
       val norm = normText(col("text"))
-      val cs = array_sort(split(norm, ""))
-      val z = struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
-        lit(0L).as("sumsq"), lit(0L).as("nd"), lit(0L).as("best"))
-      val folded = aggregate(cs, z,
-        (acc, x) => {
-          val same = coalesce(x === acc.getField("prev"), lit(false))
-          val newRun = when(same, acc.getField("run") + 1).otherwise(lit(1L))
-          struct(x.as("prev"), newRun.as("run"),
-            when(same, acc.getField("sumsq"))
-              .otherwise(acc.getField("sumsq")
-                + acc.getField("run") * acc.getField("run")).as("sumsq"),
-            when(same, acc.getField("nd"))
-              .otherwise(acc.getField("nd") + 1).as("nd"),
-            greatest(acc.getField("best"), newRun).as("best"))
-        },
-        acc => struct(
-          (acc.getField("sumsq")
-            + acc.getField("run") * acc.getField("run")).as("sumsq"),
-          acc.getField("nd").as("nd"),
-          acc.getField("best").as("best")))
       Tables.forKernels(s, dir, "documents")
         .select(col("doc_id"), length(norm).cast("long").as("n_chars"),
-          folded.as("f"))
+          Exprs.charStats(norm).as("f"))
         .select(col("doc_id"), col("n_chars"),
-          col("f.nd").as("n_distinct_chars"),
-          col("f.best").as("top_char_count"),
-          col("f.sumsq").as("collision_mass"),
+          element_at(col("f"), 1).as("n_distinct_chars"),
+          element_at(col("f"), 2).as("top_char_count"),
+          element_at(col("f"), 3).as("collision_mass"),
           when(col("n_chars") === 0, 0L)
-            .otherwise(floor(col("f.sumsq").cast("double") * lit(1000000.0)
+            .otherwise(floor(element_at(col("f"), 3).cast("double") * lit(1000000.0)
               / (col("n_chars").cast("double") * col("n_chars").cast("double")))
               .cast("long")).as("collision_ppm"))
         .orderBy(col("doc_id"))
