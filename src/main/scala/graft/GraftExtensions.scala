@@ -82,5 +82,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         checkArity("qdot", children, 2)
         DotLongExpr(children.head, children(1))
       }))
+    ext.injectFunction((FunctionIdentifier("char_stats"),
+      info("char_stats",
+        "char_stats(text) - [n_distinct_chars, top_char_count, collision_mass]"),
+      (children: Seq[Expression]) =>
+        CharStatsExpr(checkArity("char_stats", children, 1).head)))
   }
 }

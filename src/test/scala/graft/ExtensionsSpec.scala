@@ -38,7 +38,8 @@ class ExtensionsSpec extends AnyFunSuite {
            fingerprint64('abc') AS fp,
            size(word_shingles('a b c d', 3)) AS nsh,
            size(minhash_bands('a b c d e', 3, 128, 64)) AS nb,
-           qdot(array(1L, 2L), array(3L, 4L)) AS dot""").head()
+           qdot(array(1L, 2L), array(3L, 4L)) AS dot,
+           char_stats('aab') AS cs""").head()
       assert(row.getAs[Long]("sh") === graft.functions.TextKernels.simhash64(
         org.apache.spark.unsafe.types.UTF8String.fromString("a b c")))
       assert(row.getAs[Long]("fp") === graft.functions.TextKernels.fingerprint64(
@@ -46,6 +47,8 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getAs[Int]("nsh") === 2)
       assert(row.getAs[Int]("nb") === 64)
       assert(row.getAs[Long]("dot") === 11L)
+      // 'aab': 2 distinct chars, top count 2, collision mass 2² + 1² = 5
+      assert(row.getAs[Seq[Long]]("cs") === Seq(2L, 2L, 5L))
     }
   }
 
