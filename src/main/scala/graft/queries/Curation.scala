@@ -175,6 +175,9 @@ object Curation extends QueryGroup {
         .limit(LM_TOPK)
     }),
 
+    // See [[corpusReport]].
+    "corpus_report" -> ((s, dir) => corpusReport(s, dir)),
+
     // Character-diversity stats — the entropy-family gibberish filter
     // computed EXACTLY: distinct chars, the dominant char's count, and
     // the collision mass Σc² (Rényi-2 entropy surrogate: −log₂(Σc²/n²)
@@ -340,6 +343,38 @@ object Curation extends QueryGroup {
         .orderBy(col("shard"))
     }))
 
+  /** The "dataset card" summary row a curation pipeline publishes with
+    * a corpus snapshot: sizes, source/language breadth, token mass,
+    * exact-duplicate rate, and mean quality — one aggregation pass
+    * plus the exact-dup fingerprint groupBy, everything integer or
+    * integer-DIV so the card is engine-exact.
+    */
+  private def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val d = Tables.forKernels(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        floor(qualityScore(normText(col("text")), toks) * lit(1000000.0))
+          .cast("long").as("qp"),
+        contentFingerprint(col("text")).as("fp"))
+      .localCheckpoint(true)
+    val dups = d.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("c") - 1).as("n_dup_docs"))
+    d.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("n_chars")).as("sum_chars"),
+      sum(col("n_tokens")).as("sum_tokens"),
+      expr("sum(qp) DIV count(1)").as("mean_quality_ppm"))
+      .crossJoin(dups)
+      .withColumn("dup_ppm", expr("n_dup_docs * 1000000 DIV n_docs"))
+      .select(col("n_docs"), col("n_langs"), col("n_sources"),
+        col("sum_chars"), col("sum_tokens"), col("mean_quality_ppm"),
+        col("n_distinct").as("n_distinct_docs"), col("dup_ppm"))
+  }
+
   private val normSql = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
   private val toksSql = s"string_split($normSql, ' ')"
   private val trigramSql =
@@ -428,6 +463,27 @@ object Curation extends QueryGroup {
             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
             CAST(SUM(qp) // COUNT(*) AS BIGINT) AS avg_quality_ppm
           FROM r GROUP BY source, band ORDER BY source, band""",
+    "corpus_report" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, n_chars,
+                  CAST(len(w) AS BIGINT) AS n_tokens,
+                  $qualityPpmSql AS qp,
+                  md5(norm) AS fp
+                FROM (SELECT doc_id, lang, source, n_chars,
+                        $normSql AS norm, $toksSql AS w FROM documents)),
+          dup AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                    CAST(SUM(c - 1) AS BIGINT) AS n_dup_docs
+                  FROM (SELECT fp, COUNT(*) AS c FROM d GROUP BY 1)),
+          agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                    CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                    CAST(SUM(qp) // COUNT(*) AS BIGINT) AS mean_quality_ppm
+                  FROM d)
+          SELECT n_docs, n_langs, n_sources, sum_chars, sum_tokens,
+            mean_quality_ppm, n_distinct AS n_distinct_docs,
+            CAST(n_dup_docs * 1000000 // n_docs AS BIGINT) AS dup_ppm
+          FROM agg, dup""",
     // The oracle takes the explode+groupBy form — same counts, only
     // the plan shape differs (the fold is the Spark-side scale story).
     "text_char_stats" ->
