@@ -90,4 +90,32 @@ class KernelsSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(got === Array("en", "de", "und"))
   }
+
+  test("charStats kernel matches the naive per-codepoint count on seeded inputs") {
+    def naive(s: String): (Long, Long, Long) = {
+      val counts = s.codePoints().toArray.groupBy(identity)
+        .map { case (_, v) => v.length.toLong }
+      if (counts.isEmpty) (0L, 0L, 0L)
+      else (counts.size.toLong, counts.max, counts.map(c => c * c).sum)
+    }
+    val rng = new scala.util.Random(42)
+    val alphabet = "abcdefg 的是在日本語x0189😀" // incl. an astral emoji
+    val cases = Seq("", "a", "aaaa", "的的的 a") ++
+      (1 to 60).map(_ => (1 to rng.nextInt(120))
+        .map(_ => alphabet.charAt(rng.nextInt(alphabet.length))).mkString
+        // Random char picks can split the emoji's surrogate pair; drop
+        // unpaired surrogates so every case is a valid codepoint
+        // sequence (the astral path is pinned separately below).
+        .filter(c => !Character.isSurrogate(c)))
+    cases.foreach { s =>
+      val got = TextKernels.charStats(u(s))
+      val (nd, best, sumsq) = naive(s)
+      assert(got.getLong(0) === nd, s"nd mismatch on '$s'")
+      assert(got.getLong(1) === best, s"best mismatch on '$s'")
+      assert(got.getLong(2) === sumsq, s"sumsq mismatch on '$s'")
+    }
+    // The astral pair counts as ONE codepoint, not two chars.
+    val emoji = TextKernels.charStats(u("😀😀"))
+    assert(emoji.getLong(0) === 1L && emoji.getLong(1) === 2L)
+  }
 }
