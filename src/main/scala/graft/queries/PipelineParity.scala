@@ -196,6 +196,33 @@ object PipelineParity extends QueryGroup {
       workqueueCycle(s, dir)(tmp =>
         new graft.pipeline.JdbcCustomerStore(s, s"jdbc:derby:$tmp/cust;create=true"))),
 
+    // Schema EVOLUTION on read: a corpus directory whose newer files
+    // carry an added column (the standard additive-evolution case for
+    // long-lived training corpora). mergeSchema unions the file
+    // schemas; rows from pre-evolution files surface the new column
+    // as null. The gate pins the merged row count, the null/non-null
+    // split, and that the old columns aggregate identically across
+    // both generations.
+    "pipeline_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val out = withTempDir("graft-evolve-") { tmp =>
+        docs.filter(col("doc_id") % 2 === 0)
+          .write.parquet(s"$tmp/corpus")
+        docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("quality_tier", (col("doc_id") % 3).cast("long"))
+          .write.mode("append").parquet(s"$tmp/corpus")
+        val merged = s.read.option("mergeSchema", "true").parquet(s"$tmp/corpus")
+        val r = merged.agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("quality_tier").isNull, 1L).otherwise(0L)).as("n_pre_evolution"),
+          sum(when(col("quality_tier").isNotNull, 1L).otherwise(0L)).as("n_post_evolution"),
+          sum(col("n_chars")).as("sum_chars")).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      Seq(out).toDF("n_docs", "n_pre_evolution", "n_post_evolution", "sum_chars")
+    }),
+
     // JSONL sink → source round trip with per-line salvage: documents
     // written as JSON lines, two garbage lines appended, read back
     // under the explicit schema. The md5-prefix checksum over the
@@ -253,6 +280,12 @@ object PipelineParity extends QueryGroup {
            CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pending_after,
            CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_uploaded
          FROM customer""",
+    "pipeline_schema_evolution" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_evolution,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_post_evolution,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents""",
     "pipeline_jsonl_roundtrip" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
            CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids,
