@@ -138,6 +138,18 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("corpus report internally reconciles") {
+    val r = SparkEntry.queries("corpus_report")(spark, sf).head()
+    val nDocs = r.getAs[Long]("n_docs")
+    assert(nDocs === Tables(spark, sf, "documents").count())
+    assert(r.getAs[Long]("n_distinct_docs") <= nDocs)
+    assert(r.getAs[Long]("dup_ppm") ===
+      (nDocs - r.getAs[Long]("n_distinct_docs")) * 1000000L / nDocs)
+    assert(r.getAs[Long]("sum_tokens") > 0L)
+    assert(r.getAs[Long]("mean_quality_ppm") > 0L
+      && r.getAs[Long]("mean_quality_ppm") <= 1000000L)
+  }
+
   test("streaming dedup parity holds at sf0.001 (exactly-once per fingerprint)") {
     val r = SparkEntry.queries("streaming_dedup_parity")(spark, sf).head()
     assert(r.getAs[Long]("n_stream") === r.getAs[Long]("n_batch"))
