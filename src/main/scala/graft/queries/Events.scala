@@ -157,6 +157,36 @@ object Events extends QueryGroup {
         .limit(10)
     }),
 
+    // Association mining (market-basket over behavior): event-type
+    // pairs co-occurring in a user's history, with integer-exact lift
+    // = P(a∧b) / (P(a)·P(b)) computed as (n_ab·n_users·1e6) DIV
+    // (n_a·n_b) — all longs (overflows only past ~10⁶ users × 10⁶
+    // pair counts; past that the ratio moves to one double, the
+    // moments pattern). Shapes: one distinct (user, type) pass, a
+    // per-user self-join bounded by the TYPE alphabet (≤ C(5,2)=10
+    // pairs per user, never n²), and two tiny aggregates.
+    "events_cooccurrence" -> ((s, dir) => {
+      val ut = events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+        .localCheckpoint(true)
+      val nUsers = ut.select(col("user_id")).distinct().count()
+      val singles = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_single"))
+      val pairs = ut.as("a")
+        .join(ut.as("b"), Seq("user_id"))
+        .filter(col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(singles.select(col("event_type").as("type_a"), col("n_single").as("n_a")),
+          Seq("type_a"))
+        .join(singles.select(col("event_type").as("type_b"), col("n_single").as("n_b")),
+          Seq("type_b"))
+        .withColumn("lift_ppm",
+          expr(s"n_both * $nUsers * 1000000 DIV (n_a * n_b)"))
+        .select(col("type_a"), col("type_b"), col("n_both"), col("lift_ppm"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // Semi-structured extraction: pull the integer k out of the JSON
     // props (regexp keeps it engine-portable), bucket by k % 10.
     "events_props_extract" -> ((s, dir) => {
@@ -169,6 +199,20 @@ object Events extends QueryGroup {
     }))
 
   val oracles: Map[String, String] = Map(
+    "events_cooccurrence" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+         s AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+         p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 COUNT(*) AS n_both
+               FROM ut a JOIN ut b USING (user_id)
+               WHERE a.event_type < b.event_type GROUP BY 1, 2)
+         SELECT type_a, type_b, CAST(n_both AS BIGINT) AS n_both,
+           CAST(n_both * u.n_users * 1000000 // (sa.n * sb.n) AS BIGINT) AS lift_ppm
+         FROM p, u
+         JOIN s sa ON sa.event_type = p.type_a
+         JOIN s sb ON sb.event_type = p.type_b
+         ORDER BY type_a, type_b""",
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
          CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents

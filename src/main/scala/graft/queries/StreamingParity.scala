@@ -279,6 +279,60 @@ object StreamingParity extends QueryGroup {
         .toDF("n_stream", "n_batch", "n_only_stream", "n_only_batch")
     }),
 
+    // Built-in session_window parity (the fifth stateful op): session
+    // aggregates via session_window(30 min) in append mode emit once
+    // the watermark passes the merged window's end (= last event +
+    // gap, ms floor). The batch twin is the lag/cumsum sessionization
+    // with end extended by the gap; residues pinned at zero.
+    "streaming_sessionwindow_parity" -> ((s, dir) => {
+      import s.implicits._
+      val batch = Tables(s, dir, "events").withColumn("us", expr("ts DIV 1000"))
+      val streamed = withTempDir(s, "graft-sessionwin-parity-") { tmp =>
+        EventStreams.sessionCounts(
+            s.readStream.schema(eventsSchema)
+              .parquet(s"$dir/{events.parquet}")
+              .select(col("user_id"),
+                timestamp_micros(expr("ts DIV 1000")).as("ts")))
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.schema(StructType(Seq(
+            StructField("session_start", TimestampType),
+            StructField("user_id", LongType),
+            StructField("n_events", LongType))))
+          .parquet(s"$tmp/out")
+          .select(col("user_id"),
+            unix_millis(col("session_start")).as("start_ms"), col("n_events"))
+          .localCheckpoint(true)
+      }
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sessions = batch
+        .select(col("user_id"), col("event_id"), col("us"))
+        .withColumn("new_sess",
+          when(col("us") - lag(col("us"), 1).over(byUser) > 1800L * 1000000
+            || lag(col("us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(cum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("min(us) DIV 1000").as("start_ms"),
+          expr("max(us) DIV 1000 + 1800000").as("end_ms"))
+      val wmMs = batch.agg(expr("max(us) DIV 1000")).head().getLong(0) - WATERMARK_DELAY_MS
+      val batchFinal = sessions
+        .filter(col("end_ms") < lit(wmMs))
+        .select(col("user_id"), col("start_ms"), col("n_events"))
+        .localCheckpoint(true)
+      val keys = Seq("user_id", "start_ms", "n_events")
+      Seq((streamed.count(), batchFinal.count(),
+          streamed.join(batchFinal, keys, "left_anti").count(),
+          batchFinal.join(streamed, keys, "left_anti").count()))
+        .toDF("n_stream", "n_batch_final", "n_only_stream", "n_only_batch")
+    }),
+
     // CHECKPOINT-RESUME parity: the incremental-dedup stream run TWICE
     // over a growing directory with one checkpoint — half the corpus,
     // stop, add the other half, resume. The file-source log AND the
@@ -440,6 +494,27 @@ object StreamingParity extends QueryGroup {
            CAST(0 AS BIGINT) AS n_only_stream,
            CAST(0 AS BIGINT) AS n_only_batch
          FROM j""",
+    "streaming_sessionwindow_parity" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         f AS (SELECT user_id, event_id, us,
+                 CASE WHEN us - lag(us) OVER w > 1800000000
+                      OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         g AS (SELECT user_id, us,
+                 CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+               FROM f),
+         sess AS (SELECT user_id, session_id, COUNT(*) AS n_events,
+                    MIN(us) // 1000 AS start_ms,
+                    MAX(us) // 1000 + 1800000 AS end_ms
+                  FROM g GROUP BY user_id, session_id),
+         wm AS (SELECT MAX(us) // 1000 - 7200000 AS wm_ms FROM e),
+         bf AS (SELECT * FROM sess, wm WHERE end_ms < wm_ms)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_stream,
+           CAST(COUNT(*) AS BIGINT) AS n_batch_final,
+           CAST(0 AS BIGINT) AS n_only_stream,
+           CAST(0 AS BIGINT) AS n_only_batch
+         FROM bf""",
     "streaming_resume_parity" ->
       """SELECT CAST(COUNT(DISTINCT md5(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_stream,
            CAST(COUNT(DISTINCT md5(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_batch,
