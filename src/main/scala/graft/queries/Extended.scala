@@ -279,6 +279,25 @@ object Extended extends QueryGroup {
           expr("sum_24h * 1000000 DIV 24").as("avg_hourly_ppm"))
     }),
 
+    // Time-RANGE window frame (the frame type the rows-frame queries
+    // don't cover): per user, the trailing-1-hour event-value sum at
+    // each event — RANGE frames bound by the ORDER-BY VALUE (integer
+    // microseconds), so ties and gaps behave correctly where a rows
+    // frame would miscount. Output is the top 20 frame sums.
+    "window_range_time_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600L * 1000000, 0)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"),
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("hour_sum_cents", sum(col("cents")).over(w))
+        .withColumn("n_in_hour", count(lit(1)).over(w))
+        .orderBy(col("hour_sum_cents").desc, col("user_id"), col("event_id"))
+        .limit(20)
+        .select(col("user_id"), col("event_id"), col("us"),
+          col("n_in_hour"), col("hour_sum_cents"))
+    }),
+
     // Anomalous-hour detection composing the two techniques above:
     // integer moments (n, Σx, Σxx as longs — order-proof) over the
     // DENSE gap-filled hourly series give the mean/std in one shared-
@@ -415,6 +434,16 @@ object Extended extends QueryGroup {
                WHERE s_acctbal > 7000 GROUP BY 1) s
            ON c.nationkey = s.nationkey
          ORDER BY nationkey""",
+    "window_range_time_frame" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+         r AS (SELECT user_id, event_id, us,
+                 CAST(COUNT(*) OVER w AS BIGINT) AS n_in_hour,
+                 CAST(SUM(cents) OVER w AS BIGINT) AS hour_sum_cents
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id, us, n_in_hour, hour_sum_cents
+         FROM r ORDER BY hour_sum_cents DESC, user_id, event_id LIMIT 20""",
     // Long moments are exact and hash-compared; the Pearson derivation
     // mirrors the Spark expression shape exactly (two sqrt divisions,
     // then the ppm scale) so the IEEE doubles agree bit-for-bit.
