@@ -11,7 +11,10 @@ import graft.functions.TextFunctions._
 /** Corpus-curation operators a production training-data pipeline runs
   * between raw ingest and tokenization: PII scrubbing, corpus-common
   * boilerplate measurement, n-gram-LM fluency scoring against the train
-  * split, per-domain document caps, and deterministic shard export.
+  * split, sub-document paragraph dedup, asymmetric containment dedup,
+  * rank-based quality banding, char-diversity stats, per-domain
+  * document caps, deterministic shard export, and the one-row dataset
+  * card a pipeline publishes with a corpus snapshot.
   *
   * Everything is engine-exact: regexes restrict to the Java/RE2 common
   * subset (explicit classes, no lookaround, no escapes that differ),
@@ -41,11 +44,11 @@ object Curation extends QueryGroup {
   private val SHARDS = 8
   private val LM_TOPK = 20
 
-  /** Posting-list df cap for the containment join (set-similarity
-    * prefix filtering): grams seen in more docs than this are dropped
-    * from candidate generation AND the score definition. Above every
-    * df at the test SFs; at corpus scale it is the dial that keeps
-    * posting lists bounded.
+  /** Posting-list df cap for the containment join: grams seen in more
+    * docs than this are dropped from candidate generation AND the
+    * score definition (a capped gram is stop-gram noise for a
+    * containment signal anyway). Above every df at the test SFs; at
+    * corpus scale it is the dial that keeps posting lists bounded.
     */
   private val DF_CAP = 1000
 

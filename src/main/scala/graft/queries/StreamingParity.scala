@@ -56,9 +56,9 @@ object StreamingParity extends QueryGroup {
     * (baked into the checkpoint at query start → number of state
     * stores): the parity corpora are a few hundred thousand rows, and
     * 32 HDFS-backed state stores cost more in per-store init/commit
-    * than they buy in parallelism (measured 13.7s → 8.6s on the
-    * stream-stream join at sf0.1). A production stream sizes this to
-    * its key cardinality instead.
+    * than they buy in parallelism (stream-stream join at sf0.1:
+    * 13.7s → 10.3s cold, bench min 5.7s → 2.7s). A production stream
+    * sizes this to its key cardinality instead.
     */
   private def withTempDir[T](s: SparkSession, prefix: String)(
       f: java.nio.file.Path => T): T = {
