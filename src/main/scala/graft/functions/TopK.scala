@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed [[Aggregator]] (the Dataset UDAF surface — SURVEY §2.3's
+  * UDF/UDAF row, complementing the codegen'd scalar Expressions in
+  * [[Exprs]]): per-group top-k of (value, id) pairs, ordered value
+  * DESC with the id as total-order tie-break.
+  *
+  * Determinism: the reduction keeps a sorted bounded buffer; merge is
+  * associative and commutative over the pair ordering, so the result
+  * is independent of partitioning and merge order — the property that
+  * lets the DuckDB oracle reproduce it with a plain window. State is
+  * O(k) per group; the partial aggregation runs map-side, so the
+  * shuffle carries k pairs per (partition, group), not rows — the same
+  * scale shape as Spark's own TakeOrderedAndProject, but per group.
+  */
+class TopKAggregator(k: Int)
+    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+
+  // Pairs are (sortValue, id); larger sortValue wins, smaller id
+  // breaks ties.
+  private val ord: Ordering[(Long, Long)] =
+    Ordering.by[(Long, Long), (Long, Long)] { case (v, id) => (-v, id) }
+
+  override def zero: Seq[(Long, Long)] = Seq.empty
+
+  private def trim(s: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    s.sorted(ord).take(k)
+
+  override def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] =
+    trim(b :+ a)
+
+  override def merge(b1: Seq[(Long, Long)], b2: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    trim(b1 ++ b2)
+
+  override def finish(reduction: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    reduction.sorted(ord)
+
+  override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] = bufferEncoder
+}

@@ -178,6 +178,31 @@ object Extended extends QueryGroup {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Typed-Aggregator UDAF (the Dataset custom-aggregation surface,
+    // complementing the codegen'd scalar Expressions): per event type,
+    // the top-3 events by integer cents via a bounded sorted buffer —
+    // O(k) state per group, map-side partials, merge order-proof, so
+    // the oracle reproduces it with a plain window.
+    "agg_topk_typed" -> ((s, dir) => {
+      import s.implicits._
+      val topk = new graft.functions.TopKAggregator(3).toColumn
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"),
+          col("event_id"))
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(topk.name("top"))
+        .flatMap { case (tpe, top) =>
+          top.zipWithIndex.map { case ((cents, id), i) =>
+            (tpe, (i + 1).toLong, id, cents)
+          }
+        }
+        .toDF("event_type", "rank", "event_id", "cents")
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
     // FULL OUTER join (the one join type the inventory lacked): per-
     // nation customer account mass vs supplier presence — nations
     // appearing on either side survive with the other side null-filled.
@@ -423,6 +448,15 @@ object Extended extends QueryGroup {
          CAST(floor(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT) AS p50_cents,
          CAST(floor(quantile_cont(o_totalprice, 0.9) * 100) AS BIGINT) AS p90_cents
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_topk_typed" ->
+      """WITH e AS (SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+                 event_id FROM events),
+         r AS (SELECT event_type, cents, event_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY cents DESC, event_id) AS BIGINT) AS rank
+               FROM e)
+         SELECT event_type, rank, event_id, cents
+         FROM r WHERE rank <= 3 ORDER BY event_type, rank""",
     "join_full_outer_nation" ->
       """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
            CAST(COALESCE(c.n, 0) AS BIGINT) AS n_rich_customers,
