@@ -196,6 +196,28 @@ object PipelineParity extends QueryGroup {
       workqueueCycle(s, dir)(tmp =>
         new graft.pipeline.JdbcCustomerStore(s, s"jdbc:derby:$tmp/cust;create=true"))),
 
+    // Hive-style PARTITIONED layout: the corpus written partitionBy
+    // (lang) and read back with a partition filter — the layout every
+    // data-lake corpus uses so language/source slices scan only their
+    // directories. The aggregate pins partition-column round-tripping
+    // (lang moves from column to directory key and back) and the
+    // filtered totals; the scan-level pruning itself is pinned by
+    // PlanContractsSpec on the same layout.
+    "pipeline_partition_pruning" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val out = withTempDir("graft-partitioned-") { tmp =>
+        docs.write.partitionBy("lang").parquet(s"$tmp/corpus")
+        val part = s.read.parquet(s"$tmp/corpus")
+        val en = part.filter(col("lang") === "en")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("c")).head()
+        val all = part.agg(count(lit(1)).as("n"),
+          countDistinct(col("lang")).as("l")).head()
+        (en.getLong(0), en.getLong(1), all.getLong(0), all.getLong(1))
+      }
+      Seq(out).toDF("n_en_docs", "sum_en_chars", "n_total_docs", "n_langs")
+    }),
+
     // Schema EVOLUTION on read: a corpus directory whose newer files
     // carry an added column (the standard additive-evolution case for
     // long-lived training corpora). mergeSchema unions the file
@@ -280,6 +302,12 @@ object PipelineParity extends QueryGroup {
            CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pending_after,
            CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_uploaded
          FROM customer""",
+    "pipeline_partition_pruning" ->
+      """SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en_docs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS BIGINT) AS sum_en_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_total_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+         FROM documents""",
     "pipeline_schema_evolution" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_evolution,

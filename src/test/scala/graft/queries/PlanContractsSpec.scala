@@ -88,6 +88,23 @@ class PlanContractsSpec extends SparkSpec {
       "exactly the per-flag aggregation exchange")
   }
 
+  test("partitionBy(lang) layout prunes partitions for a lang filter") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prune-plan-").toString
+    try {
+      graft.Tables(spark, sf, "documents")
+        .write.partitionBy("lang").parquet(s"$tmp/corpus")
+      val p = spark.read.parquet(s"$tmp/corpus")
+        .filter(org.apache.spark.sql.functions.col("lang") === "en")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters: [isnotnull(lang"),
+        "lang filter must prune directories, not scan and filter rows")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.reverse.foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("gap fill broadcasts the grid side of the left join") {
     val p = plan("events_gapfill")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
