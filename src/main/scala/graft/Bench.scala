@@ -58,9 +58,12 @@ object Bench {
     val best = scala.collection.mutable.Map[String, Double]()
     for (p <- 1 to passes) {
       // Re-pay memoized AND persisted builds each pass, so the min is a
-      // real end-to-end cost, not build-once-probe-thrice.
+      // real end-to-end cost, not build-once-probe-thrice. Scoped to
+      // the benched dir: invalidateAll would clobber artifacts of
+      // other dirs/processes sharing the store root (a co-running
+      // test JVM would lose parquet files mid-read).
       graft.util.SessionCache.clearAll()
-      graft.util.IndexStore.invalidateAll()
+      graft.util.IndexStore.invalidate(sfDir)
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
@@ -70,7 +73,9 @@ object Bench {
         if (!best.contains(name) || sec < best(name)) best(name) = sec
       }
     }
-    def r2(v: Double): String = "%.2f".format(v)
+    // Locale.ROOT: a comma-decimal default locale would print 82,35
+    // and corrupt both the harness line and BENCH_DETAIL.json.
+    def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
     val total = names.map(best).sum
     val sfLabel = new java.io.File(sfDir).getName
     // The inventory outgrew the ~1870-byte line budget (75 queries ≈

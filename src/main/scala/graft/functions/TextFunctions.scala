@@ -128,4 +128,13 @@ object TextFunctions {
   /** DuckDB form of [[trainEvalSplit]] over a md5-hex expression. */
   def trainEvalSplitSql(md5Expr: String): String =
     s"CASE WHEN substr($md5Expr, 1, 1) IN ('e','f') THEN 'eval' ELSE 'train' END"
+
+  /** DuckDB mirrors of [[normText]]/[[tokens]] — the ONE definition
+    * every oracle shares, so the engine-exact whitespace semantics
+    * (DuckDB regexp_replace needs the 'g' flag; string_split on a
+    * single space after normalization) can never desynchronize
+    * between query modules.
+    */
+  val normSql: String = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
+  val toksSql: String = s"string_split($normSql, ' ')"
 }

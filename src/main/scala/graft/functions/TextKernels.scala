@@ -196,22 +196,38 @@ object TextKernels {
     */
   def charStats(s: UTF8String): ArrayData = {
     val str = s.toString
-    val m = new java.util.HashMap[Integer, java.lang.Long]
+    // ASCII counts in a primitive array (the dominant case — zero
+    // allocation per character); only non-ASCII code points take the
+    // boxed-map path.
+    val ascii = new Array[Long](128)
+    var overflow: java.util.HashMap[Integer, java.lang.Long] = null
     var i = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)
       i += Character.charCount(cp)
-      m.merge(cp, 1L, (a, b) => a + b)
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (overflow == null) overflow = new java.util.HashMap
+        overflow.merge(cp, 1L, (a, b) => a + b)
+      }
     }
     var nd = 0L
     var best = 0L
     var sumsq = 0L
-    val it = m.values().iterator()
-    while (it.hasNext) {
-      val c: Long = it.next()
-      nd += 1
-      if (c > best) best = c
-      sumsq += c * c
+    var j = 0
+    while (j < 128) {
+      val c = ascii(j)
+      if (c > 0) { nd += 1; if (c > best) best = c; sumsq += c * c }
+      j += 1
+    }
+    if (overflow != null) {
+      val it = overflow.values().iterator()
+      while (it.hasNext) {
+        val c: Long = it.next()
+        nd += 1
+        if (c > best) best = c
+        sumsq += c * c
+      }
     }
     new GenericArrayData(Array(nd, best, sumsq))
   }

@@ -20,9 +20,14 @@ class TopKAggregator(k: Int)
     extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
 
   // Pairs are (sortValue, id); larger sortValue wins, smaller id
-  // breaks ties.
-  private val ord: Ordering[(Long, Long)] =
-    Ordering.by[(Long, Long), (Long, Long)] { case (v, id) => (-v, id) }
+  // breaks ties. Explicit comparator, not Ordering.by(-v): negation
+  // overflows for Long.MinValue and would rank it first.
+  private val ord: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+    override def compare(a: (Long, Long), b: (Long, Long)): Int = {
+      val byValue = java.lang.Long.compare(b._1, a._1) // DESC
+      if (byValue != 0) byValue else java.lang.Long.compare(a._2, b._2) // id ASC
+    }
+  }
 
   override def zero: Seq[(Long, Long)] = Seq.empty
 

@@ -132,7 +132,7 @@ object BpeTraining extends QueryGroup {
   private def trained(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     trainedCache.getOrCompute(s, dir) {
       val loaded = graft.util.IndexStore.loadOrBuildAll(
-        s, dir, Seq("bpe_merges", "bpe_vocab_segments")) {
+        s, dir, s"bpe_merges_k$BPE_MERGES" :: s"bpe_vocab_segments_k$BPE_MERGES" :: Nil) {
         val (m, g) = train(s, dir)
         Seq(m, g)
       }
@@ -163,8 +163,8 @@ object BpeTraining extends QueryGroup {
 
   // ---- oracle ----------------------------------------------------------
 
-  private val normSql = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
-  private val toksSql = s"string_split($normSql, ' ')"
+  private val normSql = graft.functions.TextFunctions.normSql
+  private val toksSql = graft.functions.TextFunctions.toksSql
 
   /** One merge round as CTEs: pair counts from s{i}, argmax b{i+1},
     * greedy application → s{i+1}. Mirror of the Spark round above,

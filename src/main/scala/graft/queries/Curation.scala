@@ -378,8 +378,8 @@ object Curation extends QueryGroup {
         col("n_distinct").as("n_distinct_docs"), col("dup_ppm"))
   }
 
-  private val normSql = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
-  private val toksSql = s"string_split($normSql, ' ')"
+  private val normSql = graft.functions.TextFunctions.normSql
+  private val toksSql = graft.functions.TextFunctions.toksSql
   private val trigramSql =
     "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])"
   // Disjoint CHUNK_TOKS-token chunk fingerprints (mirror of chunkFps).

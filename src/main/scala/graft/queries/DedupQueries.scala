@@ -102,7 +102,7 @@ object DedupQueries extends QueryGroup {
     // is the signature index a production dedup pipeline stores next
     // to the corpus (build once, probe forever) — see
     // [[graft.util.IndexStore]] for the content-addressing contract.
-    val ex = graft.util.IndexStore.loadOrBuild(s, dir, s"minhash_bands_b$bands")(
+    val ex = graft.util.IndexStore.loadOrBuild(s, dir, s"minhash_bands_n${SHINGLE_N}k${MINHASH_K}b$bands")(
       Tables.forKernels(s, dir, "documents")
         .select(col("doc_id"),
           posexplode(Exprs.minhashBands(col("text"), SHINGLE_N, MINHASH_K, bands))
@@ -138,7 +138,7 @@ object DedupQueries extends QueryGroup {
     // re-running candidate generation + verification), and the session
     // memo keeps repeated queries from re-opening the scan.
     verifiedPairsCache.getOrCompute(s, dir)(
-      graft.util.IndexStore.loadOrBuild(s, dir, "verified_pairs_j50")(
+      graft.util.IndexStore.loadOrBuild(s, dir, s"verified_pairs_j50_n${SHINGLE_N}k${MINHASH_K}b$LSH_BANDS")(
         lshVerifiedPairs(s, dir, bands = LSH_BANDS, threshold = 0.5)
           // Project the shingle arrays away BEFORE persisting: the
           // consumers need only the five scalars, and two trigram
@@ -162,7 +162,7 @@ object DedupQueries extends QueryGroup {
 
   private def components(s: SparkSession, dir: String): DataFrame =
     componentsCache.getOrCompute(s, dir)(
-      graft.util.IndexStore.loadOrBuild(s, dir, "components_j50")(
+      graft.util.IndexStore.loadOrBuild(s, dir, s"components_j50_n${SHINGLE_N}k${MINHASH_K}b$LSH_BANDS")(
         computeComponents(s, dir)))
 
   /** Drop the memoized pair/component artifacts (long-lived-JVM hook;
@@ -390,8 +390,8 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("vec_a"), col("vec_b"))
     }))
 
-  private val normSql = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
-  private val toksSql = s"string_split($normSql, ' ')"
+  private val normSql = graft.functions.TextFunctions.normSql
+  private val toksSql = graft.functions.TextFunctions.toksSql
   // DuckDB n-gram shingles: 1-based list comprehension over the token
   // list, i ∈ [1, len-n+1] — mirrors ShinglesExpr for any n.
   private def shinglesSqlN(n: Int): String = {

@@ -18,31 +18,11 @@ import graft.sources.JsonLines
   */
 object PipelineParity extends QueryGroup {
 
-  private def withTempDir[T](prefix: String)(f: java.nio.file.Path => T): T = {
-    val tmp = java.nio.file.Files.createTempDirectory(prefix)
-    try f(tmp)
-    finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
-  }
-
-  /** Append raw lines to the single part file Spark wrote under `dir`,
-    * and drop the sidecar .crc files — the local Hadoop filesystem
-    * verifies them on read, and the append invalidates the checksum.
-    */
-  private def appendLines(dir: java.nio.file.Path, lines: Seq[String]): Unit = {
-    import scala.jdk.CollectionConverters._
-    val entries = java.nio.file.Files.list(dir).iterator().asScala.toSeq
-    val part = entries
-      .filter(p => p.getFileName.toString.startsWith("part-"))
-      .sortBy(_.toString).head
-    java.nio.file.Files.writeString(part, lines.mkString("", "\n", "\n"),
-      java.nio.file.StandardOpenOption.APPEND)
-    entries.filter(_.getFileName.toString.endsWith(".crc"))
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
-  }
+  import graft.util.Fs
+  private def withTempDir[T](prefix: String)(f: java.nio.file.Path => T): T =
+    Fs.withTempDir(prefix)(f)
+  private def appendLines(dir: java.nio.file.Path, lines: Seq[String]): Unit =
+    Fs.appendToPartFile(dir, lines)
 
   /** The S4-S7 cycle against any [[graft.pipeline.CustomerStoreApi]]
     * backend: insert a batch with planted losing conflicts (explicit
@@ -156,12 +136,7 @@ object PipelineParity extends QueryGroup {
           val stage = s"$tmp/stage_$name"
           lines(df).orderBy(col("id")).select(col("line")).coalesce(1)
             .write.text(stage)
-          import scala.jdk.CollectionConverters._
-          val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-            .iterator().asScala
-            .filter(_.getFileName.toString.startsWith("part-")).toSeq.head
-          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
-          java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$tmp/in/$name"))
+          Fs.movePartFile(Fs.path(stage), Fs.path(s"$tmp/in", name))
         }
         writeOne(base, "00.csv")
         writeOne(idConf.unionByName(emailConf), "01.csv")

@@ -137,7 +137,7 @@ object Similarity extends QueryGroup {
     // what "the index is a build artifact" means in production.
     ivfCache.getOrCompute(s, dir) {
       val loaded = graft.util.IndexStore.loadOrBuildAll(
-        s, dir, Seq("ivf_assign", "ivf_centroids")) {
+        s, dir, s"ivf_assign_l${IVF_LISTS}r$IVF_ITERS" :: s"ivf_centroids_l${IVF_LISTS}r$IVF_ITERS" :: Nil) {
         val (a, c) = ivfIndex(all)
         Seq(a, c)
       }

@@ -61,18 +61,13 @@ object StreamingParity extends QueryGroup {
     * sizes this to its key cardinality instead.
     */
   private def withTempDir[T](s: SparkSession, prefix: String)(
-      f: java.nio.file.Path => T): T = {
-    val tmp = java.nio.file.Files.createTempDirectory(prefix)
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try f(tmp)
-    finally {
-      s.conf.set("spark.sql.shuffle.partitions", prev)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      f: java.nio.file.Path => T): T =
+    graft.util.Fs.withTempDir(prefix) { tmp =>
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try f(tmp)
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_sessionize_parity" -> ((s, dir) => {
@@ -352,12 +347,8 @@ object StreamingParity extends QueryGroup {
         def addHalf(pred: org.apache.spark.sql.Column, name: String): Unit = {
           val stage = s"$tmp/stage_$name"
           docs.filter(pred).coalesce(1).write.parquet(stage)
-          import scala.jdk.CollectionConverters._
-          val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-            .iterator().asScala
-            .filter(_.getFileName.toString.startsWith("part-")).toSeq.head
-          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
-          java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$tmp/src/$name"))
+          graft.util.Fs.movePartFile(graft.util.Fs.path(stage),
+            graft.util.Fs.path(s"$tmp/src", name))
         }
         def runOnce(): Unit =
           s.readStream.schema(documentsSchema)

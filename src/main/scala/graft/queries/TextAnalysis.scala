@@ -291,8 +291,8 @@ object TextAnalysis extends QueryGroup {
   // DuckDB mirrors. Notes: DuckDB regexp_replace needs the 'g' flag
   // (Spark's is global by default); string_split == Spark split on a
   // single-space separator after whitespace normalization.
-  private val normSql = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
-  private val toksSql = s"string_split($normSql, ' ')"
+  private val normSql = graft.functions.TextFunctions.normSql
+  private val toksSql = graft.functions.TextFunctions.toksSql
 
   private def hitsSql(markers: Seq[String]): String =
     s"len(list_filter(w, t -> t IN ${inList(markers)}))"

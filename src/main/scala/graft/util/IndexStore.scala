@@ -18,7 +18,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * file's (name, size, mtime). Rewriting or regenerating the source
   * data therefore changes the address and orphans the stale index —
   * the load-or-build path rebuilds automatically, and no staleness
-  * check is needed at read time. This is the same validity rule the
+  * check is needed at read time for DATA changes. CODE/parameter
+  * changes are the caller's half of the contract: every governing
+  * constant of a build must be encoded in the artifact `name`
+  * (`minhash_bands_n3k128b64`, `ivf_assign_l16r2`, `bpe_merges_k8`),
+  * so retuning a builder re-addresses its artifacts instead of
+  * silently loading a stale model. This is the same validity rule the
   * session memo documents ("dir immutable while cached") made durable.
   *
   * Scale notes: at 100 TB the root moves from local disk to the object

@@ -99,9 +99,7 @@ class PlanContractsSpec extends SparkSpec {
       assert(p.contains("PartitionFilters: [isnotnull(lang"),
         "lang filter must prune directories, not scan and filter rows")
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
-        .toSeq.reverse.foreach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(tmp))
     }
   }
 

@@ -57,19 +57,19 @@ class IndexStoreSpec extends AnyFunSuite {
       val sf = "/root/testdata/sf0.001"
       assume(new java.io.File(s"$sf/embeddings.parquet").exists())
       val r1 = graft.SparkEntry.queries("sim_ivf_ann")(spark, sf).collect()
-      val m1 = IndexStore.artifactMtime(sf, "ivf_assign").get
+      val m1 = IndexStore.artifactMtime(sf, "ivf_assign_l16r2").get
       // A fresh session has an empty memo but the same persisted store.
       SessionCache.clearAll()
       val r2 = graft.SparkEntry.queries("sim_ivf_ann")(spark, sf).collect()
-      assert(IndexStore.artifactMtime(sf, "ivf_assign").get === m1,
+      assert(IndexStore.artifactMtime(sf, "ivf_assign_l16r2").get === m1,
         "index was retrained instead of loaded")
       assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
       // Same contract for the dedup family's persisted pair table.
       val c1 = graft.SparkEntry.queries("dedup_clusters")(spark, sf).collect()
-      val pm = IndexStore.artifactMtime(sf, "verified_pairs_j50").get
+      val pm = IndexStore.artifactMtime(sf, "verified_pairs_j50_n3k128b64").get
       SessionCache.clearAll()
       val c2 = graft.SparkEntry.queries("dedup_clusters")(spark, sf).collect()
-      assert(IndexStore.artifactMtime(sf, "verified_pairs_j50").get === pm,
+      assert(IndexStore.artifactMtime(sf, "verified_pairs_j50_n3k128b64").get === pm,
         "pair table was rebuilt instead of loaded")
       assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
     }
