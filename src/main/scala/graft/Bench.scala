@@ -14,7 +14,11 @@ import org.apache.spark.sql.SparkSession
   * (verified-pairs, IVF index — see SessionCache) are evicted between
   * passes so every pass re-pays the build: the min still charges the
   * family bill to its first member in name order, same attribution as
-  * a single pass.
+  * a single pass. A wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_S,
+  * default 600) bounds the whole run: after each completed pass the
+  * elapsed time is checked and remaining passes are skipped once the
+  * budget is spent — min-of-completed-passes is still a valid min, and
+  * the harness never times out on a query-count blow-up.
   *
   * Output-size note: the harness that collects this line keeps only
   * the LAST 2000 bytes of the run's output, and sbt appends a ~120
@@ -25,9 +29,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val t0Run = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // Wall-clock budget: 3 passes × ~100 queries + warmup approached
+    // 18 min of sbt in the round-5 driver run — one more round of
+    // query growth risks a harness timeout and a lost artifact. After
+    // each COMPLETED pass, stop if the budget is spent; pass 1 always
+    // runs, and a min over fewer passes is still a valid min.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "600").toDouble
+    def elapsedS: Double = (System.nanoTime() - t0Run) / 1e9
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -56,7 +68,9 @@ object Bench {
     // timings as a family total, per SCALING.md.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val best = scala.collection.mutable.Map[String, Double]()
-    for (p <- 1 to passes) {
+    var passesDone = 0
+    var p = 1
+    while (p <= passes && (p == 1 || elapsedS < budgetS)) {
       // Re-pay memoized AND persisted builds each pass, so the min is a
       // real end-to-end cost, not build-once-probe-thrice. Scoped to
       // the benched dir: invalidateAll would clobber artifacts of
@@ -72,7 +86,12 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         if (!best.contains(name) || sec < best(name)) best(name) = sec
       }
+      passesDone = p
+      p += 1
     }
+    if (passesDone < passes)
+      System.err.println(
+        f"[bench] budget ${budgetS}%.0fs spent after $passesDone/$passes passes (${elapsedS}%.0fs)")
     // Locale.ROOT: a comma-decimal default locale would print 82,35
     // and corrupt both the harness line and BENCH_DETAIL.json.
     def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
@@ -83,21 +102,40 @@ object Bench {
     // budget is spent and folds the cheap tail into one "_other_Nq"
     // bucket; the FULL per-query map goes to BENCH_DETAIL.json in the
     // repo root for the judge / cross-round diffs.
-    val entries = names.sortBy(n => (-best(n), n))
-      .map(n => "\"" + n + "\":" + r2(best(n)))
+    val byCost = names.sortBy(n => (-best(n), n))
+    val entries = byCost.map(n => "\"" + n + "\":" + r2(best(n)))
     val prefix = s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfLabel","queries":{"""
     val budget = 1800 - prefix.length - 40 // room for the _other bucket + close
-    val (kept, keptLen) = entries.foldLeft((Vector.empty[String], 0)) {
-      case ((acc, len), e) =>
-        if (len + e.length + 1 <= budget) (acc :+ e, len + e.length + 1) else (acc, len)
+    // Keep a strict PREFIX of the cost-sorted list (stop at the first
+    // entry that doesn't fit — a later shorter entry must NOT slip in,
+    // or `rest` below would drop the wrong names and the printed
+    // breakdown would not sum to `value`).
+    val keptCount = {
+      var len = 0; var i = 0
+      while (i < entries.length && len + entries(i).length + 1 <= budget) {
+        len += entries(i).length + 1; i += 1
+      }
+      i
     }
-    val rest = names.sortBy(n => (-best(n), n)).drop(kept.size)
+    val kept = entries.take(keptCount)
+    val rest = byCost.drop(keptCount)
     val qs = (kept ++ (if (rest.isEmpty) Nil
       else Seq("\"_other_" + rest.size + "q\":" + r2(rest.map(best).sum))))
       .mkString(",")
     val fullJson = names.map(n => "\"" + n + "\":" + r2(best(n))).mkString("{", ",", "}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfLabel","passes":$passes,"queries":$fullJson}\n""")
+    // Resolve the detail artifact against the repo root, not the cwd (a
+    // bench launched elsewhere must not scatter/clobber files), and
+    // write a per-SF copy so a multi-SF run keeps every SF's detail —
+    // the unsuffixed name stays the driver/judge artifact for the run's
+    // primary SF.
+    val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR",
+      if (new java.io.File("build.sbt").isFile) "." else "/root/repo")
+    val detailJson =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfLabel","passes":$passesDone,"budget_s":${r2(budgetS)},"wall_s":${r2(elapsedS)},"queries":$fullJson}\n"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(repoRoot, "BENCH_DETAIL.json"), detailJson)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(repoRoot, s"BENCH_DETAIL_$sfLabel.json"), detailJson)
     println(prefix + qs + "}}")
     spark.stop()
   }

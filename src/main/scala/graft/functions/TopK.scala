@@ -34,8 +34,18 @@ class TopKAggregator(k: Int)
   private def trim(s: Seq[(Long, Long)]): Seq[(Long, Long)] =
     s.sorted(ord).take(k)
 
-  override def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] =
-    trim(b :+ a)
+  /** Per-row path. The buffer is kept sorted (zero is sorted; both
+    * producers sort), so a full buffer whose last element outranks the
+    * new value short-circuits in O(1), and otherwise an insertion-point
+    * scan + patch is O(k) — not the O(k log k) full re-sort per row the
+    * trim path pays.
+    */
+  override def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] = {
+    if (b.size >= k && ord.compare(b.last, a) <= 0) return b
+    val i = b.indexWhere(e => ord.compare(a, e) < 0) // first element a outranks
+    val at = if (i < 0) b.size else i
+    ((b.take(at) :+ a) ++ b.drop(at)).take(k)
+  }
 
   override def merge(b1: Seq[(Long, Long)], b2: Seq[(Long, Long)]): Seq[(Long, Long)] =
     trim(b1 ++ b2)

@@ -59,6 +59,13 @@ object StreamingParity extends QueryGroup {
     * than they buy in parallelism (stream-stream join at sf0.1:
     * 13.7s → 10.3s cold, bench min 5.7s → 2.7s). A production stream
     * sizes this to its key cardinality instead.
+    *
+    * Single-threaded assumption: the override mutates the SESSION-wide
+    * shuffle-partition conf for the call's duration, so a driver
+    * evaluating other queries concurrently on the same session would
+    * silently run them with 8 partitions. Verify and Bench both run
+    * queries sequentially; a concurrent driver must scope the setting
+    * to a dedicated `spark.newSession()` instead.
     */
   private def withTempDir[T](s: SparkSession, prefix: String)(
       f: java.nio.file.Path => T): T =

@@ -38,14 +38,27 @@ object Fs {
     finally deleteRecursively(tmp)
   }
 
+  /** The one part file under `dir`. Callers coalesce(1) before
+    * writing; if that contract ever breaks (Spark splits the output),
+    * silently picking the first file would drop the rest of the
+    * staged data and surface as a confusing downstream hash mismatch
+    * — so fail loudly instead.
+    */
+  private def singlePartFile(dir: Path): Path = {
+    val parts = listDir(dir)
+      .filter(_.getFileName.toString.startsWith("part-"))
+    require(parts.size == 1,
+      s"expected exactly one part file under $dir, found ${parts.size} " +
+        "(caller must coalesce(1) before staging)")
+    parts.head
+  }
+
   /** Move the single part file Spark wrote under `stageDir` to
     * `dest` (creating parent dirs) — the staging step for tests that
     * need ONE named data file rather than a Spark output directory.
     */
   def movePartFile(stageDir: Path, dest: Path): Unit = {
-    val part = listDir(stageDir)
-      .filter(_.getFileName.toString.startsWith("part-"))
-      .sortBy(_.toString).head
+    val part = singlePartFile(stageDir)
     Files.createDirectories(dest.getParent)
     Files.move(part, dest)
   }
@@ -55,10 +68,8 @@ object Fs {
     * them on read, and the append invalidates the checksum).
     */
   def appendToPartFile(dir: Path, lines: Seq[String]): Unit = {
+    val part = singlePartFile(dir)
     val entries = listDir(dir)
-    val part = entries
-      .filter(_.getFileName.toString.startsWith("part-"))
-      .sortBy(_.toString).head
     Files.writeString(part, lines.mkString("", "\n", "\n"),
       java.nio.file.StandardOpenOption.APPEND)
     entries.filter(_.getFileName.toString.endsWith(".crc"))
