@@ -83,6 +83,49 @@ class CustomerStore(protected val spark: SparkSession, path: String)
     applyStaged()
   }
 
+  /** MERGE apply (see [[CustomerStoreApi.merge]]): replace the rows
+    * whose email is updated, append the inserts, leave everything else
+    * — executed as a staged full rewrite of both partitions under the
+    * same commit protocol as [[markUploaded]] (stage to `_staging.tmp`,
+    * atomic rename = commit point, idempotent promotion). `updates`
+    * and `inserts` arrive materialized, and the staged outputs are
+    * fully written from the ORIGINAL files before any promotion, so
+    * the table is never read after its files start moving.
+    *
+    * Scale note: a merge rewrites the table here; a transactional
+    * format (the 100 TB swap-in, see class doc) turns the same
+    * updates/inserts frames into a file-level MERGE commit — the
+    * classification plan carries over unchanged.
+    */
+  protected def applyMerge(updates: DataFrame, inserts: DataFrame): Unit = {
+    if (updates.isEmpty && inserts.isEmpty) return
+    if (!tableExists) { appendRows(inserts): Unit; return }
+    recover()
+    val untouched = all()
+      .join(updates.select(col("email").as("_ue")), col("email") === col("_ue"), "left_anti")
+      .select(tableSchema.fieldNames.map(col): _*)
+    val next = untouched.unionByName(updates).unionByName(inserts)
+    stageFullCommit(
+      next.filter(!col("uploaded")),
+      next.filter(col("uploaded")))
+    applyStaged()
+  }
+
+  /** Stage a FULL-replace commit of both partitions (the merge path),
+    * then atomically rename to `_staging` — same commit point and
+    * recovery rules as [[stageCommit]], but the done partition is
+    * replaced wholesale (`done` stage dir) rather than appended to
+    * (`done-append`).
+    */
+  private[pipeline] def stageFullCommit(pending: DataFrame, done: DataFrame): Unit = {
+    val tmp = new java.io.File(path, StagingTmp)
+    deleteRecursively(tmp)
+    pending.drop("uploaded").write.parquet(new java.io.File(tmp, "pending").toString)
+    done.drop("uploaded").write.parquet(new java.io.File(tmp, "done").toString)
+    val staging = new java.io.File(path, Staging)
+    require(tmp.renameTo(staging), s"commit rename $tmp -> $staging failed")
+  }
+
   /** Write both partition outputs to `_staging.tmp` and atomically
     * rename it to `_staging` (the commit point). Separated from
     * [[applyStaged]] so crash-recovery specs can stop exactly at the
@@ -126,6 +169,14 @@ class CustomerStore(protected val spark: SparkSession, path: String)
         require(f.renameTo(new java.io.File(doneDir, f.getName)), s"promote $f failed")
       }
       deleteRecursively(doneStage)
+    }
+    // Full-replace done stage (the merge path): swap the whole
+    // partition, mirroring the pending swap above.
+    val doneFull = new java.io.File(staging, "done")
+    if (doneFull.exists()) {
+      val doneDir = new java.io.File(path, "uploaded=true")
+      deleteRecursively(doneDir)
+      require(doneFull.renameTo(doneDir), s"promote $doneFull failed")
     }
     deleteRecursively(staging)
   }

@@ -4,6 +4,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Outcome of a [[CustomerStoreApi.merge]]: rows whose payload was
+  * rewritten, rows newly inserted, and matched rows left untouched
+  * because their payload was already identical.
+  */
+case class MergeResult(nUpdated: Long, nInserted: Long, nUnchanged: Long)
+
 /** The `customers` state-table contract the reference keeps in Postgres
   * (csv-crm-upload database/database.go:16-19): UNIQUE(id),
   * UNIQUE(email) inserts with first-wins semantics, the uploaded
@@ -105,5 +111,80 @@ trait CustomerStoreApi {
     }
     if (survivors == null) return 0 // empty batch: reference panics here (SURVEY §2.1 S3)
     appendRows(survivors.drop("_seq").select(tableSchema.fieldNames.map(col): _*))
+  }
+
+  /** Apply a classified merge: rewrite the payload of `updates` rows
+    * (keyed by email, full table rows with the retained id/uploaded/
+    * created_ts and a fresh modified_ts) and append `inserts`. Both
+    * frames arrive materialized (localCheckpoint) so backends may
+    * rewrite the underlying storage while holding them.
+    */
+  protected def applyMerge(updates: DataFrame, inserts: DataFrame): Unit
+
+  /** MERGE INTO on the email natural key — the general state-table
+    * upsert the reference's INSERT-only path stops short of (its only
+    * UPDATE is the uploaded flag, database.go:19; a changed customer
+    * record has no path into the store). Sequential row-at-a-time
+    * update-else-insert semantics, like [[insertNew]]:
+    *
+    *  - the batch first NORMALIZES to one row per email, the LAST in
+    *    `_seq` ingest order winning as a whole row (row-at-a-time
+    *    leaves the last write as the end state — the dual of insert's
+    *    first-wins; an insert-then-update chain on a new email within
+    *    one batch collapses to its final write, and the chain's
+    *    earlier ids are not claimed);
+    *  - a row whose email matches a stored row UPDATES the payload
+    *    columns (first_name, last_name, phone) and touches
+    *    modified_ts — the BEFORE UPDATE trigger analog
+    *    (init-db.sh:28-36). id, uploaded, created_ts are retained:
+    *    id is immutable once assigned (the UNIQUE(id) arbiter), and
+    *    upload state belongs to the uploader, not the ingester;
+    *  - a payload-identical match is left untouched and counted
+    *    n_unchanged — no spurious modified_ts churn, no needless
+    *    re-upload trigger;
+    *  - an unmatched row INSERTS, unless its id collides with a
+    *    stored row or an earlier-`_seq` insert (UNIQUE(id), first
+    *    wins) — those rows drop, exactly like insertNew's losers.
+    *
+    * Plan shape: one email-keyed window over the batch, one email
+    * equi-join against the store, two anti-joins — all shuffle-
+    * partitioned by the key, no driver-side row handling; at 100 TB
+    * the store side is the big side and stays partitioned.
+    */
+  def merge(batch: DataFrame): MergeResult = {
+    val seqd =
+      if (batch.columns.contains("_seq")) batch
+      else batch.withColumn("_seq", monotonically_increasing_id())
+    val byEmailLast = Window.partitionBy(col("email")).orderBy(col("_seq").desc)
+    val latest = seqd.withColumn("_rn", row_number().over(byEmailLast))
+      .filter(col("_rn") === 1).drop("_rn")
+      .localCheckpoint(true)
+    val stored = all()
+    val storedK = stored.select(col("id").as("_sid"), col("email").as("_semail"),
+      col("first_name").as("_sfn"), col("last_name").as("_sln"),
+      col("phone").as("_sph"), col("uploaded").as("_sup"),
+      col("created_ts").as("_sct"))
+    val matched = latest.join(storedK, col("email") === col("_semail"))
+      .localCheckpoint(true)
+    val updates = matched
+      .filter(!(col("first_name") <=> col("_sfn") &&
+        col("last_name") <=> col("_sln") && col("phone") <=> col("_sph")))
+      .select(col("_sid").as("id"), col("first_name"), col("last_name"),
+        col("email"), col("phone"), col("_sup").as("uploaded"),
+        col("_sct").as("created_ts"), current_timestamp().as("modified_ts"))
+      .localCheckpoint(true)
+    val byIdFirst = Window.partitionBy(col("id")).orderBy(col("_seq"))
+    val inserts = latest
+      .join(storedK.select("_semail"), col("email") === col("_semail"), "left_anti")
+      .join(stored.select(col("id").as("_eid")), col("id") === col("_eid"), "left_anti")
+      .withColumn("_rn", row_number().over(byIdFirst))
+      .filter(col("_rn") === 1)
+      .select(tableSchema.fieldNames.map(col): _*)
+      .localCheckpoint(true)
+    val nMatched = matched.count()
+    val nUpdated = updates.count()
+    val nInserted = inserts.count()
+    applyMerge(updates, inserts)
+    MergeResult(nUpdated, nInserted, nMatched - nUpdated)
   }
 }

@@ -131,6 +131,40 @@ class JdbcCustomerStore(protected val spark: SparkSession, url: String,
     inserted.value
   }
 
+  /** MERGE apply (see [[CustomerStoreApi.merge]]): the update half is
+    * a transactional batch UPDATE keyed on email with the DB's own
+    * CURRENT_TIMESTAMP as the modified_ts touch (the trigger analog,
+    * same convention as [[markUploaded]]); the insert half reuses the
+    * batch INSERT with per-row salvage — the DB's UNIQUE constraints
+    * stay the final arbiter exactly as on the insert path.
+    */
+  protected def applyMerge(updates: DataFrame, inserts: DataFrame): Unit = {
+    val dbUrl = url
+    updates.select(col("first_name"), col("last_name"), col("phone"), col("email"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val buf = rows.toVector
+        if (buf.nonEmpty) withConnection(dbUrl) { conn =>
+          val ps = conn.prepareStatement(
+            s"""UPDATE $TableName
+                SET first_name = ?, last_name = ?, phone = ?,
+                    modified_ts = CURRENT_TIMESTAMP
+                WHERE email = ?""")
+          try {
+            buf.foreach { r =>
+              ps.setString(1, r.getString(0))
+              ps.setString(2, r.getString(1))
+              ps.setString(3, r.getString(2))
+              ps.setString(4, r.getString(3))
+              ps.addBatch()
+            }
+            ps.executeBatch()
+            conn.commit()
+          } finally ps.close()
+        }
+      }
+    appendRows(inserts): Unit
+  }
+
   /** Transactional point update (database.go:176-198): the BEFORE
     * UPDATE trigger's modified_ts touch is explicit. Idempotent
     * (uploaded=false guard), so at-least-once redelivery is safe.

@@ -216,6 +216,8 @@ object Curation extends QueryGroup {
     // semantics at any SF; at the test SFs the cap exceeds every df,
     // so it equals exact containment), and posting lists are bounded
     // so the join's pair mass tracks co-rare-gram mass, not n².
+    // How much the cap drops at a given SF is itself a driver-checked
+    // output: see dedup_containment_audit below.
     "dedup_containment" -> ((s, dir) => {
       val grams = Tables.forKernels(s, dir, "documents")
         .select(col("doc_id"), explode(Exprs.shingles(col("text"), BOILER_N)).as("g"))
@@ -249,6 +251,25 @@ object Curation extends QueryGroup {
           col("n_grams"), col("containment_ppm"))
         .orderBy(col("containment_ppm").desc, col("contained_id"), col("container_id"))
         .limit(25)
+    }),
+
+    // The DF_CAP audit for dedup_containment — the no-silent-caps rule
+    // made a first-class output: how much gram mass does the posting-
+    // list cap actually drop at this SF? n_capped_grams/_instances are
+    // 0 while the cap doesn't bind (pinned by the oracle from the data,
+    // not as constants); at a SF where they go positive, the report
+    // quantifies exactly what the containment score was defined over.
+    // One word-count-shaped shuffle, then a scalar rollup.
+    "dedup_containment_audit" -> ((s, dir) => {
+      Tables.forKernels(s, dir, "documents")
+        .select(col("doc_id"), explode(Exprs.shingles(col("text"), BOILER_N)).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .agg(
+          sum(col("df")).as("n_gram_instances"),
+          count(lit(1)).as("n_distinct_grams"),
+          sum(when(col("df") > DF_CAP, 1L).otherwise(0L)).as("n_capped_grams"),
+          sum(when(col("df") > DF_CAP, col("df")).otherwise(0L)).as("n_capped_instances"),
+          max(col("df")).as("max_df"))
     }),
 
     // Per-domain document caps — the "no single domain dominates the
@@ -522,6 +543,16 @@ object Curation extends QueryGroup {
             CAST(containment_ppm AS BIGINT) AS containment_ppm
           FROM c WHERE containment_ppm >= 800000
           ORDER BY containment_ppm DESC, contained_id, container_id LIMIT 25""",
+    "dedup_containment_audit" ->
+      s"""WITH w AS (SELECT doc_id, $toksSql AS w FROM documents),
+          g AS (SELECT doc_id, unnest($trigramSql) AS g FROM w),
+          df AS (SELECT g, COUNT(*) AS df FROM g GROUP BY 1)
+          SELECT CAST(SUM(df) AS BIGINT) AS n_gram_instances,
+            CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+            CAST(SUM(CASE WHEN df > $DF_CAP THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_grams,
+            CAST(SUM(CASE WHEN df > $DF_CAP THEN df ELSE 0 END) AS BIGINT) AS n_capped_instances,
+            CAST(MAX(df) AS BIGINT) AS max_df
+          FROM df""",
     "corpus_domain_caps" ->
       s"""WITH f AS (SELECT source, doc_id, n_chars, md5($normSql) AS fp FROM documents),
           r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY fp, doc_id) AS rn

@@ -62,6 +62,49 @@ object PipelineParity extends QueryGroup {
     Seq(out).toDF("n_inserted", "n_pending_before", "n_pending_after", "n_uploaded")
   }
 
+  /** The MERGE/upsert cycle against any backend: seed the store from
+    * the customer table, then merge a batch with planted matched-
+    * changed rows (new phone), matched-identical rows, new rows, and
+    * id-conflicting new rows that must drop. Post-state re-derives
+    * n_updated from the store itself (the 999- phones) so the counts
+    * can't be right by accident while the update never landed.
+    */
+  private def mergeCycle(s: SparkSession, dir: String)(
+      mkStore: java.nio.file.Path => graft.pipeline.CustomerStoreApi): DataFrame = {
+    import s.implicits._
+    val base = Tables(s, dir, "customer")
+      .select(col("c_custkey").as("id"),
+        concat(lit("f"), col("c_custkey")).as("first_name"),
+        concat(lit("l"), col("c_custkey")).as("last_name"),
+        concat(lit("u"), col("c_custkey"), lit("@example.com")).as("email"),
+        concat(lit("555-"), col("c_custkey")).as("phone"))
+      .withColumn("uploaded", lit(false))
+      .withColumn("created_ts", current_timestamp())
+      .withColumn("modified_ts", current_timestamp())
+    val changed = base.filter(col("id") % 3 === 0)
+      .withColumn("phone", concat(lit("999-"), col("id")))
+    val identical = base.filter(col("id") % 3 === 1)
+    val fresh = base.filter(col("id") % 10 === 0)
+      .withColumn("id", col("id") + 20000000L)
+      .withColumn("email", concat(lit("new"), col("id"), lit("@example.com")))
+    val idConflict = base.filter(col("id") % 10 === 3)
+      .withColumn("email", concat(lit("conflict"), col("id"), lit("@example.com")))
+    val batch = changed.withColumn("_seq", col("id") * 4)
+      .unionByName(identical.withColumn("_seq", col("id") * 4 + 1))
+      .unionByName(fresh.withColumn("_seq", col("id") * 4 + 2))
+      .unionByName(idConflict.withColumn("_seq", col("id") * 4 + 3))
+    val out = withTempDir("graft-merge-") { tmp =>
+      val store = mkStore(tmp)
+      store.insertNew(base): Unit
+      val r = store.merge(batch)
+      val nPhoneUpdated = store.all().filter(col("phone").startsWith("999-")).count()
+      val nTotal = store.all().count()
+      (r.nUpdated, r.nInserted, r.nUnchanged, nPhoneUpdated, nTotal)
+    }
+    Seq(out).toDF("n_updated", "n_inserted", "n_unchanged", "n_phone_updated",
+      "n_total_after")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The csvReader data plane end-to-end: a deterministic CSV derived
     // from the customer table (derived columns, so no quoting
@@ -171,6 +214,23 @@ object PipelineParity extends QueryGroup {
       workqueueCycle(s, dir)(tmp =>
         new graft.pipeline.JdbcCustomerStore(s, s"jdbc:derby:$tmp/cust;create=true"))),
 
+    // MERGE INTO on the email natural key (update-matched +
+    // insert-new, the state-table operation the reference's
+    // INSERT-only path stops short of) against the parquet
+    // staged-commit store, with planted matched-changed /
+    // matched-identical / new / id-conflicting rows. Every count
+    // derives from the customer table; the id-conflict rows must
+    // vanish without a trace.
+    "pipeline_merge_upsert" -> ((s, dir) =>
+      mergeCycle(s, dir)(tmp => new graft.pipeline.CustomerStore(s, s"$tmp/store"))),
+
+    // The identical merge cycle against the JDBC backend (Derby
+    // UPDATE-keyed-on-email + salvaged batch INSERT): the two store
+    // implementations stay interchangeable under the merge contract.
+    "pipeline_merge_jdbc" -> ((s, dir) =>
+      mergeCycle(s, dir)(tmp =>
+        new graft.pipeline.JdbcCustomerStore(s, s"jdbc:derby:$tmp/cust;create=true"))),
+
     // Hive-style PARTITIONED layout: the corpus written partitionBy
     // (lang) and read back with a partition filter — the layout every
     // data-lake corpus uses so language/source slices scan only their
@@ -276,6 +336,23 @@ object PipelineParity extends QueryGroup {
            CAST(COUNT(*) AS BIGINT) AS n_pending_before,
            CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pending_after,
            CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_uploaded
+         FROM customer""",
+    // %3==0 update, %3==1 unchanged, %10==0 insert, %10==3 id-conflict
+    // (dropped); phones re-derived from the stored table must equal
+    // the update count.
+    "pipeline_merge_upsert" ->
+      """SELECT CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+           CAST(SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+           CAST(SUM(CASE WHEN c_custkey % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+           CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_updated,
+           CAST(COUNT(*) + SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_total_after
+         FROM customer""",
+    "pipeline_merge_jdbc" ->
+      """SELECT CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+           CAST(SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+           CAST(SUM(CASE WHEN c_custkey % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+           CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_updated,
+           CAST(COUNT(*) + SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_total_after
          FROM customer""",
     "pipeline_partition_pruning" ->
       """SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en_docs,

@@ -27,11 +27,13 @@ import graft.streaming.EventStreams
   * residues at zero: any divergence between the streaming operator and
   * the batch twin hash-fails the query.
   *
-  * Note the contract being tested: the streaming operator sessionizes
-  * at millisecond granularity (`Timestamp.getTime`), the batch twin at
-  * microseconds. An event pair whose gap straddles the 30-min boundary
-  * within the same millisecond would be a genuine (and intended)
-  * parity failure; no such pair exists at any test SF.
+  * Both sides sessionize at Spark's native MICROSECOND timestamp
+  * precision (the streaming operator reads the full µs value, not
+  * `Timestamp.getTime`'s ms floor), so a gap straddling the 30-min
+  * boundary within one millisecond splits identically on both sides —
+  * parity holds for any input, not just data without such pairs
+  * (pinned by StreamingSpec's straddle-pair test). Only the watermark
+  * is ms-floored, exactly as Spark computes it.
   */
 object StreamingParity extends QueryGroup {
 

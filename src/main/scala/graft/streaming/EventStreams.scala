@@ -52,10 +52,25 @@ object EventStreams {
     * default here is no TTL — tests and bounded key spaces don't want a
     * busy-looping query).
     */
-  case class OpenSession(startMs: Long, endMs: Long, n: Long)
+  case class OpenSession(startUs: Long, endUs: Long, n: Long)
   case class PendingSessions(sessions: Seq[OpenSession])
   case class SessionOut(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long)
+
+  /** Timestamp ↔ microseconds, Spark's native timestamp precision.
+    * Sessionizing on the full µs value (not `Timestamp.getTime`'s
+    * ms floor) keeps the operator bit-identical to the batch twin's
+    * µs arithmetic for ANY input — a gap straddling the session
+    * boundary within one millisecond splits on both sides or neither.
+    */
+  private def tsToUs(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  private def usToTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Completed 30-min-gap sessions via `flatMapGroupsWithState` — the
     * 0..n-outputs-per-group form of custom keyed state. State holds ALL
@@ -74,7 +89,7 @@ object EventStreams {
   def completedSessions(events: Dataset[UserEvent],
       gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
 
     // Uniform interval merge over (state ∪ batch), sorted by start:
     // any interval within the gap of the current one merges — the
@@ -82,10 +97,10 @@ object EventStreams {
     // late events merge backwards into existing sessions and with each
     // other.
     def merge(intervals: Seq[OpenSession]): List[OpenSession] =
-      intervals.sortBy(s => (s.startMs, s.endMs))
+      intervals.sortBy(s => (s.startUs, s.endUs))
         .foldLeft(List.empty[OpenSession]) {
-          case (cur :: done, s) if s.startMs <= cur.endMs + gapMs =>
-            OpenSession(cur.startMs, math.max(cur.endMs, s.endMs), cur.n + s.n) :: done
+          case (cur :: done, s) if s.startUs <= cur.endUs + gapUs =>
+            OpenSession(cur.startUs, math.max(cur.endUs, s.endUs), cur.n + s.n) :: done
           case (acc, s) => s :: acc
         }.reverse
 
@@ -96,20 +111,24 @@ object EventStreams {
         (uid: Long, rows: Iterator[UserEvent], state: GroupState[PendingSessions]) =>
           val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
           val merged = merge(prior ++
-            rows.map(e => OpenSession(e.ts.getTime, e.ts.getTime, 1)))
+            rows.map(e => OpenSession(tsToUs(e.ts), tsToUs(e.ts), 1)))
+          // The watermark itself is ms-floored (Spark keeps event-time
+          // stats at ms precision); comparing in µs against wm*1000 is
+          // exact — end+gap < wm·1000 ⟺ floor((end+gap)/1000) < wm.
           val wm = state.getCurrentWatermarkMs()
-          val (done, open) = merged.partition(_.endMs + gapMs < wm)
+          val (done, open) = merged.partition(_.endUs + gapUs < wm * 1000L)
           if (open.isEmpty) state.remove()
           else {
             state.update(PendingSessions(open))
-            // Re-arm at the earliest pending finalization point; the
-            // timestamp must be > the current watermark, so a pending
-            // session already due fires on the next watermark advance.
+            // Re-arm at the earliest pending finalization point (the
+            // first ms watermark that finalizes it); the timestamp must
+            // be > the current watermark, so a pending session already
+            // due fires on the next watermark advance.
             state.setTimeoutTimestamp(
-              math.max(open.map(_.endMs + gapMs).min, wm + 1))
+              math.max(open.map(s => (s.endUs + gapUs) / 1000L + 1).min, wm + 1))
           }
           done.map(s =>
-            SessionOut(uid, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n))
+            SessionOut(uid, usToTs(s.startUs), usToTs(s.endUs), s.n))
             .iterator
       }
   }

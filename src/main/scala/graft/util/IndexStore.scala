@@ -17,8 +17,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * where the fingerprint hashes the data dir's path plus every parquet
   * file's (name, size, mtime). Rewriting or regenerating the source
   * data therefore changes the address and orphans the stale index —
-  * the load-or-build path rebuilds automatically, and no staleness
-  * check is needed at read time for DATA changes. CODE/parameter
+  * the load-or-build path rebuilds automatically (and [[gc]]s the
+  * orphaned fingerprint dirs of the same data dir, so regeneration
+  * doesn't leak storage), and no staleness check is needed at read
+  * time for DATA changes. CODE/parameter
   * changes are the caller's half of the contract: every governing
   * constant of a build must be encoded in the artifact `name`
   * (`minhash_bands_n3k128b64`, `ivf_assign_l16r2`, `bpe_merges_k8`),
@@ -72,17 +74,58 @@ object IndexStore {
     f.delete(): Unit
   }
 
+  /** Each fingerprint dir records its source data dir in a `_meta`
+    * marker (underscore-prefixed, invisible to Spark discovery), so
+    * [[gc]] can tell which stale siblings a regenerated data dir
+    * orphaned — the fingerprint alone is one-way.
+    */
+  private val MetaName = "_meta"
+
+  private def writeMeta(fpDir: File, dir: String): Unit = {
+    fpDir.mkdirs()
+    val m = new File(fpDir, MetaName)
+    if (!m.isFile)
+      java.nio.file.Files.write(m.toPath, dir.getBytes("UTF-8")): Unit
+  }
+
+  /** Collect fingerprint dirs that belonged to `dir` but no longer
+    * match its content — without this, every data regeneration leaks
+    * an orphaned index dir forever on a shared store. Runs inside the
+    * load-or-build path; the documented session contract (a cached
+    * dir's data is immutable while cached) already forbids a reader
+    * holding the stale fingerprint concurrently. Returns the number
+    * of dirs collected.
+    */
+  def gc(dir: String, keepFingerprint: String): Int = {
+    val stale = Option(new File(rootDir).listFiles())
+      .getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && f.getName != keepFingerprint)
+      .filter { f =>
+        val m = new File(f, MetaName)
+        m.isFile && (try new String(
+          java.nio.file.Files.readAllBytes(m.toPath), "UTF-8") == dir
+        catch { case _: java.io.IOException => false })
+      }
+    stale.foreach(deleteRecursively)
+    stale.length
+  }
+
   /** Load `names` artifacts for `dir`, or run `build` ONCE to produce
     * all of them and persist each before loading. A build of several
     * coupled artifacts (IVF assignments + centroids) is atomic as a
-    * group: if any member is missing, the group rebuilds.
+    * group: if any member is missing, the group rebuilds. Stale
+    * fingerprints of the same data dir are garbage-collected here.
     */
   def loadOrBuildAll(s: SparkSession, dir: String, names: Seq[String])(
       build: => Seq[DataFrame]): Seq[DataFrame] = {
-    val dirs = names.map(artifactDir(dir, _))
+    val fp = fingerprint(dir)
+    val fpDir = new File(rootDir, fp)
+    val dirs = names.map(n => new File(fpDir, n))
     val key = dirs.head.getPath
     val lock = locks.computeIfAbsent(key, _ => new Object)
     lock.synchronized {
+      writeMeta(fpDir, dir)
+      gc(dir, keepFingerprint = fp): Unit
       if (!dirs.forall(d => new File(d, "_SUCCESS").isFile)) {
         val built = build
         require(built.length == names.length,

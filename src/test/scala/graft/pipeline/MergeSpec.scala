@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import java.io.File
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The MERGE/upsert contract (CustomerStoreApi.merge) over BOTH store
+  * backends: update-matched (payload rewrite + modified_ts touch, id
+  * and upload state retained), insert-unmatched, identical-matched
+  * untouched, id-conflicting inserts dropped, within-batch email dups
+  * normalized last-wins, within-batch id dups first-wins — plus the
+  * parquet store's full-replace staged commit surviving a crash at the
+  * commit point.
+  */
+class MergeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def rows(rs: (Long, String, String, String, String)*): DataFrame =
+    Ingest.enrich(rs.toDF("id", "first_name", "last_name", "email", "phone"))
+
+  private def eachBackend(body: (String, CustomerStoreApi) => Unit): Unit = {
+    val p = tmpDir("merge-pq") + "/store"
+    body("parquet", new CustomerStore(spark, p))
+    body("jdbc", new JdbcCustomerStore(spark,
+      s"jdbc:derby:${tmpDir("merge-db")}/cust;create=true"))
+  }
+
+  test("update-matched, insert-new, identical untouched, id-conflict dropped") {
+    eachBackend { (name, store) =>
+      store.insertNew(rows(
+        (1L, "Ann", "A", "ann@example.com", "555-1"),
+        (2L, "Bob", "B", "bob@example.com", "555-2"),
+        (3L, "Cai", "C", "cai@example.com", "555-3"))): Unit
+      store.markUploaded(Seq("bob@example.com").toDF("email"))
+      val before = store.all().select("email", "modified_ts").collect()
+        .map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+      val r = store.merge(rows(
+        (9L, "Ann2", "A", "ann@example.com", "555-9"), // matched, changed → update
+        (2L, "Bob", "B", "bob@example.com", "555-2"),  // matched, identical → untouched
+        (4L, "Dee", "D", "dee@example.com", "555-4"),  // new → insert
+        (3L, "Eve", "E", "eve@example.com", "555-5"))) // new email, stored id → dropped
+      assert(r === MergeResult(nUpdated = 1, nInserted = 1, nUnchanged = 1),
+        s"[$name] wrong merge counts: $r")
+      val all = store.all().collect()
+      assert(all.length === 4, s"[$name] conflict row must not land")
+      val ann = all.find(_.getString(3) == "ann@example.com").get
+      assert(ann.getLong(0) === 1L, s"[$name] update must retain the stored id")
+      assert(ann.getString(1) === "Ann2" && ann.getString(4) === "555-9")
+      assert(ann.getTimestamp(7).after(before("ann@example.com")),
+        s"[$name] update must touch modified_ts")
+      val bob = all.find(_.getString(3) == "bob@example.com").get
+      assert(bob.getBoolean(5), s"[$name] update path must not disturb upload state")
+      assert(bob.getTimestamp(7) === before("bob@example.com"),
+        s"[$name] identical match must not touch modified_ts")
+      assert(all.exists(r => r.getString(3) == "dee@example.com" && r.getLong(0) == 4L))
+      assert(!all.exists(_.getString(3) == "eve@example.com"))
+    }
+  }
+
+  test("within-batch email dups normalize last-wins; id dups among inserts first-wins") {
+    eachBackend { (name, store) =>
+      store.insertNew(rows((1L, "Ann", "A", "ann@example.com", "555-1"))): Unit
+      val r = store.merge(rows(
+        (1L, "Ann2", "A", "ann@example.com", "555-2"),  // earlier write…
+        (1L, "Ann3", "A", "ann@example.com", "555-3"),  // …last wins
+        (7L, "Gil", "G", "gil@example.com", "555-7"),   // first id-7 insert wins
+        (7L, "Hal", "H", "hal@example.com", "555-8")))  // later id-7 insert drops
+      assert(r === MergeResult(nUpdated = 1, nInserted = 1, nUnchanged = 0),
+        s"[$name] wrong counts: $r")
+      val all = store.all().collect()
+      assert(all.find(_.getString(3) == "ann@example.com").get.getString(1) === "Ann3",
+        s"[$name] last batch write must be the end state")
+      assert(all.exists(r => r.getLong(0) == 7L && r.getString(3) == "gil@example.com"),
+        s"[$name] first id-7 insert must win")
+      assert(!all.exists(_.getString(3) == "hal@example.com"))
+    }
+  }
+
+  test("merge into an empty parquet store inserts everything") {
+    val store = new CustomerStore(spark, tmpDir("merge-empty") + "/store")
+    val r = store.merge(rows(
+      (1L, "Ann", "A", "ann@example.com", "555-1"),
+      (2L, "Bob", "B", "bob@example.com", "555-2")))
+    assert(r === MergeResult(0, 2, 0))
+    assert(store.pending().count() === 2)
+  }
+
+  test("crash at the full-commit point: reopened store finishes the merge") {
+    val path = tmpDir("merge-crash") + "/store"
+    val store = new CustomerStore(spark, path)
+    store.insertNew(rows(
+      (1L, "Ann", "A", "ann@example.com", "555-1"),
+      (2L, "Bob", "B", "bob@example.com", "555-2"))): Unit
+    store.markUploaded(Seq("bob@example.com").toDF("email"))
+    val next = store.all()
+      .withColumn("first_name",
+        when(col("email") === "ann@example.com", lit("Ann2")).otherwise(col("first_name")))
+    store.stageFullCommit(
+      next.filter(!col("uploaded")), next.filter(col("uploaded")))
+    // Crash: promotion never ran; the commit point (rename) is passed.
+    assert(new File(path, CustomerStore.Staging).exists())
+    val reopened = new CustomerStore(spark, path) // constructor recovers
+    val all = reopened.all().collect()
+    assert(all.length === 2)
+    assert(all.find(_.getString(3) == "ann@example.com").get.getString(1) === "Ann2",
+      "committed merge must be finished on reopen")
+    assert(all.find(_.getString(3) == "bob@example.com").get.getBoolean(5),
+      "done partition must survive the full-replace promotion")
+    assert(!new File(path, CustomerStore.Staging).exists())
+  }
+}

@@ -188,6 +188,37 @@ class StreamingSpec extends SparkSpec {
       s"late events within one gap must merge into one session: ${u4.toSeq}")
   }
 
+  test("a gap straddling the session boundary within one millisecond splits (µs precision)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.UserEvent]
+    val q = EventStreams.completedSessions(mem.toDS()).writeStream
+      .format("memory").queryName("straddle").outputMode(OutputMode.Append())
+      .start()
+    def ev(uid: Long, t: String) =
+      EventStreams.UserEvent(uid, Timestamp.valueOf(t), "click", 1.0)
+    // Gap = 30 min + 500 µs: over the gap in µs, but exactly 30 min
+    // after ms-flooring both ends — an operator sessionizing on
+    // Timestamp.getTime would merge the pair; the batch twin (µs
+    // arithmetic) splits it. Parity requires the split.
+    mem.addData(ev(5, "2024-01-01 10:00:00"),
+      ev(5, "2024-01-01 10:30:00.0005"))
+    q.processAllAvailable()
+    // Advance the watermark past both sessions' end + gap.
+    mem.addData(ev(9, "2024-01-01 16:00:00"))
+    q.processAllAvailable()
+    mem.addData(ev(9, "2024-01-01 16:01:00"))
+    q.processAllAvailable()
+    q.stop()
+    val u5 = spark.table("straddle").collect()
+      .filter(_.getAs[Long]("user_id") == 5L)
+      .map(r => (r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Long]("n_events"))).sortBy(_._1)
+    assert(u5.toSeq === Seq(("2024-01-01 10:00:00.0", 1L),
+      ("2024-01-01 10:30:00.0005", 1L)),
+      s"straddle pair must split at µs precision: ${u5.toSeq}")
+  }
+
   test("stream-stream interval join pairs purchases with preceding views only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

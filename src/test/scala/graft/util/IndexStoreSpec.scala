@@ -52,6 +52,32 @@ class IndexStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("regenerating the data dir garbage-collects the stale fingerprint dir") {
+    withTempRoot {
+      val root = sys.props("graft.index.dir")
+      val dataDir = Files.createTempDirectory("graft-idx-data-").toString
+      spark.range(10).write.parquet(s"$dataDir/t.parquet")
+      IndexStore.loadOrBuild(spark, dataDir, "art")(spark.range(5).toDF("v")): Unit
+      val fpDirsBefore = new java.io.File(root).listFiles().filter(_.isDirectory)
+      assert(fpDirsBefore.length === 1)
+      // Regenerate the data → new fingerprint. The next load-or-build
+      // must collect the orphaned dir, not leak it forever.
+      spark.range(1000).write.mode("overwrite").parquet(s"$dataDir/t.parquet")
+      IndexStore.loadOrBuild(spark, dataDir, "art")(spark.range(7).toDF("v")): Unit
+      val fpDirsAfter = new java.io.File(root).listFiles().filter(_.isDirectory)
+      assert(fpDirsAfter.length === 1, s"stale fingerprint dir leaked: ${fpDirsAfter.toSeq}")
+      assert(fpDirsAfter.head.getName !== fpDirsBefore.head.getName)
+      // A DIFFERENT data dir's artifacts are untouched by this dir's GC.
+      val otherDir = Files.createTempDirectory("graft-idx-other-").toString
+      spark.range(3).write.parquet(s"$otherDir/t.parquet")
+      IndexStore.loadOrBuild(spark, otherDir, "art")(spark.range(3).toDF("v")): Unit
+      spark.range(2000).write.mode("overwrite").parquet(s"$dataDir/t.parquet")
+      IndexStore.loadOrBuild(spark, dataDir, "art")(spark.range(9).toDF("v")): Unit
+      assert(IndexStore.artifactMtime(otherDir, "art").isDefined,
+        "GC for one data dir must not collect another dir's artifacts")
+    }
+  }
+
   test("a fresh session answers sim_ivf_ann from the persisted index without retraining") {
     withTempRoot {
       val sf = "/root/testdata/sf0.001"
