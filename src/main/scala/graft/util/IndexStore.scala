@@ -23,7 +23,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * time for DATA changes. CODE/parameter
   * changes are the caller's half of the contract: every governing
   * constant of a build must be encoded in the artifact `name`
-  * (`minhash_bands_n3k128b64`, `ivf_assign_l16r2`, `bpe_merges_k8`),
+  * (`minhash_bands_n3k128b64`, `ivf_postings_l32r2a2`, `bpe_merges_k8`),
   * so retuning a builder re-addresses its artifacts instead of
   * silently loading a stale model. This is the same validity rule the
   * session memo documents ("dir immutable while cached") made durable.

@@ -51,8 +51,9 @@ class QueryContractsSpec extends SparkSpec {
     }
     val hits = ivf.count(r => brute.contains((r.getLong(0), r.getLong(2))))
     val recall = hits.toDouble / brute.size
-    assert(recall >= 0.5,
-      f"IVF recall $recall%.2f below floor 0.5 (4/16 probed lists must cover most true neighbors)")
+    assert(recall >= 0.9,
+      f"IVF recall $recall%.2f below floor 0.9 (12/32 probes × 2-way multi-assignment; " +
+        "measured 1.00/0.96/0.94 at sf0.001/0.01/0.1)")
   }
 
   test("funnel stage counts are monotonically non-increasing") {

@@ -82,12 +82,16 @@ class IndexStoreSpec extends AnyFunSuite {
     withTempRoot {
       val sf = "/root/testdata/sf0.001"
       assume(new java.io.File(s"$sf/embeddings.parquet").exists())
+      // Another suite in the same JVM may have memoized this dir's
+      // index under the DEFAULT store root; drop the memo so the first
+      // call below really builds under this test's temp root.
+      SessionCache.clearAll()
       val r1 = graft.SparkEntry.queries("sim_ivf_ann")(spark, sf).collect()
-      val m1 = IndexStore.artifactMtime(sf, "ivf_assign_l16r2").get
+      val m1 = IndexStore.artifactMtime(sf, "ivf_postings_l32r2a2").get
       // A fresh session has an empty memo but the same persisted store.
       SessionCache.clearAll()
       val r2 = graft.SparkEntry.queries("sim_ivf_ann")(spark, sf).collect()
-      assert(IndexStore.artifactMtime(sf, "ivf_assign_l16r2").get === m1,
+      assert(IndexStore.artifactMtime(sf, "ivf_postings_l32r2a2").get === m1,
         "index was retrained instead of loaded")
       assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
       // Same contract for the dedup family's persisted pair table.
