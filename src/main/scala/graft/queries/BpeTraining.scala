@@ -93,16 +93,23 @@ object BpeTraining extends QueryGroup {
 
   /** Run the K-round training loop: the merge table plus the final
     * segmented vocabulary (word → subtoken count, end-of-word marker
-    * excluded — a standalone marker is not a token).
+    * excluded — a standalone marker is not a token). `rounds` and the
+    * per-round timing hook exist for the depth proof (BpeDepthSpec:
+    * ≥128 rounds with flat per-round cost — the vocabulary-bounded
+    * claim measured, not asserted); production callers use the
+    * default.
     */
-  private def train(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[queries] def train(s: SparkSession, dir: String,
+      rounds: Int = BPE_MERGES,
+      onRound: (Int, Double) => Unit = (_, _) => ()): (DataFrame, DataFrame) = {
     import s.implicits._
     // Eager checkpoint per round: bounds the lineage across the merge
     // loop (same pattern as the IVF Lloyd loop) and makes each round
     // read the previous round's materialized table, not replay it.
     var syms = initialSymbols(s, dir).localCheckpoint(true)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
-    for (round <- 1 to BPE_MERGES) {
+    for (round <- 1 to rounds) {
+      val t0 = System.nanoTime()
       val best = syms
         .withColumn("nxt", lead(col("sym"), 1).over(byPos))
         .filter(col("nxt").isNotNull)
@@ -116,6 +123,7 @@ object BpeTraining extends QueryGroup {
         merges += ((round.toLong, l, r, cnt))
         syms = applyMerge(syms, l, r).localCheckpoint(true)
       }
+      onRound(round, (System.nanoTime() - t0) / 1e9)
     }
     val mergesDf = merges.result().toDF("merge_rank", "lhs", "rhs", "pair_count")
     val segDf = syms.filter(col("sym") =!= lit(EOW))
