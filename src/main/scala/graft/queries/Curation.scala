@@ -410,8 +410,10 @@ object Curation extends QueryGroup {
   private def inList(items: Seq[String]): String =
     items.map(s => s"'$s'").mkString("(", ", ", ")")
   // Mirror of TextFunctions.qualityScore in ppm (same IEEE op order as
-  // the text_quality oracle, which is hash-exact).
-  private val qualityPpmSql =
+  // the text_quality oracle, which is hash-exact). Shared with the
+  // DedupQueries.dedup_canonical oracle (expects `norm` and `w`
+  // columns in scope).
+  private[queries] val qualityPpmSql =
     s"""CAST(floor((0.4 * least(CAST(len(w) AS DOUBLE) / 64.0, 1.0)
           + 0.4 * least((CASE WHEN len(w) = 0 THEN 0.0
               ELSE CAST(len(list_filter(w, t -> t IN ${inList(stopwords)})) AS DOUBLE) / len(w) END) * 4.0, 1.0)

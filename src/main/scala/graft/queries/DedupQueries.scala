@@ -297,6 +297,36 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("cluster_id"))
     }),
 
+    // Canonical (keep-best) selection per near-dup cluster — the
+    // operator that turns "these documents are duplicates" into the
+    // CLEANED corpus: production keeps the highest-QUALITY member of
+    // each cluster, not an arbitrary one (min-id is a tie-break, not a
+    // policy — a near-dup set often contains one clean original and N
+    // boilerplate-wrapped copies). Composes the shared components
+    // labels with the composite quality score: one join onto the
+    // (tiny) cluster-member table, one per-cluster argmax window —
+    // cost is the memoized sketch pass, the add-on is linear in
+    // clustered docs. Emits per cluster: the chosen canonical, its
+    // quality, and the char mass the drop reclaims.
+    "dedup_canonical" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val docs = Tables.forKernels(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          floor(qualityScore(normText(col("text")), tokens(col("text")))
+            * lit(1000000.0)).cast("long").as("qp"))
+      val members = components(s, dir)
+        .join(docs, col("node") === col("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lbl")).orderBy(col("qp").desc, col("node"))
+      members.withColumn("rn", row_number().over(w))
+        .groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rn") === 1, col("node"))).as("canonical_id"),
+          max(when(col("rn") === 1, col("qp"))).as("canonical_qp"),
+          sum(when(col("rn") =!= 1, col("n_chars")).otherwise(0L)).as("chars_dropped"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // End-to-end corpus curation — the composition a training-data
     // pipeline actually runs: token-count floor AND language identified
     // AND near-dup cluster canonical (or unclustered). Each piece is
@@ -442,6 +472,37 @@ object DedupQueries extends QueryGroup {
           SELECT lbl AS cluster_id, COUNT(*) AS n_docs,
             CAST(MAX(node) AS BIGINT) AS max_doc_id
           FROM comp GROUP BY lbl ORDER BY cluster_id""",
+    // Same recursive-CTE components as dedup_clusters, joined with the
+    // shared quality-ppm formula; per-cluster argmax by (qp DESC, id).
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE
+          toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+          sh AS (SELECT doc_id, $shinglesSql AS shingles FROM toks),
+          sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+          ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+          co AS (SELECT a.doc_id ai, b.doc_id bi, count(*) AS common
+                 FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          p AS (SELECT ai a, bi b
+                FROM co JOIN sz na ON co.ai = na.doc_id JOIN sz nb ON co.bi = nb.doc_id
+                WHERE CAST(common AS DOUBLE)/(na.n + nb.n - common) >= 0.5),
+          edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+          reach AS (SELECT a AS node, a AS lbl FROM edges
+                    UNION
+                    SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+          comp AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node),
+          q AS (SELECT doc_id, n_chars, ${Curation.qualityPpmSql} AS qp
+                FROM (SELECT doc_id, n_chars, $normSql AS norm, $toksSql AS w
+                      FROM documents)),
+          m AS (SELECT c.lbl, c.node, q.n_chars, q.qp,
+                  ROW_NUMBER() OVER (PARTITION BY c.lbl
+                    ORDER BY q.qp DESC, c.node) AS rn
+                FROM comp c JOIN q ON q.doc_id = c.node)
+          SELECT lbl AS cluster_id, COUNT(*) AS n_members,
+            CAST(MAX(CASE WHEN rn = 1 THEN node END) AS BIGINT) AS canonical_id,
+            CAST(MAX(CASE WHEN rn = 1 THEN qp END) AS BIGINT) AS canonical_qp,
+            CAST(SUM(CASE WHEN rn <> 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped
+          FROM m GROUP BY lbl ORDER BY cluster_id""",
     "corpus_curation" ->
       s"""WITH RECURSIVE
           toks AS (SELECT doc_id, $toksSql AS w FROM documents),

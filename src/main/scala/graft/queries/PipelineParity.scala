@@ -231,6 +231,56 @@ object PipelineParity extends QueryGroup {
       mergeCycle(s, dir)(tmp =>
         new graft.pipeline.JdbcCustomerStore(s, s"jdbc:derby:$tmp/cust;create=true"))),
 
+    // Streaming UPSERT ingestion (StreamingIngest.startUpsert): the
+    // same planted merge traffic arriving as a CSV change-feed through
+    // a checkpointed file stream, merged per micro-batch. Seed via the
+    // batch insert, stream the revision file, then pin the final table
+    // state — updates landed (999- phones), inserts landed, id
+    // conflicts vanished. Counts re-derived from the store only (the
+    // stream returns nothing), same oracle arithmetic as the batch
+    // merge gates.
+    "pipeline_merge_stream" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          concat(lit("f"), col("c_custkey")).as("first_name"),
+          concat(lit("l"), col("c_custkey")).as("last_name"),
+          concat(lit("u"), col("c_custkey"), lit("@example.com")).as("email"),
+          concat(lit("555-"), col("c_custkey")).as("phone"))
+        .withColumn("uploaded", lit(false))
+        .withColumn("created_ts", current_timestamp())
+        .withColumn("modified_ts", current_timestamp())
+      def lines(df: DataFrame): DataFrame = df.select(col("id"), concat_ws(",",
+        col("id"), col("first_name"), col("last_name"), col("email"),
+        col("phone")).as("line"))
+      val changed = base.filter(col("id") % 3 === 0)
+        .withColumn("phone", concat(lit("999-"), col("id")))
+      val identical = base.filter(col("id") % 3 === 1)
+      val fresh = base.filter(col("id") % 10 === 0)
+        .withColumn("id", col("id") + 20000000L)
+        .withColumn("email", concat(lit("new"), col("id"), lit("@example.com")))
+      val idConflict = base.filter(col("id") % 10 === 3)
+        .withColumn("email", concat(lit("conflict"), col("id"), lit("@example.com")))
+      val out = withTempDir("graft-merge-stream-") { tmp =>
+        val stage = s"$tmp/stage"
+        lines(changed.unionByName(identical).unionByName(fresh).unionByName(idConflict))
+          .orderBy(col("id")).select(col("line")).coalesce(1).write.text(stage)
+        Fs.movePartFile(Fs.path(stage), Fs.path(s"$tmp/in", "00.csv"))
+        val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
+        store.insertNew(base): Unit
+        graft.streaming.StreamingIngest.startUpsert(
+          s, s"$tmp/in", store, s"$tmp/ckpt", header = false)
+          .awaitTermination()
+        val all = store.all().localCheckpoint(true)
+        (all.filter(col("phone").startsWith("999-")).count(),
+          all.filter(col("email").startsWith("new")).count(),
+          all.count(),
+          all.filter(col("email").startsWith("conflict")).count())
+      }
+      Seq(out).toDF("n_phone_updated", "n_new_emails", "n_total_after",
+        "n_conflict_rows")
+    }),
+
     // Hive-style PARTITIONED layout: the corpus written partitionBy
     // (lang) and read back with a partition filter — the layout every
     // data-lake corpus uses so language/source slices scan only their
@@ -353,6 +403,12 @@ object PipelineParity extends QueryGroup {
            CAST(SUM(CASE WHEN c_custkey % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
            CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_updated,
            CAST(COUNT(*) + SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_total_after
+         FROM customer""",
+    "pipeline_merge_stream" ->
+      """SELECT CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_updated,
+           CAST(SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new_emails,
+           CAST(COUNT(*) + SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_total_after,
+           CAST(0 AS BIGINT) AS n_conflict_rows
          FROM customer""",
     "pipeline_partition_pruning" ->
       """SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en_docs,

@@ -24,7 +24,32 @@ object StreamingIngest {
 
   def start(spark: SparkSession, inDir: String, store: CustomerStoreApi,
       checkpoint: String, signal: Option[Signal] = None,
-      header: Boolean = true): StreamingQuery = {
+      header: Boolean = true): StreamingQuery =
+    startWith(spark, inDir, checkpoint, header) { good =>
+      store.insertNew(Ingest.enrich(good)) > 0
+    }(signal)
+
+  /** Streaming UPSERT ingestion: the same scan/validate plumbing, but
+    * each micro-batch MERGES into the store (update-matched on email +
+    * insert-new, [[CustomerStoreApi.merge]]) instead of insert-only —
+    * the change-feed form of ingestion, where arriving rows may revise
+    * existing customers. Replay safety is stronger than the insert
+    * path's: merge is IDEMPOTENT (a replayed batch finds its updates
+    * already applied — payload-identical matches touch nothing — and
+    * its inserts already present), so checkpoint redelivery converges
+    * to the same table state with no modified_ts churn.
+    */
+  def startUpsert(spark: SparkSession, inDir: String, store: CustomerStoreApi,
+      checkpoint: String, signal: Option[Signal] = None,
+      header: Boolean = true): StreamingQuery =
+    startWith(spark, inDir, checkpoint, header) { good =>
+      val r = store.merge(Ingest.enrich(good))
+      r.nUpdated + r.nInserted > 0
+    }(signal)
+
+  private def startWith(spark: SparkSession, inDir: String, checkpoint: String,
+      header: Boolean)(apply: org.apache.spark.sql.DataFrame => Boolean)(
+      signal: Option[Signal]): StreamingQuery = {
     val raw = spark.readStream
       .schema(CustomerSchema.csvSchema)
       .option("header", header.toString)
@@ -37,8 +62,7 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val (good, _) = Ingest.validate(batch)
-        val inserted = store.insertNew(Ingest.enrich(good))
-        if (inserted > 0) signal.foreach(_.notifyData())
+        if (apply(good)) signal.foreach(_.notifyData())
         ()
       }
       .start()
