@@ -152,39 +152,52 @@ trait CustomerStoreApi {
     * the store side is the big side and stays partitioned.
     */
   def merge(batch: DataFrame): MergeResult = {
-    val seqd =
-      if (batch.columns.contains("_seq")) batch
-      else batch.withColumn("_seq", monotonically_increasing_id())
-    val byEmailLast = Window.partitionBy(col("email")).orderBy(col("_seq").desc)
-    val latest = seqd.withColumn("_rn", row_number().over(byEmailLast))
-      .filter(col("_rn") === 1).drop("_rn")
-      .localCheckpoint(true)
-    val stored = all()
-    val storedK = stored.select(col("id").as("_sid"), col("email").as("_semail"),
-      col("first_name").as("_sfn"), col("last_name").as("_sln"),
-      col("phone").as("_sph"), col("uploaded").as("_sup"),
-      col("created_ts").as("_sct"))
-    val matched = latest.join(storedK, col("email") === col("_semail"))
-      .localCheckpoint(true)
-    val updates = matched
-      .filter(!(col("first_name") <=> col("_sfn") &&
-        col("last_name") <=> col("_sln") && col("phone") <=> col("_sph")))
-      .select(col("_sid").as("id"), col("first_name"), col("last_name"),
-        col("email"), col("phone"), col("_sup").as("uploaded"),
-        col("_sct").as("created_ts"), current_timestamp().as("modified_ts"))
-      .localCheckpoint(true)
-    val byIdFirst = Window.partitionBy(col("id")).orderBy(col("_seq"))
-    val inserts = latest
-      .join(storedK.select("_semail"), col("email") === col("_semail"), "left_anti")
-      .join(stored.select(col("id").as("_eid")), col("id") === col("_eid"), "left_anti")
-      .withColumn("_rn", row_number().over(byIdFirst))
-      .filter(col("_rn") === 1)
-      .select(tableSchema.fieldNames.map(col): _*)
-      .localCheckpoint(true)
+    val (matched, updates, inserts) = classifyMerge(batch)
     val nMatched = matched.count()
     val nUpdated = updates.count()
     val nInserted = inserts.count()
     applyMerge(updates, inserts)
     MergeResult(nUpdated, nInserted, nMatched - nUpdated)
+  }
+
+  /** The classification plans behind [[merge]]: (matched, updates,
+    * inserts). With `materialize` (the merge path) each stage is
+    * eagerly checkpointed — classification must be pinned BEFORE the
+    * backend rewrites storage, and the chain reuses each stage once.
+    * `materialize = false` returns the lazy plans so MergeSpec can pin
+    * their physical shapes (keyed equi-joins + one email window — a
+    * lost join key would compile to a cross product and only fail at
+    * scale).
+    */
+  private[pipeline] def classifyMerge(batch: DataFrame,
+      materialize: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
+    def pin(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(true) else df
+    val seqd =
+      if (batch.columns.contains("_seq")) batch
+      else batch.withColumn("_seq", monotonically_increasing_id())
+    val byEmailLast = Window.partitionBy(col("email")).orderBy(col("_seq").desc)
+    val latest = pin(seqd.withColumn("_rn", row_number().over(byEmailLast))
+      .filter(col("_rn") === 1).drop("_rn"))
+    val stored = all()
+    val storedK = stored.select(col("id").as("_sid"), col("email").as("_semail"),
+      col("first_name").as("_sfn"), col("last_name").as("_sln"),
+      col("phone").as("_sph"), col("uploaded").as("_sup"),
+      col("created_ts").as("_sct"))
+    val matched = pin(latest.join(storedK, col("email") === col("_semail")))
+    val updates = pin(matched
+      .filter(!(col("first_name") <=> col("_sfn") &&
+        col("last_name") <=> col("_sln") && col("phone") <=> col("_sph")))
+      .select(col("_sid").as("id"), col("first_name"), col("last_name"),
+        col("email"), col("phone"), col("_sup").as("uploaded"),
+        col("_sct").as("created_ts"), current_timestamp().as("modified_ts")))
+    val byIdFirst = Window.partitionBy(col("id")).orderBy(col("_seq"))
+    val inserts = pin(latest
+      .join(storedK.select("_semail"), col("email") === col("_semail"), "left_anti")
+      .join(stored.select(col("id").as("_eid")), col("id") === col("_eid"), "left_anti")
+      .withColumn("_rn", row_number().over(byIdFirst))
+      .filter(col("_rn") === 1)
+      .select(tableSchema.fieldNames.map(col): _*))
+    (matched, updates, inserts)
   }
 }

@@ -117,6 +117,24 @@ class MergeSpec extends SparkSpec {
       "payload-identical redelivery must not touch modified_ts")
   }
 
+  test("merge classification compiles to keyed joins — no cartesian, anti-joins present") {
+    val store = new CustomerStore(spark, tmpDir("merge-plan") + "/store")
+    store.insertNew(rows((1L, "Ann", "A", "ann@example.com", "555-1"))): Unit
+    val batch = rows(
+      (1L, "Ann2", "A", "ann@example.com", "555-9"),
+      (2L, "Bob", "B", "bob@example.com", "555-2"))
+    val (matched, updates, inserts) = store.classifyMerge(batch, materialize = false)
+    val pm = matched.queryExecution.executedPlan.toString
+    val pu = updates.queryExecution.executedPlan.toString
+    val pi = inserts.queryExecution.executedPlan.toString
+    Seq("matched" -> pm, "updates" -> pu, "inserts" -> pi).foreach { case (n, p) =>
+      assert(!p.contains("CartesianProduct"),
+        s"$n classification lost its equi-join key")
+    }
+    assert(pi.contains("LeftAnti"), "insert candidates must anti-join the store")
+    assert(pu.contains("Window"), "email normalization window missing from updates")
+  }
+
   test("crash at the full-commit point: reopened store finishes the merge") {
     val path = tmpDir("merge-crash") + "/store"
     val store = new CustomerStore(spark, path)

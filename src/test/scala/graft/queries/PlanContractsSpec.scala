@@ -108,4 +108,21 @@ class PlanContractsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       "the hours x types grid must broadcast, never shuffle the counts")
   }
+
+  test("containment audit is a word-count shuffle + scalar rollup — no joins, no windows") {
+    val p = plan("dedup_containment_audit")
+    assert(!p.contains("Join"), "df audit must not join")
+    assert(!p.contains("Window"), "df audit must not window")
+    assert(count(p, "Exchange hashpartitioning\\(g") === 1,
+      "exactly the gram-df aggregation exchange")
+  }
+
+  test("IVF probe stage broadcasts the centroid table") {
+    // The ANN query's centroid join must broadcast (32 rows); the
+    // postings join shuffles on list_id — never the other way around.
+    val p = plan("sim_ivf_ann")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "centroids must broadcast against the query set")
+  }
+
 }
