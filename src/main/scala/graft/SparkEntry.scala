@@ -16,6 +16,7 @@ object SparkEntry {
     graft.queries.DedupQueries,
     graft.queries.Similarity,
     graft.queries.Events,
+    graft.queries.Graph,
     graft.queries.StreamingParity,
     graft.queries.PipelineParity,
     graft.queries.Multimodal,

@@ -294,6 +294,32 @@ object Curation extends QueryGroup {
         .orderBy(col("source"))
     }),
 
+    // Stratified sampling with exact per-stratum allocation: every
+    // language stratum contributes max(1, floor(|stratum|/10)) docs,
+    // chosen by content-md5 rank — the deterministic version of
+    // proportional stratified sampling (no RNG, no engine sampling
+    // operator whose row choice differs per engine/partitioning).
+    // One lang-keyed shuffle serves both the stratum count and the
+    // rank window; at 100 TB the allocation is exact per stratum
+    // regardless of partitioning because the rank is global within
+    // the stratum key.
+    "corpus_stratified_sample" -> ((s, dir) => {
+      val cw = Window.partitionBy(col("lang"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"), md5(col("text")).as("h"))
+        .withColumn("cnt", count(lit(1)).over(cw))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <=
+          greatest(lit(1L), floor(col("cnt").cast("double") / lit(10.0)).cast("long")))
+        .groupBy(col("lang"))
+        .agg(max(col("cnt")).as("n_docs"),
+          count(lit(1)).as("n_sampled"),
+          sum(col("doc_id")).as("sampled_id_sum"),
+          sum(col("n_chars")).as("sampled_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // Sub-document dedup: fingerprint disjoint 16-token chunks and
     // measure, per doc, the fraction of chunk instances whose
     // fingerprint appears in ≥2 DISTINCT docs — the line/paragraph
@@ -555,6 +581,17 @@ object Curation extends QueryGroup {
             CAST(SUM(CASE WHEN df > $DF_CAP THEN df ELSE 0 END) AS BIGINT) AS n_capped_instances,
             CAST(MAX(df) AS BIGINT) AS max_df
           FROM df""",
+    "corpus_stratified_sample" ->
+      """WITH b AS (SELECT lang, doc_id, n_chars, md5(text) AS h,
+               COUNT(*) OVER (PARTITION BY lang) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+             FROM documents),
+          s AS (SELECT * FROM b
+                WHERE rn <= GREATEST(1, CAST(floor(CAST(cnt AS DOUBLE) / 10.0) AS BIGINT)))
+          SELECT lang, CAST(MAX(cnt) AS BIGINT) AS n_docs, COUNT(*) AS n_sampled,
+            CAST(SUM(doc_id) AS BIGINT) AS sampled_id_sum,
+            CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+          FROM s GROUP BY lang ORDER BY lang""",
     "corpus_domain_caps" ->
       s"""WITH f AS (SELECT source, doc_id, n_chars, md5($normSql) AS fp FROM documents),
           r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY fp, doc_id) AS rn

@@ -178,6 +178,49 @@ object Relational extends QueryGroup {
         .orderBy(col("bucket"))
     }),
 
+    // Correlated EXISTS / NOT EXISTS — expressed as SQL subqueries so
+    // Catalyst's decorrelation (RewritePredicateSubquery) does the
+    // rewrite: EXISTS → left-semi join, NOT EXISTS → left-anti join,
+    // both shuffle-partitionable equi-joins at any scale. The
+    // DataFrame twins (join_semi_big_lines / join_anti_no_orders)
+    // pin the hand-written form; this pins the declared form.
+    "subquery_exists_urgent" -> ((s, dir) => {
+      val c = s"customer_sq_${System.identityHashCode(s)}"
+      val o = s"orders_sq_${System.identityHashCode(s)}"
+      Tables(s, dir, "customer").createOrReplaceTempView(c)
+      Tables(s, dir, "orders").createOrReplaceTempView(o)
+      s.sql(
+        s"""SELECT c_custkey, c_name FROM $c
+            WHERE EXISTS (SELECT 1 FROM $o
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+              AND NOT EXISTS (SELECT 1 FROM $o
+                              WHERE o_custkey = c_custkey
+                                AND o_orderstatus = 'F')
+            ORDER BY c_custkey""")
+    }),
+
+    // Correlated scalar subqueries: suppliers above their nation's
+    // average balance. The average is compared by integer
+    // cross-multiplication (balance_cents · n > sum_cents) so no
+    // engine-dependent double division ever happens — the same
+    // integer-moments discipline as stat_moments_corr. Catalyst
+    // decorrelates both scalar subqueries into one aggregate join.
+    "subquery_scalar_above_avg" -> ((s, dir) => {
+      val v = s"supplier_sq_${System.identityHashCode(s)}"
+      Tables(s, dir, "supplier").createOrReplaceTempView(v)
+      s.sql(
+        s"""SELECT s_suppkey, s_name,
+              CAST(FLOOR(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+            FROM $v s
+            WHERE CAST(FLOOR(s_acctbal * 100) AS BIGINT) *
+                  (SELECT COUNT(*) FROM $v x
+                   WHERE x.s_nationkey = s.s_nationkey)
+                  > (SELECT SUM(CAST(FLOOR(x.s_acctbal * 100) AS BIGINT))
+                     FROM $v x WHERE x.s_nationkey = s.s_nationkey)
+            ORDER BY s_suppkey""")
+    }),
+
     // Row-level scalar function surface: string + date functions, all
     // whole-stage-codegen built-ins.
     "scalar_string_date" -> ((s, dir) => {
@@ -195,6 +238,25 @@ object Relational extends QueryGroup {
     }))
 
   val oracles: Map[String, String] = Map(
+    "subquery_exists_urgent" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey
+                         AND o_orderpriority = '1-URGENT')
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+    "subquery_scalar_above_avg" ->
+      """SELECT s_suppkey, s_name,
+           CAST(FLOOR(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+         FROM supplier s
+         WHERE CAST(FLOOR(s_acctbal * 100) AS BIGINT) *
+               (SELECT COUNT(*) FROM supplier x
+                WHERE x.s_nationkey = s.s_nationkey)
+               > (SELECT SUM(CAST(FLOOR(x.s_acctbal * 100) AS BIGINT))
+                  FROM supplier x WHERE x.s_nationkey = s.s_nationkey)
+         ORDER BY s_suppkey""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,

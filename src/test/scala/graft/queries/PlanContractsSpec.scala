@@ -36,6 +36,15 @@ class PlanContractsSpec extends SparkSpec {
     assert(plan("join_anti_no_orders").contains("LeftAnti"))
   }
 
+  test("SQL subqueries decorrelate: EXISTS pair to semi+anti, scalar aggregates to joins") {
+    val p = plan("subquery_exists_urgent")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      "correlated EXISTS/NOT EXISTS must rewrite to semi/anti joins, not per-row subplans")
+    val sc = plan("subquery_scalar_above_avg")
+    assert(!sc.toLowerCase.contains("subqueryexec") && sc.contains("Join"),
+      "correlated scalar aggregates must decorrelate into aggregate joins")
+  }
+
   test("range join builds a broadcast loop over the tiny band table") {
     val p = plan("range_join_value_bands")
     assert(p.contains("BroadcastNestedLoopJoin"),
