@@ -418,6 +418,73 @@ object Similarity extends QueryGroup {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-PQ: the full production ANN composition (what a FAISS-style
+    // IVFPQ index is) — the IVF coarse quantizer prunes WHICH vectors
+    // get scored (probe the query's IVF_PROBES nearest lists), the PQ
+    // codes shrink WHAT the scoring reads (ADC table lookups over 16
+    // codes instead of 256 float bytes), and only the PQ_CAND best
+    // approximate candidates are exact re-ranked. Both persisted
+    // artifacts are REUSED (the memoized IVF postings and PQ
+    // code/codebook tables — this query trains nothing); the oracle
+    // composes both unrolled retraining CTE blocks. At 100 TB this is
+    // the memory-resident ANN serving path: lists bound the scan,
+    // codes bound the bytes, rerank bounds the float reads.
+    "sim_ivfpq_ann" -> ((s, dir) => {
+      val all = quantized(s, dir)
+      val (postings, cent) = ivfIndexCached(s, dir, all)
+      val (codes, codebook) = pqIndexCached(s, dir, all)
+      val probeW = Window.partitionBy(col("query_id"))
+        .orderBy(col("c_cos").desc, col("list_id"))
+      val qs = all.filter(col("vec_id") % 100 === 0)
+      val qProbes = qs
+        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("sq").as("q_sq"))
+        .join(broadcast(cent))
+        .withColumn("c_cos", cosPpm(qdot(col("q_qv"), col("cv")), col("q_sq"), col("c_sq")))
+        .withColumn("p_rn", row_number().over(probeW))
+        .filter(col("p_rn") <= IVF_PROBES)
+        .select(col("query_id"), col("list_id"))
+      // Pruned candidate set from the probed lists (deduped across
+      // multi-assignment duplicates).
+      val cand0 = postings.select(col("vec_id").as("neighbor_id"), col("list_id"))
+        .join(qProbes, Seq("list_id"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id")).distinct()
+      // ADC over the candidates only: distance table + code lookups.
+      val qsub = pqSub(qs)
+        .select(col("vec_id").as("query_id"), col("m"), col("sv").as("q_sv"))
+      val dt = qsub.join(broadcast(codebook), Seq("m"))
+        .select(col("query_id"), col("m"), col("code"),
+          qdot(col("q_sv"), col("rv")).as("pdot"))
+      val recSq = codes
+        .join(broadcast(codebook.select(col("m"), col("code"), col("r_sq"))),
+          Seq("m", "code"))
+        .groupBy(col("vec_id")).agg(sum(col("r_sq")).as("rec_sq"))
+      val qn = qs.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("sq").as("q_sq"))
+      val wc = Window.partitionBy(col("query_id"))
+        .orderBy(col("approx_ppm").desc, col("neighbor_id"))
+      val cand = cand0
+        .join(codes.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+        .join(broadcast(dt), Seq("query_id", "m", "code"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(sum(col("pdot")).as("adot"))
+        .join(recSq.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+        .join(broadcast(qn), Seq("query_id"))
+        .withColumn("approx_ppm", safeCos(col("adot"), col("q_sq"), col("rec_sq")))
+        .withColumn("crn", row_number().over(wc))
+        .filter(col("crn") <= PQ_CAND)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_ppm").desc, col("neighbor_id"))
+      cand.select(col("query_id"), col("neighbor_id"), col("q_qv"), col("q_sq"))
+        .join(all.select(col("vec_id").as("neighbor_id"), col("qv"), col("sq")),
+          Seq("neighbor_id"))
+        .withColumn("cos_ppm", cosPpm(qdot(col("q_qv"), col("qv")), col("q_sq"), col("sq")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TOP_K)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_ppm"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // K-means-style topic grouping over the same deterministic Lloyd
     // index: per-cluster size, dominant label, and purity — the
     // curation view of embedding clustering (is this cluster coherent
@@ -655,6 +722,59 @@ object Similarity extends QueryGroup {
                    CAST(SUM(d.pdot) AS BIGINT) AS adot
                  FROM paf p JOIN dt d ON d.m = p.m AND d.code = p.code
                  WHERE p.vec_id <> d.query_id GROUP BY 1, 2),
+          ap AS (SELECT a.query_id, a.neighbor_id,
+                   CASE WHEN qn.sq = 0 OR r.rec_sq = 0 THEN 0
+                        ELSE CAST(floor(CAST(a.adot AS DOUBLE) * 1000000.0
+                          / (sqrt(CAST(qn.sq AS DOUBLE)) * sqrt(CAST(r.rec_sq AS DOUBLE)))) AS BIGINT)
+                   END AS approx_ppm
+                 FROM ad a
+                 JOIN rsq r ON r.vec_id = a.neighbor_id
+                 JOIN n qn ON qn.vec_id = a.query_id),
+          cand AS (SELECT query_id, neighbor_id FROM (
+                     SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY approx_ppm DESC, neighbor_id) AS crn
+                     FROM ap) WHERE crn <= $PQ_CAND),
+          ex AS (SELECT c.query_id, c.neighbor_id,
+                   ${cosPpmSql("q.qv", "b.qv", "q.sq", "b.sq")} AS cos_ppm
+                 FROM cand c
+                 JOIN n q ON q.vec_id = c.query_id
+                 JOIN n b ON b.vec_id = c.neighbor_id),
+          r AS (SELECT query_id, neighbor_id, cos_ppm,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_ppm DESC, neighbor_id) AS BIGINT) AS rank
+                FROM ex)
+          SELECT query_id, rank, neighbor_id, cos_ppm FROM r
+          WHERE rank <= $TOP_K ORDER BY query_id, rank""",
+    // Both index retrainings composed: the IVF probe prunes the
+    // candidate set, the PQ codebook scores it — mirror of the Spark
+    // plan, CTE namespaces disjoint by construction.
+    "sim_ivfpq_ann" ->
+      s"""WITH $quantSql,
+          $ivfBuildSql,
+          $pqBuildSql,
+          qp AS (SELECT query_id, list_id FROM (
+                   SELECT n.vec_id AS query_id, c.list_id,
+                     ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY ${cosPpmSql("n.qv", "c.cv", "n.sq", "c.c_sq")} DESC, c.list_id) AS p_rn
+                   FROM n, $ivfFinalCent c WHERE n.vec_id % 100 = 0)
+                 WHERE p_rn <= $IVF_PROBES),
+          cand0 AS (SELECT DISTINCT qp.query_id, nb.vec_id AS neighbor_id
+                    FROM qp JOIN af nb USING (list_id)
+                    WHERE nb.vec_id <> qp.query_id),
+          qsub AS (SELECT vec_id AS query_id, m, sv AS q_sv FROM psb
+                   WHERE vec_id % 100 = 0),
+          dt AS (SELECT q.query_id, q.m, c.code,
+                   CAST(list_sum([q.q_sv[i]*c.rv[i] for i in range(1, len(q.q_sv)+1)]) AS BIGINT) AS pdot
+                 FROM qsub q JOIN pcb c ON c.m = q.m),
+          rsq AS (SELECT p.vec_id, CAST(SUM(c.r_sq) AS BIGINT) AS rec_sq
+                  FROM paf p JOIN pcb c ON c.m = p.m AND c.code = p.code GROUP BY 1),
+          ad AS (SELECT c0.query_id, c0.neighbor_id,
+                   CAST(SUM(d.pdot) AS BIGINT) AS adot
+                 FROM cand0 c0
+                 JOIN paf p ON p.vec_id = c0.neighbor_id
+                 JOIN dt d ON d.query_id = c0.query_id AND d.m = p.m AND d.code = p.code
+                 GROUP BY 1, 2),
           ap AS (SELECT a.query_id, a.neighbor_id,
                    CASE WHEN qn.sq = 0 OR r.rec_sq = 0 THEN 0
                         ELSE CAST(floor(CAST(a.adot AS DOUBLE) * 1000000.0

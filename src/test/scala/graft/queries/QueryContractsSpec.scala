@@ -74,6 +74,19 @@ class QueryContractsSpec extends SparkSpec {
         "measured 1.00/1.00/0.97 at sf0.001/0.01/0.1)")
   }
 
+  test("ivf-pq composed recall vs brute force clears its floor") {
+    val brute = SparkEntry.queries("sim_topk_bruteforce")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SparkEntry.queries("sim_ivfpq_ann")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ann & brute).size.toDouble / brute.size
+    assert(recall >= 0.9,
+      f"IVF-PQ recall $recall%.2f below floor 0.9 (composition of the 0.94 IVF probe " +
+        "and 0.97 PQ scan; measured 1.00/0.96/0.92 at sf0.001/0.01/0.1)")
+  }
+
   test("funnel stage counts are monotonically non-increasing") {
     val rows = SparkEntry.queries("events_funnel")(spark, sf)
       .orderBy("stage").collect().map(_.getLong(1))
