@@ -77,6 +77,8 @@ object Similarity extends QueryGroup {
   private val PQ_K = 32
   private val PQ_ITERS = 2
   private val PQ_CAND = 96
+  // Bottom-k size of the embedding-outlier report.
+  private val OUT_K = 20
   // Embedding dimensionality of the `embeddings` table — used only
   // where SQL needs an explicit per-position range; the Spark side is
   // length-generic.
@@ -485,6 +487,29 @@ object Similarity extends QueryGroup {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Embedding outlier detection — the embedding-QA pass a training
+    // pipeline runs before using vectors (corrupt encodes, mislabeled
+    // rows, off-manifold junk): score every vector by cosine to its
+    // OWN assigned IVF centroid and surface the global bottom-k.
+    // Reuses the persisted index (rn = 1 recovers the partition);
+    // the bottom-k is orderBy+limit so it plans as
+    // TakeOrderedAndProject (distributed per-partition top-k), never
+    // a single-task global window. Oracle reuses the unrolled IVF
+    // retraining CTEs.
+    "sim_outliers" -> ((s, dir) => {
+      val all = quantized(s, dir)
+      val (postings, cent) = ivfIndexCached(s, dir, all)
+      val top = postings.filter(col("rn") === 1)
+        .join(broadcast(cent), Seq("list_id"))
+        .withColumn("cos_ppm", cosPpm(qdot(col("qv"), col("cv")), col("sq"), col("c_sq")))
+        .select(col("vec_id"), col("label"), col("list_id"), col("cos_ppm"))
+        .orderBy(col("cos_ppm").asc, col("vec_id")).limit(OUT_K)
+      val w = Window.orderBy(col("cos_ppm").asc, col("vec_id"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("rank"), col("vec_id"), col("label"), col("list_id"), col("cos_ppm"))
+        .orderBy(col("rank"))
+    }),
+
     // K-means-style topic grouping over the same deterministic Lloyd
     // index: per-cluster size, dominant label, and purity — the
     // curation view of embedding clustering (is this cluster coherent
@@ -799,6 +824,18 @@ object Similarity extends QueryGroup {
                 FROM ex)
           SELECT query_id, rank, neighbor_id, cos_ppm FROM r
           WHERE rank <= $TOP_K ORDER BY query_id, rank""",
+    "sim_outliers" ->
+      s"""WITH $quantSql,
+          $ivfBuildSql,
+          a1f AS (SELECT vec_id, label, qv, sq, list_id FROM af WHERE rn = 1),
+          sc AS (SELECT a.vec_id, a.label, a.list_id,
+                   ${cosPpmSql("a.qv", "c.cv", "a.sq", "c.c_sq")} AS cos_ppm
+                 FROM a1f a JOIN $ivfFinalCent c USING (list_id)),
+          r AS (SELECT vec_id, label, list_id, cos_ppm,
+                  CAST(ROW_NUMBER() OVER (ORDER BY cos_ppm ASC, vec_id) AS BIGINT) AS rank
+                FROM sc)
+          SELECT rank, vec_id, label, CAST(list_id AS BIGINT) AS list_id, cos_ppm
+          FROM r WHERE rank <= $OUT_K ORDER BY rank""",
     "sim_kmeans_groups" ->
       s"""WITH $quantSql,
           $ivfBuildSql,

@@ -45,6 +45,13 @@ class PlanContractsSpec extends SparkSpec {
       "correlated scalar aggregates must decorrelate into aggregate joins")
   }
 
+  test("outlier bottom-k plans as TakeOrderedAndProject, not a global-window sort") {
+    val p = plan("sim_outliers")
+    assert(p.contains("TakeOrderedAndProject"),
+      "collection-wide bottom-k must be the distributed top-k operator; " +
+        "the rank window may only run over its k-row result")
+  }
+
   test("range join builds a broadcast loop over the tiny band table") {
     val p = plan("range_join_value_bands")
     assert(p.contains("BroadcastNestedLoopJoin"),
