@@ -41,15 +41,50 @@ class CustomerStore(protected val spark: SparkSession, path: String)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
 
-  /** Survivor append: new files into the uploaded=false partition. */
+  /** Survivor append: new files into the uploaded=false partition.
+    * The matching change-feed rows follow under the same
+    * SaveMode.Append semantics as the data they describe (the two
+    * appends are not one atomic commit — the staged-commit paths
+    * below are; a transactional format unifies them at 100 TB).
+    */
   protected def appendRows(fresh: DataFrame): Long = {
     val cached = fresh.cache()
     val n = cached.count()
-    if (n > 0)
+    if (n > 0) {
       cached.write.mode(SaveMode.Append).partitionBy("uploaded").parquet(path)
+      changeRows(cached, "insert").write.mode(SaveMode.Append)
+        .parquet(new java.io.File(path, Changelog).toString)
+    }
     cached.unpersist()
     n
   }
+
+  /** Change-feed projection: the full row plus the change kind. */
+  private def changeRows(rows: DataFrame, kind: String): DataFrame =
+    rows.select(lit(kind).as("change_type") +: tableSchema.fieldNames.map(col): _*)
+
+  /** The store's change data feed — every mutation the store has
+    * committed, as full rows tagged `insert` / `update` / `ack`
+    * (the CDC a downstream incremental consumer replays instead of
+    * rescanning the table). Merge and ack changes are staged inside
+    * the SAME commit directory as the data and promoted by the same
+    * atomic rename, so the feed can never show a change whose data
+    * commit did not land (and recovery completes both or neither).
+    */
+  def changeFeed(): DataFrame = {
+    val dir = new java.io.File(path, Changelog)
+    if (dir.exists() && dir.listFiles().exists(_.getName.endsWith(".parquet")))
+      spark.read.schema(changeSchema).parquet(dir.toString)
+        .select(changeSchema.fieldNames.map(col): _*)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], changeSchema)
+  }
+
+  private def changeSchema =
+    org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("change_type",
+        org.apache.spark.sql.types.StringType, nullable = false) +: tableSchema.fields)
 
   /** Post-ack state transition (S7, database.go:176-198): flip
     * uploaded=true for the given emails and touch modified_ts — the
@@ -77,9 +112,10 @@ class CustomerStore(protected val spark: SparkSession, path: String)
       .withColumn("uploaded", lit(true))
       .withColumn("modified_ts", current_timestamp())
       .select(tableSchema.fieldNames.map(col): _*)
+      .localCheckpoint(true) // one evaluation feeds both the commit and its changelog
     val kept = pendingRows.join(acked, col("email") === col("_ack"), "left_anti")
       .select(tableSchema.fieldNames.map(col): _*)
-    stageCommit(moved, kept)
+    stageCommit(moved, kept, changeRows(moved, "ack"))
     applyStaged()
   }
 
@@ -107,7 +143,8 @@ class CustomerStore(protected val spark: SparkSession, path: String)
     val next = untouched.unionByName(updates).unionByName(inserts)
     stageFullCommit(
       next.filter(!col("uploaded")),
-      next.filter(col("uploaded")))
+      next.filter(col("uploaded")),
+      changeRows(updates, "update").unionByName(changeRows(inserts, "insert")))
     applyStaged()
   }
 
@@ -117,13 +154,29 @@ class CustomerStore(protected val spark: SparkSession, path: String)
     * replaced wholesale (`done` stage dir) rather than appended to
     * (`done-append`).
     */
-  private[pipeline] def stageFullCommit(pending: DataFrame, done: DataFrame): Unit = {
+  private[pipeline] def stageFullCommit(pending: DataFrame, done: DataFrame,
+      changes: DataFrame): Unit = {
     val tmp = new java.io.File(path, StagingTmp)
     deleteRecursively(tmp)
     pending.drop("uploaded").write.parquet(new java.io.File(tmp, "pending").toString)
     done.drop("uploaded").write.parquet(new java.io.File(tmp, "done").toString)
+    stageChanges(tmp, changes)
     val staging = new java.io.File(path, Staging)
     require(tmp.renameTo(staging), s"commit rename $tmp -> $staging failed")
+  }
+
+  /** Stage this commit's change-feed rows next to its data outputs,
+    * under commit-unique file names so crash replay cannot clobber
+    * files a previous promotion already landed in `_changelog/`.
+    */
+  private def stageChanges(tmp: java.io.File, changes: DataFrame): Unit = {
+    val dir = new java.io.File(tmp, "changelog")
+    changes.write.parquet(dir.toString)
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      require(f.renameTo(new java.io.File(dir, s"chg-$commitId-${f.getName}")),
+        s"staging rename failed for $f")
+    }
   }
 
   /** Write both partition outputs to `_staging.tmp` and atomically
@@ -132,11 +185,13 @@ class CustomerStore(protected val spark: SparkSession, path: String)
     * commit point. Partition column is carried by directory name, not
     * file content, so both outputs drop `uploaded`.
     */
-  private[pipeline] def stageCommit(moved: DataFrame, kept: DataFrame): Unit = {
+  private[pipeline] def stageCommit(moved: DataFrame, kept: DataFrame,
+      changes: DataFrame): Unit = {
     val tmp = new java.io.File(path, StagingTmp)
     deleteRecursively(tmp)
     moved.drop("uploaded").write.parquet(new java.io.File(tmp, "done-append").toString)
     kept.drop("uploaded").write.parquet(new java.io.File(tmp, "pending").toString)
+    stageChanges(tmp, changes)
     // Commit-unique file names now, so replay after a crash cannot
     // clobber files a previous commit already promoted.
     val commitId = java.util.UUID.randomUUID().toString.take(8)
@@ -178,6 +233,18 @@ class CustomerStore(protected val spark: SparkSession, path: String)
       deleteRecursively(doneDir)
       require(doneFull.renameTo(doneDir), s"promote $doneFull failed")
     }
+    // Change-feed promotion: append this commit's rows (already under
+    // commit-unique names, so replay after a crash is a no-op for
+    // files a previous attempt landed).
+    val chgStage = new java.io.File(staging, "changelog")
+    if (chgStage.exists()) {
+      val chgDir = new java.io.File(path, Changelog)
+      chgDir.mkdirs()
+      chgStage.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        require(f.renameTo(new java.io.File(chgDir, f.getName)), s"promote $f failed")
+      }
+      deleteRecursively(chgStage)
+    }
     deleteRecursively(staging)
   }
 
@@ -192,9 +259,10 @@ class CustomerStore(protected val spark: SparkSession, path: String)
 }
 
 object CustomerStore {
-  /** Underscore prefix keeps both out of Spark/Hadoop data discovery. */
+  /** Underscore prefix keeps all three out of Spark/Hadoop data discovery. */
   private[pipeline] val Staging = "_staging"
   private[pipeline] val StagingTmp = "_staging.tmp"
+  private[pipeline] val Changelog = "_changelog"
 
   private[pipeline] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)

@@ -69,9 +69,12 @@ object PipelineParity extends QueryGroup {
     * n_updated from the store itself (the 999- phones) so the counts
     * can't be right by accident while the update never landed.
     */
-  private def mergeCycle(s: SparkSession, dir: String)(
-      mkStore: java.nio.file.Path => graft.pipeline.CustomerStoreApi): DataFrame = {
-    import s.implicits._
+  /** The planted merge traffic shared by every merge gate: (base,
+    * batch) with changed (999- phones), identical, fresh (new ids +
+    * emails), and id-conflicting rows — the oracle re-derives every
+    * count from the same %-of-c_custkey arithmetic.
+    */
+  private def mergeFixtures(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = Tables(s, dir, "customer")
       .select(col("c_custkey").as("id"),
         concat(lit("f"), col("c_custkey")).as("first_name"),
@@ -93,6 +96,13 @@ object PipelineParity extends QueryGroup {
       .unionByName(identical.withColumn("_seq", col("id") * 4 + 1))
       .unionByName(fresh.withColumn("_seq", col("id") * 4 + 2))
       .unionByName(idConflict.withColumn("_seq", col("id") * 4 + 3))
+    (base, batch)
+  }
+
+  private def mergeCycle(s: SparkSession, dir: String)(
+      mkStore: java.nio.file.Path => graft.pipeline.CustomerStoreApi): DataFrame = {
+    import s.implicits._
+    val (base, batch) = mergeFixtures(s, dir)
     val out = withTempDir("graft-merge-") { tmp =>
       val store = mkStore(tmp)
       store.insertNew(base): Unit
@@ -230,6 +240,36 @@ object PipelineParity extends QueryGroup {
     "pipeline_merge_jdbc" -> ((s, dir) =>
       mergeCycle(s, dir)(tmp =>
         new graft.pipeline.JdbcCustomerStore(s, s"jdbc:derby:$tmp/cust;create=true"))),
+
+    // The store's change data feed, driver-gated: run the full
+    // mutation cycle (insert the base, merge the planted traffic, ack
+    // a third slice) against a real parquet store and aggregate the
+    // committed feed per change kind. The feed rows are staged inside
+    // the same commit directory as the data and promoted by the same
+    // atomic rename (atomicity pinned by CrashRecoverySpec), so this
+    // pins exactly-once CDC emission end-to-end: insert = base +
+    // merge-inserted (id-conflict rows emit NOTHING — they were never
+    // committed), update = changed-payload matches only (identical
+    // matches emit nothing), ack = the flipped rows.
+    "pipeline_merge_changelog" -> ((s, dir) => {
+      import s.implicits._
+      val (base, batch) = mergeFixtures(s, dir)
+      val out = withTempDir("graft-merge-chg-") { tmp =>
+        val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
+        store.insertNew(base): Unit
+        store.merge(batch): Unit
+        store.markUploaded(
+          base.filter(col("id") % 5 === 0).select(col("email")))
+        store.changeFeed()
+          .groupBy(col("change_type"))
+          .agg(count(lit(1)).as("n_changes"), sum(col("id")).as("id_sum"))
+          .orderBy(col("change_type"))
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      }
+      out.toDF("change_type", "n_changes", "id_sum")
+        .orderBy(col("change_type"))
+    }),
 
     // Streaming UPSERT ingestion (StreamingIngest.startUpsert): the
     // same planted merge traffic arriving as a CSV change-feed through
@@ -397,6 +437,20 @@ object PipelineParity extends QueryGroup {
            CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_updated,
            CAST(COUNT(*) + SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_total_after
          FROM customer""",
+    "pipeline_merge_changelog" ->
+      """WITH c AS (SELECT c_custkey AS id FROM customer),
+          ack AS (SELECT 'ack' AS change_type, COUNT(*) AS n_changes,
+                    CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 5 = 0),
+          ins AS (SELECT 'insert' AS change_type,
+                    (SELECT COUNT(*) FROM c) +
+                      (SELECT COUNT(*) FROM c WHERE id % 10 = 0) AS n_changes,
+                    CAST((SELECT SUM(id) FROM c) +
+                      (SELECT COALESCE(SUM(id + 20000000), 0) FROM c WHERE id % 10 = 0)
+                      AS BIGINT) AS id_sum),
+          upd AS (SELECT 'update' AS change_type, COUNT(*) AS n_changes,
+                    CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 3 = 0)
+          SELECT * FROM ack UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM upd
+          ORDER BY change_type""",
     "pipeline_merge_jdbc" ->
       """SELECT CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
            CAST(SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,

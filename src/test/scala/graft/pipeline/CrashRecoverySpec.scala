@@ -36,6 +36,14 @@ class CrashRecoverySpec extends SparkSpec {
     (moved, kept)
   }
 
+  private def ackChanges(moved: org.apache.spark.sql.DataFrame) =
+    moved.select(lit("ack").as("change_type") +:
+      CustomerSchema.tableSchema.fieldNames.map(col): _*)
+
+  private def feedAcks(path: String): Long =
+    new CustomerStore(spark, path).changeFeed()
+      .filter(col("change_type") === "ack").count()
+
   private def assertConsistent(path: String, nTotal: Int, ackedEmails: Set[String]): Unit = {
     val store = new CustomerStore(spark, path) // constructor runs recovery
     val rows = store.all().collect()
@@ -52,10 +60,12 @@ class CrashRecoverySpec extends SparkSpec {
     val store = seed(path, 10)
     val acked = (1 to 5).map(i => s"user$i@example.com")
     val (moved, kept) = ackFrames(store, acked)
-    store.stageCommit(moved, kept) // crash: applyStaged never runs
+    store.stageCommit(moved, kept, ackChanges(moved)) // crash: applyStaged never runs
     assert(new File(path, CustomerStore.Staging).exists())
     assertConsistent(path, 10, acked.toSet)
     assert(!new File(path, CustomerStore.Staging).exists(), "staging not cleaned up")
+    // The commit's change-feed rows landed with it, exactly once.
+    assert(feedAcks(path) === 5)
   }
 
   test("crash mid-promotion: pending swapped, done files not yet moved") {
@@ -63,7 +73,7 @@ class CrashRecoverySpec extends SparkSpec {
     val store = seed(path, 8)
     val acked = Seq("user2@example.com", "user7@example.com")
     val (moved, kept) = ackFrames(store, acked)
-    store.stageCommit(moved, kept)
+    store.stageCommit(moved, kept, ackChanges(moved))
     // Simulate the partial apply: promote only the pending swap.
     val staging = new File(path, CustomerStore.Staging)
     val pendingDir = new File(path, "uploaded=false")
@@ -83,6 +93,8 @@ class CrashRecoverySpec extends SparkSpec {
     kept.drop("uploaded").write.parquet(new File(tmp, "pending").toString)
     assertConsistent(path, 6, Set.empty) // table untouched, ack never happened
     assert(!tmp.exists(), "uncommitted staging not discarded")
+    // No committed ack -> no ack in the feed (seed inserts are there).
+    assert(feedAcks(path) === 0)
   }
 
   test("applyStaged is idempotent under repeated replay") {
@@ -90,9 +102,10 @@ class CrashRecoverySpec extends SparkSpec {
     val store = seed(path, 5)
     val acked = Seq("user3@example.com")
     val (moved, kept) = ackFrames(store, acked)
-    store.stageCommit(moved, kept)
+    store.stageCommit(moved, kept, ackChanges(moved))
     store.applyStaged()
     store.applyStaged() // replay of a finished commit is a no-op
     assertConsistent(path, 5, acked.toSet)
+    assert(feedAcks(path) === 1, "replayed commit duplicated its change-feed rows")
   }
 }

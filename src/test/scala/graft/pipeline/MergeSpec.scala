@@ -145,8 +145,11 @@ class MergeSpec extends SparkSpec {
     val next = store.all()
       .withColumn("first_name",
         when(col("email") === "ann@example.com", lit("Ann2")).otherwise(col("first_name")))
+    val updated = next.filter(col("email") === "ann@example.com")
+      .select(lit("update").as("change_type") +:
+        CustomerSchema.tableSchema.fieldNames.map(col): _*)
     store.stageFullCommit(
-      next.filter(!col("uploaded")), next.filter(col("uploaded")))
+      next.filter(!col("uploaded")), next.filter(col("uploaded")), updated)
     // Crash: promotion never ran; the commit point (rename) is passed.
     assert(new File(path, CustomerStore.Staging).exists())
     val reopened = new CustomerStore(spark, path) // constructor recovers
