@@ -135,6 +135,34 @@ class MergeSpec extends SparkSpec {
     assert(pu.contains("Window"), "email normalization window missing from updates")
   }
 
+  test("change feed is complete: replaying it reconstructs the table") {
+    val store = new CustomerStore(spark, tmpDir("merge-cdc") + "/store")
+    store.insertNew(rows(
+      (1L, "Ann", "A", "ann@example.com", "555-1"),
+      (2L, "Bob", "B", "bob@example.com", "555-2"),
+      (3L, "Cai", "C", "cai@example.com", "555-3"))): Unit
+    store.merge(rows(
+      (9L, "Ann2", "A", "ann@example.com", "555-9"),  // update
+      (4L, "Dee", "D", "dee@example.com", "555-4"))): Unit // insert
+    store.markUploaded(Seq("bob@example.com", "dee@example.com").toDF("email"))
+    // Replay: per email take the LAST change in feed order (insert <
+    // update < ack per key here — encode order by change kind since a
+    // key mutates at most once per kind in this history), then compare
+    // the replayed state to the table on the full business surface.
+    val rank = when(col("change_type") === "insert", 0)
+      .when(col("change_type") === "update", 1).otherwise(2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("email")).orderBy(rank.desc)
+    val replayed = store.changeFeed()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("uploaded", col("change_type") === "ack")
+      .select("id", "first_name", "last_name", "email", "phone", "uploaded")
+    val table = store.all()
+      .select("id", "first_name", "last_name", "email", "phone", "uploaded")
+    assert(replayed.exceptAll(table).isEmpty && table.exceptAll(replayed).isEmpty,
+      "feed replay diverged from the committed table — the CDC misses or invents changes")
+  }
+
   test("crash at the full-commit point: reopened store finishes the merge") {
     val path = tmpDir("merge-crash") + "/store"
     val store = new CustomerStore(spark, path)
