@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Parquet-backed state table with the `customers` contract the
@@ -41,22 +41,41 @@ class CustomerStore(protected val spark: SparkSession, path: String)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
 
-  /** Survivor append: new files into the uploaded=false partition.
-    * The matching change-feed rows follow under the same
-    * SaveMode.Append semantics as the data they describe (the two
-    * appends are not one atomic commit — the staged-commit paths
-    * below are; a transactional format unifies them at 100 TB).
+  /** Survivor append: new files into the uploaded=false partition,
+    * through the SAME staged-commit protocol as every other mutation
+    * (stage data + change-feed rows, atomic rename = commit point,
+    * idempotent promotion) — an insert and its feed rows land together
+    * or not at all.
     */
   protected def appendRows(fresh: DataFrame): Long = {
     val cached = fresh.cache()
     val n = cached.count()
     if (n > 0) {
-      cached.write.mode(SaveMode.Append).partitionBy("uploaded").parquet(path)
-      changeRows(cached, "insert").write.mode(SaveMode.Append)
-        .parquet(new java.io.File(path, Changelog).toString)
+      recover()
+      stageAppend(cached)
+      applyStaged()
     }
     cached.unpersist()
     n
+  }
+
+  /** Stage an insert commit: the fresh pending rows (commit-unique
+    * file names, appended to the pending partition at promotion) plus
+    * their change-feed rows.
+    */
+  private def stageAppend(fresh: DataFrame): Unit = {
+    val tmp = new java.io.File(path, StagingTmp)
+    deleteRecursively(tmp)
+    val stage = new java.io.File(tmp, "pending-append")
+    fresh.drop("uploaded").write.parquet(stage.toString)
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    stage.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      require(f.renameTo(new java.io.File(stage, s"ins-$commitId-${f.getName}")),
+        s"staging rename failed for $f")
+    }
+    stageChanges(tmp, changeRows(fresh, "insert"))
+    val staging = new java.io.File(path, Staging)
+    require(tmp.renameTo(staging), s"commit rename $tmp -> $staging failed")
   }
 
   /** Change-feed projection: the full row plus the change kind. */
@@ -66,10 +85,11 @@ class CustomerStore(protected val spark: SparkSession, path: String)
   /** The store's change data feed — every mutation the store has
     * committed, as full rows tagged `insert` / `update` / `ack`
     * (the CDC a downstream incremental consumer replays instead of
-    * rescanning the table). Merge and ack changes are staged inside
-    * the SAME commit directory as the data and promoted by the same
-    * atomic rename, so the feed can never show a change whose data
-    * commit did not land (and recovery completes both or neither).
+    * rescanning the table). All three mutation paths stage their feed
+    * rows inside the SAME commit directory as the data and promote
+    * them by the same atomic rename, so the feed can never show a
+    * change whose data commit did not land (and recovery completes
+    * both or neither).
     */
   def changeFeed(): DataFrame = {
     val dir = new java.io.File(path, Changelog)
@@ -224,6 +244,18 @@ class CustomerStore(protected val spark: SparkSession, path: String)
         require(f.renameTo(new java.io.File(doneDir, f.getName)), s"promote $f failed")
       }
       deleteRecursively(doneStage)
+    }
+    // Insert commit: append the staged fresh files into the pending
+    // partition (names are commit-unique, so crash replay is a no-op
+    // for files a previous attempt already moved).
+    val pendAppend = new java.io.File(staging, "pending-append")
+    if (pendAppend.exists()) {
+      val pendingDir = new java.io.File(path, "uploaded=false")
+      pendingDir.mkdirs()
+      pendAppend.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        require(f.renameTo(new java.io.File(pendingDir, f.getName)), s"promote $f failed")
+      }
+      deleteRecursively(pendAppend)
     }
     // Full-replace done stage (the merge path): swap the whole
     // partition, mirroring the pending swap above.

@@ -97,6 +97,27 @@ class CrashRecoverySpec extends SparkSpec {
     assert(feedAcks(path) === 0)
   }
 
+  test("insert commits are atomic: a committed-but-unpromoted insert lands with its feed rows") {
+    val path = tmpDir("crash") + "/c"
+    val store = seed(path, 4)
+    // Simulate the crash window: re-stage a copy of a finished insert
+    // commit (data + changelog) as if the rename happened but the
+    // promotion never ran, then reopen.
+    import spark.implicits._
+    val extra = Ingest.enrich(Seq((99L, "X", "Y", "x99@example.com", "555-99"))
+      .toDF("id", "first_name", "last_name", "email", "phone")).localCheckpoint(true)
+    val tmp = new File(path, CustomerStore.StagingTmp)
+    extra.drop("uploaded").write.parquet(new File(tmp, "pending-append").toString)
+    extra.select(lit("insert").as("change_type") +:
+        CustomerSchema.tableSchema.fieldNames.map(col): _*)
+      .write.parquet(new File(tmp, "changelog").toString)
+    require(tmp.renameTo(new File(path, CustomerStore.Staging)))
+    val reopened = new CustomerStore(spark, path) // recovery promotes both
+    assert(reopened.all().count() === 5, "committed insert must be finished on reopen")
+    assert(reopened.changeFeed().filter(col("change_type") === "insert").count() === 5,
+      "insert feed rows must land with the data commit")
+  }
+
   test("applyStaged is idempotent under repeated replay") {
     val path = tmpDir("crash") + "/c"
     val store = seed(path, 5)
