@@ -271,6 +271,45 @@ object PipelineParity extends QueryGroup {
         .orderBy(col("change_type"))
     }),
 
+    // The incremental CDC consumer: the change-feed directory consumed
+    // AS A STREAM (file source over _changelog, raw passthrough to a
+    // parquet sink) in TWO checkpointed AvailableNow runs — the first
+    // after insert+merge, the second after the ack commit. The source
+    // log must deliver each commit's files exactly once across the
+    // restart, so the sink aggregate equals the batch feed aggregate
+    // (same oracle arithmetic as pipeline_merge_changelog) — the
+    // downstream-materialization shape CDC exists for.
+    "streaming_cdc_resume" -> ((s, dir) => {
+      import s.implicits._
+      val (base, batch) = mergeFixtures(s, dir)
+      val out = withTempDir("graft-cdc-stream-") { tmp =>
+        val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
+        val feedSchema = store.changeFeed().schema
+        def consume(): Unit =
+          s.readStream.schema(feedSchema).parquet(s"$tmp/store/_changelog")
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/sink")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+        store.insertNew(base): Unit
+        store.merge(batch): Unit
+        consume()
+        store.markUploaded(
+          base.filter(col("id") % 5 === 0).select(col("email")))
+        consume()
+        s.read.schema(feedSchema).parquet(s"$tmp/sink")
+          .groupBy(col("change_type"))
+          .agg(count(lit(1)).as("n_changes"), sum(col("id")).as("id_sum"))
+          .orderBy(col("change_type"))
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      }
+      out.toDF("change_type", "n_changes", "id_sum")
+        .orderBy(col("change_type"))
+    }),
+
     // Streaming UPSERT ingestion (StreamingIngest.startUpsert): the
     // same planted merge traffic arriving as a CSV change-feed through
     // a checkpointed file stream, merged per micro-batch. Seed via the
@@ -438,6 +477,20 @@ object PipelineParity extends QueryGroup {
            CAST(COUNT(*) + SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_total_after
          FROM customer""",
     "pipeline_merge_changelog" ->
+      """WITH c AS (SELECT c_custkey AS id FROM customer),
+          ack AS (SELECT 'ack' AS change_type, COUNT(*) AS n_changes,
+                    CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 5 = 0),
+          ins AS (SELECT 'insert' AS change_type,
+                    (SELECT COUNT(*) FROM c) +
+                      (SELECT COUNT(*) FROM c WHERE id % 10 = 0) AS n_changes,
+                    CAST((SELECT SUM(id) FROM c) +
+                      (SELECT COALESCE(SUM(id + 20000000), 0) FROM c WHERE id % 10 = 0)
+                      AS BIGINT) AS id_sum),
+          upd AS (SELECT 'update' AS change_type, COUNT(*) AS n_changes,
+                    CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 3 = 0)
+          SELECT * FROM ack UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM upd
+          ORDER BY change_type""",
+    "streaming_cdc_resume" ->
       """WITH c AS (SELECT c_custkey AS id FROM customer),
           ack AS (SELECT 'ack' AS change_type, COUNT(*) AS n_changes,
                     CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 5 = 0),
