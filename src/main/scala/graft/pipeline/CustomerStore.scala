@@ -85,26 +85,185 @@ class CustomerStore(protected val spark: SparkSession, path: String)
   /** The store's change data feed — every mutation the store has
     * committed, as full rows tagged `insert` / `update` / `ack`
     * (the CDC a downstream incremental consumer replays instead of
-    * rescanning the table). All three mutation paths stage their feed
+    * rescanning the table), each stamped with the monotonically
+    * increasing `commit_version` of the commit that produced it.
+    * Mutations that REPLACE a row (`update`, `ack`) also emit the
+    * replaced row as `update_pre` / `ack_pre` — the retraction
+    * (pre-image) a downstream incremental aggregate subtracts, so a
+    * consumer can maintain any distributive view by weighting post
+    * rows +1 and `_pre` rows −1. All mutation paths stage their feed
     * rows inside the SAME commit directory as the data and promote
     * them by the same atomic rename, so the feed can never show a
     * change whose data commit did not land (and recovery completes
     * both or neither).
     */
   def changeFeed(): DataFrame = {
-    val dir = new java.io.File(path, Changelog)
-    if (dir.exists() && dir.listFiles().exists(_.getName.endsWith(".parquet")))
-      spark.read.schema(changeSchema).parquet(dir.toString)
+    val dirs = commitDirs()
+    if (dirs.nonEmpty)
+      spark.read.schema(changeSchema)
+        .option("recursiveFileLookup", "true")
+        .parquet(new java.io.File(path, Changelog).toString)
         .select(changeSchema.fieldNames.map(col): _*)
     else
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], changeSchema)
   }
 
+  /** The feed restricted to commits in `(fromExclusive, toInclusive]`,
+    * reading ONLY those commits' directories — the feed is laid out
+    * one directory per commit (`_changelog/commit-<v>/`), so an
+    * incremental consumer's replay lists the log and opens just the
+    * delta, never scanning history (manifest-level pruning; at 100 TB
+    * the feed is the big artifact and this is what keeps catch-up
+    * proportional to the lag, not the lifetime).
+    */
+  def feedSince(fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val dirs = commitDirs()
+      .filter { case (v, _) => v > fromExclusive && v <= toInclusive }
+      .map(_._2.toString)
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], changeSchema)
+    else
+      spark.read.schema(changeSchema).parquet(dirs: _*)
+        .select(changeSchema.fieldNames.map(col): _*)
+  }
+
+  /** (version, dir) for every commit directory present in the log. */
+  private def commitDirs(): Seq[(Long, java.io.File)] = {
+    val root = new java.io.File(path, Changelog)
+    if (!root.exists()) Seq.empty
+    else root.listFiles().toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith("commit-"))
+      .map(d => d.getName.stripPrefix("commit-").toLong -> d)
+      .sortBy(_._1)
+  }
+
   private def changeSchema =
     org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
       org.apache.spark.sql.types.StructField("change_type",
         org.apache.spark.sql.types.StringType, nullable = false) +: tableSchema.fields)
+
+  /** The last committed version — 0 for an empty store; each staged
+    * commit (insert / merge / ack) advances it by exactly one. The
+    * counter is promoted with the commit (staged marker file, atomic
+    * rename of the version file), so a crash can never leave the
+    * version ahead of or behind the data.
+    */
+  def currentVersion(): Long = {
+    val f = new java.io.File(path, VersionFile)
+    if (f.exists())
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else 0L
+  }
+
+  /** Time travel: the table as of commit `version`, reconstructed from
+    * the NEAREST snapshot checkpoint at or below `version` plus a
+    * replay of just the feed delta `(snapshot, version]` — per email
+    * (the merge key, unique in every committed state) the row with the
+    * greatest effective version wins. With no snapshot the replay runs
+    * from genesis. `asOf(currentVersion())` equals [[all]]; `asOf(0)`
+    * is empty. Cost: one key-partitioned window over snapshot+delta —
+    * the log-structured reconstruction every transactional table
+    * format uses, and the per-commit feed layout means only the
+    * delta's directories are ever opened.
+    */
+  def asOf(version: Long): DataFrame = {
+    val base = snapshotVersions().filter(_ <= version).sorted.lastOption
+    if (base.isEmpty && version > 0) {
+      val oldest = commitDirs().headOption.map(_._1)
+      require(oldest.forall(_ <= 1L),
+        s"cannot reconstruct version $version: commits before ${oldest.get} were " +
+          "vacuumed and no snapshot at or below the requested version exists")
+    }
+    val delta = feedSince(base.getOrElse(0L), version)
+      .filter(!col("change_type").endsWith("_pre"))
+      .select(col("commit_version") +: tableSchema.fieldNames.map(col): _*)
+    val merged = base match {
+      case Some(v0) =>
+        spark.read.schema(tableSchema).parquet(snapshotDir(v0).toString)
+          .select(lit(v0).as("commit_version") +: tableSchema.fieldNames.map(col): _*)
+          .unionByName(delta)
+      case None => delta
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("email")).orderBy(col("commit_version").desc)
+    merged
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(tableSchema.fieldNames.map(col): _*)
+  }
+
+  /** Checkpoint the CURRENT table state as the snapshot for
+    * `currentVersion()` (atomic tmp+rename; idempotent — an existing
+    * snapshot for the version is kept). Snapshots bound [[asOf]]'s
+    * replay to the delta since the checkpoint and let [[vacuumFeed]]
+    * retire the log behind it. Returns the snapshotted version.
+    */
+  def writeSnapshot(): Long = {
+    val v = currentVersion()
+    val dst = snapshotDir(v)
+    if (!dst.exists()) {
+      val tmp = new java.io.File(path, s"$Snapshots/.tmp-$v")
+      deleteRecursively(tmp)
+      all().write.parquet(tmp.toString)
+      require(tmp.renameTo(dst), s"snapshot rename $tmp -> $dst failed")
+    }
+    v
+  }
+
+  /** Delete feed commit directories already covered by the NEWEST
+    * snapshot (commit_version ≤ snapshot version) — the log-retention
+    * step that keeps the feed proportional to activity since the last
+    * checkpoint instead of the table's lifetime. Time travel to
+    * versions at or after any remaining snapshot still works; older
+    * versions become unreconstructable by design (same retention
+    * contract as any vacuumed transactional table). Returns the
+    * number of commit directories removed.
+    */
+  def vacuumFeed(): Int = {
+    val cutoff = snapshotVersions().sorted.lastOption.getOrElse(return 0)
+    val retired = commitDirs().filter(_._1 <= cutoff)
+    retired.foreach { case (_, d) => deleteRecursively(d) }
+    retired.size
+  }
+
+  /** Small-file maintenance: rewrite both partitions into
+    * `targetFilesPerPartition` files under the SAME staged-commit
+    * protocol as every mutation — a data-only commit that advances
+    * the version but emits NO change rows (compaction is physical
+    * layout, not a logical change; the feed stays silent exactly like
+    * a transactional format's OPTIMIZE). Every commit appends files,
+    * so a long-lived store calls this periodically; at 100 TB the
+    * rewrite is per-partition and the bin-packing target is a file
+    * size, but the commit shape is identical.
+    */
+  def compact(targetFilesPerPartition: Int = 1): Unit = {
+    if (!tableExists) return
+    recover()
+    val cur = all().localCheckpoint(true)
+    stageFullCommit(
+      cur.filter(!col("uploaded")).coalesce(targetFilesPerPartition),
+      cur.filter(col("uploaded")).coalesce(targetFilesPerPartition),
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("change_type",
+            org.apache.spark.sql.types.StringType, nullable = false) +: tableSchema.fields)))
+    applyStaged()
+  }
+
+  private def snapshotDir(v: Long): java.io.File =
+    new java.io.File(path, f"$Snapshots%s/v-$v%09d")
+
+  private def snapshotVersions(): Seq[Long] = {
+    val root = new java.io.File(path, Snapshots)
+    if (!root.exists()) Seq.empty
+    else root.listFiles().toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith("v-"))
+      .map(_.getName.stripPrefix("v-").toLong)
+  }
 
   /** Post-ack state transition (S7, database.go:176-198): flip
     * uploaded=true for the given emails and touch modified_ts — the
@@ -128,14 +287,20 @@ class CustomerStore(protected val spark: SparkSession, path: String)
     recover()
     val pendingRows = all().filter(!col("uploaded"))
     val acked = ackedEmails.select(col("email").as("_ack")).distinct()
-    val moved = pendingRows.join(acked, col("email") === col("_ack"), "left_semi")
+    // Pre-image first (the rows about to flip), pinned before any file
+    // moves; the post-image derives from it so both reflect ONE scan.
+    val movedPre = pendingRows.join(acked, col("email") === col("_ack"), "left_semi")
+      .select(tableSchema.fieldNames.map(col): _*)
+      .localCheckpoint(true)
+    val moved = movedPre
       .withColumn("uploaded", lit(true))
       .withColumn("modified_ts", current_timestamp())
       .select(tableSchema.fieldNames.map(col): _*)
       .localCheckpoint(true) // one evaluation feeds both the commit and its changelog
     val kept = pendingRows.join(acked, col("email") === col("_ack"), "left_anti")
       .select(tableSchema.fieldNames.map(col): _*)
-    stageCommit(moved, kept, changeRows(moved, "ack"))
+    stageCommit(moved, kept,
+      changeRows(movedPre, "ack_pre").unionByName(changeRows(moved, "ack")))
     applyStaged()
   }
 
@@ -160,11 +325,19 @@ class CustomerStore(protected val spark: SparkSession, path: String)
     val untouched = all()
       .join(updates.select(col("email").as("_ue")), col("email") === col("_ue"), "left_anti")
       .select(tableSchema.fieldNames.map(col): _*)
+    // Pre-image: the stored rows the updates replace, pinned before
+    // the staged rewrite starts moving the files they live in.
+    val updatesPre = all()
+      .join(updates.select(col("email").as("_ue")), col("email") === col("_ue"), "left_semi")
+      .select(tableSchema.fieldNames.map(col): _*)
+      .localCheckpoint(true)
     val next = untouched.unionByName(updates).unionByName(inserts)
     stageFullCommit(
       next.filter(!col("uploaded")),
       next.filter(col("uploaded")),
-      changeRows(updates, "update").unionByName(changeRows(inserts, "insert")))
+      changeRows(updatesPre, "update_pre")
+        .unionByName(changeRows(updates, "update"))
+        .unionByName(changeRows(inserts, "insert")))
     applyStaged()
   }
 
@@ -188,15 +361,24 @@ class CustomerStore(protected val spark: SparkSession, path: String)
   /** Stage this commit's change-feed rows next to its data outputs,
     * under commit-unique file names so crash replay cannot clobber
     * files a previous promotion already landed in `_changelog/`.
+    * Stamps every row with this commit's version (last committed + 1)
+    * and stages the version marker the promotion advances the counter
+    * from — the stamp happens HERE, the single staging choke point,
+    * so every mutation path versions identically.
     */
   private def stageChanges(tmp: java.io.File, changes: DataFrame): Unit = {
+    val v = currentVersion() + 1
     val dir = new java.io.File(tmp, "changelog")
-    changes.write.parquet(dir.toString)
+    changes.withColumn("commit_version", lit(v))
+      .select(changeSchema.fieldNames.map(col): _*)
+      .write.parquet(dir.toString)
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
       require(f.renameTo(new java.io.File(dir, s"chg-$commitId-${f.getName}")),
         s"staging rename failed for $f")
     }
+    java.nio.file.Files.write(new java.io.File(tmp, "version").toPath,
+      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Write both partition outputs to `_staging.tmp` and atomically
@@ -268,14 +450,38 @@ class CustomerStore(protected val spark: SparkSession, path: String)
     // Change-feed promotion: append this commit's rows (already under
     // commit-unique names, so replay after a crash is a no-op for
     // files a previous attempt landed).
+    // Change-feed promotion into this commit's OWN directory
+    // (`_changelog/commit-<v>/`) — the per-commit layout feedSince
+    // prunes on and vacuumFeed retires wholesale.
     val chgStage = new java.io.File(staging, "changelog")
     if (chgStage.exists()) {
-      val chgDir = new java.io.File(path, Changelog)
+      val vm = new java.io.File(staging, "version")
+      val v =
+        if (vm.exists())
+          new String(java.nio.file.Files.readAllBytes(vm.toPath),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        else currentVersion() + 1
+      val chgDir = new java.io.File(path, f"$Changelog%s/commit-$v%09d")
       chgDir.mkdirs()
       chgStage.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
         require(f.renameTo(new java.io.File(chgDir, f.getName)), s"promote $f failed")
       }
       deleteRecursively(chgStage)
+    }
+    // Version promotion: advance the counter to the staged commit's
+    // version (atomic tmp+rename; replay after a crash rewrites the
+    // same value, so promotion stays idempotent).
+    val vMarker = new java.io.File(staging, "version")
+    if (vMarker.exists()) {
+      val v = new String(java.nio.file.Files.readAllBytes(vMarker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      val vTmp = new java.io.File(path, VersionFile + ".tmp")
+      java.nio.file.Files.write(vTmp.toPath,
+        v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(vTmp.toPath,
+        new java.io.File(path, VersionFile).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     deleteRecursively(staging)
   }
@@ -295,6 +501,8 @@ object CustomerStore {
   private[pipeline] val Staging = "_staging"
   private[pipeline] val StagingTmp = "_staging.tmp"
   private[pipeline] val Changelog = "_changelog"
+  private[pipeline] val VersionFile = "_version"
+  private[pipeline] val Snapshots = "_snapshots"
 
   private[pipeline] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)

@@ -286,7 +286,9 @@ object PipelineParity extends QueryGroup {
         val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
         val feedSchema = store.changeFeed().schema
         def consume(): Unit =
-          s.readStream.schema(feedSchema).parquet(s"$tmp/store/_changelog")
+          // One directory per commit under _changelog — the glob picks
+          // up every commit's files as they land.
+          s.readStream.schema(feedSchema).parquet(s"$tmp/store/_changelog/*")
             .writeStream.format("parquet")
             .option("path", s"$tmp/sink")
             .option("checkpointLocation", s"$tmp/ckpt")
@@ -308,6 +310,111 @@ object PipelineParity extends QueryGroup {
       }
       out.toDF("change_type", "n_changes", "id_sum")
         .orderBy(col("change_type"))
+    }),
+
+    // TIME TRAVEL over the commit-versioned change feed: run the full
+    // mutation history (insert base = v1, merge the planted traffic =
+    // v2, ack the id%5 slice = v3) and reconstruct the table AS OF
+    // each version via asOf() feed replay — per email, the post-image
+    // with the greatest commit_version ≤ v. The oracle re-derives all
+    // three snapshots' aggregates from the customer-table arithmetic,
+    // so a feed that misses a change, double-counts one, or stamps a
+    // wrong version hash-fails. asOf(currentVersion) is additionally
+    // cross-checked against the live table inside the query.
+    "pipeline_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      val (base, batch) = mergeFixtures(s, dir)
+      val out = withTempDir("graft-timetravel-") { tmp =>
+        val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
+        store.insertNew(base): Unit
+        store.merge(batch): Unit
+        store.markUploaded(
+          base.filter(col("id") % 5 === 0).select(col("email")))
+        require(store.currentVersion() == 3L, "three commits must be three versions")
+        val live = store.all()
+          .select("id", "email", "phone", "uploaded").localCheckpoint(true)
+        val head = store.asOf(3L).select("id", "email", "phone", "uploaded")
+        require(head.exceptAll(live).isEmpty && live.exceptAll(head).isEmpty,
+          "asOf(currentVersion) diverged from the live table")
+        (1L to 3L).map { v =>
+          val snap = store.asOf(v)
+            .agg(count(lit(1)), sum(when(col("uploaded"), 1L).otherwise(0L)),
+              sum(col("id"))).head()
+          (v, snap.getLong(0), snap.getLong(1), snap.getLong(2))
+        }
+      }
+      out.toDF("version", "n_rows", "n_uploaded", "id_sum")
+        .orderBy(col("version"))
+    }),
+
+    // INCREMENTAL VIEW MAINTENANCE from the feed's retraction stream:
+    // a grouped aggregate (by uploaded state) maintained purely from
+    // change rows — post-images weighted +1, `_pre` pre-images −1 —
+    // without ever scanning the table. After the same 3-commit
+    // history, the maintained view must equal the batch recompute;
+    // the oracle derives both groups' counts and id-sums from the
+    // planted arithmetic. This is the consumer shape the pre-image
+    // rows exist for (a downstream aggregate kept fresh per commit
+    // instead of rescanned — at 100 TB the feed delta is the only
+    // thing read).
+    "pipeline_incremental_mv" -> ((s, dir) => {
+      import s.implicits._
+      val (base, batch) = mergeFixtures(s, dir)
+      val out = withTempDir("graft-ivm-") { tmp =>
+        val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
+        store.insertNew(base): Unit
+        store.merge(batch): Unit
+        store.markUploaded(
+          base.filter(col("id") % 5 === 0).select(col("email")))
+        store.changeFeed()
+          .withColumn("w", when(col("change_type").endsWith("_pre"), -1L).otherwise(1L))
+          .groupBy(col("uploaded").cast("long").as("uploaded"))
+          .agg(sum(col("w")).as("n"), sum(col("w") * col("id")).as("id_sum"))
+          .filter(col("n") =!= 0)
+          .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+      out.toDF("uploaded", "n", "id_sum").orderBy(col("uploaded"))
+    }),
+
+    // The graft-customers DataSource V2 connector end-to-end: the
+    // same deterministic CSV (plus the three planted offenders) read
+    // through spark.read.format("graft-customers"), with a >max/2 id
+    // filter and a 2-column projection. The query REQUIRES the
+    // executed plan to show the filter pushed into the scan and the
+    // ReadSchema pruned to (id, email) — a silent pushdown regression
+    // fails the round, not just a microbenchmark. The oracle
+    // recomputes both aggregates and the valid-row total (offenders
+    // excluded) from the customer table.
+    "pipeline_dsv2_source" -> ((s, dir) => {
+      import s.implicits._
+      val lines = Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+          concat_ws(",",
+            col("c_custkey"),
+            concat(lit("f"), col("c_custkey")),
+            concat(lit("l"), col("c_custkey")),
+            concat(lit("u"), col("c_custkey"), lit("@example.com")),
+            concat(lit("555-"), col("c_custkey"))).as("line"))
+      val out = withTempDir("graft-dsv2-") { tmp =>
+        lines.orderBy(col("c_custkey")).select(col("line"))
+          .coalesce(1).write.text(s"$tmp/in")
+        appendLines(java.nio.file.Paths.get(s"$tmp/in"), Seq(
+          "notanint,fx,lx,x@example.com,555-0100", // bad id -> skipped
+          "999999991,fx,lx,,555-0100", // empty email -> skipped
+          "onlyonefield")) // bad id -> skipped
+        val src = s.read.format("graft-customers")
+          .option("header", "false").load(s"$tmp/in")
+        val half = src.agg(max(col("id"))).head().getLong(0) / 2
+        val filtered = src.filter(col("id") > half).select("id", "email")
+        val plan = filtered.queryExecution.executedPlan.toString
+        require(plan.contains(s"GreaterThan(id,$half"),
+          s"id filter did not push into the DSv2 scan:\n$plan")
+        require(plan.contains("struct<id:bigint,email:string>"),
+          s"projection did not prune the scan schema:\n$plan")
+        val r = filtered.agg(count(lit(1)), sum(col("id"))).head()
+        (r.getLong(0), r.getLong(1), src.count())
+      }
+      Seq(out).toDF("n_filtered", "id_sum_filtered", "n_valid_total")
     }),
 
     // Streaming UPSERT ingestion (StreamingIngest.startUpsert): the
@@ -480,19 +587,7 @@ object PipelineParity extends QueryGroup {
       """WITH c AS (SELECT c_custkey AS id FROM customer),
           ack AS (SELECT 'ack' AS change_type, COUNT(*) AS n_changes,
                     CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 5 = 0),
-          ins AS (SELECT 'insert' AS change_type,
-                    (SELECT COUNT(*) FROM c) +
-                      (SELECT COUNT(*) FROM c WHERE id % 10 = 0) AS n_changes,
-                    CAST((SELECT SUM(id) FROM c) +
-                      (SELECT COALESCE(SUM(id + 20000000), 0) FROM c WHERE id % 10 = 0)
-                      AS BIGINT) AS id_sum),
-          upd AS (SELECT 'update' AS change_type, COUNT(*) AS n_changes,
-                    CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 3 = 0)
-          SELECT * FROM ack UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM upd
-          ORDER BY change_type""",
-    "streaming_cdc_resume" ->
-      """WITH c AS (SELECT c_custkey AS id FROM customer),
-          ack AS (SELECT 'ack' AS change_type, COUNT(*) AS n_changes,
+          ackp AS (SELECT 'ack_pre' AS change_type, COUNT(*) AS n_changes,
                     CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 5 = 0),
           ins AS (SELECT 'insert' AS change_type,
                     (SELECT COUNT(*) FROM c) +
@@ -501,9 +596,73 @@ object PipelineParity extends QueryGroup {
                       (SELECT COALESCE(SUM(id + 20000000), 0) FROM c WHERE id % 10 = 0)
                       AS BIGINT) AS id_sum),
           upd AS (SELECT 'update' AS change_type, COUNT(*) AS n_changes,
+                    CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 3 = 0),
+          updp AS (SELECT 'update_pre' AS change_type, COUNT(*) AS n_changes,
                     CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 3 = 0)
-          SELECT * FROM ack UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM upd
+          SELECT * FROM ack UNION ALL SELECT * FROM ackp UNION ALL SELECT * FROM ins
+          UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM updp
           ORDER BY change_type""",
+    "streaming_cdc_resume" ->
+      """WITH c AS (SELECT c_custkey AS id FROM customer),
+          ack AS (SELECT 'ack' AS change_type, COUNT(*) AS n_changes,
+                    CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 5 = 0),
+          ackp AS (SELECT 'ack_pre' AS change_type, COUNT(*) AS n_changes,
+                    CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 5 = 0),
+          ins AS (SELECT 'insert' AS change_type,
+                    (SELECT COUNT(*) FROM c) +
+                      (SELECT COUNT(*) FROM c WHERE id % 10 = 0) AS n_changes,
+                    CAST((SELECT SUM(id) FROM c) +
+                      (SELECT COALESCE(SUM(id + 20000000), 0) FROM c WHERE id % 10 = 0)
+                      AS BIGINT) AS id_sum),
+          upd AS (SELECT 'update' AS change_type, COUNT(*) AS n_changes,
+                    CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 3 = 0),
+          updp AS (SELECT 'update_pre' AS change_type, COUNT(*) AS n_changes,
+                    CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 3 = 0)
+          SELECT * FROM ack UNION ALL SELECT * FROM ackp UNION ALL SELECT * FROM ins
+          UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM updp
+          ORDER BY change_type""",
+    "pipeline_time_travel" ->
+      """WITH c AS (SELECT c_custkey AS id FROM customer),
+          v1 AS (SELECT CAST(1 AS BIGINT) AS version,
+                   COUNT(*) AS n_rows, CAST(0 AS BIGINT) AS n_uploaded,
+                   CAST(SUM(id) AS BIGINT) AS id_sum FROM c),
+          v2 AS (SELECT CAST(2 AS BIGINT) AS version,
+                   (SELECT COUNT(*) FROM c) +
+                     (SELECT COUNT(*) FROM c WHERE id % 10 = 0) AS n_rows,
+                   CAST(0 AS BIGINT) AS n_uploaded,
+                   CAST((SELECT SUM(id) FROM c) +
+                     (SELECT COALESCE(SUM(id + 20000000), 0) FROM c WHERE id % 10 = 0)
+                     AS BIGINT) AS id_sum),
+          v3 AS (SELECT CAST(3 AS BIGINT) AS version,
+                   (SELECT COUNT(*) FROM c) +
+                     (SELECT COUNT(*) FROM c WHERE id % 10 = 0) AS n_rows,
+                   (SELECT COUNT(*) FROM c WHERE id % 5 = 0) AS n_uploaded,
+                   CAST((SELECT SUM(id) FROM c) +
+                     (SELECT COALESCE(SUM(id + 20000000), 0) FROM c WHERE id % 10 = 0)
+                     AS BIGINT) AS id_sum)
+          SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3
+          ORDER BY version""",
+    "pipeline_dsv2_source" ->
+      """WITH c AS (SELECT c_custkey AS id FROM customer),
+          half AS (SELECT MAX(id) // 2 AS h FROM c)
+          SELECT
+            CAST((SELECT COUNT(*) FROM c WHERE id > (SELECT h FROM half)) AS BIGINT)
+              AS n_filtered,
+            CAST((SELECT SUM(id) FROM c WHERE id > (SELECT h FROM half)) AS BIGINT)
+              AS id_sum_filtered,
+            CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_valid_total""",
+    "pipeline_incremental_mv" ->
+      """WITH c AS (SELECT c_custkey AS id FROM customer),
+          pend AS (SELECT CAST(0 AS BIGINT) AS uploaded,
+                     (SELECT COUNT(*) FROM c WHERE id % 5 <> 0) +
+                       (SELECT COUNT(*) FROM c WHERE id % 10 = 0) AS n,
+                     CAST((SELECT SUM(id) FROM c WHERE id % 5 <> 0) +
+                       (SELECT COALESCE(SUM(id + 20000000), 0) FROM c WHERE id % 10 = 0)
+                       AS BIGINT) AS id_sum),
+          up AS (SELECT CAST(1 AS BIGINT) AS uploaded, COUNT(*) AS n,
+                   CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 5 = 0)
+          SELECT * FROM pend UNION ALL SELECT * FROM up
+          ORDER BY uploaded""",
     "pipeline_merge_jdbc" ->
       """SELECT CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
            CAST(SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,

@@ -145,17 +145,14 @@ class MergeSpec extends SparkSpec {
       (9L, "Ann2", "A", "ann@example.com", "555-9"),  // update
       (4L, "Dee", "D", "dee@example.com", "555-4"))): Unit // insert
     store.markUploaded(Seq("bob@example.com", "dee@example.com").toDF("email"))
-    // Replay: per email take the LAST change in feed order (insert <
-    // update < ack per key here — encode order by change kind since a
-    // key mutates at most once per kind in this history), then compare
-    // the replayed state to the table on the full business surface.
-    val rank = when(col("change_type") === "insert", 0)
-      .when(col("change_type") === "update", 1).otherwise(2)
+    // Replay: per email take the post-image with the greatest
+    // commit_version — the real feed ordering (every commit stamps its
+    // rows with last-committed-version + 1), not a per-kind heuristic.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("email")).orderBy(rank.desc)
+      .partitionBy(col("email")).orderBy(col("commit_version").desc)
     val replayed = store.changeFeed()
+      .filter(!col("change_type").endsWith("_pre"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .withColumn("uploaded", col("change_type") === "ack")
       .select("id", "first_name", "last_name", "email", "phone", "uploaded")
     val table = store.all()
       .select("id", "first_name", "last_name", "email", "phone", "uploaded")
