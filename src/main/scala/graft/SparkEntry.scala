@@ -20,6 +20,7 @@ object SparkEntry {
     graft.queries.StreamingParity,
     graft.queries.PipelineParity,
     graft.queries.Multimodal,
+    graft.queries.Layout,
     graft.queries.Extended)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryGroup, Tables}
+import graft.util.{DataSkipping, Fs}
+
+/** Data-layout operators: sorted and z-ordered file layouts plus the
+  * file-level zone-map skipping they enable ([[graft.util.DataSkipping]]).
+  * Each query writes a REAL multi-file layout from the events table,
+  * collects per-file min/max stats, runs a range query through the
+  * pruned read, and REQUIRES that files were actually skipped before
+  * returning — a layout regression (lost sort, broken interleave,
+  * stats drift) fails the round even though the aggregate would still
+  * be correct. The oracle re-computes the aggregates straight from the
+  * events table: zone pruning is may-contain + exact re-filter, so the
+  * result must be layout-independent bit-for-bit.
+  *
+  * All range bounds derive from min/max integer arithmetic (Long
+  * division, `//` in DuckDB) so every SF picks its own bounds
+  * deterministically on both engines.
+  */
+object Layout extends QueryGroup {
+
+  private def cents(c: org.apache.spark.sql.Column) = floor(c * 100)
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events").withColumn("us", expr("ts DIV 1000"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Single-dimension zone skipping: events range-partitioned and
+    // sorted by user_id into 16 files; a middle-quintile user range
+    // must open strictly fewer files than the layout holds.
+    "layout_zone_skipping" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val mm = ev.agg(min(col("user_id")), max(col("user_id"))).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val lo = mn + (mx - mn) * 2 / 5
+      val hi = mn + (mx - mn) * 3 / 5
+      Fs.withTempDir("graft-zonemap-") { tmp =>
+        ev.select(col("user_id"), col("event_id"), col("value"))
+          .repartitionByRange(16, col("user_id"))
+          .sortWithinPartitions(col("user_id"))
+          .write.parquet(s"$tmp/t")
+        val (rows, nRead, nTotal) =
+          DataSkipping.readRanges(s, s"$tmp/t", Seq(("user_id", lo, hi)))
+        require(nRead < nTotal,
+          s"zone maps skipped nothing ($nRead of $nTotal files) — sorted layout lost")
+        rows.agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).cast("long").as("sum_value_cents"),
+          countDistinct(col("user_id")).as("n_users"))
+          .localCheckpoint(true) // pin before the temp dir vanishes
+      }
+    }),
+
+    // Z-ORDER layout: user bucket (user_id % 8 — populated at every
+    // SF; sf0.001 has only 15 users) and hour-of-day bit-interleaved
+    // into one key, range-partitioned into 16 files. A rectangle query
+    // constrained in BOTH dimensions must skip files — the
+    // multi-dimensional pruning a single-column sort cannot give its
+    // trailing dimension. The aggregate flows through as a DataFrame
+    // (no driver unboxing), so an empty rectangle would surface as the
+    // same (0, NULL, 0) row both engines produce.
+    "layout_zorder_skipping" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("ub", col("user_id") % 8)
+        .withColumn("hr", expr("(us DIV 3600000000) % 24"))
+      Fs.withTempDir("graft-zorder-") { tmp =>
+        ev.select(col("ub"), col("hr"), col("event_id"), col("value"),
+            DataSkipping.zorderKey(col("ub"), col("hr"), 5).as("zkey"))
+          .repartitionByRange(16, col("zkey"))
+          .sortWithinPartitions(col("zkey"))
+          .write.parquet(s"$tmp/t")
+        val (rows, nRead, nTotal) = DataSkipping.readRanges(s, s"$tmp/t",
+          Seq(("ub", 2L, 5L), ("hr", 6L, 17L)))
+        require(nRead < nTotal,
+          s"z-order skipped nothing ($nRead of $nTotal files) — interleave lost")
+        rows.agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).cast("long").as("sum_value_cents"),
+          countDistinct(col("ub")).as("n_buckets"))
+          .localCheckpoint(true) // pin before the temp dir vanishes
+      }
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "layout_zone_skipping" ->
+      """WITH mm AS (SELECT MIN(user_id) AS mn, MAX(user_id) AS mx FROM events),
+          rng AS (SELECT mn + (mx - mn) * 2 // 5 AS lo,
+                         mn + (mx - mn) * 3 // 5 AS hi FROM mm)
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM events
+          WHERE user_id >= (SELECT lo FROM rng) AND user_id <= (SELECT hi FROM rng)""",
+    "layout_zorder_skipping" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+                CAST(COUNT(DISTINCT user_id % 8) AS BIGINT) AS n_buckets
+         FROM events
+         WHERE user_id % 8 BETWEEN 2 AND 5
+           AND (epoch_us(ts) // 3600000000) % 24 BETWEEN 6 AND 17""")
+}

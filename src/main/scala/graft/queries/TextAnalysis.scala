@@ -142,6 +142,42 @@ object TextAnalysis extends QueryGroup {
         .limit(50)
     }),
 
+    // Heavy hitters via COUNT-MIN SKETCH, audit-gated like the other
+    // approx queries: the exact top-20 token frequencies (oracle-
+    // checkable) plus a boolean per term pinning the sketch estimate
+    // inside its published bound — never below the true count (CMS
+    // only over-counts) and at most eps·N above it. The sketch is the
+    // 100 TB path for frequency queries: one pass, fixed 5×2719-cell
+    // state, mergeable partials (Spark's count_min_sketch aggregate),
+    // no token-keyed shuffle at all — where the exact word count
+    // shuffles the whole vocabulary. A broken sketch (seed drift,
+    // merge bug) flips a boolean and hash-fails against the oracle's
+    // literal TRUE.
+    "approx_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables.forKernels(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("t"))
+        .localCheckpoint(true) // one tokenizer pass feeds exact + sketch
+      val nTokens = toks.count()
+      val bound = Math.ceil(0.001 * nTokens).toLong
+      val bytes = toks
+        .agg(expr("count_min_sketch(t, 0.001d, 0.99d, 42)")).head()
+        .getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      val top = toks.groupBy(col("t").as("token"))
+        .agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("token")).limit(20)
+        .collect().toSeq
+        .map { r =>
+          val est = cms.estimateCount(r.getString(0))
+          (r.getString(0), r.getLong(1),
+            est >= r.getLong(1) && est <= r.getLong(1) + bound)
+        }
+      top.toDF("token", "tf", "within_bound")
+        .orderBy(col("tf").desc, col("token"))
+    }),
+
     // Per-document keyword extraction: the top-3 distinguishing tokens
     // by an integer tf/df score (floor(tf·1e6 / df) — term frequency in
     // the doc, rarity across the corpus). The idf stays in integer
@@ -384,6 +420,12 @@ object TextAnalysis extends QueryGroup {
           FROM (SELECT doc_id, unnest(w) AS t
                 FROM (SELECT doc_id, $toksSql AS w FROM documents))
           GROUP BY 1 ORDER BY tf DESC, token LIMIT 50""",
+    "approx_heavy_hitters" ->
+      s"""SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS tf,
+          TRUE AS within_bound
+          FROM (SELECT unnest(w) AS t
+                FROM (SELECT $toksSql AS w FROM documents))
+          GROUP BY 1 ORDER BY tf DESC, token LIMIT 20""",
     "text_repetition" ->
       s"""SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
           CAST(CASE WHEN n - 1 <= 0 THEN 0
