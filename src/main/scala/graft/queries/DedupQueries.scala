@@ -251,6 +251,43 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // INCREMENTAL near-dup: the arriving tenth of the corpus
+    // (doc_id % 10 == 0 — the delta a corpus refresh lands) probed
+    // against the PERSISTED signature index instead of re-running the
+    // full self-join. Candidate generation is bandsDelta ⋈ bandsAll —
+    // cost proportional to the DELTA, and at 100 TB the delta side
+    // broadcasts while the index stays partitioned (the full self-join
+    // re-shuffles the corpus every refresh). Verification touches only
+    // the probed candidates. Output: per arriving doc, its duplicate
+    // partners anywhere (corpus or fellow arrivals); the oracle is the
+    // exact-join ground truth restricted to arrival rows, so the gate
+    // re-proves LSH recall on the incremental path every round.
+    "dedup_incremental_lsh" -> ((s, dir) => {
+      val ex = graft.util.IndexStore.loadOrBuild(s, dir,
+        s"minhash_bands_n${SHINGLE_N}k${MINHASH_K}b$LSH_BANDS")(
+        Tables.forKernels(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(Exprs.minhashBands(col("text"), SHINGLE_N, MINHASH_K, LSH_BANDS))
+              .as(Seq("band", "bh"))))
+      val delta = ex.filter(col("doc_id") % 10 === 0)
+      val cand = delta.as("x").join(ex.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val sh = shingled(s, dir)
+      val lhs = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+        col("n_sh").as("na"))
+      val rhs = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+        col("n_sh").as("nb"))
+      cand.join(lhs, "doc_a").join(rhs, "doc_b")
+        .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .filter(col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")) >= 0.5)
+        .groupBy(col("doc_a").as("arrival_doc_id"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_b")).as("min_dup"))
+        .orderBy(col("arrival_doc_id"))
+    }),
+
     // SimHash near-dup pairs at hamming distance ≤ 3, using 16-bit
     // pigeonhole bands — EXACT blocking for d ≤ 3 (any such pair agrees
     // on ≥ 1 of 4 bands), the same equi-join shape as LSH. The token
@@ -535,6 +572,14 @@ object DedupQueries extends QueryGroup {
     // n_common column.
     "dedup_minhash_lsh" ->
       s"""SELECT doc_a, doc_b, jaccard_ppm FROM (${exactJaccardSql("0.5")})""",
+    "dedup_incremental_lsh" ->
+      s"""WITH p0 AS (SELECT doc_a, doc_b FROM (${exactJaccardSql("0.5")})),
+          und AS (SELECT doc_a AS x, doc_b AS y FROM p0
+                  UNION ALL SELECT doc_b, doc_a FROM p0)
+          SELECT x AS arrival_doc_id, COUNT(*) AS n_dups,
+            CAST(MIN(y) AS BIGINT) AS min_dup
+          FROM und WHERE x % 10 = 0
+          GROUP BY x ORDER BY arrival_doc_id""",
     "dedup_decontaminate" ->
       s"""WITH p0 AS (SELECT doc_a, doc_b FROM (${exactJaccardSql("0.5")})),
           und AS (SELECT doc_a AS x, doc_b AS y FROM p0
