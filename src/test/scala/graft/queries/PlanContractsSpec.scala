@@ -141,4 +141,28 @@ class PlanContractsSpec extends SparkSpec {
       "centroids must broadcast against the query set")
   }
 
+  test("incremental LSH probe is a keyed equi-join — no cartesian anywhere") {
+    // The delta-probe join must keep its (band, hash) key: a lost key
+    // compiles to a cross product that only explodes at scale.
+    val p = plan("dedup_incremental_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"delta probe lost its equi-join key:\n$p")
+    assert(count(p, "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)") >= 1,
+      "probe join missing")
+  }
+
+  test("asOf reconstruction shuffles once on the merge key") {
+    val store = new graft.pipeline.CustomerStore(spark, tmpDir("plan-asof") + "/store")
+    store.insertNew(graft.pipeline.Ingest.enrich {
+      import spark.implicits._
+      Seq((1L, "A", "A", "a@example.com", "p")).toDF(
+        "id", "first_name", "last_name", "email", "phone")
+    }): Unit
+    val p = store.asOf(1L).queryExecution.executedPlan.toString
+    // One exchange: hashpartitioning(email) feeding the replay window.
+    assert(count(p, "Exchange hashpartitioning") === 1,
+      s"snapshot replay should shuffle exactly once on email:\n$p")
+    assert(p.contains("Window"), "replay argmax window missing")
+  }
+
 }
