@@ -376,6 +376,36 @@ object PipelineParity extends QueryGroup {
       out.toDF("uploaded", "n", "id_sum").orderBy(col("uploaded"))
     }),
 
+    // The STREAMING materialized view (StreamingView): the same
+    // retraction-weighted aggregate as pipeline_incremental_mv, but
+    // maintained by a checkpointed stream over the feed's commit
+    // directories through the transactional batchId-versioned state
+    // sink, across a RESTART — run 1 drains the insert+merge commits,
+    // the ack commit lands while the stream is down, run 2 resumes
+    // from the checkpoint and applies only the ack delta. The final
+    // state must equal the batch recompute (same oracle arithmetic);
+    // a double-applied or dropped delta hash-fails.
+    "streaming_mv_resume" -> ((s, dir) => {
+      import s.implicits._
+      val (base, batch) = mergeFixtures(s, dir)
+      val out = withTempDir("graft-smv-") { tmp =>
+        val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
+        val feedSchema = store.changeFeed().schema
+        def drain(): Unit =
+          graft.streaming.StreamingView.start(s, s"$tmp/store/_changelog/*",
+            feedSchema, s"$tmp/state", s"$tmp/ckpt").awaitTermination()
+        store.insertNew(base): Unit
+        store.merge(batch): Unit
+        drain()
+        store.markUploaded(
+          base.filter(col("id") % 5 === 0).select(col("email")))
+        drain()
+        graft.streaming.StreamingView.read(s, s"$tmp/state")
+          .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+      out.toDF("uploaded", "n", "id_sum").orderBy(col("uploaded"))
+    }),
+
     // The graft-customers DataSource V2 connector end-to-end: the
     // same deterministic CSV (plus the three planted offenders) read
     // through spark.read.format("graft-customers"), with a >max/2 id
@@ -651,6 +681,18 @@ object PipelineParity extends QueryGroup {
             CAST((SELECT SUM(id) FROM c WHERE id > (SELECT h FROM half)) AS BIGINT)
               AS id_sum_filtered,
             CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_valid_total""",
+    "streaming_mv_resume" ->
+      """WITH c AS (SELECT c_custkey AS id FROM customer),
+          pend AS (SELECT CAST(0 AS BIGINT) AS uploaded,
+                     (SELECT COUNT(*) FROM c WHERE id % 5 <> 0) +
+                       (SELECT COUNT(*) FROM c WHERE id % 10 = 0) AS n,
+                     CAST((SELECT SUM(id) FROM c WHERE id % 5 <> 0) +
+                       (SELECT COALESCE(SUM(id + 20000000), 0) FROM c WHERE id % 10 = 0)
+                       AS BIGINT) AS id_sum),
+          up AS (SELECT CAST(1 AS BIGINT) AS uploaded, COUNT(*) AS n,
+                   CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 5 = 0)
+          SELECT * FROM pend UNION ALL SELECT * FROM up
+          ORDER BY uploaded""",
     "pipeline_incremental_mv" ->
       """WITH c AS (SELECT c_custkey AS id FROM customer),
           pend AS (SELECT CAST(0 AS BIGINT) AS uploaded,
