@@ -309,6 +309,55 @@ object Extended extends QueryGroup {
     // each event — RANGE frames bound by the ORDER-BY VALUE (integer
     // microseconds), so ties and gaps behave correctly where a rows
     // frame would miscount. Output is the top 20 frame sums.
+    // The full ranking-function family in one query, tie semantics
+    // exercised deliberately: rank/dense_rank/percent_rank/cume_dist
+    // run over a COARSE bucket (cents DIV 1e6) so ties exist and the
+    // gap/no-gap/peer-counting contracts differ, while ntile/lag/lead
+    // run over a TOTAL order (bucket, orderkey) because their values
+    // depend on row position and would be nondeterministic under
+    // ties. percent_rank stays a raw double: both engines compute
+    // (rank-1)/(n-1) with one IEEE division — bit-identical.
+    "window_rank_family" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("orderkey"),
+          col("o_orderpriority").as("priority"),
+          expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT) DIV 1000000").as("bucket"))
+      val tied = Window.partitionBy(col("priority")).orderBy(col("bucket").desc)
+      val total = Window.partitionBy(col("priority"))
+        .orderBy(col("bucket").desc, col("orderkey"))
+      orders
+        .withColumn("rnk", rank().over(tied))
+        .withColumn("drnk", dense_rank().over(tied))
+        .withColumn("pr", percent_rank().over(tied))
+        .withColumn("cd", cume_dist().over(tied))
+        .withColumn("quartile", ntile(4).over(total))
+        .withColumn("prev_key", lag(col("orderkey"), 1).over(total))
+        .withColumn("next_key", lead(col("orderkey"), 1).over(total))
+        .withColumn("rn", row_number().over(total))
+        .filter(col("rn") <= 5)
+        .select(col("priority"), col("orderkey"), col("bucket"), col("rnk"),
+          col("drnk"), col("pr"), col("cd"), col("quartile"),
+          col("prev_key"), col("next_key"))
+        .orderBy(col("priority"), col("bucket").desc, col("orderkey"))
+    }),
+
+    // UNPIVOT (wide → long): the per-flag metric columns melted into
+    // (flag, metric, value) rows — the reshape every metrics export
+    // needs. Spark's unpivot and DuckDB's UNPIVOT must agree on both
+    // the variable naming and the value pairing.
+    "unpivot_flag_metrics" -> ((s, dir) => {
+      val wide = Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("sum_qty"),
+          sum(expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)")).as("price_cents"),
+          count(lit(1)).as("n_items"))
+      wide.unpivot(
+        Array(col("flag")),
+        Array(col("sum_qty"), col("price_cents"), col("n_items")),
+        "metric", "value")
+        .orderBy(col("flag"), col("metric"))
+    }),
+
     "window_range_time_frame" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
         .rangeBetween(-3600L * 1000000, 0)
@@ -468,6 +517,37 @@ object Extended extends QueryGroup {
                WHERE s_acctbal > 7000 GROUP BY 1) s
            ON c.nationkey = s.nationkey
          ORDER BY nationkey""",
+    "window_rank_family" ->
+      """WITH o AS (SELECT o_orderkey AS orderkey, o_orderpriority AS priority,
+                      CAST(FLOOR(o_totalprice * 100) AS BIGINT) // 1000000 AS bucket
+                    FROM orders),
+          r AS (SELECT priority, orderkey, bucket,
+                  rank() OVER tied AS rnk,
+                  dense_rank() OVER tied AS drnk,
+                  percent_rank() OVER tied AS pr,
+                  cume_dist() OVER tied AS cd,
+                  ntile(4) OVER total AS quartile,
+                  lag(orderkey, 1) OVER total AS prev_key,
+                  lead(orderkey, 1) OVER total AS next_key,
+                  row_number() OVER total AS rn
+                FROM o
+                WINDOW tied AS (PARTITION BY priority ORDER BY bucket DESC),
+                       total AS (PARTITION BY priority ORDER BY bucket DESC, orderkey))
+          SELECT priority, orderkey, bucket, CAST(rnk AS BIGINT) AS rnk,
+            CAST(drnk AS BIGINT) AS drnk, pr, cd,
+            CAST(quartile AS INTEGER) AS quartile, prev_key, next_key
+          FROM r WHERE rn <= 5
+          ORDER BY priority, bucket DESC, orderkey""",
+    "unpivot_flag_metrics" ->
+      """WITH wide AS (SELECT l_returnflag AS flag,
+                        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                        CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                          AS price_cents,
+                        COUNT(*) AS n_items
+                      FROM lineitem GROUP BY 1)
+         UNPIVOT wide ON sum_qty, price_cents, n_items
+         INTO NAME metric VALUE value
+         ORDER BY flag, metric""",
     "window_range_time_frame" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
                  CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
