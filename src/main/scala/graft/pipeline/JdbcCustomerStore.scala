@@ -93,17 +93,6 @@ class JdbcCustomerStore(protected val spark: SparkSession, url: String,
               ps.setTimestamp(7, r.getTimestamp(6))
               ps.setTimestamp(8, r.getTimestamp(7))
             }
-            // Only integrity violations (SQLState class 23) mean "a row
-            // lost the UNIQUE race" and may be salvaged/dropped; any
-            // other SQLException (lock timeout, disk full, …) must
-            // propagate, or rows would vanish silently while a
-            // streaming checkpoint advances past them.
-            def isConstraint(e: java.sql.SQLException): Boolean = {
-              val states = Iterator.iterate(e)(ex =>
-                ex.getNextException match { case n: java.sql.SQLException => n; case _ => null })
-                .takeWhile(_ != null).map(_.getSQLState)
-              states.exists(s => s != null && s.startsWith("23"))
-            }
             try {
               // Fast path: one transactional batch INSERT (the
               // JSON_POPULATE_RECORDSET analog, database.go:114-129).
@@ -132,37 +121,78 @@ class JdbcCustomerStore(protected val spark: SparkSession, url: String,
   }
 
   /** MERGE apply (see [[CustomerStoreApi.merge]]): the update half is
-    * a transactional batch UPDATE keyed on email with the DB's own
-    * CURRENT_TIMESTAMP as the modified_ts touch (the trigger analog,
-    * same convention as [[markUploaded]]); the insert half reuses the
-    * batch INSERT with per-row salvage — the DB's UNIQUE constraints
-    * stay the final arbiter exactly as on the insert path.
+    * a batch UPDATE keyed on email with the DB's own CURRENT_TIMESTAMP
+    * as the modified_ts touch (the trigger analog, same convention as
+    * [[markUploaded]]); the insert half is the batch INSERT with
+    * per-row salvage — the DB's UNIQUE constraints stay the final
+    * arbiter exactly as on the insert path.
+    *
+    * ATOMIC as one transaction: merge batches arrive materialized and
+    * micro-batch-sized (the reference's 5-row buffers,
+    * database/database.go:114-129), so both halves are collected to
+    * the driver and executed on ONE connection with ONE commit — a
+    * crash mid-merge leaves either the whole merge or none of it,
+    * matching the parquet store's staged full commit instead of the
+    * earlier per-partition two-step (updates committed, inserts
+    * absent). Per-row salvage inside the transaction uses SAVEPOINTs:
+    * a constraint-violating insert rolls back to its savepoint and the
+    * rest of the merge proceeds, still under the single commit.
+    * Corpus-scale merges belong on the parquet/transactional store;
+    * the JDBC store is the reference-parity OLTP sink.
     */
   protected def applyMerge(updates: DataFrame, inserts: DataFrame): Unit = {
-    val dbUrl = url
-    updates.select(col("first_name"), col("last_name"), col("phone"), col("email"))
-      .foreachPartition { (rows: Iterator[Row]) =>
-        val buf = rows.toVector
-        if (buf.nonEmpty) withConnection(dbUrl) { conn =>
-          val ps = conn.prepareStatement(
-            s"""UPDATE $TableName
-                SET first_name = ?, last_name = ?, phone = ?,
-                    modified_ts = CURRENT_TIMESTAMP
-                WHERE email = ?""")
-          try {
-            buf.foreach { r =>
-              ps.setString(1, r.getString(0))
+    val upd = updates
+      .select(col("first_name"), col("last_name"), col("phone"), col("email"))
+      .collect()
+    val ins = inserts.select(tableSchema.fieldNames.map(col): _*).collect()
+    if (upd.isEmpty && ins.isEmpty) return
+    withConnection(url) { conn =>
+      if (upd.nonEmpty) {
+        val ps = conn.prepareStatement(
+          s"""UPDATE $TableName
+              SET first_name = ?, last_name = ?, phone = ?,
+                  modified_ts = CURRENT_TIMESTAMP
+              WHERE email = ?""")
+        try {
+          upd.foreach { r =>
+            ps.setString(1, r.getString(0))
+            ps.setString(2, r.getString(1))
+            ps.setString(3, r.getString(2))
+            ps.setString(4, r.getString(3))
+            ps.addBatch()
+          }
+          ps.executeBatch(): Unit
+        } finally ps.close()
+      }
+      if (ins.nonEmpty) {
+        val ps = conn.prepareStatement(
+          s"""INSERT INTO $TableName
+              (id, first_name, last_name, email, phone, uploaded, created_ts, modified_ts)
+              VALUES (?, ?, ?, ?, ?, ?, ?, ?)""")
+        try {
+          ins.foreach { r =>
+            val sp = conn.setSavepoint()
+            try {
+              ps.setLong(1, r.getLong(0))
               ps.setString(2, r.getString(1))
               ps.setString(3, r.getString(2))
               ps.setString(4, r.getString(3))
-              ps.addBatch()
+              ps.setString(5, r.getString(4))
+              ps.setBoolean(6, r.getBoolean(5))
+              ps.setTimestamp(7, r.getTimestamp(6))
+              ps.setTimestamp(8, r.getTimestamp(7))
+              ps.executeUpdate(): Unit
+              conn.releaseSavepoint(sp)
+            } catch {
+              case e: java.sql.SQLException if isConstraint(e) =>
+                conn.rollback(sp) // only the offender drops (S5)
             }
-            ps.executeBatch()
-            conn.commit()
-          } finally ps.close()
-        }
+          } // non-constraint SQLExceptions propagate: withConnection
+            // rolls the WHOLE merge back — nothing partial lands
+        } finally ps.close()
       }
-    appendRows(inserts): Unit
+      conn.commit() // the single commit point for both halves
+    }
   }
 
   /** Transactional point update (database.go:176-198): the BEFORE
@@ -198,6 +228,19 @@ object JdbcCustomerStore {
     */
   private[pipeline] def isEmbeddedDerby(url: String): Boolean =
     url.startsWith("jdbc:derby:") && !url.startsWith("jdbc:derby://")
+
+  /** Only integrity violations (SQLState class 23) mean "a row lost
+    * the UNIQUE race" and may be salvaged/dropped; any other
+    * SQLException (lock timeout, disk full, …) must propagate, or rows
+    * would vanish silently while a streaming checkpoint advances past
+    * them.
+    */
+  private[pipeline] def isConstraint(e: java.sql.SQLException): Boolean = {
+    val states = Iterator.iterate(e)(ex =>
+      ex.getNextException match { case n: java.sql.SQLException => n; case _ => null })
+      .takeWhile(_ != null).map(_.getSQLState)
+    states.exists(s => s != null && s.startsWith("23"))
+  }
 
   // Keep Derby's log out of the working directory.
   System.setProperty("derby.stream.error.file",

@@ -36,10 +36,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * 125-127); offending lines are skipped (the scan is the SELECT side
   * — per-line quarantine with reasons stays the Ingest path's job).
   * Lines with MORE than 5 fields are malformed and skipped; missing
-  * trailing fields read as null (the same arity-lenient contract as
-  * the Spark CSV scan, pinned in pipeline_ingest_csv). Quoted fields
-  * follow the RFC 4180 subset: `"a,b"` protects the comma, `""`
-  * escapes a quote.
+  * trailing fields read as null, and PRESENT-BUT-EMPTY fields also
+  * read as null — the same contract as the Spark CSV scan the Ingest
+  * path uses (univocity's default emptyValue), so `5,Eve,E,e@x.com,`
+  * yields phone = null through both paths and pushed IsNotNull /
+  * EqualTo filters see identical values. Quoted fields follow the
+  * RFC 4180 subset: `"a,b"` protects the comma, `""` escapes a quote.
   */
 class CustomerCsvSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-customers"
@@ -195,8 +197,12 @@ class CustomerCsvPartitionReader(file: String, header: Boolean,
 
   private var current: InternalRow = _
 
+  // Missing trailing fields AND present-but-empty fields are both
+  // null, matching the Spark-CSV/Ingest read of the same line (see
+  // class doc) — without the emptiness check the connector surfaced
+  // "" where Ingest surfaced null and pushed filters diverged.
   private def field(fields: Array[String], i: Int): String =
-    if (i < fields.length) fields(i) else null
+    if (i < fields.length && fields(i).nonEmpty) fields(i) else null
 
   private def passes(id: Long, fields: Array[String]): Boolean =
     filters.forall {

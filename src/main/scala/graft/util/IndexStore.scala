@@ -124,8 +124,18 @@ object IndexStore {
     val key = dirs.head.getPath
     val lock = locks.computeIfAbsent(key, _ => new Object)
     lock.synchronized {
-      writeMeta(fpDir, dir)
-      gc(dir, keepFingerprint = fp): Unit
+      // gc under a per-FINGERPRINT lock, not the per-artifact lock:
+      // two loadOrBuildAll calls for DIFFERENT artifacts of the same
+      // data dir hold different artifact locks, and without this inner
+      // lock both would sweep the same stale siblings concurrently.
+      // (deleteRecursively tolerates a vanished child, but the sweep
+      // itself should not race.) Leaf lock — never held while taking
+      // another, so the artifact→fingerprint order cannot deadlock.
+      val fpLock = locks.computeIfAbsent("fp:" + fpDir.getPath, _ => new Object)
+      fpLock.synchronized {
+        writeMeta(fpDir, dir)
+        gc(dir, keepFingerprint = fp): Unit
+      }
       if (!dirs.forall(d => new File(d, "_SUCCESS").isFile)) {
         val built = build
         require(built.length == names.length,

@@ -37,14 +37,18 @@ class CustomerCsvSourceSpec extends SparkSpec {
       "4,Dee,D,dee@example.com,555-4",
       "5,Eve,E,eve@example.com", // missing phone -> null, still valid
       "6,Fay,F,fay@example.com,555-6,EXTRA,FIELDS", // arity>5 -> skipped
-      "7,G\"\"s,G,g@example.com,555-7"))
+      "7,G\"\"s,G,g@example.com,555-7",
+      "8,Hal,H,hal@example.com,")) // present-but-empty phone -> null
 
   test("valid rows surface with Ingest-parity validation; offenders skip") {
     val df = load(mkData())
     val rows = df.orderBy("id").collect()
-    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 5L, 7L))
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 5L, 7L, 8L))
     assert(rows(1).getString(1) === "Quo,ted", "quoted comma must be protected")
     assert(rows(3).isNullAt(4), "missing trailing field must read as null")
+    assert(rows(5).isNullAt(4),
+      "present-but-empty field must read as null (Spark-CSV/univocity parity, " +
+        "or pushed IsNotNull/EqualTo filters see divergent values)")
   }
 
   test("header option skips exactly one line per file") {
@@ -70,7 +74,7 @@ class CustomerCsvSourceSpec extends SparkSpec {
     val plan = pushedDf.queryExecution.executedPlan.toString
     assert(plan.contains("GreaterThan(id,2"),
       s"id comparison did not push into the scan:\n$plan")
-    assert(pushedDf.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(4L, 5L, 7L))
+    assert(pushedDf.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(4L, 5L, 7L, 8L))
 
     val residualDf = load(mkData()).filter(col("phone").endsWith("-4"))
     val rplan = residualDf.queryExecution.executedPlan.toString
@@ -80,7 +84,7 @@ class CustomerCsvSourceSpec extends SparkSpec {
   }
 
   test("COUNT(*) prunes to zero columns and still counts valid rows only") {
-    assert(load(mkData()).count() === 5L)
+    assert(load(mkData()).count() === 6L)
   }
 
   test("DSv2 scan agrees with the Ingest path on the same directory") {

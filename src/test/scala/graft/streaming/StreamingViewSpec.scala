@@ -48,6 +48,57 @@ class StreamingViewSpec extends SparkSpec {
     viewEqualsTable(store, s"$base/state")
   }
 
+  test("parameterized view shape: per id%3 census maintained exactly-once across restart") {
+    val base = tmpDir("smv-spec2")
+    val spec = StreamingView.ViewSpec(
+      Seq("id_mod" -> "CAST(id % 3 AS BIGINT)"),
+      Seq("n" -> "CAST(1 AS BIGINT)", "id_sum" -> "id"))
+    val store = new CustomerStore(spark, s"$base/store")
+    store.insertNew(rows(
+      (1L, "Ann", "A", "ann@example.com", "555-1"),
+      (2L, "Bob", "B", "bob@example.com", "555-2"),
+      (3L, "Cai", "C", "cai@example.com", "555-3"),
+      (4L, "Dee", "D", "dee@example.com", "555-4"))): Unit
+    val feedSchema = store.changeFeed().schema
+    def drain(): Unit =
+      StreamingView.start(spark, s"$base/store/_changelog/*", feedSchema,
+        s"$base/state", s"$base/ckpt", spec).awaitTermination()
+    drain()
+    // A merge lands while the stream is down: the resumed query must
+    // apply only the delta (update_pre retracts id 2 from its group,
+    // the replacement re-adds it, the fresh row joins group 5%3=2).
+    store.merge(rows((9L, "Bob2", "B", "bob@example.com", "999-2"),
+      (5L, "Eve", "E", "eve@example.com", "555-5"))): Unit
+    drain()
+    val mv = StreamingView.read(spark, s"$base/state")
+    val batch = store.all()
+      .groupBy((col("id") % 3).cast("long").as("id_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+    assert(mv.exceptAll(batch).isEmpty && batch.exceptAll(mv).isEmpty,
+      "parameterized streaming view diverged from batch recompute")
+  }
+
+  test("a fresh checkpoint pointed at an existing state dir fails loudly") {
+    val base = tmpDir("smv-pairing")
+    val store = new CustomerStore(spark, s"$base/store")
+    store.insertNew(rows((1L, "Ann", "A", "ann@example.com", "555-1"))): Unit
+    val feedSchema = store.changeFeed().schema
+    StreamingView.start(spark, s"$base/store/_changelog/*", feedSchema,
+      s"$base/state", s"$base/ckpt").awaitTermination()
+    // Retire the checkpoint but keep the state dir: the replacement
+    // checkpoint restarts batchIds at 0, so without the pairing guard
+    // every delta would silently skip as "already applied".
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(s"$base/ckpt"))
+    store.markUploaded(Seq("ann@example.com").toDF("email"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingView.start(spark, s"$base/store/_changelog/*", feedSchema,
+        s"$base/state", s"$base/ckpt").awaitTermination()
+    }
+    assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(_.isInstanceOf[IllegalStateException]),
+      s"expected the pairing IllegalStateException, got $ex")
+  }
+
   test("redelivered batch is a no-op; an older batchId never regresses state") {
     val base = tmpDir("smv-replay")
     val store = new CustomerStore(spark, s"$base/store")
