@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   * shapes (anti-join insert, pruned scan, partition rewrite) carry over
   * unchanged.
   */
-class CustomerStore(protected val spark: SparkSession, path: String)
+class CustomerStore(protected val spark: SparkSession, path: String,
+    commitClock: () => Long = () => System.currentTimeMillis())
     extends CustomerStoreApi {
 
   import CustomerSchema._
@@ -174,10 +175,16 @@ class CustomerStore(protected val spark: SparkSession, path: String)
   def asOf(version: Long): DataFrame = {
     val base = snapshotVersions().filter(_ <= version).sorted.lastOption
     if (base.isEmpty && version > 0) {
+      // Replay-from-genesis needs the log to actually START at genesis:
+      // commit-1 missing means the history below the requested version
+      // was vacuumed (including the everything-vacuumed case, where the
+      // old `forall` check passed vacuously and asOf returned an EMPTY
+      // table instead of erroring). Retention violations must be loud.
       val oldest = commitDirs().headOption.map(_._1)
-      require(oldest.forall(_ <= 1L),
-        s"cannot reconstruct version $version: commits before ${oldest.get} were " +
-          "vacuumed and no snapshot at or below the requested version exists")
+      require(oldest.exists(_ <= 1L),
+        s"cannot reconstruct version $version: commits before " +
+          s"${oldest.getOrElse(version + 1)} were vacuumed and no snapshot at " +
+          "or below the requested version exists")
     }
     val delta = feedSince(base.getOrElse(0L), version)
       .filter(!col("change_type").endsWith("_pre"))
@@ -194,6 +201,40 @@ class CustomerStore(protected val spark: SparkSession, path: String)
     merged
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .select(tableSchema.fieldNames.map(col): _*)
+  }
+
+  /** (version, promotion timestamp millis) for every commit recorded
+    * in the `_commits` registry — tiny metadata files written at
+    * promotion, one per commit, that survive [[vacuumFeed]] (the map
+    * is what makes vacuumed history DATABLE even when it is no longer
+    * reconstructable).
+    */
+  def commitTimestamps(): Seq[(Long, Long)] = {
+    val root = new java.io.File(path, Commits)
+    if (!root.exists()) Seq.empty
+    else root.listFiles().toSeq
+      .filter(f => f.isFile && f.getName.startsWith("commit-"))
+      .map { f =>
+        f.getName.stripPrefix("commit-").toLong ->
+          new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      }
+      .sortBy(_._1)
+  }
+
+  /** Timestamp time travel: the table as of wall time `tsMillis` — the
+    * LAST commit whose promotion timestamp is ≤ tsMillis, resolved
+    * through the `_commits` registry and reconstructed by [[asOf]].
+    * A timestamp before the first commit yields the empty version 0;
+    * the commit clock is injectable (constructor), so tests and the
+    * driver gate plant deterministic timestamps instead of wall time.
+    */
+  def asOfTimestamp(tsMillis: Long): DataFrame = {
+    val ts = commitTimestamps()
+    require(ts.nonEmpty || currentVersion() == 0L,
+      "store has commits but no timestamp registry (created pre-timestamps?)")
+    val v = ts.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse(0L)
+    asOf(v)
   }
 
   /** Checkpoint the CURRENT table state as the snapshot for
@@ -379,6 +420,10 @@ class CustomerStore(protected val spark: SparkSession, path: String)
     }
     java.nio.file.Files.write(new java.io.File(tmp, "version").toPath,
       v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // This commit's promotion timestamp, staged with the data so the
+    // _commits registry advances atomically with the commit itself.
+    java.nio.file.Files.write(new java.io.File(tmp, "commit_ts").toPath,
+      commitClock().toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Write both partition outputs to `_staging.tmp` and atomically
@@ -475,6 +520,18 @@ class CustomerStore(protected val spark: SparkSession, path: String)
     if (vMarker.exists()) {
       val v = new String(java.nio.file.Files.readAllBytes(vMarker.toPath),
         java.nio.charset.StandardCharsets.UTF_8).trim
+      // Commit→timestamp registry entry (idempotent: crash replay
+      // rewrites the same staged value). Written BEFORE the version
+      // counter advances, so a registry entry can lag the counter only
+      // inside an in-flight promotion, never the other way.
+      val tsMarker = new java.io.File(staging, "commit_ts")
+      if (tsMarker.exists()) {
+        val reg = new java.io.File(path, Commits)
+        reg.mkdirs()
+        java.nio.file.Files.copy(tsMarker.toPath,
+          new java.io.File(reg, s"commit-$v").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      }
       val vTmp = new java.io.File(path, VersionFile + ".tmp")
       java.nio.file.Files.write(vTmp.toPath,
         v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -503,6 +560,7 @@ object CustomerStore {
   private[pipeline] val Changelog = "_changelog"
   private[pipeline] val VersionFile = "_version"
   private[pipeline] val Snapshots = "_snapshots"
+  private[pipeline] val Commits = "_commits"
 
   private[pipeline] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)

@@ -347,6 +347,87 @@ object PipelineParity extends QueryGroup {
         .orderBy(col("version"))
     }),
 
+    // TABLE-MAINTENANCE LIFECYCLE: insert → merge → ack → compact →
+    // snapshot → vacuum on a real store, pinning the retention
+    // contract the way pipeline_time_travel pins replay. Compaction
+    // must advance the version with a SILENT feed (physical layout is
+    // not a logical change) and bin-pack each partition to one file;
+    // after the snapshot+vacuum, asOf at the snapshot version must
+    // still reconstruct (from the checkpoint, the log being gone), and
+    // asOf BEFORE the vacuum horizon must raise the documented
+    // retention error rather than silently return an empty table (the
+    // exact failure mode the asOf genesis-check guards).
+    "pipeline_compact_vacuum" -> ((s, dir) => {
+      import s.implicits._
+      val (base, batch) = mergeFixtures(s, dir)
+      val out = withTempDir("graft-compactvac-") { tmp =>
+        val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
+        store.insertNew(base): Unit                                       // v1
+        store.merge(batch): Unit                                          // v2
+        store.markUploaded(
+          base.filter(col("id") % 5 === 0).select(col("email")))          // v3
+        val liveBefore = store.all()
+          .select("id", "email", "phone", "uploaded").localCheckpoint(true)
+        store.compact(targetFilesPerPartition = 1)                        // v4
+        val vAfterCompact = store.currentVersion()
+        val nFeedRowsCompact = store.feedSince(3L, 4L).count()
+        val nFilesAfterCompact = Seq("uploaded=false", "uploaded=true").map { p =>
+          Option(new java.io.File(s"$tmp/store/$p").listFiles())
+            .getOrElse(Array.empty[java.io.File])
+            .count(_.getName.endsWith(".parquet")).toLong
+        }.sum
+        // Compaction is physical only: the table must be unchanged.
+        val liveAfter = store.all().select("id", "email", "phone", "uploaded")
+        require(liveAfter.exceptAll(liveBefore).isEmpty &&
+          liveBefore.exceptAll(liveAfter).isEmpty,
+          "compaction changed the logical table contents")
+        val snapV = store.writeSnapshot()
+        val nVacuumed = store.vacuumFeed().toLong
+        val head = store.asOf(snapV)
+          .agg(count(lit(1)), sum(when(col("uploaded"), 1L).otherwise(0L)),
+            sum(col("id"))).head()
+        val pastHorizonFails =
+          try { store.asOf(2L); 0L }
+          catch { case _: IllegalArgumentException => 1L }
+        (vAfterCompact, nFeedRowsCompact, nFilesAfterCompact, nVacuumed,
+          head.getLong(0), head.getLong(1), head.getLong(2), pastHorizonFails)
+      }
+      Seq(out).toDF("version_after_compact", "n_feed_rows_compact",
+        "n_files_after_compact", "n_commits_vacuumed", "n_rows_head",
+        "n_uploaded_head", "id_sum_head", "past_horizon_fails")
+    }),
+
+    // TIMESTAMP time travel: the same 3-commit history promoted under
+    // a PLANTED deterministic commit clock (1000 ms per commit), then
+    // reconstructed as-of wall timestamps between/at/before/after the
+    // commit times — "as of t" = last commit with promotion ts ≤ t,
+    // resolved through the _commits registry, replayed by asOf. The
+    // before-genesis probe (ts 500) must yield the empty version 0,
+    // pinned via COALESCE'd aggregates on both sides.
+    "pipeline_asof_timestamp" -> ((s, dir) => {
+      import s.implicits._
+      val (base, batch) = mergeFixtures(s, dir)
+      val out = withTempDir("graft-asofts-") { tmp =>
+        val clock = new java.util.concurrent.atomic.AtomicLong(0L)
+        val store = new graft.pipeline.CustomerStore(s, s"$tmp/store",
+          () => clock.addAndGet(1000L))
+        store.insertNew(base): Unit                                       // ts 1000
+        store.merge(batch): Unit                                          // ts 2000
+        store.markUploaded(
+          base.filter(col("id") % 5 === 0).select(col("email")))          // ts 3000
+        require(store.commitTimestamps() == Seq(1L -> 1000L, 2L -> 2000L, 3L -> 3000L),
+          s"commit registry mismatch: ${store.commitTimestamps()}")
+        Seq(500L, 1000L, 1500L, 2999L, 999999L).map { ts =>
+          val r = store.asOfTimestamp(ts)
+            .agg(coalesce(count(lit(1)), lit(0L)),
+              coalesce(sum(when(col("uploaded"), 1L).otherwise(0L)), lit(0L)),
+              coalesce(sum(col("id")), lit(0L))).head()
+          (ts, r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+      }
+      out.toDF("ts_ms", "n_rows", "n_uploaded", "id_sum").orderBy(col("ts_ms"))
+    }),
+
     // INCREMENTAL VIEW MAINTENANCE from the feed's retraction stream:
     // a grouped aggregate (by uploaded state) maintained purely from
     // change rows — post-images weighted +1, `_pre` pre-images −1 —
@@ -672,6 +753,46 @@ object PipelineParity extends QueryGroup {
                      AS BIGINT) AS id_sum)
           SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3
           ORDER BY version""",
+    // v3-state arithmetic as in pipeline_time_travel; the lifecycle
+    // counters (version 4 after compact, silent feed, 1 file per
+    // partition, 4 commits vacuumed, loud past-horizon asOf) are
+    // structural constants of the planted history.
+    "pipeline_compact_vacuum" ->
+      """WITH c AS (SELECT c_custkey AS id FROM customer)
+         SELECT CAST(4 AS BIGINT) AS version_after_compact,
+           CAST(0 AS BIGINT) AS n_feed_rows_compact,
+           CAST(2 AS BIGINT) AS n_files_after_compact,
+           CAST(4 AS BIGINT) AS n_commits_vacuumed,
+           CAST((SELECT COUNT(*) FROM c) +
+             (SELECT COUNT(*) FROM c WHERE id % 10 = 0) AS BIGINT) AS n_rows_head,
+           CAST((SELECT COUNT(*) FROM c WHERE id % 5 = 0) AS BIGINT) AS n_uploaded_head,
+           CAST((SELECT SUM(id) FROM c) +
+             (SELECT COALESCE(SUM(id + 20000000), 0) FROM c WHERE id % 10 = 0)
+             AS BIGINT) AS id_sum_head,
+           CAST(1 AS BIGINT) AS past_horizon_fails""",
+    // Planted clock: commit v lands at v*1000 ms; "as of t" = last
+    // commit with ts <= t. ts 500 predates genesis (empty, COALESCE'd
+    // zeros), 1000/1500 resolve v1, 2999 resolves v2, 999999 the head.
+    "pipeline_asof_timestamp" ->
+      """WITH c AS (SELECT c_custkey AS id FROM customer),
+          v1 AS (SELECT COUNT(*) AS n_rows, CAST(0 AS BIGINT) AS n_uploaded,
+                   CAST(SUM(id) AS BIGINT) AS id_sum FROM c),
+          v2 AS (SELECT (SELECT COUNT(*) FROM c) +
+                     (SELECT COUNT(*) FROM c WHERE id % 10 = 0) AS n_rows,
+                   CAST(0 AS BIGINT) AS n_uploaded,
+                   CAST((SELECT SUM(id) FROM c) +
+                     (SELECT COALESCE(SUM(id + 20000000), 0) FROM c WHERE id % 10 = 0)
+                     AS BIGINT) AS id_sum),
+          v3 AS (SELECT (SELECT n_rows FROM v2) AS n_rows,
+                   (SELECT COUNT(*) FROM c WHERE id % 5 = 0) AS n_uploaded,
+                   (SELECT id_sum FROM v2) AS id_sum)
+          SELECT CAST(500 AS BIGINT) AS ts_ms, CAST(0 AS BIGINT) AS n_rows,
+                 CAST(0 AS BIGINT) AS n_uploaded, CAST(0 AS BIGINT) AS id_sum
+          UNION ALL SELECT 1000, n_rows, n_uploaded, id_sum FROM v1
+          UNION ALL SELECT 1500, n_rows, n_uploaded, id_sum FROM v1
+          UNION ALL SELECT 2999, n_rows, n_uploaded, id_sum FROM v2
+          UNION ALL SELECT 999999, n_rows, n_uploaded, id_sum FROM v3
+          ORDER BY ts_ms""",
     "pipeline_dsv2_source" ->
       """WITH c AS (SELECT c_custkey AS id FROM customer),
           half AS (SELECT MAX(id) // 2 AS h FROM c)

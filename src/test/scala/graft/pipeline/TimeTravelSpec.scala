@@ -94,6 +94,32 @@ class TimeTravelSpec extends SparkSpec {
       "feed-maintained view diverged from batch recompute")
   }
 
+  test("asOfTimestamp resolves the last commit at-or-before t; registry survives reopen and vacuum") {
+    val path = tmpDir("tt-asofts") + "/store"
+    val clock = new java.util.concurrent.atomic.AtomicLong(0L)
+    val store = new CustomerStore(spark, path, () => clock.addAndGet(100L))
+    store.insertNew(rows((1L, "Ann", "A", "ann@example.com", "555-1"))): Unit // ts 100
+    store.merge(rows((2L, "Bob", "B", "bob@example.com", "555-2"))): Unit     // ts 200
+    store.markUploaded(Seq("ann@example.com").toDF("email"))                  // ts 300
+    assert(store.commitTimestamps() === Seq(1L -> 100L, 2L -> 200L, 3L -> 300L))
+    assert(store.asOfTimestamp(99L).count() === 0L, "before genesis = version 0")
+    assert(snapshotKey(store.asOfTimestamp(100L)) === snapshotKey(store.asOf(1L)),
+      "at-a-commit-timestamp resolves that commit")
+    assert(snapshotKey(store.asOfTimestamp(299L)) === snapshotKey(store.asOf(2L)),
+      "between commits resolves the earlier one")
+    assert(snapshotKey(store.asOfTimestamp(Long.MaxValue)) === snapshotKey(store.all()),
+      "far-future timestamp resolves the head")
+    // Registry is durable metadata: reopen, snapshot, vacuum — the
+    // timestamps remain, and a pre-horizon timestamp now fails loudly
+    // through asOf's retention check instead of returning empty.
+    val reopened = new CustomerStore(spark, path)
+    assert(reopened.commitTimestamps() === Seq(1L -> 100L, 2L -> 200L, 3L -> 300L))
+    reopened.writeSnapshot(): Unit
+    assert(reopened.vacuumFeed() === 3)
+    assert(snapshotKey(reopened.asOfTimestamp(Long.MaxValue)) === snapshotKey(reopened.all()))
+    intercept[IllegalArgumentException] { reopened.asOfTimestamp(250L) }
+  }
+
   test("snapshot checkpoint + vacuum: asOf replays delta only; history retires") {
     val store = new CustomerStore(spark, tmpDir("tt-snap") + "/store")
     store.insertNew(rows(
