@@ -118,6 +118,75 @@ object MediaOps {
       }
   }
 
+  /** pHash-style 64-bit PERCEPTUAL signature per blob, represented as
+    * FOUR 16-bit band values (`b0..b3` = bits [16k, 16k+16) of the
+    * signature) — the pigeonhole form the near-dup join blocks on.
+    * STUB perception: the "perceptual features" are the blob's
+    * FRAME_BYTES-chunks, each hashed to 64 md5-derived bits; signature
+    * bit b is the MAJORITY VOTE of bit b across the blob's chunks (the
+    * SimHash construction over frames — blobs sharing most frames get
+    * hamming-close signatures; cf. the token-level contract of
+    * [[graft.functions.TextKernels]] simhash64). A real impl swaps the
+    * chunk hash for a DCT low-frequency sign vector per keyframe; the
+    * vote, the band split, and the join are unchanged. md5 derivation
+    * keeps the signature rebuildable in SQL (the [[fakeDecodeFeatures]]
+    * oracle trick): band k's 16 chunk bits are hex chars [4k+1, 4k+4]
+    * of md5(chunk).
+    *
+    * Scale: one narrow projection (the blob never leaves the scan),
+    * one 64-aggregate groupBy per blob — corpus-linear, and the output
+    * is 4 small ints per blob.
+    */
+  def phashBands(media: DataFrame): DataFrame = {
+    val frames = sampleFrames(media).toDF()
+    val h = md5(col("frame_bytes"))
+    val hk = (0 until 4).map(k =>
+      conv(substring(h, 4 * k + 1, 4), 16, 10).cast("long").as(s"h$k"))
+    val withH = frames.select(col("media_id") +: col("kind") +: hk: _*)
+    // Majority vote, one SUM aggregate per signature bit (64 codegen'd
+    // aggregates, one pass — no per-bit explode). Tie (sum 0) votes 0.
+    val votes = for { k <- 0 until 4; b <- 0 until 16 } yield
+      sum(when(shiftright(col(s"h$k"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v_${k}_$b")
+    val voted = withH.groupBy(col("media_id"), col("kind"))
+      .agg(votes.head, votes.tail: _*)
+    val bands = (0 until 4).map { k =>
+      (0 until 16).map(b =>
+        when(col(s"v_${k}_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"b$k")
+    }
+    voted.select(col("media_id") +: col("kind") +: bands: _*)
+  }
+
+  /** Near-dup pairs over [[phashBands]] signatures at hamming ≤ 3,
+    * via the 16-bit pigeonhole banded equi-join — EXACT blocking for
+    * d ≤ 3 (3 flipped bits leave ≥ 1 of 4 bands untouched), the same
+    * shape as the text SimHash join. Pairs are same-kind (an image
+    * signature is not comparable to an audio one) and BIDIRECTIONAL
+    * (each member of a dup group lists its partners), so a per-media
+    * rollup sees every duplicate.
+    */
+  def phashDupPairs(sigs: DataFrame): DataFrame = {
+    val ex = sigs.select(
+      col("media_id") +: col("kind") +:
+        (0 until 4).map(k => col(s"b$k")) :+
+        posexplode(array((0 until 4).map(k => col(s"b$k")): _*))
+          .as(Seq("band", "bv")): _*)
+    val hamming = (0 until 4)
+      .map(k => bit_count(col(s"x.b$k").bitwiseXOR(col(s"y.b$k"))).cast("long"))
+      .reduce(_ + _)
+    ex.as("x").join(ex.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.kind") === col("y.kind") &&
+          col("x.media_id") =!= col("y.media_id"))
+      .select(col("x.kind").as("kind"), col("x.media_id").as("media_a"),
+        col("y.media_id").as("media_b"), hamming.as("hamming"))
+      // Filter BEFORE distinct: only d ≤ 3 pairs enter the dedup
+      // shuffle instead of every same-band collision.
+      .filter(col("hamming") <= 3)
+      .distinct()
+  }
+
   /** Resize: bytes → bytes with updated metadata. STUB: truncate/pad to
     * the target byte budget (a real impl rescales pixels); metadata
     * rewrite is the real contract.

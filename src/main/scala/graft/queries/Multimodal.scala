@@ -56,6 +56,44 @@ object Multimodal extends QueryGroup {
         .orderBy(col("kind"))
     }),
 
+    // MULTIMODAL NEAR-DUP: pHash-style perceptual signatures (majority
+    // vote over per-frame md5 bits — see MediaOps.phashBands) blocked
+    // by the 16-bit pigeonhole banded join (exact for hamming ≤ 3),
+    // rolled up per media item — the image-corpus curation step that
+    // was the one missing dedup family. The fixture corpus has no
+    // duplicate blobs (and 1-3-chunk blobs make chunk-level near-dups
+    // degenerate), so the gate PLANTS the traffic the operator exists
+    // for, the pipeline-gate pattern: every %20==0 item re-uploaded
+    // byte-identical under a new id (perceptual dup — MUST be caught,
+    // hamming 0) and every %20==10 item with its last byte corrupted
+    // (content changed — MUST be rejected: on tiny blobs one chunk is
+    // most of the perception). Hash-exact: the oracle rebuilds chunk
+    // hashes, bit votes, bands, planted copies, and the banded join
+    // in SQL from the same md5 derivation. The signature build is
+    // corpus-linear (the blob never leaves the scan; signatures are 4
+    // small ints); candidate generation is an equi-join on
+    // (kind, band, value) exactly like text SimHash/LSH.
+    "media_phash_dedup" -> ((s, dir) => {
+      val media = MediaOps.fakeMediaTable(s, dir)
+      val reupload = media.filter(col("media_id") % 20 === 0)
+        .withColumn("media_id", col("media_id") + 10000000L)
+      val corrupt = media.filter(col("media_id") % 20 === 10)
+        .withColumn("media_id", col("media_id") + 20000000L)
+        .withColumn("bytes",
+          expr("concat(substring(bytes, 1, cast(octet_length(bytes) as int) - 1), X'7E')"))
+      // Eagerly checkpoint the signature table before the self-join,
+      // same rationale as dedup_simhash: the per-chunk hash pass is
+      // the dominant cost and must not run on both join sides.
+      val sigs = MediaOps.phashBands(
+          media.unionByName(reupload).unionByName(corrupt))
+        .localCheckpoint(true)
+      MediaOps.phashDupPairs(sigs)
+        .groupBy(col("kind"), col("media_a"))
+        .agg(count(lit(1)).as("n_dups"), min(col("media_b")).as("min_dup"),
+          min(col("hamming")).as("min_hamming"))
+        .orderBy(col("kind"), col("media_a"))
+    }),
+
     // Feature-space kNN: extract (stub) features, then top-3 neighbors
     // per image among images — binary → vector → ANN integration.
     // Hash-exact: the md5-derived stub features are rebuilt by the
@@ -108,6 +146,51 @@ object Multimodal extends QueryGroup {
          CAST(COUNT(*) * ${320 * 240 / 256 + 1} AS BIGINT) AS sum_bytes,
          CAST(1 AS BIGINT) AS n_widths
          FROM documents GROUP BY 1 ORDER BY kind""",
+    // Rebuild the pHash pipeline in SQL: chunk the text (ASCII, so
+    // char substr == the byte chunks Spark frames), hash each chunk,
+    // take band k's 16 bits from hex chars [4k+1,4k+4], majority-vote
+    // per bit (tie -> 0), assemble bands, and replay the banded join +
+    // hamming rollup — every stage from the same md5 derivation.
+    "media_phash_dedup" ->
+      """WITH m0 AS (SELECT doc_id AS media_id,
+              CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+              text FROM documents),
+          m AS (SELECT * FROM m0
+                UNION ALL -- byte-identical re-upload of every %20==0 item
+                SELECT media_id + 10000000, kind, text FROM m0 WHERE media_id % 20 = 0
+                UNION ALL -- last byte corrupted on every %20==10 item
+                SELECT media_id + 20000000, kind,
+                  substr(text, 1, strlen(text) - 1) || '~' FROM m0 WHERE media_id % 20 = 10),
+          ch AS (SELECT media_id, kind, md5(substr(text, 256*k+1, 256)) AS h
+                 FROM (SELECT media_id, kind, text,
+                         unnest(range((strlen(text) + 255) // 256)) AS k
+                       FROM m) ck),
+          hk AS (SELECT media_id, kind, kb.k AS band,
+                   CAST(CAST('0x' || substr(h, 4*kb.k+1, 4) AS UBIGINT) AS BIGINT) AS hv
+                 FROM ch, range(0, 4) kb(k)),
+          votes AS (SELECT media_id, kind, band, bb.b AS b,
+                   SUM(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                 FROM hk, range(0, 16) bb(b) GROUP BY 1, 2, 3, 4),
+          bands AS (SELECT media_id, kind, band,
+                   CAST(SUM(CASE WHEN v > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bv
+                 FROM votes GROUP BY 1, 2, 3),
+          sig AS (SELECT media_id, kind, list(bv ORDER BY band) AS bs
+                 FROM bands GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+                   x.kind AS kind
+                 FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv
+                   AND x.kind = y.kind AND x.media_id <> y.media_id),
+          scored AS (SELECT c.kind, c.media_a, c.media_b,
+                   CAST(bit_count(xor(sa.bs[1], sb.bs[1])) + bit_count(xor(sa.bs[2], sb.bs[2]))
+                      + bit_count(xor(sa.bs[3], sb.bs[3])) + bit_count(xor(sa.bs[4], sb.bs[4]))
+                     AS BIGINT) AS hamming
+                 FROM cand c JOIN sig sa ON sa.media_id = c.media_a
+                             JOIN sig sb ON sb.media_id = c.media_b)
+          SELECT kind, media_a, CAST(COUNT(*) AS BIGINT) AS n_dups,
+                 CAST(MIN(media_b) AS BIGINT) AS min_dup,
+                 CAST(MIN(hamming) AS BIGINT) AS min_hamming
+          FROM scored WHERE hamming <= 3
+          GROUP BY 1, 2 ORDER BY kind, media_a""",
     // Rebuild the md5-derived stub features (MediaOps.fakeDecodeFeatures)
     // per dimension, quantize to milli-units, and replay the broadcast
     // top-3 cosine join — integer math until the single final cosPpm
