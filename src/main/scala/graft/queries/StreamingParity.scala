@@ -58,9 +58,12 @@ object StreamingParity extends QueryGroup {
     * (baked into the checkpoint at query start → number of state
     * stores): the parity corpora are a few hundred thousand rows, and
     * 32 HDFS-backed state stores cost more in per-store init/commit
-    * than they buy in parallelism (stream-stream join at sf0.1:
-    * 13.7s → 10.3s cold, bench min 5.7s → 2.7s). A production stream
-    * sizes this to its key cardinality instead.
+    * than they buy in parallelism. Measured at sf0.1: 8 partitions
+    * took the stream-stream join 13.7s → 10.3s cold (round 5); 4
+    * partitions took it to ~4.4s and session_window to ~4.7s warm
+    * (round 7) — past that the state-store savings flatten while the
+    * compute serializes. A production stream sizes this to its key
+    * cardinality instead.
     *
     * Single-threaded assumption: the override mutates the SESSION-wide
     * shuffle-partition conf for the call's duration, so a driver
@@ -73,10 +76,37 @@ object StreamingParity extends QueryGroup {
       f: java.nio.file.Path => T): T =
     graft.util.Fs.withTempDir(prefix) { tmp =>
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", StreamPartitions.toString)
       try f(tmp)
       finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }
+
+  private val StreamPartitions = 4
+
+  /** The four parity counts in ONE Spark action: both sides are
+    * key-unique by construction, so a full-outer join on the key
+    * columns followed by a single aggregate yields the side counts and
+    * both anti-join residues together — replacing the previous four
+    * separate count() jobs per gate (2 counts + 2 anti-joins), which
+    * were pure fixed overhead on corpora this size. A duplicated or
+    * missing streamed row still fails the oracle: it shifts n_stream
+    * away from n_batch and/or lands in a residue.
+    */
+  private def parityCounts(s: SparkSession, streamed: DataFrame,
+      batch: DataFrame, keys: Seq[String], names: Seq[String]): DataFrame = {
+    import s.implicits._
+    val l = streamed.select(keys.map(col): _*).withColumn("_s", lit(1L))
+    val r = batch.select(keys.map(col): _*).withColumn("_b", lit(1L))
+    val row = l.join(r, keys, "full_outer")
+      .agg(
+        coalesce(sum(col("_s")), lit(0L)),
+        coalesce(sum(col("_b")), lit(0L)),
+        coalesce(sum(when(col("_b").isNull, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("_s").isNull, 1L).otherwise(0L)), lit(0L)))
+      .head()
+    Seq((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)))
+      .toDF(names: _*)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_sessionize_parity" -> ((s, dir) => {
@@ -137,13 +167,9 @@ object StreamingParity extends QueryGroup {
         .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
         .localCheckpoint(true) // feeds three counts below; materialize once
 
-      val keys = Seq("user_id", "start_ms", "end_ms", "n_events")
-      val nStream = streamed.count()
-      val nBatch = batchFinal.count()
-      val onlyStream = streamed.join(batchFinal, keys, "left_anti").count()
-      val onlyBatch = batchFinal.join(streamed, keys, "left_anti").count()
-      Seq((nStream, nBatch, onlyStream, onlyBatch))
-        .toDF("n_stream", "n_batch_final", "n_only_stream", "n_only_batch")
+      parityCounts(s, streamed, batchFinal,
+        Seq("user_id", "start_ms", "end_ms", "n_events"),
+        Seq("n_stream", "n_batch_final", "n_only_stream", "n_only_batch"))
     }),
 
     // Incremental exact-dedup parity: the STREAMING form of dedup_exact —
@@ -178,12 +204,8 @@ object StreamingParity extends QueryGroup {
           .parquet(s"$tmp/out")
           .localCheckpoint(true)
       }
-      val nStream = streamedFps.count()
-      val nBatch = batchFps.count()
-      val onlyStream = streamedFps.join(batchFps, Seq("fp"), "left_anti").count()
-      val onlyBatch = batchFps.join(streamedFps, Seq("fp"), "left_anti").count()
-      Seq((nStream, nBatch, onlyStream, onlyBatch))
-        .toDF("n_stream", "n_batch", "n_only_stream", "n_only_batch")
+      parityCounts(s, streamedFps, batchFps, Seq("fp"),
+        Seq("n_stream", "n_batch", "n_only_stream", "n_only_batch"))
     }),
 
     // Watermarked tumbling-window parity: EventStreams.hourlyCounts
@@ -222,11 +244,8 @@ object StreamingParity extends QueryGroup {
         .agg(count(lit(1)).as("n"))
         .filter(col("hour_ms") + 3600000L <= lit(wmMs))
         .localCheckpoint(true)
-      val keys = Seq("hour_ms", "event_type", "n")
-      Seq((streamed.count(), batchFinal.count(),
-          streamed.join(batchFinal, keys, "left_anti").count(),
-          batchFinal.join(streamed, keys, "left_anti").count()))
-        .toDF("n_stream", "n_batch_final", "n_only_stream", "n_only_batch")
+      parityCounts(s, streamed, batchFinal, Seq("hour_ms", "event_type", "n"),
+        Seq("n_stream", "n_batch_final", "n_only_stream", "n_only_batch"))
     }),
 
     // Stream-stream interval-join parity: viewsBeforePurchases (both
@@ -276,11 +295,8 @@ object StreamingParity extends QueryGroup {
             col("v_us") >= col("p_us") - 3600L * 1000000)
         .select(col("purchase_id"), col("view_id"))
         .localCheckpoint(true)
-      val keys = Seq("purchase_id", "view_id")
-      Seq((streamed.count(), batchPairs.count(),
-          streamed.join(batchPairs, keys, "left_anti").count(),
-          batchPairs.join(streamed, keys, "left_anti").count()))
-        .toDF("n_stream", "n_batch", "n_only_stream", "n_only_batch")
+      parityCounts(s, streamed, batchPairs, Seq("purchase_id", "view_id"),
+        Seq("n_stream", "n_batch", "n_only_stream", "n_only_batch"))
     }),
 
     // Built-in session_window parity (the fifth stateful op): session
@@ -330,11 +346,8 @@ object StreamingParity extends QueryGroup {
         .filter(col("end_ms") < lit(wmMs))
         .select(col("user_id"), col("start_ms"), col("n_events"))
         .localCheckpoint(true)
-      val keys = Seq("user_id", "start_ms", "n_events")
-      Seq((streamed.count(), batchFinal.count(),
-          streamed.join(batchFinal, keys, "left_anti").count(),
-          batchFinal.join(streamed, keys, "left_anti").count()))
-        .toDF("n_stream", "n_batch_final", "n_only_stream", "n_only_batch")
+      parityCounts(s, streamed, batchFinal, Seq("user_id", "start_ms", "n_events"),
+        Seq("n_stream", "n_batch_final", "n_only_stream", "n_only_batch"))
     }),
 
     // CHECKPOINT-RESUME parity: the incremental-dedup stream run TWICE
@@ -379,11 +392,8 @@ object StreamingParity extends QueryGroup {
           .parquet(s"$tmp/out")
           .localCheckpoint(true)
       }
-      val keys = Seq("fp")
-      Seq((streamedFps.count(), batchFps.count(),
-          streamedFps.join(batchFps, keys, "left_anti").count(),
-          batchFps.join(streamedFps, keys, "left_anti").count()))
-        .toDF("n_stream", "n_batch", "n_only_stream", "n_only_batch")
+      parityCounts(s, streamedFps, batchFps, Seq("fp"),
+        Seq("n_stream", "n_batch", "n_only_stream", "n_only_batch"))
     }),
 
     // mapGroupsWithState parity: runningUserTotals over the events file
@@ -432,11 +442,8 @@ object StreamingParity extends QueryGroup {
           .select(col("user_id"), col("n_events"))
           .localCheckpoint(true)
       }
-      val keys = Seq("user_id", "n_events")
-      Seq((streamedCounts.count(), batchCounts.count(),
-          streamedCounts.join(batchCounts, keys, "left_anti").count(),
-          batchCounts.join(streamedCounts, keys, "left_anti").count()))
-        .toDF("n_stream_users", "n_batch_users", "n_only_stream", "n_only_batch")
+      parityCounts(s, streamedCounts, batchCounts, Seq("user_id", "n_events"),
+        Seq("n_stream_users", "n_batch_users", "n_only_stream", "n_only_batch"))
     }))
 
   val oracles: Map[String, String] = Map(
