@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Contention resistance: timings on this box are routinely 2-4×
   * inflated by co-running JVMs (the round-3 bench artifact was skewed
-  * exactly that way), so each query is timed over
+  * exactly that way), so each query is timed over up to
   * SPARK_GRAFT_BENCH_PASSES (default 3) full passes and the per-query
   * MINIMUM is reported — the min is the run least polluted by
   * neighbors, and for a deterministic single-JVM workload it is the
@@ -14,11 +14,24 @@ import org.apache.spark.sql.SparkSession
   * (verified-pairs, IVF index — see SessionCache) are evicted between
   * passes so every pass re-pays the build: the min still charges the
   * family bill to its first member in name order, same attribution as
-  * a single pass. A wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_S,
-  * default 600) bounds the whole run: after each completed pass the
-  * elapsed time is checked and remaining passes are skipped once the
-  * budget is spent — min-of-completed-passes is still a valid min, and
-  * the harness never times out on a query-count blow-up.
+  * a single pass.
+  *
+  * Budget policy (the round-6 lesson): a wall-clock budget
+  * (SPARK_GRAFT_BENCH_BUDGET_S, default 600) bounds the whole run.
+  * WARMUP is cost-proportional — only queries whose group opts in
+  * (SparkEntry.warmupQueries: the kernel/relational queries where
+  * sf0.001 warmup buys codegen/JIT) are warmed, never the
+  * harness-heavy gates whose stream/store/Derby fixed costs don't
+  * shrink with SF, and the warmup leg is additionally capped at 25%
+  * of the budget. (Round 6 warmed all 121 queries, spent ~320s — more
+  * than a timed pass — and lost the multi-pass min to the budget.)
+  * PASSES start only when they are expected to fit: pass 2 if
+  * elapsed + 0.6×pass1 < budget (pass 2 is warm, pass 1 was cold),
+  * later passes if elapsed + 1.05×fastest-pass < budget — so wall_s
+  * stays under budget_s instead of checking only after overshooting.
+  * Min-of-completed-passes is still a valid min, and with ≥2 passes
+  * the min comes from a fully warm pass, which is what the warmup leg
+  * existed to approximate.
   *
   * Output-size note: the harness that collects this line keeps only
   * the LAST 2000 bytes of the run's output, and sbt appends a ~120
@@ -33,11 +46,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    // Wall-clock budget: 3 passes × ~100 queries + warmup approached
-    // 18 min of sbt in the round-5 driver run — one more round of
-    // query growth risks a harness timeout and a lost artifact. After
-    // each COMPLETED pass, stop if the budget is spent; pass 1 always
-    // runs, and a min over fewer passes is still a valid min.
+    // Wall-clock budget: 3 passes × ~120 queries + warmup approached
+    // the harness timeout in round 5 — one more round of query growth
+    // risks a lost artifact. Pass 1 always runs; later passes start
+    // only when predicted to fit (see scaladoc).
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "600").toDouble
     def elapsedS: Double = (System.nanoTime() - t0Run) / 1e9
     val spark = SparkSession.builder()
@@ -48,15 +60,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup at the smallest SF: compiles every query's codegen classes
-    // and JIT-warms the kernels so the timed run measures the operator,
-    // not first-run compilation (~5s of the first query otherwise).
+    // Warmup at the smallest SF: compiles codegen classes and JIT-warms
+    // the kernels so the first timed pass measures the operator, not
+    // first-run compilation. Cost-proportional (see scaladoc): only
+    // warmup-opted groups, and the leg stops at 25% of the budget.
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (name, fn) =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+    val warmBudgetS = budgetS * 0.25
+    if (new java.io.File(warmDir).isDirectory) {
+      val warm = SparkEntry.warmupQueries
+      val names = SparkEntry.queries.keys.toSeq.sorted.filter(warm)
+      var i = 0
+      while (i < names.length && elapsedS < warmBudgetS) {
+        val name = names(i)
+        try SparkEntry.queries(name)(spark, warmDir)
+          .write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench-warm] $name: $e") }
+        i += 1
       }
+      if (i < names.length)
+        System.err.println(
+          f"[bench-warm] warmup budget ${warmBudgetS}%.0fs spent after $i/${names.length} queries")
+    }
     // noop sink, not count(): count() lets Catalyst prune every computed
     // column out of projection-only queries, timing a metadata scan
     // instead of the operator. The noop writer materializes every row.
@@ -70,7 +94,19 @@ object Bench {
     val best = scala.collection.mutable.Map[String, Double]()
     var passesDone = 0
     var p = 1
-    while (p <= passes && (p == 1 || elapsedS < budgetS)) {
+    var minPassS = Double.MaxValue
+    // Predictive pass gating (see scaladoc): a pass starts only when
+    // its expected duration fits the remaining budget, so wall_s lands
+    // UNDER budget_s instead of being checked after the overshoot.
+    // Pass 2's estimate is 0.6×pass1 (pass 1 paid cold codegen for the
+    // un-warmed gates); later passes use the fastest pass seen.
+    def nextPassFits: Boolean = {
+      val estimate =
+        if (p == 2) 0.6 * minPassS
+        else 1.05 * minPassS
+      elapsedS + estimate < budgetS
+    }
+    while (p <= passes && (p == 1 || nextPassFits)) {
       // Re-pay memoized AND persisted builds each pass, so the min is a
       // real end-to-end cost, not build-once-probe-thrice. Scoped to
       // the benched dir: invalidateAll would clobber artifacts of
@@ -78,6 +114,7 @@ object Bench {
       // test JVM would lose parquet files mid-read).
       graft.util.SessionCache.clearAll()
       graft.util.IndexStore.invalidate(sfDir)
+      val tPass = System.nanoTime()
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
@@ -86,6 +123,7 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         if (!best.contains(name) || sec < best(name)) best(name) = sec
       }
+      minPassS = math.min(minPassS, (System.nanoTime() - tPass) / 1e9)
       passesDone = p
       p += 1
     }

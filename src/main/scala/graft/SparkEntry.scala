@@ -35,4 +35,12 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     groups.flatMap(_.oracles).toMap
+
+  /** Queries whose group opts into the bench's sf0.001 warmup pass —
+    * kernel/relational queries where warmup buys codegen/JIT, not the
+    * harness-heavy gates whose fixed costs don't shrink with SF (see
+    * [[QueryGroup.warmup]]).
+    */
+  def warmupQueries: Set[String] =
+    groups.filter(_.warmup).flatMap(_.queries.keys).toSet
 }

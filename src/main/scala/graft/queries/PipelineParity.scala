@@ -18,6 +18,11 @@ import graft.sources.JsonLines
   */
 object PipelineParity extends QueryGroup {
 
+  // Harness-heavy: the cost is real streams/stores/files, not codegen
+  // — warming at sf0.001 pays the fixed harness bill without making
+  // the timed pass faster (see QueryGroup.warmup).
+  override def warmup: Boolean = false
+
   import graft.util.Fs
   private def withTempDir[T](prefix: String)(f: java.nio.file.Path => T): T =
     Fs.withTempDir(prefix)(f)

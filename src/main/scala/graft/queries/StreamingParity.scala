@@ -37,6 +37,11 @@ import graft.streaming.EventStreams
   */
 object StreamingParity extends QueryGroup {
 
+  // Harness-heavy: the cost is real streams/stores/files, not codegen
+  // — warming at sf0.001 pays the fixed harness bill without making
+  // the timed pass faster (see QueryGroup.warmup).
+  override def warmup: Boolean = false
+
   private val GAP_MS = 1800000L
   private val WATERMARK_DELAY_MS = 7200000L
 
