@@ -345,41 +345,91 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     applyStaged()
   }
 
-  /** MERGE apply (see [[CustomerStoreApi.merge]]): replace the rows
-    * whose email is updated, append the inserts, leave everything else
-    * — executed as a staged full rewrite of both partitions under the
-    * same commit protocol as [[markUploaded]] (stage to `_staging.tmp`,
-    * atomic rename = commit point, idempotent promotion). `updates`
-    * and `inserts` arrive materialized, and the staged outputs are
-    * fully written from the ORIGINAL files before any promotion, so
-    * the table is never read after its files start moving.
+  /** MERGE apply (see [[CustomerStoreApi.merge]]): a FILE-LEVEL merge
+    * commit — the transactional-format shape (Delta/Iceberg MERGE)
+    * rather than a table rewrite. The matched emails first select the
+    * TOUCHED physical files (one manifest-sized semi-join + distinct
+    * on `input_file_name`); only those files are rewritten (their
+    * surviving rows + the updated rows + the inserts, staged as
+    * commit-unique replacement files alongside a remove-list of the
+    * touched file names), and every untouched file is left in place —
+    * never read again, never moved. Promotion deletes the listed
+    * files and moves the replacements in, under the same staged
+    * commit protocol as every mutation (stage to `_staging.tmp`,
+    * atomic rename = commit point, idempotent promotion: re-deleting
+    * a missing file is a no-op and replacement names are
+    * commit-unique). `updates` and `inserts` arrive materialized, and
+    * the staged outputs are fully written from the ORIGINAL files
+    * before any promotion, so the table is never read after its files
+    * start moving.
     *
-    * Scale note: a merge rewrites the table here; a transactional
-    * format (the 100 TB swap-in, see class doc) turns the same
-    * updates/inserts frames into a file-level MERGE commit — the
-    * classification plan carries over unchanged.
+    * Scale: merge cost is O(touched files + inserts), not O(table) —
+    * with email-clustered file layout (compact after a z-order on the
+    * merge key) touched-file count tracks the batch, and the
+    * touched-file selection itself is the manifest pattern
+    * (at 100 TB the semi-join probe becomes a min/max-stats or bloom
+    * consult instead of a scan, but the commit shape is identical).
+    * Updates never cross partitions (classification retains the
+    * stored `uploaded`), so each partition's removals and
+    * replacements pair off independently.
     */
   protected def applyMerge(updates: DataFrame, inserts: DataFrame): Unit = {
     if (updates.isEmpty && inserts.isEmpty) return
     if (!tableExists) { appendRows(inserts): Unit; return }
     recover()
-    val untouched = all()
-      .join(updates.select(col("email").as("_ue")), col("email") === col("_ue"), "left_anti")
-      .select(tableSchema.fieldNames.map(col): _*)
+    val withFile = all().withColumn("_file", input_file_name())
     // Pre-image: the stored rows the updates replace, pinned before
     // the staged rewrite starts moving the files they live in.
-    val updatesPre = all()
+    val updatesPre = withFile
       .join(updates.select(col("email").as("_ue")), col("email") === col("_ue"), "left_semi")
-      .select(tableSchema.fieldNames.map(col): _*)
+      .select(col("_file") +: tableSchema.fieldNames.map(col): _*)
       .localCheckpoint(true)
-    val next = untouched.unionByName(updates).unionByName(inserts)
-    stageFullCommit(
-      next.filter(!col("uploaded")),
-      next.filter(col("uploaded")),
-      changeRows(updatesPre, "update_pre")
+    val touched = updatesPre.select(col("_file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val survivors =
+      if (touched.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+      else withFile.filter(col("_file").isInCollection(touched))
+        .join(updates.select(col("email").as("_ue")), col("email") === col("_ue"), "left_anti")
+        .select(tableSchema.fieldNames.map(col): _*)
+    stageMergeCommit(
+      survivors.unionByName(updates).unionByName(inserts),
+      touched.toSeq,
+      changeRows(updatesPre.drop("_file"), "update_pre")
         .unionByName(changeRows(updates, "update"))
         .unionByName(changeRows(inserts, "insert")))
     applyStaged()
+  }
+
+  /** Stage a file-level MERGE commit: per partition, the replacement
+    * rows as commit-unique `mrg-` files plus a `remove-<partition>`
+    * list naming the touched files promotion deletes. Same commit
+    * point and recovery rules as every staged mutation.
+    */
+  private[pipeline] def stageMergeCommit(replacement: DataFrame,
+      removeUris: Seq[String], changes: DataFrame): Unit = {
+    val tmp = new java.io.File(path, StagingTmp)
+    deleteRecursively(tmp)
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    Seq(("merge-pending", "remove-pending", false),
+        ("merge-done", "remove-done", true)).foreach { case (add, rm, up) =>
+      val stage = new java.io.File(tmp, add)
+      replacement.filter(col("uploaded") === up).drop("uploaded")
+        .write.parquet(stage.toString)
+      stage.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        require(f.renameTo(new java.io.File(stage, s"mrg-$commitId-${f.getName}")),
+          s"staging rename failed for $f")
+      }
+      val partToken = if (up) "uploaded=true" else "uploaded=false"
+      val names = removeUris
+        .filter(_.contains(s"/$partToken/"))
+        .map(u => u.substring(u.lastIndexOf('/') + 1))
+      java.nio.file.Files.write(new java.io.File(tmp, rm).toPath,
+        names.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    }
+    stageChanges(tmp, changes)
+    val staging = new java.io.File(path, Staging)
+    require(tmp.renameTo(staging), s"commit rename $tmp -> $staging failed")
   }
 
   /** Stage a FULL-replace commit of both partitions (the merge path),
@@ -484,13 +534,37 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       }
       deleteRecursively(pendAppend)
     }
-    // Full-replace done stage (the merge path): swap the whole
+    // Full-replace done stage (the compaction path): swap the whole
     // partition, mirroring the pending swap above.
     val doneFull = new java.io.File(staging, "done")
     if (doneFull.exists()) {
       val doneDir = new java.io.File(path, "uploaded=true")
       deleteRecursively(doneDir)
       require(doneFull.renameTo(doneDir), s"promote $doneFull failed")
+    }
+    // File-level merge promotion: per partition, delete the touched
+    // files named in the remove-list (re-deleting a missing file is a
+    // replay no-op), then move the commit-unique replacement files in.
+    Seq(("merge-pending", "remove-pending", "uploaded=false"),
+        ("merge-done", "remove-done", "uploaded=true")).foreach { case (add, rm, part) =>
+      val rmList = new java.io.File(staging, rm)
+      val partDir = new java.io.File(path, part)
+      if (rmList.exists()) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(rmList.toPath).asScala
+          .filter(_.nonEmpty).foreach { name =>
+            val f = new java.io.File(partDir, name)
+            if (f.exists()) require(f.delete(), s"remove $f failed")
+          }
+      }
+      val addDir = new java.io.File(staging, add)
+      if (addDir.exists()) {
+        partDir.mkdirs()
+        addDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+          require(f.renameTo(new java.io.File(partDir, f.getName)), s"promote $f failed")
+        }
+        deleteRecursively(addDir)
+      }
     }
     // Change-feed promotion: append this commit's rows (already under
     // commit-unique names, so replay after a crash is a no-op for

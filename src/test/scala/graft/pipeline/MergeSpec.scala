@@ -160,6 +160,73 @@ class MergeSpec extends SparkSpec {
       "feed replay diverged from the committed table — the CDC misses or invents changes")
   }
 
+  test("file-level merge: untouched files are left in place, touched files replaced") {
+    val path = tmpDir("merge-files") + "/store"
+    val store = new CustomerStore(spark, path)
+    store.insertNew(rows(
+      (1L, "Ann", "A", "ann@example.com", "555-1"),
+      (2L, "Bob", "B", "bob@example.com", "555-2"))): Unit
+    store.insertNew(rows(
+      (3L, "Cai", "C", "cai@example.com", "555-3"),
+      (4L, "Dee", "D", "dee@example.com", "555-4"))): Unit
+    def pendingFiles(): Set[String] =
+      new File(path, "uploaded=false").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val before = pendingFiles()
+    // Updates hit only batch-2 emails, which live only in batch-2's
+    // append files — batch-1's files must survive BY NAME (never read
+    // again, never moved; the O(touched files) contract).
+    store.merge(rows(
+      (9L, "Cai2", "C", "cai@example.com", "999-3"),
+      (9L, "Dee2", "D", "dee@example.com", "999-4"))): Unit
+    val after = pendingFiles()
+    val batch2Files = before.filter { n =>
+      !after.contains(n) // replaced by the merge
+    }
+    assert(batch2Files.nonEmpty, "the touched files must have been replaced")
+    val survivingOriginals = before.intersect(after)
+    assert(survivingOriginals.nonEmpty,
+      "batch-1's untouched files must survive the merge by name")
+    assert(after.exists(_.startsWith("mrg-")),
+      "replacement files must carry the merge commit prefix")
+    // Logical contents: updates landed, untouched rows intact.
+    val byEmail = store.all().collect()
+      .map(r => r.getString(3) -> (r.getString(1), r.getString(4))).toMap
+    assert(byEmail("cai@example.com") === (("Cai2", "999-3")))
+    assert(byEmail("dee@example.com") === (("Dee2", "999-4")))
+    assert(byEmail("ann@example.com") === (("Ann", "555-1")))
+    assert(store.all().count() === 4)
+  }
+
+  test("crash at the merge-commit point: reopened store finishes the file-level merge") {
+    val path = tmpDir("merge-crash-fl") + "/store"
+    val store = new CustomerStore(spark, path)
+    store.insertNew(rows(
+      (1L, "Ann", "A", "ann@example.com", "555-1"),
+      (2L, "Bob", "B", "bob@example.com", "555-2"))): Unit
+    val withFile = store.all().withColumn("_file", input_file_name())
+    val touched = withFile.filter(col("email") === "ann@example.com")
+      .select("_file").distinct().collect().map(_.getString(0)).toSeq
+    val updated = store.all().filter(col("email") === "ann@example.com")
+      .withColumn("first_name", lit("Ann2")).localCheckpoint(true)
+    val survivors = withFile
+      .filter(col("_file").isInCollection(touched))
+      .filter(col("email") =!= "ann@example.com")
+      .select(CustomerSchema.tableSchema.fieldNames.map(col): _*)
+    store.stageMergeCommit(
+      survivors.unionByName(updated), touched,
+      updated.select(lit("update").as("change_type") +:
+        CustomerSchema.tableSchema.fieldNames.map(col): _*))
+    // Crash: promotion never ran; the commit point (rename) is passed.
+    assert(new File(path, CustomerStore.Staging).exists())
+    val reopened = new CustomerStore(spark, path) // constructor recovers
+    val all = reopened.all().collect()
+    assert(all.length === 2, "no rows lost or duplicated across the crash")
+    assert(all.find(_.getString(3) == "ann@example.com").get.getString(1) === "Ann2",
+      "committed file-level merge must be finished on reopen")
+    assert(!new File(path, CustomerStore.Staging).exists())
+  }
+
   test("crash at the full-commit point: reopened store finishes the merge") {
     val path = tmpDir("merge-crash") + "/store"
     val store = new CustomerStore(spark, path)
