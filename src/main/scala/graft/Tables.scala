@@ -13,12 +13,26 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The events table stores TIMESTAMP(NANOS), which Spark 4 rejects by
-    // default (PARQUET_TYPE_ILLEGAL). Read nanos as long and let queries
-    // convert with integer division — set here (idempotent, runtime
-    // conf) so queries work under any caller-provided session.
+    // The events table has shipped with `ts` as TIMESTAMP(NANOS) (which
+    // Spark 4 rejects unless read as long) and as TIMESTAMP(MICROS,
+    // isAdjustedToUTC=false). Normalize BOTH generations to the same
+    // query-facing contract — `ts` as epoch-NANOS BIGINT — so every
+    // downstream `ts DIV 1000` keeps meaning "microseconds":
+    //  - nanosAsLong reads the nanos generation as the long verbatim;
+    //  - inferTimestampNTZ=false reads the micros generation as
+    //    TIMESTAMP (epoch micros verbatim, no session-timezone math),
+    //    which the branch below rescales to nanos.
+    // Both confs are idempotent runtime settings, applied here so
+    // queries work under any caller-provided session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" &&
+        df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts").cast("timestamp")) * 1000L)
+    else df
   }
 
   /** Table feed for KERNEL-BOUND stages (per-token md5 signatures,

@@ -46,7 +46,12 @@ object StreamingParity extends QueryGroup {
   private val WATERMARK_DELAY_MS = 7200000L
 
   private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    // `ts` as TIMESTAMP: the current testdata generation stores
+    // TIMESTAMP(MICROS), which the parquet reader materializes as
+    // epoch-µs TimestampType verbatim under the declared schema (no
+    // session-timezone math) — the value EventStreams' event-time
+    // operators consume directly.
+    StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -129,7 +134,7 @@ object StreamingParity extends QueryGroup {
         val stream = s.readStream.schema(eventsSchema)
           .parquet(s"$dir/{events.parquet}")
           .select(col("user_id"),
-            timestamp_micros(expr("ts DIV 1000")).as("ts"),
+            col("ts"),
             col("event_type"), col("value"))
           .as[EventStreams.UserEvent]
         EventStreams.completedSessions(stream)
@@ -226,7 +231,7 @@ object StreamingParity extends QueryGroup {
         EventStreams.hourlyCounts(
             s.readStream.schema(eventsSchema)
               .parquet(s"$dir/{events.parquet}")
-              .select(timestamp_micros(expr("ts DIV 1000")).as("ts"),
+              .select(col("ts"),
                 col("event_type")))
           .writeStream.format("parquet")
           .option("path", s"$tmp/out")
@@ -270,7 +275,7 @@ object StreamingParity extends QueryGroup {
             s.readStream.schema(eventsSchema)
               .parquet(s"$dir/{events.parquet}")
               .select(col("event_id"), col("user_id"), col("event_type"),
-                timestamp_micros(expr("ts DIV 1000")).as("ts")))
+                col("ts")))
           .writeStream.format("parquet")
           .option("path", s"$tmp/out")
           .option("checkpointLocation", s"$tmp/ckpt")
@@ -317,7 +322,7 @@ object StreamingParity extends QueryGroup {
             s.readStream.schema(eventsSchema)
               .parquet(s"$dir/{events.parquet}")
               .select(col("user_id"),
-                timestamp_micros(expr("ts DIV 1000")).as("ts")))
+                col("ts")))
           .writeStream.format("parquet")
           .option("path", s"$tmp/out")
           .option("checkpointLocation", s"$tmp/ckpt")
@@ -418,7 +423,7 @@ object StreamingParity extends QueryGroup {
             s.readStream.schema(eventsSchema)
               .parquet(s"$dir/{events.parquet}")
               .select(col("user_id"),
-                timestamp_micros(expr("ts DIV 1000")).as("ts"),
+                col("ts"),
                 col("event_type"), col("value"))
               .as[EventStreams.UserEvent])
           .toDF()
