@@ -59,6 +59,82 @@ object DataSkipping {
     (df, keep.size, total)
   }
 
+  // Per-file bloom filter sizing: BLOOM_BITS bits packed into
+  // BLOOM_BITS/64 longs, BLOOM_SEEDS hash functions (xxhash64 with
+  // distinct salt literals). 1024 bits per file is the zone-map
+  // price point: at ~100 distinct keys per file the fill is ~25%, so
+  // a point lookup false-positives on a non-containing file with
+  // probability ~0.25^3 ≈ 2% — may-contain semantics, exact
+  // re-filter after the scan, same contract as the min/max zones.
+  private val BLOOM_BITS = 1024L
+  private val BLOOM_SEEDS = 3
+
+  /** Per-file BLOOM FILTER over a point-lookup key — the skipping
+    * index for equality predicates that min/max zones cannot serve
+    * (a hash-clustered or unsorted layout has full-range zones on
+    * every file, but each file still contains only its own keys).
+    * One row per (file, word): `_file`, `w` (word index), `bits`
+    * (the OR of all members' hash bits in that word). At 100 TB this
+    * is the per-file bloom every table format embeds in its manifest:
+    * BLOOM_WORDS longs per file, maintained per commit, consulted
+    * before any file is opened.
+    */
+  def collectBloom(spark: SparkSession, dir: String, keyCol: String): DataFrame = {
+    val pos = explode(array((0 until BLOOM_SEEDS).map(s =>
+      pmod(xxhash64(col(keyCol), lit(s)), lit(BLOOM_BITS))): _*)).as("p")
+    spark.read.parquet(dir)
+      .select(input_file_name().as("_file"), col(keyCol))
+      .select(col("_file"), pos)
+      .select(col("_file"), expr("p DIV 64").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("b"))
+      .groupBy(col("_file"), col("w"))
+      .agg(expr("bit_or(b)").as("bits"))
+  }
+
+  /** Files that MAY contain at least one of `keys` under the bloom
+    * index: a key hits a file iff all BLOOM_SEEDS of its bits are set.
+    * The membership probe is computed with the SAME xxhash64
+    * expressions that built the index (both sides are Spark column
+    * math, so the hash can never drift between build and probe). The
+    * result is manifest-scale (≤ files × keys rows) — the collect is
+    * the planner consulting an index, not data flowing to the driver.
+    */
+  def pruneBloom(spark: SparkSession, bloom: DataFrame, keyCol: String,
+      keys: Seq[Long]): Seq[String] = {
+    import spark.implicits._
+    val probes = keys.toDF(keyCol)
+      .select(col(keyCol),
+        explode(array((0 until BLOOM_SEEDS).map(s =>
+          pmod(xxhash64(col(keyCol), lit(s)), lit(BLOOM_BITS))): _*)).as("p"))
+      .select(col(keyCol), expr("p DIV 64").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("b"))
+    bloom.join(broadcast(probes), Seq("w"))
+      .withColumn("hit", (col("bits").bitwiseAND(col("b"))) === col("b"))
+      .groupBy(col("_file"), col(keyCol))
+      // a key may be in the file iff EVERY seed bit is set
+      .agg(min(col("hit")).as("may_contain"))
+      .filter(col("may_contain"))
+      .select(col("_file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Point-lookup read through the bloom index: open only files whose
+    * bloom may contain one of the keys, re-apply the exact IN
+    * predicate. Returns (rows, filesRead, filesTotal) so callers can
+    * assert the skip actually happened.
+    */
+  def readPointLookups(spark: SparkSession, dir: String, keyCol: String,
+      keys: Seq[Long]): (DataFrame, Int, Int) = {
+    val bloom = collectBloom(spark, dir, keyCol).localCheckpoint(true)
+    val total = bloom.select(col("_file")).distinct().count().toInt
+    val keep = pruneBloom(spark, bloom, keyCol, keys)
+    val exact = col(keyCol).isin(keys: _*)
+    val df =
+      if (keep.isEmpty) spark.read.parquet(dir).filter(exact).limit(0)
+      else spark.read.parquet(keep: _*).filter(exact)
+    (df, keep.size, total)
+  }
+
   /** Bit-interleaved z-order key over two already-bounded non-negative
     * columns (each < 2^bits): locality in BOTH dimensions maps to
     * locality in the key, so range-partitioning by the key gives every

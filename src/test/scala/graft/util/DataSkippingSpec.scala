@@ -50,6 +50,30 @@ class DataSkippingSpec extends SparkSpec {
     assert(nReadE === 0 && empty.count() === 0)
   }
 
+  test("bloom index: no false negatives, real skipping, read equals full scan") {
+    val dir = tmpDir("bloom") + "/t"
+    // 8 files, each holding one disjoint residue class of ids mod 8 —
+    // the hash-clustered layout where zone maps are useless (every
+    // file spans ~the full id range) but a point lookup lives in
+    // exactly one file.
+    (0 until 8).foreach { f =>
+      (0 until 1000).filter(_ % 8 == f).map(i => (i.toLong, i * 2L)).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val keys = Seq(17L, 642L, 901L) // residues 1, 2, 5 — three distinct files
+    val (rows, nRead, nTotal) = DataSkipping.readPointLookups(spark, dir, "id", keys)
+    assert(nTotal === 8)
+    // May-contain: at least the 3 true files, plus rare false positives.
+    assert(nRead >= 3 && nRead < 8, s"read $nRead of $nTotal")
+    val full = spark.read.parquet(dir).filter(col("id").isin(keys: _*))
+    assert(rows.exceptAll(full).isEmpty && full.exceptAll(rows).isEmpty)
+    assert(rows.count() === 3)
+    // Absent keys: prune may keep false-positive files, but the exact
+    // re-filter must return nothing.
+    val (absent, _, _) = DataSkipping.readPointLookups(spark, dir, "id", Seq(5000L))
+    assert(absent.count() === 0)
+  }
+
   test("zorderKey interleaves bits: (a,b) -> sum of a-bits at even, b-bits at odd") {
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (63L, 63L))
       .toDF("a", "b")
