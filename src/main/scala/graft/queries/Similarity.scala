@@ -79,6 +79,19 @@ object Similarity extends QueryGroup {
   private val PQ_CAND = 96
   // Bottom-k size of the embedding-outlier report.
   private val OUT_K = 20
+  // Semantic-dedup near-duplicate threshold (ppm cosine) — the same
+  // 0.45 dial the exact pair sweep (dedup_embedding) uses, so the two
+  // operators agree on what "near-duplicate" means.
+  private val SEM_T = 450000L
+  // The incremental index probes wider than the fresh one: its
+  // centroids never saw the delta, so query-to-list distances are
+  // stale-index estimates — extra probes are the recall repair that
+  // costs query fan-out only, not index size (delta-side R=3 was
+  // measured and does NOT help: the misses are base vectors).
+  // Measured top-5 recall 1.00 / 0.92 / 0.98 at sf0.001/0.01/0.1
+  // (12 probes measured 0.96/0.88/0.95); ≥0.9 pinned in
+  // QueryContractsSpec.
+  private val IVF_INC_PROBES = 16
   // Embedding dimensionality of the `embeddings` table — used only
   // where SQL needs an explicit per-position range; the Spark side is
   // length-generic.
@@ -190,6 +203,61 @@ object Similarity extends QueryGroup {
       (loaded(0), loaded(1))
     }
 
+  /** Base-subset IVF index for the incremental-maintenance query
+    * (trained on vec_id % 10 != 0 only) — its own artifact names so
+    * the full-collection index and the base index coexist in the
+    * store.
+    */
+  private val ivfBaseCache = new graft.util.SessionCache[(DataFrame, DataFrame)]
+
+  private def ivfBaseIndexCached(s: SparkSession, dir: String,
+      base: DataFrame): (DataFrame, DataFrame) =
+    ivfBaseCache.getOrCompute(s, dir) {
+      val loaded = graft.util.IndexStore.loadOrBuildAll(
+        s, dir, s"ivf_base_postings_l${IVF_LISTS}r${IVF_ITERS}a$IVF_ASSIGN_R" ::
+          s"ivf_base_centroids_l${IVF_LISTS}r$IVF_ITERS" :: Nil) {
+        val (a, c) = ivfIndex(base)
+        Seq(a, c)
+      }
+      (loaded(0), loaded(1))
+    }
+
+  /** The IVF probe stage shared by `sim_ivf_ann` and
+    * `sim_ivf_incremental`: rank the query's IVF_PROBES nearest lists
+    * against the broadcast centroids, equi-join the postings on
+    * list_id, dedupe multi-assignment duplicates, exact re-rank to
+    * TOP_K.
+    */
+  private def ivfProbe(queries: DataFrame, postings: DataFrame,
+      cent: DataFrame, probes: Int = IVF_PROBES): DataFrame = {
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_cos").desc, col("list_id"))
+    val qProbes = queries
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("sq").as("q_sq"))
+      .join(broadcast(cent))
+      .withColumn("c_cos", cosPpm(qdot(col("q_qv"), col("cv")), col("q_sq"), col("c_sq")))
+      .withColumn("p_rn", row_number().over(probeW))
+      .filter(col("p_rn") <= probes)
+      .select(col("query_id"), col("q_qv"), col("q_sq"), col("list_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_ppm").desc, col("neighbor_id"))
+    postings.select(col("vec_id").as("neighbor_id"), col("qv"), col("sq"), col("list_id"))
+      .join(qProbes, Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      // A multi-assigned neighbor can surface from several probed
+      // lists; dedupe BEFORE scoring so the rank window sees each
+      // candidate once (duplicate rows are bit-identical, so
+      // distinct is deterministic).
+      .select(col("query_id"), col("q_qv"), col("q_sq"),
+        col("neighbor_id"), col("qv"), col("sq"))
+      .distinct()
+      .withColumn("cos_ppm", cosPpm(qdot(col("q_qv"), col("qv")), col("q_sq"), col("sq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_ppm"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Dims per PQ subspace. */
   private val PQ_SUB = VEC_DIM / PQ_M
 
@@ -284,7 +352,9 @@ object Similarity extends QueryGroup {
     * only if a cached dir's data is rewritten mid-session).
     * [[graft.util.SessionCache.clearAll]] clears every module at once.
     */
-  def clearCaches(): Unit = { ivfCache.clear(); pqCache.clear() }
+  def clearCaches(): Unit = {
+    ivfCache.clear(); pqCache.clear(); ivfBaseCache.clear()
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact top-k: every 100th vector queries the full collection.
@@ -339,32 +409,60 @@ object Similarity extends QueryGroup {
     "sim_ivf_ann" -> ((s, dir) => {
       val all = quantized(s, dir)
       val (postings, cent) = ivfIndexCached(s, dir, all)
-      val probeW = Window.partitionBy(col("query_id"))
-        .orderBy(col("c_cos").desc, col("list_id"))
-      val qProbes = all.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("sq").as("q_sq"))
-        .join(broadcast(cent))
-        .withColumn("c_cos", cosPpm(qdot(col("q_qv"), col("cv")), col("q_sq"), col("c_sq")))
-        .withColumn("p_rn", row_number().over(probeW))
-        .filter(col("p_rn") <= IVF_PROBES)
-        .select(col("query_id"), col("q_qv"), col("q_sq"), col("list_id"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_ppm").desc, col("neighbor_id"))
-      postings.select(col("vec_id").as("neighbor_id"), col("qv"), col("sq"), col("list_id"))
-        .join(qProbes, Seq("list_id"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        // A multi-assigned neighbor can surface from several probed
-        // lists; dedupe BEFORE scoring so the rank window sees each
-        // candidate once (duplicate rows are bit-identical, so
-        // distinct is deterministic).
-        .select(col("query_id"), col("q_qv"), col("q_sq"),
-          col("neighbor_id"), col("qv"), col("sq"))
-        .distinct()
-        .withColumn("cos_ppm", cosPpm(qdot(col("q_qv"), col("qv")), col("q_sq"), col("sq")))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= TOP_K)
-        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_ppm"))
-        .orderBy(col("query_id"), col("rank"))
+      ivfProbe(all.filter(col("vec_id") % 100 === 0), postings, cent)
+    }),
+
+    // INCREMENTAL IVF maintenance — the streaming-ingest shape of a
+    // production vector index: the base collection (vec_id % 10 != 0)
+    // trained and persisted once; the arriving tenth is folded in by
+    // assigning ONLY the delta against the persisted centroids (one
+    // broadcast join — cost ∝ delta, no retrain, the exact analog of
+    // dedup_incremental_lsh's delta probe) and appending the delta
+    // postings. Queries (the new arrivals themselves, vec_id % 100 =
+    // 0) probe base ∪ delta through the same probe stage as
+    // sim_ivf_ann. At 100 TB the delta postings land as an appended
+    // commit on the postings table; centroid drift is repaired by a
+    // periodic retrain, not per-batch.
+    "sim_ivf_incremental" -> ((s, dir) => {
+      val all = quantized(s, dir)
+      val base = all.filter(col("vec_id") % 10 =!= 0)
+      val delta = all.filter(col("vec_id") % 10 === 0)
+      val (basePost, cent) = ivfBaseIndexCached(s, dir, base)
+      val deltaPost = assign(delta, cent, IVF_ASSIGN_R)
+      ivfProbe(all.filter(col("vec_id") % 100 === 0),
+        basePost.unionByName(deltaPost), cent, IVF_INC_PROBES)
+    }),
+
+    // SEMANTIC DEDUP (SemDeDup-shaped): k-means clusters bound the
+    // pairwise sweep — exact cosine is computed only WITHIN each IVF
+    // list (rn = 1 partition of the persisted index, nothing new is
+    // trained), and a vector is dropped when a lower-id near-dup
+    // (cos ≥ SEM_T) shares its cluster. The cluster bound is the
+    // paper's core trick: the quadratic is per-list (~n/k² of the
+    // full sweep's pairs per list), at the cost of missing pairs the
+    // coarse quantizer splits across lists — dedup_embedding remains
+    // the exact-sweep oracle for that residual. Keep-lowest-id is the
+    // deterministic keeper rule; per-cluster (kept, dropped) counts
+    // are the curation report.
+    "dedup_semantic" -> ((s, dir) => {
+      val all = quantized(s, dir)
+      val (postings, _) = ivfIndexCached(s, dir, all)
+      val a = postings.filter(col("rn") === 1)
+        .select(col("list_id"), col("vec_id"), col("qv"), col("sq"))
+      val b = a.select(col("list_id"), col("vec_id").as("vec_b"),
+        col("qv").as("qv_b"), col("sq").as("sq_b"))
+      val dropped = a.join(b, Seq("list_id"))
+        .filter(col("vec_b") < col("vec_id"))
+        .withColumn("cos_ppm",
+          cosPpm(qdot(col("qv"), col("qv_b")), col("sq"), col("sq_b")))
+        .filter(col("cos_ppm") >= SEM_T)
+        .select(col("list_id"), col("vec_id")).distinct()
+      a.groupBy(col("list_id")).agg(count(lit(1)).as("n_vecs"))
+        .join(dropped.groupBy(col("list_id")).agg(count(lit(1)).as("nd")),
+          Seq("list_id"), "left")
+        .select(col("list_id").cast("long").as("cluster_id"), col("n_vecs"),
+          coalesce(col("nd"), lit(0L)).as("n_dropped"))
+        .orderBy(col("cluster_id"))
     }),
 
     // PQ ANN: the compressed-domain scan. The collection is stored as
@@ -595,33 +693,37 @@ object Similarity extends QueryGroup {
 
   /** IVF top-`r` assignment CTE body: nearest-centroids by
     * (cosPpm DESC, list_id) with the assignment rank retained —
-    * mirror of `assign`.
+    * mirror of `assign`. `src` is the CTE the assigned vectors come
+    * from (`n` = full collection; the incremental oracle trains from
+    * a filtered base).
     */
-  private def ivfAssignSql(cent: String, r: Int = 1): String =
+  private def ivfAssignSql(cent: String, r: Int = 1, src: String = "n"): String =
     s"""(SELECT vec_id, label, qv, sq, list_id, rn FROM (
-          SELECT n.vec_id, n.label, n.qv, n.sq, c.list_id,
-            ROW_NUMBER() OVER (PARTITION BY n.vec_id
-              ORDER BY ${cosPpmSql("n.qv", "c.cv", "n.sq", "c.c_sq")} DESC, c.list_id) AS rn
-          FROM n, $cent c) WHERE rn <= $r)"""
+          SELECT s.vec_id, s.label, s.qv, s.sq, c.list_id,
+            ROW_NUMBER() OVER (PARTITION BY s.vec_id
+              ORDER BY ${cosPpmSql("s.qv", "c.cv", "s.sq", "c.c_sq")} DESC, c.list_id) AS rn
+          FROM $src s, $cent c) WHERE rn <= $r)"""
 
   /** The unrolled deterministic index build (seed → IVF_ITERS Lloyd
     * rounds → final assignment) shared by the IVF-ANN and
     * k-means-groups oracles. GENERATED from the same IVF_* constants
     * the Spark build uses, so retuning iterations/lists retunes the
-    * oracle with it.
+    * oracle with it. `src` is the training collection CTE.
     */
-  private def ivfBuildSql: String = {
+  private def ivfBuildSqlFrom(src: String): String = {
     val rounds = (0 until IVF_ITERS).map { i =>
-      s"""a${i + 1} AS ${ivfAssignSql(s"c$i")},
+      s"""a${i + 1} AS ${ivfAssignSql(s"c$i", 1, src)},
           c${i + 1} AS ${ivfCentSql(s"a${i + 1}")}"""
     }.mkString(",\n          ")
     // Training rounds stay single-assignment Lloyd; the final postings
     // CTE multi-assigns to IVF_ASSIGN_R lists, mirror of ivfIndex.
-    s"""a0 AS (SELECT vec_id, label, qv, sq, CAST(vec_id % $IVF_LISTS AS BIGINT) AS list_id FROM n),
+    s"""a0 AS (SELECT vec_id, label, qv, sq, CAST(vec_id % $IVF_LISTS AS BIGINT) AS list_id FROM $src),
         c0 AS ${ivfCentSql("a0")},
         $rounds,
-        af AS ${ivfAssignSql(s"c$IVF_ITERS", IVF_ASSIGN_R)}"""
+        af AS ${ivfAssignSql(s"c$IVF_ITERS", IVF_ASSIGN_R, src)}"""
   }
+
+  private def ivfBuildSql: String = ivfBuildSqlFrom("n")
 
   /** Name of the final centroid CTE inside [[ivfBuildSql]]. */
   private def ivfFinalCent: String = s"c$IVF_ITERS"
@@ -824,6 +926,51 @@ object Similarity extends QueryGroup {
                 FROM ex)
           SELECT query_id, rank, neighbor_id, cos_ppm FROM r
           WHERE rank <= $TOP_K ORDER BY query_id, rank""",
+    // The base index retrained in SQL from the filtered collection,
+    // the delta assigned against the final centroids with the same
+    // top-R rule, probes running over base ∪ delta — mirror of the
+    // Spark incremental path.
+    "sim_ivf_incremental" ->
+      s"""WITH $quantSql,
+          nb AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
+          ${ivfBuildSqlFrom("nb")},
+          nd AS (SELECT * FROM n WHERE vec_id % 10 = 0),
+          da AS ${ivfAssignSql(ivfFinalCent, IVF_ASSIGN_R, "nd")},
+          post AS (SELECT vec_id, qv, sq, list_id FROM af
+                   UNION ALL SELECT vec_id, qv, sq, list_id FROM da),
+          qp AS (SELECT query_id, q_qv, q_sq, list_id FROM (
+                   SELECT n.vec_id AS query_id, n.qv AS q_qv, n.sq AS q_sq, c.list_id,
+                     ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY ${cosPpmSql("n.qv", "c.cv", "n.sq", "c.c_sq")} DESC, c.list_id) AS p_rn
+                   FROM n, $ivfFinalCent c WHERE n.vec_id % 100 = 0)
+                 WHERE p_rn <= $IVF_INC_PROBES),
+          cand AS (SELECT DISTINCT qp.query_id, qp.q_qv, qp.q_sq,
+                     nb2.vec_id AS neighbor_id, nb2.qv, nb2.sq
+                   FROM qp JOIN post nb2 USING (list_id)
+                   WHERE nb2.vec_id <> qp.query_id),
+          sc AS (SELECT query_id, neighbor_id,
+                   ${cosPpmSql("q_qv", "qv", "q_sq", "sq")} AS cos_ppm FROM cand),
+          r AS (SELECT query_id, neighbor_id, cos_ppm,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_ppm DESC, neighbor_id) AS BIGINT) AS rank
+                FROM sc)
+          SELECT query_id, rank, neighbor_id, cos_ppm FROM r
+          WHERE rank <= $TOP_K ORDER BY query_id, rank""",
+    // Within-list pairwise sweep over the retrained index — mirror of
+    // the Spark cluster-bounded semantic dedup.
+    "dedup_semantic" ->
+      s"""WITH $quantSql,
+          $ivfBuildSql,
+          sd AS (SELECT list_id, vec_id, qv, sq FROM af WHERE rn = 1),
+          dr AS (SELECT DISTINCT x.list_id, x.vec_id
+                 FROM sd x JOIN sd y ON y.list_id = x.list_id AND y.vec_id < x.vec_id
+                 WHERE ${cosPpmSql("x.qv", "y.qv", "x.sq", "y.sq")} >= $SEM_T),
+          dc AS (SELECT list_id, CAST(COUNT(*) AS BIGINT) AS nd FROM dr GROUP BY 1)
+          SELECT CAST(a.list_id AS BIGINT) AS cluster_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                 CAST(COALESCE(MAX(dc.nd), 0) AS BIGINT) AS n_dropped
+          FROM sd a LEFT JOIN dc ON dc.list_id = a.list_id
+          GROUP BY a.list_id ORDER BY cluster_id""",
     "sim_outliers" ->
       s"""WITH $quantSql,
           $ivfBuildSql,
