@@ -59,14 +59,17 @@ object DataSkipping {
     (df, keep.size, total)
   }
 
-  // Per-file bloom filter sizing: BLOOM_BITS bits packed into
-  // BLOOM_BITS/64 longs, BLOOM_SEEDS hash functions (xxhash64 with
-  // distinct salt literals). 1024 bits per file is the zone-map
-  // price point: at ~100 distinct keys per file the fill is ~25%, so
-  // a point lookup false-positives on a non-containing file with
-  // probability ~0.25^3 ≈ 2% — may-contain semantics, exact
-  // re-filter after the scan, same contract as the min/max zones.
-  private val BLOOM_BITS = 1024L
+  // Per-file bloom filter: `bits` bits packed into bits/64 longs,
+  // BLOOM_SEEDS hash functions (xxhash64 with distinct salt
+  // literals). Size `bits` to ≳16× the distinct keys per file (the
+  // caller knows its layout): fill stays ≲20%, so a point lookup
+  // false-positives on a non-containing file with probability
+  // ~0.2^3 ≈ 1% — may-contain semantics, exact re-filter after the
+  // scan, same contract as the min/max zones. An UNDER-sized bloom
+  // degrades to read-everything (saturated filters pass every
+  // probe), which is why sizing scales with the data, not a
+  // constant — the round-9 10× measurement caught exactly that.
+  val DEFAULT_BLOOM_BITS = 1024L
   private val BLOOM_SEEDS = 3
 
   /** Per-file BLOOM FILTER over a point-lookup key — the skipping
@@ -79,9 +82,10 @@ object DataSkipping {
     * BLOOM_WORDS longs per file, maintained per commit, consulted
     * before any file is opened.
     */
-  def collectBloom(spark: SparkSession, dir: String, keyCol: String): DataFrame = {
+  def collectBloom(spark: SparkSession, dir: String, keyCol: String,
+      bits: Long = DEFAULT_BLOOM_BITS): DataFrame = {
     val pos = explode(array((0 until BLOOM_SEEDS).map(s =>
-      pmod(xxhash64(col(keyCol), lit(s)), lit(BLOOM_BITS))): _*)).as("p")
+      pmod(xxhash64(col(keyCol), lit(s)), lit(bits))): _*)).as("p")
     spark.read.parquet(dir)
       .select(input_file_name().as("_file"), col(keyCol))
       .select(col("_file"), pos)
@@ -100,12 +104,12 @@ object DataSkipping {
     * the planner consulting an index, not data flowing to the driver.
     */
   def pruneBloom(spark: SparkSession, bloom: DataFrame, keyCol: String,
-      keys: Seq[Long]): Seq[String] = {
+      keys: Seq[Long], bits: Long = DEFAULT_BLOOM_BITS): Seq[String] = {
     import spark.implicits._
     val probes = keys.toDF(keyCol)
       .select(col(keyCol),
         explode(array((0 until BLOOM_SEEDS).map(s =>
-          pmod(xxhash64(col(keyCol), lit(s)), lit(BLOOM_BITS))): _*)).as("p"))
+          pmod(xxhash64(col(keyCol), lit(s)), lit(bits))): _*)).as("p"))
       .select(col(keyCol), expr("p DIV 64").as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("b"))
     bloom.join(broadcast(probes), Seq("w"))
@@ -124,10 +128,10 @@ object DataSkipping {
     * assert the skip actually happened.
     */
   def readPointLookups(spark: SparkSession, dir: String, keyCol: String,
-      keys: Seq[Long]): (DataFrame, Int, Int) = {
-    val bloom = collectBloom(spark, dir, keyCol).localCheckpoint(true)
+      keys: Seq[Long], bits: Long = DEFAULT_BLOOM_BITS): (DataFrame, Int, Int) = {
+    val bloom = collectBloom(spark, dir, keyCol, bits).localCheckpoint(true)
     val total = bloom.select(col("_file")).distinct().count().toInt
-    val keep = pruneBloom(spark, bloom, keyCol, keys)
+    val keep = pruneBloom(spark, bloom, keyCol, keys, bits)
     val exact = col(keyCol).isin(keys: _*)
     val df =
       if (keep.isEmpty) spark.read.parquet(dir).filter(exact).limit(0)
