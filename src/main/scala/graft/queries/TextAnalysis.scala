@@ -26,6 +26,62 @@ object TextAnalysis extends QueryGroup {
     */
   private val CLS_ROUNDS = 6
 
+  /** A trained pocket model: the checkpointed feature projection
+    * (`source`, label `y`, integer features x0..x3), the per-round
+    * (round, n_updates, n_correct) trajectory, and the pocket pick.
+    */
+  private case class PocketModel(feats: DataFrame,
+      hist: Seq[(Long, Long, Long)], pocketRound: Long, pocketW: Vector[Long])
+
+  private def pocketDot(ws: Vector[Long]): Column =
+    (0 until 4).map(i => lit(ws(i)) * col(s"x$i")).reduce(_ + _)
+
+  /** Train the quality-filter perceptron (see text_quality_classifier
+    * for the full rationale); memoized per (session, dir) — the
+    * trained model is a build artifact shared by the trajectory query
+    * and the apply-filter query, like any persisted model would be.
+    */
+  private val pocketCache = new graft.util.SessionCache[PocketModel]
+
+  private def trainedPocket(s: SparkSession, dir: String): PocketModel =
+    pocketCache.getOrCompute(s, dir) {
+      val norm = normText(col("text"))
+      val toks = tokens(col("text"))
+      val nt = size(toks).cast("long")
+      val idiv = (a: Column, b: Column) =>
+        floor(a.cast("double") / b.cast("double")).cast("long")
+      val feats = Tables.forKernels(s, dir, "documents")
+        .select(
+          col("source"),
+          when(ppm(qualityScore(norm, toks)) >= 500000L, 1L).otherwise(-1L).as("y"),
+          lit(1000L).as("x0"),
+          (least(nt, lit(64L)) * 16L).as("x1"),
+          least(idiv(markerHits(toks, stopwords) * 4096L, greatest(nt, lit(1L))),
+            lit(1024L)).as("x2"),
+          idiv(size(array_distinct(toks)).cast("long") * 1024L,
+            greatest(nt, lit(1L))).as("x3"))
+        .localCheckpoint(true) // read twice per round — materialize the tiny projection once
+      var w = Vector.fill(4)(0L)
+      var pocket = (0L, Vector.fill(4)(0L), -1L) // (round, weights, n_correct)
+      val hist = (1 to CLS_ROUNDS).map { r =>
+        val mis = (col("y") * pocketDot(w)) <= 0
+        val aggs = count(when(mis, lit(1))).cast("long").as("nu") +:
+          (0 until 4).map(i => sum(when(mis, col("y") * col(s"x$i"))).as(s"u$i"))
+        val u = feats.agg(aggs.head, aggs.tail: _*).head()
+        w = Vector.tabulate(4)(i =>
+          w(i) + (if (u.isNullAt(i + 1)) 0L else u.getLong(i + 1)))
+        val nc = feats
+          .agg(count(when(when(pocketDot(w) > 0, 1L).otherwise(-1L) === col("y"),
+            lit(1))).cast("long")).head().getLong(0)
+        if (nc > pocket._3) pocket = (r.toLong, w, nc) // strict >: ties keep the earliest
+        (r.toLong, u.getLong(0), nc)
+      }
+      PocketModel(feats, hist, pocket._1, pocket._2)
+    }
+
+  /** Drop the memoized trained model (long-lived-JVM hook). */
+  def clearCaches(): Unit = pocketCache.clear()
+
   /** Shared SQL fragments so Spark and oracle stay in lockstep. */
   private def inList(items: Seq[String]): String =
     items.map(s => s"'$s'").mkString("(", ", ", ")")
@@ -256,41 +312,27 @@ object TextAnalysis extends QueryGroup {
     // (0.94/0.84/0.88 vs 0.79/0.77/0.77), asserted in
     // QueryContractsSpec.
     "text_quality_classifier" -> ((s, dir) => {
-      val norm = normText(col("text"))
-      val toks = tokens(col("text"))
-      val nt = size(toks).cast("long")
-      val idiv = (a: Column, b: Column) =>
-        floor(a.cast("double") / b.cast("double")).cast("long")
-      val feats = Tables.forKernels(s, dir, "documents")
-        .select(
-          when(ppm(qualityScore(norm, toks)) >= 500000L, 1L).otherwise(-1L).as("y"),
-          lit(1000L).as("x0"),
-          (least(nt, lit(64L)) * 16L).as("x1"),
-          least(idiv(markerHits(toks, stopwords) * 4096L, greatest(nt, lit(1L))),
-            lit(1024L)).as("x2"),
-          idiv(size(array_distinct(toks)).cast("long") * 1024L,
-            greatest(nt, lit(1L))).as("x3"))
-        .localCheckpoint(false) // read twice per round — materialize the tiny projection once
-      var w = Vector.fill(4)(0L)
-      def dot(ws: Vector[Long]): Column =
-        (0 until 4).map(i => lit(ws(i)) * col(s"x$i")).reduce(_ + _)
-      val hist = (1 to CLS_ROUNDS).map { r =>
-        val mis = (col("y") * dot(w)) <= 0
-        val aggs = count(when(mis, lit(1))).cast("long").as("nu") +:
-          (0 until 4).map(i => sum(when(mis, col("y") * col(s"x$i"))).as(s"u$i"))
-        val u = feats.agg(aggs.head, aggs.tail: _*).head()
-        w = Vector.tabulate(4)(i =>
-          w(i) + (if (u.isNullAt(i + 1)) 0L else u.getLong(i + 1)))
-        val nc = feats
-          .agg(count(when(when(dot(w) > 0, 1L).otherwise(-1L) === col("y"), lit(1)))
-            .cast("long")).head().getLong(0)
-        (r.toLong, u.getLong(0), nc)
-      }
-      val pocket = hist.maxBy { case (r, _, nc) => (nc, -r) }._1
+      val t = trainedPocket(s, dir)
       import s.implicits._
-      hist.toDF("round", "n_updates", "n_correct")
-        .withColumn("is_pocket", col("round") === lit(pocket))
+      t.hist.toDF("round", "n_updates", "n_correct")
+        .withColumn("is_pocket", col("round") === lit(t.pocketRound))
         .orderBy(col("round"))
+    }),
+
+    // The APPLY leg of model-based filtering: score every document
+    // with the pocket weights and report, per source, how many the
+    // filter keeps — train once (memoized per session, the persisted-
+    // model pattern), filter anywhere. At 100 TB the apply pass is a
+    // stateless projection: four multiplies and a compare per row
+    // against broadcast-free literal weights.
+    "corpus_model_filter" -> ((s, dir) => {
+      val t = trainedPocket(s, dir)
+      t.feats
+        .withColumn("keep", pocketDot(t.pocketW) > 0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("keep"), 1)).as("n_kept"))
+        .orderBy(col("source"))
     }),
 
     "text_train_eval_split" -> ((s, dir) => {
@@ -404,7 +446,7 @@ object TextAnalysis extends QueryGroup {
     * count. The pocket pick is (n_correct DESC, round ASC) — the
     * same tie-break the Spark side's maxBy uses.
     */
-  private def classifierSql: String = {
+  private def classifierCtes: String = {
     def dotW(wAlias: String): String =
       s"list_sum([$wAlias.w[j]*f.x[j] for j in range(1,5)])"
     val rounds = (1 to CLS_ROUNDS).map { r =>
@@ -421,8 +463,8 @@ object TextAnalysis extends QueryGroup {
       s"""SELECT CAST($r AS BIGINT) AS round, (SELECT nu FROM nu$r) AS n_updates,
             (SELECT nc FROM acc$r) AS n_correct"""
     }.mkString(" UNION ALL ")
-    s"""WITH base AS (SELECT $normSql AS norm, $toksSql AS w FROM documents),
-          m AS (SELECT len(w) AS nt, length(norm) AS nc,
+    s"""base AS (SELECT source, $normSql AS norm, $toksSql AS w FROM documents),
+          m AS (SELECT source, len(w) AS nt, length(norm) AS nc,
                   ${hitsSql(stopwords)} AS sh, len(list_distinct(w)) AS dt,
                   CASE WHEN len(w) = 0 THEN 0.0
                     ELSE CAST(${hitsSql(stopwords)} AS DOUBLE) / len(w) END AS stopr,
@@ -430,7 +472,8 @@ object TextAnalysis extends QueryGroup {
                     ELSE CAST(length(regexp_replace(norm, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
                          / length(norm) END AS punctr
                 FROM base),
-          f AS (SELECT CASE WHEN CAST(floor((0.4 * least(CAST(nt AS DOUBLE) / 64.0, 1.0)
+          f AS (SELECT source,
+                  CASE WHEN CAST(floor((0.4 * least(CAST(nt AS DOUBLE) / 64.0, 1.0)
                        + 0.4 * least(stopr * 4.0, 1.0)
                        + 0.2 * (1.0 - least(punctr * 4.0, 1.0))) * 1000000.0) AS BIGINT)
                        >= 500000 THEN 1 ELSE -1 END AS y,
@@ -442,10 +485,27 @@ object TextAnalysis extends QueryGroup {
           w0 AS (SELECT CAST([0, 0, 0, 0] AS BIGINT[]) AS w),
           $rounds,
           rounds AS ($roundRows),
-          pocket AS (SELECT round AS pr FROM rounds ORDER BY n_correct DESC, round LIMIT 1)
+          pocket AS (SELECT round AS pr FROM rounds ORDER BY n_correct DESC, round LIMIT 1)"""
+  }
+
+  private def classifierSql: String =
+    s"""WITH $classifierCtes
         SELECT round, n_updates, n_correct,
           round = (SELECT pr FROM pocket) AS is_pocket
         FROM rounds ORDER BY round"""
+
+  /** The apply leg: select the pocket round's weights and score every
+    * doc — mirror of corpus_model_filter.
+    */
+  private def modelFilterSql: String = {
+    val wAll = (1 to CLS_ROUNDS).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS r, w FROM w$r").mkString(" UNION ALL ")
+    s"""WITH $classifierCtes,
+          wsel AS (SELECT w FROM ($wAll) WHERE r = (SELECT pr FROM pocket))
+        SELECT f.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COUNT(*) FILTER (list_sum([ws.w[j]*f.x[j] for j in range(1,5)]) > 0)
+            AS BIGINT) AS n_kept
+        FROM f, wsel ws GROUP BY f.source ORDER BY f.source"""
   }
 
   private[queries] val langPredSql: String = {
@@ -566,6 +626,7 @@ object TextAnalysis extends QueryGroup {
                 FROM documents)
           WHERE bucket < rate GROUP BY lang ORDER BY lang""",
     "text_quality_classifier" -> classifierSql,
+    "corpus_model_filter" -> modelFilterSql,
     "text_train_eval_split" ->
       s"""SELECT lang,
           ${graft.functions.TextFunctions.trainEvalSplitSql(s"md5($normSql)")} AS split,

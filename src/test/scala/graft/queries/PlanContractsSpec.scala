@@ -165,4 +165,25 @@ class PlanContractsSpec extends SparkSpec {
     assert(p.contains("Window"), "replay argmax window missing")
   }
 
+  test("entity resolution blocks as a keyed equi-join — no cartesian anywhere") {
+    val p = plan("dedup_entity_resolution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation lost its block key:\n$p")
+  }
+
+  test("semantic dedup's within-cluster sweep joins on list_id, never cross-product") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair sweep escaped its cluster bound:\n$p")
+  }
+
+  test("model filter apply is a stateless projection + one source aggregate") {
+    val p = SparkEntry.queries("corpus_model_filter")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"apply pass must not join anything:\n$p")
+    // The literal pocket weights are folded into the projection; the
+    // only exchanges are the kernel round-robin and the source groupBy.
+    assert(count(p, "Exchange hashpartitioning") <= 1,
+      s"apply pass should shuffle only for the source aggregate:\n$p")
+  }
 }
