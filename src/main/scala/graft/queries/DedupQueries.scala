@@ -264,6 +264,75 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("blk"))
     }),
 
+    // Edit-distance record linkage — the second similarity metric of
+    // the ER family (trigram Jaccard is set-shaped and
+    // transposition-tolerant; Levenshtein is sequence-shaped and
+    // position-strict — real linkage stacks both). Same name-prefix
+    // blocking; per block, the distribution of pair edit distances
+    // (d=1: single-digit twins, the data-entry-typo class; d=2: the
+    // rest of the block, whose names differ in at most the last two
+    // digits). Pins Spark's and DuckDB's levenshtein to identical
+    // integers over every in-block pair.
+    "dedup_edit_distance" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), substring(col("c_name"), 1, 16).as("blk"))
+      val a = cust.select(col("blk"), col("c_custkey").as("cust_a"), col("c_name").as("na"))
+      val b = cust.select(col("blk"), col("c_custkey").as("cust_b"), col("c_name").as("nb"))
+      a.join(b, Seq("blk")).filter(col("cust_a") < col("cust_b"))
+        .withColumn("d", levenshtein(col("na"), col("nb")).cast("long"))
+        .groupBy(col("blk"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("d") === 1, 1)).as("n_dist1"),
+          count(when(col("d") === 2, 1)).as("n_dist2"),
+          max(col("d")).as("max_dist"))
+        .orderBy(col("blk"))
+    }),
+
+    // THE FULL DEDUP FUNNEL — the composed pipeline a training-corpus
+    // run actually executes, as one driver-checkable query: raw →
+    // exact-dedup survivors (min doc per content fingerprint) →
+    // near-dup canonical (min doc per component among exact
+    // survivors; unclustered docs pass) → train split → 13-gram
+    // decontamination against the eval split. Every stage reuses the
+    // operator the inventory checks individually (fingerprints,
+    // memoized LSH components, the content-keyed splitter, the
+    // contamination gram join), so this pins the COMPOSITION: stage
+    // counts are monotone non-increasing by construction and each
+    // delta is one operator's drop mass. Driver-side counts are
+    // bounded 1-row aggregates; every stage is a linear shuffle.
+    "corpus_dedup_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.forKernels(s, dir, "documents")
+        .select(col("doc_id"), contentFingerprint(col("text")).as("fp"),
+          graft.functions.TextFunctions.trainEvalSplit(col("text")).as("split"),
+          Exprs.shingles(col("text"), CONTAM_N).as("grams"))
+        .localCheckpoint(true)
+      val n1 = base.count()
+      val e1 = base.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")).localCheckpoint(true)
+      val n2 = e1.count()
+      val comp = components(s, dir)
+      val ec = e1.join(comp, e1("doc_id") === comp("node"), "left")
+      val k3 = ec.filter(col("lbl").isNull).select(col("doc_id"))
+        .unionByName(ec.filter(col("lbl").isNotNull).groupBy(col("lbl"))
+          .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id")))
+        .localCheckpoint(true)
+      val n3 = k3.count()
+      val s4 = k3.join(base.select(col("doc_id"), col("split"), col("grams")),
+          Seq("doc_id"))
+        .filter(col("split") === "train")
+        .localCheckpoint(true)
+      val n4 = s4.count()
+      val evalGrams = base.filter(col("split") === "eval")
+        .select(explode(col("grams")).as("g")).distinct()
+      val cont = s4.select(col("doc_id"), explode(col("grams")).as("g"))
+        .join(evalGrams, Seq("g")).select(col("doc_id")).distinct()
+      val n5 = n4 - cont.count()
+      Seq((1L, "raw", n1), (2L, "exact", n2), (3L, "near_dup_canonical", n3),
+          (4L, "train_split", n4), (5L, "decontaminated", n5))
+        .toDF("stage", "stage_name", "n_docs").orderBy(col("stage"))
+    }),
+
     // Exact n-gram Jaccard near-dup pairs (threshold 0.2) via shingle
     // inverted index: explode → equi-join on shingle → count common →
     // verify. The join shuffles on the shingle string; map-side partial
@@ -548,6 +617,60 @@ object DedupQueries extends QueryGroup {
                  CAST(COALESCE(MAX(mc.n_matched_custs), 0) AS BIGINT) AS n_matched_custs
           FROM cand LEFT JOIN mc ON mc.blk = cand.blk
           GROUP BY cand.blk ORDER BY cand.blk""",
+    "dedup_edit_distance" ->
+      """WITH c AS (SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk FROM customer),
+          pr AS (SELECT a.blk, levenshtein(a.c_name, b.c_name) AS d
+                 FROM c a JOIN c b ON b.blk = a.blk AND a.c_custkey < b.c_custkey)
+          SELECT blk, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(COUNT(*) FILTER (d = 1) AS BIGINT) AS n_dist1,
+                 CAST(COUNT(*) FILTER (d = 2) AS BIGINT) AS n_dist2,
+                 CAST(MAX(d) AS BIGINT) AS max_dist
+          FROM pr GROUP BY blk ORDER BY blk""",
+    // The composed funnel: recursive-CTE components (same block as the
+    // dedup_clusters oracle), min-per-fingerprint exact survivors,
+    // min-per-component canonical, split filter, 13-gram eval-side
+    // decontamination — stage counts as VALUES rows.
+    "corpus_dedup_funnel" ->
+      s"""WITH RECURSIVE
+          toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+          sh AS (SELECT doc_id, $shinglesSql AS shingles FROM toks),
+          sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+          ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+          co AS (SELECT a.doc_id ai, b.doc_id bi, count(*) AS common
+                 FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          p AS (SELECT ai a, bi b
+                FROM co JOIN sz na ON co.ai = na.doc_id JOIN sz nb ON co.bi = nb.doc_id
+                WHERE CAST(common AS DOUBLE)/(na.n + nb.n - common) >= 0.5),
+          edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+          reach AS (SELECT a AS node, a AS lbl FROM edges
+                    UNION
+                    SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+          comp AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node),
+          docs AS (SELECT t.doc_id, md5($normSql) AS fp,
+                     ${graft.functions.TextFunctions.trainEvalSplitSql(s"md5($normSql)")} AS split,
+                     t.w
+                   FROM toks t JOIN documents USING (doc_id)),
+          e1 AS (SELECT MIN(doc_id) AS doc_id FROM docs GROUP BY fp),
+          ec AS (SELECT e.doc_id, c.lbl FROM e1 e LEFT JOIN comp c ON c.node = e.doc_id),
+          k3 AS (SELECT doc_id FROM ec WHERE lbl IS NULL
+                 UNION ALL SELECT MIN(doc_id) FROM ec WHERE lbl IS NOT NULL GROUP BY lbl),
+          s4 AS (SELECT k.doc_id FROM k3 k JOIN docs d ON d.doc_id = k.doc_id
+                 WHERE d.split = 'train'),
+          eg AS (SELECT DISTINCT unnest(${shinglesSqlN(CONTAM_N)}) AS g
+                 FROM docs WHERE split = 'eval'),
+          tg AS (SELECT d.doc_id, unnest(${shinglesSqlN(CONTAM_N)}) AS g
+                 FROM s4 JOIN docs d ON d.doc_id = s4.doc_id),
+          cont AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (g))
+          SELECT CAST(stage AS BIGINT) AS stage, stage_name, CAST(n_docs AS BIGINT) AS n_docs
+          FROM (VALUES
+            (1, 'raw', (SELECT COUNT(*) FROM docs)),
+            (2, 'exact', (SELECT COUNT(*) FROM e1)),
+            (3, 'near_dup_canonical', (SELECT COUNT(*) FROM k3)),
+            (4, 'train_split', (SELECT COUNT(*) FROM s4)),
+            (5, 'decontaminated',
+              (SELECT COUNT(*) FROM s4) - (SELECT COUNT(*) FROM cont))) t(stage, stage_name, n_docs)
+          ORDER BY stage""",
     // Connected components over the same pairs via recursive CTE
     // (transitive closure; fine for the oracle's tiny components).
     "dedup_clusters" ->
