@@ -218,6 +218,42 @@ object StreamingParity extends QueryGroup {
         Seq("n_stream", "n_batch", "n_only_stream", "n_only_batch"))
     }),
 
+    // TRAIN-OFFLINE / FILTER-ONLINE parity — the deployment shape of
+    // the model-based quality filter: the pocket perceptron trains on
+    // the batch side FIRST (memoized; its weights become literals),
+    // then the document stream applies the identical feature
+    // projection + literal-weight score per micro-batch (stateless —
+    // no streaming aggregation state at all) and the kept doc_id sets
+    // must match the batch filter exactly. One shared
+    // classifierFeatures definition means the online filter can never
+    // drift from the trainer; the oracle recomputes the kept count
+    // from the training CTEs and pins both residues at zero.
+    "streaming_model_filter_parity" -> ((s, dir) => {
+      val model = TextAnalysis.trainedPocket(s, dir)
+      val batchKept = model.feats
+        .filter(TextAnalysis.pocketDot(model.pocketW) > 0)
+        .select(col("doc_id")).localCheckpoint(true)
+      val streamedKept = withTempDir(s, "graft-modelfilter-parity-") { tmp =>
+        TextAnalysis.classifierFeatures(
+            s.readStream.schema(documentsSchema)
+              .parquet(s"$dir/{documents.parquet}"))
+          .filter(TextAnalysis.pocketDot(model.pocketW) > 0)
+          .select(col("doc_id"))
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.schema(StructType(Seq(StructField("doc_id", LongType))))
+          .parquet(s"$tmp/out")
+          .localCheckpoint(true)
+      }
+      parityCounts(s, streamedKept, batchKept, Seq("doc_id"),
+        Seq("n_stream", "n_batch", "n_only_stream", "n_only_batch"))
+    }),
+
     // Watermarked tumbling-window parity: EventStreams.hourlyCounts
     // (1-hour windows, 2-hour watermark, append mode) over the events
     // file stream, compared against the batch hourly counts restricted
@@ -481,6 +517,7 @@ object StreamingParity extends QueryGroup {
          FROM bf""",
     // Parity forces the streamed emission count to equal the batch
     // distinct-fingerprint count and both residues to zero.
+    "streaming_model_filter_parity" -> TextAnalysis.modelKeptParitySql,
     "streaming_dedup_parity" ->
       """SELECT CAST(COUNT(DISTINCT md5(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_stream,
            CAST(COUNT(DISTINCT md5(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_batch,

@@ -30,10 +30,10 @@ object TextAnalysis extends QueryGroup {
     * (`source`, label `y`, integer features x0..x3), the per-round
     * (round, n_updates, n_correct) trajectory, and the pocket pick.
     */
-  private case class PocketModel(feats: DataFrame,
+  private[queries] case class PocketModel(feats: DataFrame,
       hist: Seq[(Long, Long, Long)], pocketRound: Long, pocketW: Vector[Long])
 
-  private def pocketDot(ws: Vector[Long]): Column =
+  private[queries] def pocketDot(ws: Vector[Long]): Column =
     (0 until 4).map(i => lit(ws(i)) * col(s"x$i")).reduce(_ + _)
 
   /** Train the quality-filter perceptron (see text_quality_classifier
@@ -43,23 +43,31 @@ object TextAnalysis extends QueryGroup {
     */
   private val pocketCache = new graft.util.SessionCache[PocketModel]
 
-  private def trainedPocket(s: SparkSession, dir: String): PocketModel =
+  /** The classifier's feature projection over any documents-shaped
+    * DataFrame (batch or stream): doc_id, source, label y, integer
+    * features x0..x3 — ONE definition, so the offline trainer and the
+    * online (streaming) filter can never drift apart.
+    */
+  private[queries] def classifierFeatures(docs: DataFrame): DataFrame = {
+    val norm = normText(col("text"))
+    val toks = tokens(col("text"))
+    val nt = size(toks).cast("long")
+    val idiv = (a: Column, b: Column) =>
+      floor(a.cast("double") / b.cast("double")).cast("long")
+    docs.select(
+      col("doc_id"), col("source"),
+      when(ppm(qualityScore(norm, toks)) >= 500000L, 1L).otherwise(-1L).as("y"),
+      lit(1000L).as("x0"),
+      (least(nt, lit(64L)) * 16L).as("x1"),
+      least(idiv(markerHits(toks, stopwords) * 4096L, greatest(nt, lit(1L))),
+        lit(1024L)).as("x2"),
+      idiv(size(array_distinct(toks)).cast("long") * 1024L,
+        greatest(nt, lit(1L))).as("x3"))
+  }
+
+  private[queries] def trainedPocket(s: SparkSession, dir: String): PocketModel =
     pocketCache.getOrCompute(s, dir) {
-      val norm = normText(col("text"))
-      val toks = tokens(col("text"))
-      val nt = size(toks).cast("long")
-      val idiv = (a: Column, b: Column) =>
-        floor(a.cast("double") / b.cast("double")).cast("long")
-      val feats = Tables.forKernels(s, dir, "documents")
-        .select(
-          col("source"),
-          when(ppm(qualityScore(norm, toks)) >= 500000L, 1L).otherwise(-1L).as("y"),
-          lit(1000L).as("x0"),
-          (least(nt, lit(64L)) * 16L).as("x1"),
-          least(idiv(markerHits(toks, stopwords) * 4096L, greatest(nt, lit(1L))),
-            lit(1024L)).as("x2"),
-          idiv(size(array_distinct(toks)).cast("long") * 1024L,
-            greatest(nt, lit(1L))).as("x3"))
+      val feats = classifierFeatures(Tables.forKernels(s, dir, "documents"))
         .localCheckpoint(true) // read twice per round — materialize the tiny projection once
       var w = Vector.fill(4)(0L)
       var pocket = (0L, Vector.fill(4)(0L), -1L) // (round, weights, n_correct)
@@ -493,6 +501,21 @@ object TextAnalysis extends QueryGroup {
         SELECT round, n_updates, n_correct,
           round = (SELECT pr FROM pocket) AS is_pocket
         FROM rounds ORDER BY round"""
+
+  /** Parity-count form for the streaming twin: the kept-count computed
+    * from the same training CTEs, emitted in the four-column parity
+    * shape with residues pinned at zero.
+    */
+  private[queries] def modelKeptParitySql: String = {
+    val wAll = (1 to CLS_ROUNDS).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS r, w FROM w$r").mkString(" UNION ALL ")
+    s"""WITH $classifierCtes,
+          wsel AS (SELECT w FROM ($wAll) WHERE r = (SELECT pr FROM pocket)),
+          kept AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f, wsel ws
+                   WHERE list_sum([ws.w[j]*f.x[j] for j in range(1,5)]) > 0)
+        SELECT n AS n_stream, n AS n_batch, CAST(0 AS BIGINT) AS n_only_stream,
+          CAST(0 AS BIGINT) AS n_only_batch FROM kept"""
+  }
 
   /** The apply leg: select the pocket round's weights and score every
     * doc — mirror of corpus_model_filter.
