@@ -73,6 +73,33 @@ object Relational extends QueryGroup {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // TPC-H Q7 shape (volume shipping): the six-way join with TWO
+    // roles for the same dimension — nation joined once through the
+    // supplier leg and once through the customer leg. The fact-side
+    // joins (lineitem⋈orders on orderkey) shuffle on the fact keys;
+    // every dimension broadcasts, including both nation aliases, so
+    // the only large exchanges are the fact co-partitioning and the
+    // final group. Revenue in floor-cents per row (exact long sums).
+    "q7_nation_volume" -> ((s, dir) => {
+      val n1 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") < col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100))
+            .cast("long").as("revenue_cents"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
     // Semi join (EXISTS): orders that contain at least one big line.
     "join_semi_big_lines" -> ((s, dir) => {
       val big = Tables(s, dir, "lineitem").filter(col("l_quantity") >= 49.0)
@@ -275,6 +302,18 @@ object Relational extends QueryGroup {
            AND l_shipdate > TIMESTAMP '1998-03-15'
          GROUP BY l_orderkey, o_orderdate
          ORDER BY revenue_micros DESC, l_orderkey LIMIT 10""",
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE n1.n_name < n2.n_name
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "q5_revenue_by_nation" ->
       """SELECT r_name, n_name,
          CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) AS revenue_micros

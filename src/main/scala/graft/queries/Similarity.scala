@@ -83,6 +83,10 @@ object Similarity extends QueryGroup {
   // 0.45 dial the exact pair sweep (dedup_embedding) uses, so the two
   // operators agree on what "near-duplicate" means.
   private val SEM_T = 450000L
+  // Radius for the range-search query (ppm cosine): 0.4 sits below
+  // the 0.45 near-dup dial, so most queries have at least one match
+  // on this corpus while counts stay selective.
+  private val RANGE_T = 400000L
   // The incremental index probes wider than the fresh one: its
   // centroids never saw the delta, so query-to-list distances are
   // stale-index estimates — extra probes are the recall repair that
@@ -431,6 +435,41 @@ object Similarity extends QueryGroup {
       val deltaPost = assign(delta, cent, IVF_ASSIGN_R)
       ivfProbe(all.filter(col("vec_id") % 100 === 0),
         basePost.unionByName(deltaPost), cent, IVF_INC_PROBES)
+    }),
+
+    // RANGE (radius) search over the persisted IVF index — the other
+    // query shape a vector store serves besides top-k: "everything
+    // within cosine ≥ T of this query", the primitive behind
+    // dedup-on-ingest and near-duplicate lookup APIs. Same probe
+    // stage (12 nearest lists, candidates deduped across
+    // multi-assignment), then an exact-threshold filter instead of a
+    // rank window; per query, the match count and the nearest match.
+    // Like every IVF query it is probe-bounded — matches outside the
+    // probed lists are missed (the recall dial) — and the oracle
+    // mirrors the probe exactly, so the result is hash-exact.
+    "sim_range_search" -> ((s, dir) => {
+      val all = quantized(s, dir)
+      val (postings, cent) = ivfIndexCached(s, dir, all)
+      val probeW = Window.partitionBy(col("query_id"))
+        .orderBy(col("c_cos").desc, col("list_id"))
+      val qProbes = all.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("sq").as("q_sq"))
+        .join(broadcast(cent))
+        .withColumn("c_cos", cosPpm(qdot(col("q_qv"), col("cv")), col("q_sq"), col("c_sq")))
+        .withColumn("p_rn", row_number().over(probeW))
+        .filter(col("p_rn") <= IVF_PROBES)
+        .select(col("query_id"), col("q_qv"), col("q_sq"), col("list_id"))
+      postings.select(col("vec_id").as("neighbor_id"), col("qv"), col("sq"), col("list_id"))
+        .join(qProbes, Seq("list_id"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("q_qv"), col("q_sq"),
+          col("neighbor_id"), col("qv"), col("sq"))
+        .distinct()
+        .withColumn("cos_ppm", cosPpm(qdot(col("q_qv"), col("qv")), col("q_sq"), col("sq")))
+        .filter(col("cos_ppm") >= RANGE_T)
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_in_radius"), max(col("cos_ppm")).as("best_cos_ppm"))
+        .orderBy(col("query_id"))
     }),
 
     // SEMANTIC DEDUP (SemDeDup-shaped): k-means clusters bound the
@@ -926,6 +965,25 @@ object Similarity extends QueryGroup {
                 FROM ex)
           SELECT query_id, rank, neighbor_id, cos_ppm FROM r
           WHERE rank <= $TOP_K ORDER BY query_id, rank""",
+    "sim_range_search" ->
+      s"""WITH $quantSql,
+          $ivfBuildSql,
+          qp AS (SELECT query_id, q_qv, q_sq, list_id FROM (
+                   SELECT n.vec_id AS query_id, n.qv AS q_qv, n.sq AS q_sq, c.list_id,
+                     ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY ${cosPpmSql("n.qv", "c.cv", "n.sq", "c.c_sq")} DESC, c.list_id) AS p_rn
+                   FROM n, $ivfFinalCent c WHERE n.vec_id % 100 = 0)
+                 WHERE p_rn <= $IVF_PROBES),
+          cand AS (SELECT DISTINCT qp.query_id, qp.q_qv, qp.q_sq,
+                     nb.vec_id AS neighbor_id, nb.qv, nb.sq
+                   FROM qp JOIN af nb USING (list_id)
+                   WHERE nb.vec_id <> qp.query_id),
+          sc AS (SELECT query_id, neighbor_id,
+                   ${cosPpmSql("q_qv", "qv", "q_sq", "sq")} AS cos_ppm FROM cand)
+          SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_in_radius,
+            CAST(MAX(cos_ppm) AS BIGINT) AS best_cos_ppm
+          FROM sc WHERE cos_ppm >= $RANGE_T
+          GROUP BY query_id ORDER BY query_id""",
     // The base index retrained in SQL from the filtered collection,
     // the delta assigned against the final centroids with the same
     // top-R rule, probes running over base ∪ delta — mirror of the
