@@ -189,6 +189,24 @@ class QueryContractsSpec extends SparkSpec {
         s"$exactHigher higher-id members")
   }
 
+  test("classifier update sums are partition-order independent") {
+    // The determinism claim the oracle match rests on: the per-round
+    // update vector is a sum of products of LONGS, so any partitioning
+    // of the corpus yields bit-identical weights. Re-aggregate the
+    // round-1 update (all docs misclassified under w=0) under three
+    // different partitionings and require identical integers.
+    import org.apache.spark.sql.functions.sum
+    val docs = Tables(spark, sf, "documents")
+    val sums = Seq(1, 7, 32).map { p =>
+      TextAnalysis.classifierFeatures(docs.repartition(p))
+        .agg(sum(col("y") * col("x0")), sum(col("y") * col("x1")),
+          sum(col("y") * col("x2")), sum(col("y") * col("x3")))
+        .head()
+    }
+    assert(sums.distinct.size === 1,
+      s"update sums differ across partitionings: $sums")
+  }
+
   test("quality classifier's pocket round beats the majority-class baseline") {
     val hist = SparkEntry.queries("text_quality_classifier")(spark, sf)
       .select("round", "n_updates", "n_correct", "is_pocket").collect()
