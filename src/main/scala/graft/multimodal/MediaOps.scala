@@ -166,15 +166,36 @@ object MediaOps {
     * (each member of a dup group lists its partners), so a per-media
     * rollup sees every duplicate.
     */
-  def phashDupPairs(sigs: DataFrame): DataFrame = {
-    val ex = sigs.select(
+  private def explodedBands(sigs: DataFrame): DataFrame =
+    sigs.select(
       col("media_id") +: col("kind") +:
         (0 until 4).map(k => col(s"b$k")) :+
         posexplode(array((0 until 4).map(k => col(s"b$k")): _*))
           .as(Seq("band", "bv")): _*)
-    val hamming = (0 until 4)
-      .map(k => bit_count(col(s"x.b$k").bitwiseXOR(col(s"y.b$k"))).cast("long"))
-      .reduce(_ + _)
+
+  private def bandHamming = (0 until 4)
+    .map(k => bit_count(col(s"x.b$k").bitwiseXOR(col(s"y.b$k"))).cast("long"))
+    .reduce(_ + _)
+
+  /** Directional near-dup probe: each DELTA signature against the
+    * BASE signature index at hamming ≤ 3 — the same pigeonhole
+    * blocking as [[phashDupPairs]], but candidate generation is
+    * deltaBands ⋈ baseBands only, so cost tracks the arrival batch
+    * (the media twin of the incremental-LSH delta probe).
+    */
+  def phashProbePairs(delta: DataFrame, base: DataFrame): DataFrame =
+    explodedBands(delta).as("x").join(explodedBands(base).as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.kind") === col("y.kind") &&
+          col("x.media_id") =!= col("y.media_id"))
+      .select(col("x.kind").as("kind"), col("x.media_id").as("arrival_id"),
+        col("y.media_id").as("base_id"), bandHamming.as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+
+  def phashDupPairs(sigs: DataFrame): DataFrame = {
+    val ex = explodedBands(sigs)
+    val hamming = bandHamming
     ex.as("x").join(ex.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.kind") === col("y.kind") &&

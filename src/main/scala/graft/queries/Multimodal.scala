@@ -94,6 +94,35 @@ object Multimodal extends QueryGroup {
         .orderBy(col("kind"), col("media_a"))
     }),
 
+    // INCREMENTAL media dedup — the ingest-time shape: the existing
+    // corpus's perceptual signatures are a PERSISTED index
+    // (IndexStore; built once, loaded thereafter), and an arriving
+    // upload batch (byte-identical re-uploads + tail-corrupted
+    // copies) is signature-hashed and probed against it. Candidate
+    // generation is deltaBands ⋈ baseBands — cost tracks the arrival
+    // batch, not the corpus — completing the incremental trilogy
+    // (text LSH, vector IVF, media pHash). Per arrival: how many
+    // base dups it collides with, the canonical base id, the nearest
+    // hamming.
+    "media_phash_incremental" -> ((s, dir) => {
+      val media = MediaOps.fakeMediaTable(s, dir)
+      val baseBands = graft.util.IndexStore.loadOrBuild(s, dir, "phash_sigs_4x16")(
+        MediaOps.phashBands(media))
+      val reupload = media.filter(col("media_id") % 20 === 0)
+        .withColumn("media_id", col("media_id") + 10000000L)
+      val corrupt = media.filter(col("media_id") % 20 === 10)
+        .withColumn("media_id", col("media_id") + 20000000L)
+        .withColumn("bytes",
+          expr("concat(substring(bytes, 1, cast(octet_length(bytes) as int) - 1), X'7E')"))
+      val deltaBands = MediaOps.phashBands(reupload.unionByName(corrupt))
+        .localCheckpoint(true)
+      MediaOps.phashProbePairs(deltaBands, baseBands)
+        .groupBy(col("kind"), col("arrival_id"))
+        .agg(count(lit(1)).as("n_dups"), min(col("base_id")).as("min_dup"),
+          min(col("hamming")).as("min_hamming"))
+        .orderBy(col("kind"), col("arrival_id"))
+    }),
+
     // Feature-space kNN: extract (stub) features, then top-3 neighbors
     // per image among images — binary → vector → ANN integration.
     // Hash-exact: the md5-derived stub features are rebuilt by the
@@ -191,6 +220,51 @@ object Multimodal extends QueryGroup {
                  CAST(MIN(hamming) AS BIGINT) AS min_hamming
           FROM scored WHERE hamming <= 3
           GROUP BY 1, 2 ORDER BY kind, media_a""",
+    // Same signature CTEs as media_phash_dedup; the probe is the
+    // directional restriction (delta ids ≥ 1e7 on the left, base ids
+    // below on the right) — signatures are per-media, so building
+    // them jointly or separately is identical.
+    "media_phash_incremental" ->
+      """WITH m0 AS (SELECT doc_id AS media_id,
+              CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+              text FROM documents),
+          m AS (SELECT * FROM m0
+                UNION ALL
+                SELECT media_id + 10000000, kind, text FROM m0 WHERE media_id % 20 = 0
+                UNION ALL
+                SELECT media_id + 20000000, kind,
+                  substr(text, 1, strlen(text) - 1) || '~' FROM m0 WHERE media_id % 20 = 10),
+          ch AS (SELECT media_id, kind, md5(substr(text, 256*k+1, 256)) AS h
+                 FROM (SELECT media_id, kind, text,
+                         unnest(range((strlen(text) + 255) // 256)) AS k
+                       FROM m) ck),
+          hk AS (SELECT media_id, kind, kb.k AS band,
+                   CAST(CAST('0x' || substr(h, 4*kb.k+1, 4) AS UBIGINT) AS BIGINT) AS hv
+                 FROM ch, range(0, 4) kb(k)),
+          votes AS (SELECT media_id, kind, band, bb.b AS b,
+                   SUM(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                 FROM hk, range(0, 16) bb(b) GROUP BY 1, 2, 3, 4),
+          bands AS (SELECT media_id, kind, band,
+                   CAST(SUM(CASE WHEN v > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bv
+                 FROM votes GROUP BY 1, 2, 3),
+          sig AS (SELECT media_id, kind, list(bv ORDER BY band) AS bs
+                 FROM bands GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT x.media_id AS arrival_id, y.media_id AS base_id,
+                   x.kind AS kind
+                 FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv
+                   AND x.kind = y.kind AND x.media_id <> y.media_id
+                 WHERE x.media_id >= 10000000 AND y.media_id < 10000000),
+          scored AS (SELECT c.kind, c.arrival_id, c.base_id,
+                   CAST(bit_count(xor(sa.bs[1], sb.bs[1])) + bit_count(xor(sa.bs[2], sb.bs[2]))
+                      + bit_count(xor(sa.bs[3], sb.bs[3])) + bit_count(xor(sa.bs[4], sb.bs[4]))
+                     AS BIGINT) AS hamming
+                 FROM cand c JOIN sig sa ON sa.media_id = c.arrival_id
+                             JOIN sig sb ON sb.media_id = c.base_id)
+          SELECT kind, arrival_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+                 CAST(MIN(base_id) AS BIGINT) AS min_dup,
+                 CAST(MIN(hamming) AS BIGINT) AS min_hamming
+          FROM scored WHERE hamming <= 3
+          GROUP BY 1, 2 ORDER BY kind, arrival_id""",
     // Rebuild the md5-derived stub features (MediaOps.fakeDecodeFeatures)
     // per dimension, quantize to milli-units, and replay the broadcast
     // top-3 cosine join — integer math until the single final cosPpm
