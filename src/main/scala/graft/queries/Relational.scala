@@ -100,6 +100,22 @@ object Relational extends QueryGroup {
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
 
+    // TPC-H Q10 shape (returned-item losses): fact filter pushed to
+    // the scan (l_returnflag = 'R'), two joins, a customer-grain
+    // aggregate, then a global top-20 by revenue — which must plan as
+    // TakeOrderedAndProject (distributed per-partition top-k), never
+    // a single-task global sort.
+    "q10_returned_items" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100))
+            .cast("long").as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey")).limit(20)
+    }),
+
     // Semi join (EXISTS): orders that contain at least one big line.
     "join_semi_big_lines" -> ((s, dir) => {
       val big = Tables(s, dir, "lineitem").filter(col("l_quantity") >= 49.0)
@@ -302,6 +318,15 @@ object Relational extends QueryGroup {
            AND l_shipdate > TIMESTAMP '1998-03-15'
          GROUP BY l_orderkey, o_orderdate
          ORDER BY revenue_micros DESC, l_orderkey LIMIT 10""",
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE l_returnflag = 'R'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue_cents DESC, c_custkey LIMIT 20""",
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l_shipdate) AS BIGINT) AS l_year,

@@ -165,6 +165,14 @@ class PlanContractsSpec extends SparkSpec {
     assert(p.contains("Window"), "replay argmax window missing")
   }
 
+  test("q10 top-20 plans as TakeOrderedAndProject with the flag filter pushed") {
+    val p = plan("q10_returned_items")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-20 must be the distributed top-k operator, not a full sort")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"return-flag filter not pushed to the parquet scan:\n$p")
+  }
+
   test("entity resolution blocks as a keyed equi-join — no cartesian anywhere") {
     val p = plan("dedup_entity_resolution")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
