@@ -90,7 +90,12 @@ object Bench {
     // sim_ivf_ann/sim_kmeans_groups the trained IVF index) charge that
     // build to whichever member runs first in name order — read those
     // timings as a family total, per SCALING.md.
+    // Dev-time scoping (SPARK_GRAFT_BENCH_ONLY=q1,q2): time a subset in
+    // isolation, or a name-order prefix, to attribute cross-query
+    // session-state effects. The driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val best = scala.collection.mutable.Map[String, Double]()
     var passesDone = 0
     var p = 1

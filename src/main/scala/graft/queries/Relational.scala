@@ -41,8 +41,10 @@ object Relational extends QueryGroup {
     }),
 
     // TPC-H Q3 shape: 3-way join narrowed by selective filters, then
-    // top-k by aggregate. customer is small → broadcast; lineitem⋈orders
-    // shuffles on the join key.
+    // top-k by aggregate. customer grows linearly with SF, so it gets
+    // NO broadcast hint — Spark's size-based planning (auto-broadcast
+    // threshold + AQE) broadcasts it while it fits and falls back to a
+    // shuffled join at scale; lineitem⋈orders shuffles on the join key.
     "q3_shipping_priority" -> ((s, dir) => {
       val cust = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val ord = Tables(s, dir, "orders")
@@ -50,14 +52,17 @@ object Relational extends QueryGroup {
       val li = Tables(s, dir, "lineitem")
         .filter(col("l_shipdate") > to_timestamp(lit("1998-03-15")))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_micros"))
         .orderBy(col("revenue_micros").desc, col("l_orderkey"))
         .limit(10)
     }),
 
-    // TPC-H Q5 shape: star join through two broadcastable dims.
+    // TPC-H Q5 shape: star join. Only the fixed-cardinality dims
+    // (nation = 25 rows, region = 5) carry an explicit broadcast hint;
+    // customer scales with SF, so its join is left to size-based
+    // planning (broadcast while small, shuffled at scale).
     "q5_revenue_by_nation" -> ((s, dir) => {
       val region = Tables(s, dir, "region")
       val nation = Tables(s, dir, "nation")
@@ -65,7 +70,7 @@ object Relational extends QueryGroup {
       val ord = Tables(s, dir, "orders")
       val li = Tables(s, dir, "lineitem")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
@@ -76,10 +81,13 @@ object Relational extends QueryGroup {
     // TPC-H Q7 shape (volume shipping): the six-way join with TWO
     // roles for the same dimension — nation joined once through the
     // supplier leg and once through the customer leg. The fact-side
-    // joins (lineitem⋈orders on orderkey) shuffle on the fact keys;
-    // every dimension broadcasts, including both nation aliases, so
-    // the only large exchanges are the fact co-partitioning and the
-    // final group. Revenue in floor-cents per row (exact long sums).
+    // joins (lineitem⋈orders on orderkey) shuffle on the fact keys.
+    // Only the two nation aliases (25 rows each, fixed for any SF)
+    // carry an explicit broadcast hint; supplier and customer grow
+    // linearly with SF, so their joins are left to size-based planning
+    // — broadcast while they fit the threshold, shuffled hash / SMJ on
+    // the key at the 100 TB scale where a forced broadcast would OOM.
+    // Revenue in floor-cents per row (exact long sums).
     "q7_nation_volume" -> ((s, dir) => {
       val n1 = Tables(s, dir, "nation")
         .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
@@ -87,8 +95,8 @@ object Relational extends QueryGroup {
         .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
       Tables(s, dir, "lineitem")
         .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
         .filter(col("supp_nation") < col("cust_nation"))
@@ -104,11 +112,13 @@ object Relational extends QueryGroup {
     // the scan (l_returnflag = 'R'), two joins, a customer-grain
     // aggregate, then a global top-20 by revenue — which must plan as
     // TakeOrderedAndProject (distributed per-partition top-k), never
-    // a single-task global sort.
+    // a single-task global sort. The customer join carries NO
+    // broadcast hint (customer scales linearly with SF); size-based
+    // planning broadcasts it at test SFs and shuffles at scale.
     "q10_returned_items" -> ((s, dir) => {
       Tables(s, dir, "lineitem").filter(col("l_returnflag") === "R")
         .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n_lines"),
           sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100))

@@ -25,10 +25,55 @@ class PlanContractsSpec extends SparkSpec {
     assert(!p.contains("l_orderkey"), "scan reads columns q1 never uses")
   }
 
-  test("q5 star join broadcasts every dimension") {
+  test("q5 star join broadcasts every dimension at test SF") {
+    // nation/region via explicit hint, customer via size-based planning
+    // (it fits the auto-broadcast threshold at sf0.001).
     val p = plan("q5_revenue_by_nation")
     assert(count(p, "BroadcastHashJoin") >= 3,
       "customer/nation/region must broadcast, never shuffle")
+  }
+
+  /** Capture a query's initial physical plan with size-based broadcast
+    * disabled — what the planner would do when every SF-scaling table
+    * is too big to broadcast, i.e. the 100 TB shape. Explicit hints
+    * (fixed-cardinality dims) survive; anything else must shuffle.
+    */
+  private def planAtScale(name: String): String = {
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    finally conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q7 at scale: nation aliases still broadcast, supplier/customer shuffle on their keys") {
+    val p = planAtScale("q7_nation_volume")
+    assert(count(p, "BroadcastHashJoin") === 2,
+      s"exactly the two fixed-cardinality nation aliases may carry a broadcast hint:\n$p")
+    assert(count(p, "(SortMergeJoin|ShuffledHashJoin)") >= 3,
+      s"lineitem⋈orders and the supplier/customer joins must be keyed shuffle joins at scale:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q7 must never degrade to an unkeyed join:\n$p")
+  }
+
+  test("q10 at scale: customer join shuffles on the key, no forced broadcast") {
+    val p = planAtScale("q10_returned_items")
+    assert(count(p, "BroadcastHashJoin") === 0,
+      s"q10 has no fixed-cardinality dim — nothing may carry a broadcast hint:\n$p")
+    assert(count(p, "(SortMergeJoin|ShuffledHashJoin)") >= 2,
+      s"orders and customer joins must be keyed shuffle joins at scale:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must stay the distributed top-k operator at scale")
+  }
+
+  test("q3/q5 at scale: customer joins degrade to keyed shuffle joins, never nested-loop") {
+    for (q <- Seq("q3_shipping_priority", "q5_revenue_by_nation")) {
+      val p = planAtScale(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q lost a join key at scale:\n$p")
+      assert(count(p, "(SortMergeJoin|ShuffledHashJoin)") >= 2,
+        s"$q fact/customer joins must shuffle on their keys at scale:\n$p")
+    }
   }
 
   test("EXISTS / NOT EXISTS compile to semi and anti joins") {
