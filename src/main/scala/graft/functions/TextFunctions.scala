@@ -137,4 +137,18 @@ object TextFunctions {
     */
   val normSql: String = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
   val toksSql: String = s"string_split($normSql, ' ')"
+
+  /** DuckDB mirror of [[qualityScore]], floor-quantized to ppm — the
+    * ONE textual definition of the composite quality formula. Callers
+    * supply the token-count / stopword-ratio / punct-ratio SQL
+    * expressions (pre-parenthesized if compound); the arithmetic and
+    * its IEEE op order live only here, so the label every consumer
+    * derives (text_quality, the classifier's y, the curation bands)
+    * can never drift between copies.
+    */
+  def qualityPpmSqlFrom(nToksExpr: String, stopRatioExpr: String,
+      punctRatioExpr: String): String =
+    s"""CAST(floor((0.4 * least(CAST($nToksExpr AS DOUBLE) / 64.0, 1.0)
+          + 0.4 * least($stopRatioExpr * 4.0, 1.0)
+          + 0.2 * (1.0 - least($punctRatioExpr * 4.0, 1.0))) * 1000000.0) AS BIGINT)"""
 }

@@ -435,17 +435,17 @@ object Curation extends QueryGroup {
         for i in range(0, len(w) // $CHUNK_TOKS)]"""
   private def inList(items: Seq[String]): String =
     items.map(s => s"'$s'").mkString("(", ", ", ")")
-  // Mirror of TextFunctions.qualityScore in ppm (same IEEE op order as
-  // the text_quality oracle, which is hash-exact). Shared with the
-  // DedupQueries.dedup_canonical oracle (expects `norm` and `w`
-  // columns in scope).
+  // Mirror of TextFunctions.qualityScore in ppm, generated from the
+  // ONE shared formula (TextFunctions.qualityPpmSqlFrom) with the
+  // ratio CASEs inlined. Shared with the DedupQueries.dedup_canonical
+  // oracle (expects `norm` and `w` columns in scope).
   private[queries] val qualityPpmSql =
-    s"""CAST(floor((0.4 * least(CAST(len(w) AS DOUBLE) / 64.0, 1.0)
-          + 0.4 * least((CASE WHEN len(w) = 0 THEN 0.0
-              ELSE CAST(len(list_filter(w, t -> t IN ${inList(stopwords)})) AS DOUBLE) / len(w) END) * 4.0, 1.0)
-          + 0.2 * (1.0 - least((CASE WHEN length(norm) = 0 THEN 0.0
-              ELSE CAST(length(regexp_replace(norm, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(norm) END) * 4.0, 1.0)))
-        * 1000000.0) AS BIGINT)"""
+    graft.functions.TextFunctions.qualityPpmSqlFrom(
+      "len(w)",
+      s"""(CASE WHEN len(w) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(w, t -> t IN ${inList(stopwords)})) AS DOUBLE) / len(w) END)""",
+      """(CASE WHEN length(norm) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(norm, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(norm) END)""")
 
   val oracles: Map[String, String] = Map(
     "text_pii_scrub" ->

@@ -242,8 +242,15 @@ object DedupQueries extends QueryGroup {
     // candidate pairs generated, matches, distinct customers
     // matched.
     "dedup_entity_resolution" -> ((s, dir) => {
+      // Upper bound clamped + length filter: sequence(1, n) STEPS DOWN
+      // when n < 1, so a name shorter than 3 chars would otherwise
+      // yield [1, 0] and spurious short "trigrams" (the DuckDB mirror's
+      // range() is empty there). The filter drops the short substrings
+      // a clamped-but-still-present index 1 produces on 1-2 char names.
       val tri = expr(
-        "array_distinct(transform(sequence(1, length(c_name) - 2), i -> substr(c_name, i, 3)))")
+        """array_distinct(filter(
+             transform(sequence(1, greatest(length(c_name) - 2, 1)), i -> substr(c_name, i, 3)),
+             t -> length(t) = 3))""")
       val cust = Tables(s, dir, "customer")
         .select(col("c_custkey"), substring(col("c_name"), 1, 16).as("blk"),
           tri.as("tg"))

@@ -481,9 +481,7 @@ object TextAnalysis extends QueryGroup {
                          / length(norm) END AS punctr
                 FROM base),
           f AS (SELECT source,
-                  CASE WHEN CAST(floor((0.4 * least(CAST(nt AS DOUBLE) / 64.0, 1.0)
-                       + 0.4 * least(stopr * 4.0, 1.0)
-                       + 0.2 * (1.0 - least(punctr * 4.0, 1.0))) * 1000000.0) AS BIGINT)
+                  CASE WHEN ${qualityPpmSqlFrom("nt", "stopr", "punctr")}
                        >= 500000 THEN 1 ELSE -1 END AS y,
                   [CAST(1000 AS BIGINT),
                    CAST(least(nt, 64) * 16 AS BIGINT),
@@ -570,9 +568,7 @@ object TextAnalysis extends QueryGroup {
       s"""SELECT doc_id,
           CAST(floor(punct * 1000000.0) AS BIGINT) AS punct_ppm,
           CAST(floor(stop * 1000000.0) AS BIGINT) AS stopword_ppm,
-          CAST(floor((0.4 * least(CAST(len(w) AS DOUBLE) / 64.0, 1.0)
-                    + 0.4 * least(stop * 4.0, 1.0)
-                    + 0.2 * (1.0 - least(punct * 4.0, 1.0))) * 1000000.0) AS BIGINT)
+          ${qualityPpmSqlFrom("len(w)", "stop", "punct")}
             AS quality_ppm
           FROM (
             SELECT doc_id, w,

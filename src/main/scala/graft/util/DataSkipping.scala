@@ -112,8 +112,16 @@ object DataSkipping {
           pmod(xxhash64(col(keyCol), lit(s)), lit(bits))): _*)).as("p"))
       .select(col(keyCol), expr("p DIV 64").as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("b"))
-    bloom.join(broadcast(probes), Seq("w"))
-      .withColumn("hit", (col("bits").bitwiseAND(col("b"))) === col("b"))
+    // LEFT join from the (file × probe-bit) grid: a bloom word with no
+    // bits set in a file has NO row in the index, and that absence is a
+    // DEFINITE miss — an inner join on `w` would silently drop the
+    // probe bit and let min(hit) over the surviving bits claim
+    // may_contain, weakening the skip rate for no reason.
+    val files = bloom.select(col("_file")).distinct()
+    files.crossJoin(broadcast(probes))
+      .join(bloom, Seq("_file", "w"), "left")
+      .withColumn("hit",
+        coalesce((col("bits").bitwiseAND(col("b"))) === col("b"), lit(false)))
       .groupBy(col("_file"), col(keyCol))
       // a key may be in the file iff EVERY seed bit is set
       .agg(min(col("hit")).as("may_contain"))
