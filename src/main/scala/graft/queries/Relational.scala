@@ -126,6 +126,29 @@ object Relational extends QueryGroup {
         .orderBy(col("revenue_cents").desc, col("c_custkey")).limit(20)
     }),
 
+    // TPC-H Q18 shape (large-volume orders): group-by-fact-key HAVING,
+    // then enrich the few survivors and take a global top-k. The
+    // aggregate runs FIRST, on lineitem alone — the HAVING filter cuts
+    // the fact table to the handful of qualifying orders BEFORE any
+    // join, so the orders/customer joins see thousands of rows, not
+    // billions, and the per-order quantity sum is reused as the output
+    // column instead of re-aggregating the joined rows (the classic
+    // Q18 rewrite: the IN-subquery and the outer GROUP BY are the same
+    // aggregate). Customer carries no broadcast hint (SF-scaling dim,
+    // size-gated like q3/q5/q7/q10); the top-100 must plan as
+    // TakeOrderedAndProject.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_quantity"))).as("sum_qty_cents"))
+        .filter(col("sum_qty_cents") > 25000L)
+      big.join(Tables(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          cents(col("o_totalprice")).as("total_price_cents"), col("sum_qty_cents"))
+        .orderBy(col("total_price_cents").desc, col("o_orderkey")).limit(100)
+    }),
+
     // Semi join (EXISTS): orders that contain at least one big line.
     "join_semi_big_lines" -> ((s, dir) => {
       val big = Tables(s, dir, "lineitem").filter(col("l_quantity") >= 49.0)
@@ -357,6 +380,18 @@ object Relational extends QueryGroup {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q18_large_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+             CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
+           FROM lineitem GROUP BY l_orderkey
+           HAVING SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) > 25000)
+         SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS total_price_cents,
+           big.sum_qty_cents
+         FROM big JOIN orders ON o_orderkey = big.l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY total_price_cents DESC, o_orderkey LIMIT 100""",
     "join_semi_big_lines" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
          WHERE EXISTS (SELECT 1 FROM lineitem

@@ -66,6 +66,25 @@ class PlanContractsSpec extends SparkSpec {
       "top-20 must stay the distributed top-k operator at scale")
   }
 
+  test("q18 aggregates lineitem BEFORE the joins and plans the top-100 as TakeOrderedAndProject") {
+    val p = plan("q18_large_orders")
+    // The HAVING aggregate must sit below the joins: the plan's first
+    // (deepest) hash aggregate keys on l_orderkey alone, and no
+    // aggregate appears above a join (re-grouping the joined rows
+    // would shuffle the enriched fact instead of the filtered keys).
+    val aggIdx = p.indexOf("HashAggregate(keys=[l_orderkey")
+    assert(aggIdx >= 0, s"per-order quantity aggregate missing or not keyed on l_orderkey:\n$p")
+    val joinIdx = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .map(p.indexOf).filter(_ >= 0).min
+    assert(joinIdx < aggIdx,
+      s"joins must consume the aggregated/filtered orders (aggregate printed below them), not feed an aggregate:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-100 must be the distributed top-k operator")
+    val scale = planAtScale("q18_large_orders")
+    assert(!scale.contains("BroadcastNestedLoopJoin") && !scale.contains("CartesianProduct"),
+      s"q18 lost a join key at scale:\n$scale")
+  }
+
   test("q3/q5 at scale: customer joins degrade to keyed shuffle joins, never nested-loop") {
     for (q <- Seq("q3_shipping_priority", "q5_revenue_by_nation")) {
       val p = planAtScale(q)
