@@ -557,6 +557,72 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("eval_doc_id"))
     }),
 
+    // CROSS-DOC EXACT SUBSTRING (span-level) dedup — the suffix-array
+    // operator class (Lee et al., "Deduplicating Training Data Makes
+    // Language Models Better": remove any ≥K-token span shared across
+    // documents), recast equi-join-shaped via the K-gram cover
+    // equivalence: a token lies in a shared ≥K-token span iff it is
+    // covered by some K-gram whose text occurs in ≥2 distinct docs
+    // (any shared K-gram IS a shared K-token span; any longer shared
+    // span is a run of shared K-grams). Complements the doc-level
+    // family: dedup_paragraphs only catches ALIGNED disjoint chunks, so
+    // staggered copies slip through, and dedup_ngram_contamination
+    // detects but does not excise. Pipeline: positional K-grams →
+    // cross-doc gram df (one keyed shuffle) → join marked starts back
+    // → gaps-and-islands interval merge (one doc_id window the
+    // per-island and per-doc rollups reuse). Per doc: token count,
+    // merged span count, tokens removed, retained ppm — integer math
+    // end-to-end. At 100 TB the gram string never needs to shuffle:
+    // the production join keys on a 64-bit gram hash (signatures-as-a-
+    // table, like the LSH band index), and the df side prunes to
+    // df≥2 grams before the join-back, so candidate mass tracks the
+    // duplicated-span mass, not corpus size × K.
+    "dedup_span_excision" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      val K = CONTAM_N // same 13-token window as the contamination gate
+      val toks = Tables.forKernels(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"), col("w"))
+      // Positional (not distinct) K-grams; eager checkpoint per the
+      // `shingled` note — consumed by both the df pass and the
+      // join-back.
+      val occ = toks.filter(size(col("w")) >= K)
+        .select(col("doc_id"),
+          posexplode(expr(
+            s"transform(sequence(0, size(w) - $K), i -> concat_ws(' ', slice(w, i + 1, $K)))"))
+            .as(Seq("p", "g")))
+        .localCheckpoint(true)
+      val shared = occ.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("g"))
+      val marked = occ.join(shared, Seq("g")).select(col("doc_id"), col("p"))
+      // Gaps-and-islands: a new island starts when the next marked
+      // K-gram start leaves a coverage gap (p - prev > K); island
+      // coverage is last_start - first_start + K tokens.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("p"))
+      val isl = marked
+        .withColumn("prev", lag(col("p"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("p") - col("prev") > K, 1L).otherwise(0L))
+        .withColumn("island", sum(col("brk")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      val agg = isl.groupBy(col("doc_id"), col("island"))
+        .agg(min(col("p")).as("p0"), max(col("p")).as("p1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("p1") - col("p0") + lit(K)).as("n_removed"))
+      toks.select(col("doc_id"), col("n_tokens"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+        .withColumn("retained_ppm",
+          expr("(n_tokens - n_removed) * 1000000 DIV n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding-cosine near-dup pairs (quantized integer cosine ≥ 0.45),
     // exact over all pairs via the tiled broadcast-matrix sweep in
     // [[graft.functions.VectorOps]] (same integer math as the oracle;
@@ -599,7 +665,40 @@ object DedupQueries extends QueryGroup {
         WHERE CAST(common AS DOUBLE)/(na.n + nb.n - common) >= $threshold
         ORDER BY doc_a, doc_b"""
 
+  // Span-excision oracle: same K-gram cover + gaps-and-islands in
+  // DuckDB. Positional grams via two ZIPPED unnests of equal-length
+  // list comprehensions (this DuckDB cannot lateral-join range() on a
+  // column); list slice is 1-based inclusive.
+  private def spanExcisionSql(k: Int): String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+        occ AS (SELECT doc_id,
+                  unnest([i - 1 for i in range(1, len(w) - ${k - 2})]) AS p,
+                  unnest([list_aggregate(w[i:i+${k - 1}], 'string_agg', ' ')
+                          for i in range(1, len(w) - ${k - 2})]) AS g
+                FROM t),
+        shared AS (SELECT g FROM occ GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        m AS (SELECT o.doc_id, o.p FROM occ o JOIN shared s ON s.g = o.g),
+        lagd AS (SELECT doc_id, p,
+                   lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM m),
+        isl AS (SELECT doc_id, p,
+                  SUM(CASE WHEN prev IS NULL OR p - prev > $k THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS island
+                FROM lagd),
+        spans AS (SELECT doc_id, island, MIN(p) AS p0, MAX(p) AS p1
+                  FROM isl GROUP BY 1, 2),
+        agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                  CAST(SUM(p1 - p0 + $k) AS BIGINT) AS n_removed
+                FROM spans GROUP BY 1),
+        base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM t)
+        SELECT b.doc_id, b.n_tokens,
+          CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+          CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
+          CAST((b.n_tokens - COALESCE(a.n_removed, 0)) * 1000000 // b.n_tokens AS BIGINT)
+            AS retained_ppm
+        FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
+    "dedup_span_excision" -> spanExcisionSql(CONTAM_N),
     "dedup_exact" ->
       s"""SELECT md5($normSql) AS fp, COUNT(*) AS n_docs,
           CAST(MIN(doc_id) AS BIGINT) AS survivor_id

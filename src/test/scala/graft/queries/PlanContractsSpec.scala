@@ -237,6 +237,14 @@ class PlanContractsSpec extends SparkSpec {
       s"return-flag filter not pushed to the parquet scan:\n$p")
   }
 
+  test("span excision: keyed gram join, one doc_id exchange shared by windows and rollups") {
+    val p = plan("dedup_span_excision")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gram join or join-back lost its key:\n$p")
+    assert(count(p, "Exchange hashpartitioning\\(doc_id") === 1,
+      s"the island windows and both rollups must reuse ONE doc_id shuffle:\n$p")
+  }
+
   test("entity resolution blocks as a keyed equi-join — no cartesian anywhere") {
     val p = plan("dedup_entity_resolution")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
