@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   * unchanged.
   */
 class CustomerStore(protected val spark: SparkSession, path: String,
-    commitClock: () => Long = () => System.currentTimeMillis())
+    commitClock: () => Long = () => System.currentTimeMillis(),
+    bloomBits: Long = CustomerStore.DefaultBloomBits)
     extends CustomerStoreApi {
 
   import CustomerSchema._
@@ -74,7 +75,8 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       require(f.renameTo(new java.io.File(stage, s"ins-$commitId-${f.getName}")),
         s"staging rename failed for $f")
     }
-    stageChanges(tmp, changeRows(fresh, "insert"))
+    val v = stageChanges(tmp, changeRows(fresh, "insert"))
+    stageStats(tmp, v)
     val staging = new java.io.File(path, Staging)
     require(tmp.renameTo(staging), s"commit rename $tmp -> $staging failed")
   }
@@ -306,42 +308,219 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       .map(_.getName.stripPrefix("v-").toLong)
   }
 
+  private def bloomSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("w",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("bits",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("nbits",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("commit_version",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  private def zonesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_rows",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("min_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("max_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("commit_version",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  private def readManifest(root: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val dir = new java.io.File(path, root)
+    if (!dir.exists())
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    spark.read.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(dir.toString)
+      .select(schema.fieldNames.map(col): _*)
+  }
+
+  /** The email bloom manifest — the union of every commit's staged
+    * per-file filters, reduced to the LATEST entry per file (a defence
+    * against basename reuse; data files are immutable, so in practice
+    * each file has exactly one entry). One row per (file, 64-bit word
+    * with ≥1 bit set); at 100 TB this is kilobytes per file against
+    * gigabytes of data — the manifest the planner consults before any
+    * file is opened.
+    */
+  def bloomManifest(): DataFrame = {
+    val m = readManifest(BloomManifest, bloomSchema)
+    val latest = m.groupBy(col("file"))
+      .agg(max(col("commit_version")).as("commit_version"))
+    m.join(latest, Seq("file", "commit_version"))
+      .select(bloomSchema.fieldNames.map(col): _*)
+  }
+
+  /** The zone-map manifest (per-file row count and id min/max),
+    * maintained per commit like [[bloomManifest]].
+    */
+  def zonesManifest(): DataFrame = {
+    val m = readManifest(ZonesManifest, zonesSchema)
+    val latest = m.groupBy(col("file"))
+      .agg(max(col("commit_version")).as("commit_version"))
+    m.join(latest, Seq("file", "commit_version"))
+      .select(zonesSchema.fieldNames.map(col): _*)
+  }
+
+  /** Live pending data files as (basename, absolute path). */
+  private def livePendingFiles(): Seq[(String, String)] = {
+    val dir = new java.io.File(path, "uploaded=false")
+    if (!dir.exists()) Seq.empty
+    else dir.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.getAbsolutePath)
+  }
+
+  /** Basenames of the live pending data files — exposed so callers can
+    * pin the FILE-LEVEL commit contract (an ack must leave untouched
+    * pending files in place, not rewrite the partition).
+    */
+  def pendingDataFiles(): Seq[String] = livePendingFiles().map(_._1)
+
+  /** Bloom-consulted selection of the pending files that may contain
+    * any of `emails`: probe each live file's latest manifest filter
+    * with the same xxhash64 expressions that built it (per-file `nbits`
+    * from the manifest, so mixed geometries probe correctly). A file
+    * with no manifest coverage is kept — missing stats degrade to a
+    * read, never a wrong answer. Returns (paths to open, total live).
+    */
+  private def prunePendingByBloom(emails: Seq[String]): (Seq[String], Int) = {
+    val files = livePendingFiles()
+    if (files.isEmpty || emails.isEmpty) return (Seq.empty, files.size)
+    import spark.implicits._
+    val bloom = bloomManifest().localCheckpoint(true)
+    val covered = bloom.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val coveredLive = files.filter { case (name, _) => covered(name) }
+    val mayContain: Set[String] =
+      if (coveredLive.isEmpty) Set.empty
+      else {
+        val filesDf = coveredLive.map(_._1).toDF("file")
+        val geom = filesDf.join(
+          bloom.select(col("file"), col("nbits")).distinct(), Seq("file"))
+        geom.crossJoin(broadcast(emails.toDF("k")))
+          .select(col("file"), col("k"),
+            explode(array((0 until BloomSeeds).map(s =>
+              pmod(xxhash64(col("k"), lit(s)), col("nbits"))): _*)).as("p"))
+          .select(col("file"), col("k"), expr("p DIV 64").as("w"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("b"))
+          // left join: a word with no set bits has no manifest row, and
+          // that absence is a definite miss for this probe bit
+          .join(bloom.select(col("file"), col("w"), col("bits")),
+            Seq("file", "w"), "left")
+          .withColumn("hit",
+            coalesce((col("bits").bitwiseAND(col("b"))) === col("b"), lit(false)))
+          .groupBy(col("file"), col("k")).agg(min(col("hit")).as("may"))
+          .filter(col("may")).select(col("file")).distinct()
+          .collect().map(_.getString(0)).toSet
+      }
+    val keep = files.filter { case (name, _) => mayContain(name) || !covered(name) }
+    (keep.map(_._2), files.size)
+  }
+
+  /** Email point lookup over the pending partition THROUGH the
+    * per-commit bloom manifest: open only may-contain files, re-apply
+    * the exact IN predicate. Returns (rows, filesRead, filesTotal) so
+    * callers can assert the skip actually happened — the store-native
+    * point-read the work-queue's ack path uses.
+    */
+  def pendingPointLookup(emails: Seq[String]): (DataFrame, Int, Int) = {
+    recover()
+    val (keep, total) = prunePendingByBloom(emails)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      tableSchema.filterNot(_.name == "uploaded"))
+    val rows =
+      if (keep.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+      else
+        spark.read.schema(dataSchema).parquet(keep: _*)
+          .filter(col("email").isin(emails: _*))
+          .withColumn("uploaded", lit(false))
+          .select(tableSchema.fieldNames.map(col): _*)
+    (rows, keep.size, total)
+  }
+
   /** Post-ack state transition (S7, database.go:176-198): flip
     * uploaded=true for the given emails and touch modified_ts — the
     * explicit form of the reference's BEFORE UPDATE trigger
-    * (init-db.sh:28-36). Only the pending partition is read or
-    * rewritten; acked rows move to the done partition.
+    * (init-db.sh:28-36). A FILE-LEVEL commit: only the pending files
+    * that actually contain acked emails are rewritten (their survivors
+    * as replacement files, the flipped rows appended to the done
+    * partition); every untouched pending file stays in place. Point-
+    * lookup-sized ack batches (≤ PointLookupMax) select the touched
+    * files through the per-commit bloom manifest — only may-contain
+    * files are ever OPENED, the index consult the reference's
+    * upload_idx does in Postgres — while larger batches fall back to
+    * the pending scan + semi-join (they touch most files anyway).
     *
     * Commit protocol (the analog of the reference's BEGIN/COMMIT,
-    * database.go:131-153): both partition outputs are first written to
-    * an underscore-prefixed staging directory (invisible to the parquet
+    * database.go:131-153): all outputs are first written to an
+    * underscore-prefixed staging directory (invisible to the parquet
     * reader), then a single atomic directory rename marks the commit
-    * point, then the staged outputs are promoted — pending directory
-    * swapped, done-partition files moved in under commit-unique names.
-    * A crash before the rename leaves the table untouched; a crash
-    * after it is finished idempotently by [[recover]] on next open. At
-    * no point can a row exist in both partitions, and the kept pending
-    * rows are never the only copy at risk mid-write.
+    * point, then the staged outputs are promoted — touched pending
+    * files deleted by remove-list, replacements and done-partition
+    * files moved in under commit-unique names. A crash before the
+    * rename leaves the table untouched; a crash after it is finished
+    * idempotently by [[recover]] on next open. At no point can a row
+    * exist in both partitions, and the kept pending rows are never the
+    * only copy at risk mid-write.
     */
   def markUploaded(ackedEmails: DataFrame): Unit = {
     if (!tableExists) return
     recover()
-    val pendingRows = all().filter(!col("uploaded"))
     val acked = ackedEmails.select(col("email").as("_ack")).distinct()
+      .localCheckpoint(true)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      tableSchema.filterNot(_.name == "uploaded"))
+    // Candidate pending rows, tagged with their physical file. The
+    // bloom path reads ONLY may-contain files; missing manifest
+    // coverage or a batch past the point-lookup gate reads the
+    // pending partition (still pruned to one partition).
+    val candidates: DataFrame =
+      if (acked.count() <= PointLookupMax) {
+        val emails = acked.collect().map(_.getString(0)).toSeq
+        val (keep, _) = prunePendingByBloom(emails)
+        if (keep.isEmpty)
+          spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
+            .withColumn("uploaded", lit(false))
+            .withColumn("_file", lit(""))
+        else
+          spark.read.schema(dataSchema).parquet(keep: _*)
+            .withColumn("uploaded", lit(false))
+            .withColumn("_file", input_file_name())
+      } else
+        all().filter(!col("uploaded")).withColumn("_file", input_file_name())
     // Pre-image first (the rows about to flip), pinned before any file
     // moves; the post-image derives from it so both reflect ONE scan.
-    val movedPre = pendingRows.join(acked, col("email") === col("_ack"), "left_semi")
-      .select(tableSchema.fieldNames.map(col): _*)
+    val movedPre = candidates.join(acked, col("email") === col("_ack"), "left_semi")
+      .select(col("_file") +: tableSchema.fieldNames.map(col): _*)
       .localCheckpoint(true)
-    val moved = movedPre
+    val touched = movedPre.select(col("_file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val moved = movedPre.drop("_file")
       .withColumn("uploaded", lit(true))
       .withColumn("modified_ts", current_timestamp())
       .select(tableSchema.fieldNames.map(col): _*)
       .localCheckpoint(true) // one evaluation feeds both the commit and its changelog
-    val kept = pendingRows.join(acked, col("email") === col("_ack"), "left_anti")
-      .select(tableSchema.fieldNames.map(col): _*)
-    stageCommit(moved, kept,
-      changeRows(movedPre, "ack_pre").unionByName(changeRows(moved, "ack")))
+    val survivors =
+      if (touched.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+      else candidates.filter(col("_file").isInCollection(touched))
+        .join(acked, col("email") === col("_ack"), "left_anti")
+        .select(tableSchema.fieldNames.map(col): _*)
+    stageMergeCommit(survivors.unionByName(moved), touched.toSeq,
+      changeRows(movedPre.drop("_file"), "ack_pre")
+        .unionByName(changeRows(moved, "ack")))
     applyStaged()
   }
 
@@ -427,7 +606,8 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       java.nio.file.Files.write(new java.io.File(tmp, rm).toPath,
         names.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     }
-    stageChanges(tmp, changes)
+    val v = stageChanges(tmp, changes)
+    stageStats(tmp, v)
     val staging = new java.io.File(path, Staging)
     require(tmp.renameTo(staging), s"commit rename $tmp -> $staging failed")
   }
@@ -444,7 +624,8 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     deleteRecursively(tmp)
     pending.drop("uploaded").write.parquet(new java.io.File(tmp, "pending").toString)
     done.drop("uploaded").write.parquet(new java.io.File(tmp, "done").toString)
-    stageChanges(tmp, changes)
+    val v = stageChanges(tmp, changes)
+    stageStats(tmp, v)
     val staging = new java.io.File(path, Staging)
     require(tmp.renameTo(staging), s"commit rename $tmp -> $staging failed")
   }
@@ -457,7 +638,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     * from — the stamp happens HERE, the single staging choke point,
     * so every mutation path versions identically.
     */
-  private def stageChanges(tmp: java.io.File, changes: DataFrame): Unit = {
+  private def stageChanges(tmp: java.io.File, changes: DataFrame): Long = {
     val v = currentVersion() + 1
     val dir = new java.io.File(tmp, "changelog")
     changes.withColumn("commit_version", lit(v))
@@ -474,6 +655,70 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     // _commits registry advances atomically with the commit itself.
     java.nio.file.Files.write(new java.io.File(tmp, "commit_ts").toPath,
       commitClock().toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    v
+  }
+
+  /** Stage this commit's SKIPPING STATS — per-file zone maps (row
+    * count, min/max id) and the per-file email bloom filter — computed
+    * from the staged data files themselves and promoted by the same
+    * atomic rename as the data, so the manifest advances exactly with
+    * the commit (never rebuilt per query; cost ∝ the commit's delta,
+    * one extra scan of freshly written, page-warm files). Entries key
+    * on the file BASENAME: staged names are commit-unique and survive
+    * promotion verbatim, so an entry written under `_staging` stays
+    * valid in the table. A file absent from the manifest (e.g. written
+    * before stats existed) is simply never skipped — stats are
+    * may-contain metadata, and missing metadata degrades to a read,
+    * never to a wrong answer.
+    *
+    * Must run AFTER each stage method's commit-unique renames (the
+    * basenames it records are the promoted ones) and before the
+    * atomic rename to `_staging`.
+    */
+  private def stageStats(tmp: java.io.File, v: Long): Unit = {
+    val dataDirs = Seq("pending", "done", "pending-append", "done-append",
+        "merge-pending", "merge-done")
+      .map(new java.io.File(tmp, _))
+      .filter(d => d.isDirectory &&
+        d.listFiles().exists(_.getName.endsWith(".parquet")))
+    if (dataDirs.isEmpty) return
+    val keySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("email",
+        org.apache.spark.sql.types.StringType)))
+    val staged = spark.read.schema(keySchema)
+      .parquet(dataDirs.map(_.toString): _*)
+      .select(element_at(split(input_file_name(), "/"), -1).as("file"),
+        col("id"), col("email"))
+      .cache()
+    try {
+      val zones = staged.groupBy(col("file"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .withColumn("commit_version", lit(v))
+      writeStagedStats(tmp, "zones", "zon", zones)
+      val bloom = staged.select(col("file"),
+          explode(array((0 until BloomSeeds).map(s =>
+            pmod(xxhash64(col("email"), lit(s)), lit(bloomBits))): _*)).as("p"))
+        .select(col("file"), expr("p DIV 64").as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("b"))
+        .groupBy(col("file"), col("w")).agg(expr("bit_or(b)").as("bits"))
+        .withColumn("nbits", lit(bloomBits))
+        .withColumn("commit_version", lit(v))
+      writeStagedStats(tmp, "bloom", "blm", bloom)
+    } finally staged.unpersist(): Unit
+  }
+
+  private def writeStagedStats(tmp: java.io.File, sub: String, prefix: String,
+      df: DataFrame): Unit = {
+    val dir = new java.io.File(tmp, sub)
+    df.coalesce(1).write.parquet(dir.toString)
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      require(f.renameTo(new java.io.File(dir, s"$prefix-$commitId-${f.getName}")),
+        s"staging rename failed for $f")
+    }
   }
 
   /** Write both partition outputs to `_staging.tmp` and atomically
@@ -488,7 +733,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     deleteRecursively(tmp)
     moved.drop("uploaded").write.parquet(new java.io.File(tmp, "done-append").toString)
     kept.drop("uploaded").write.parquet(new java.io.File(tmp, "pending").toString)
-    stageChanges(tmp, changes)
+    val v = stageChanges(tmp, changes)
     // Commit-unique file names now, so replay after a crash cannot
     // clobber files a previous commit already promoted.
     val commitId = java.util.UUID.randomUUID().toString.take(8)
@@ -497,6 +742,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       require(f.renameTo(new java.io.File(doneStage, s"ack-$commitId-${f.getName}")),
         s"staging rename failed for $f")
     }
+    stageStats(tmp, v) // after the renames: stats key on promoted basenames
     val staging = new java.io.File(path, Staging)
     require(tmp.renameTo(staging), s"commit rename $tmp -> $staging failed")
   }
@@ -587,6 +833,28 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       }
       deleteRecursively(chgStage)
     }
+    // Skipping-stats promotion into this commit's own manifest
+    // directories (`_bloom/commit-<v>/`, `_zones/commit-<v>/`) — same
+    // per-commit layout and replay rules as the changelog, so the
+    // manifest can never describe a commit that did not land.
+    Seq(("bloom", BloomManifest), ("zones", ZonesManifest)).foreach {
+      case (sub, root) =>
+        val st = new java.io.File(staging, sub)
+        if (st.exists()) {
+          val vm = new java.io.File(staging, "version")
+          val v =
+            if (vm.exists())
+              new String(java.nio.file.Files.readAllBytes(vm.toPath),
+                java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+            else currentVersion() + 1
+          val dst = new java.io.File(path, f"$root%s/commit-$v%09d")
+          dst.mkdirs()
+          st.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+            require(f.renameTo(new java.io.File(dst, f.getName)), s"promote $f failed")
+          }
+          deleteRecursively(st)
+        }
+    }
     // Version promotion: advance the counter to the staged commit's
     // version (atomic tmp+rename; replay after a crash rewrites the
     // same value, so promotion stays idempotent).
@@ -628,13 +896,34 @@ class CustomerStore(protected val spark: SparkSession, path: String,
 }
 
 object CustomerStore {
-  /** Underscore prefix keeps all three out of Spark/Hadoop data discovery. */
+  /** Underscore prefix keeps all of these out of Spark/Hadoop data discovery. */
   private[pipeline] val Staging = "_staging"
   private[pipeline] val StagingTmp = "_staging.tmp"
   private[pipeline] val Changelog = "_changelog"
   private[pipeline] val VersionFile = "_version"
   private[pipeline] val Snapshots = "_snapshots"
   private[pipeline] val Commits = "_commits"
+  private[pipeline] val BloomManifest = "_bloom"
+  private[pipeline] val ZonesManifest = "_zones"
+
+  /** Per-file bloom geometry for the email point-lookup index: 2^17
+    * bits (2 KiB of words per file) holds ~8k keys per file at the
+    * ~16-bits-per-key fill that keeps the false-positive rate ~1%
+    * (three probes against a ≲20%-full filter). Files are bounded by
+    * the write batch here; a store whose files grow past that re-sizes
+    * via the constructor, and the manifest records each file's
+    * geometry so mixed-geometry tables probe correctly.
+    */
+  private[pipeline] val DefaultBloomBits = 1L << 17
+  private[pipeline] val BloomSeeds = 3
+
+  /** Ack/update batches at or below this size consult the per-file
+    * bloom manifest to open only may-contain files; larger batches
+    * touch most files anyway, so the full pending scan + semi-join is
+    * the better plan (the same planner choice a format's metadata
+    * index makes between point lookups and batch scans).
+    */
+  private[pipeline] val PointLookupMax = 256
 
   private[pipeline] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)

@@ -106,7 +106,29 @@ object DataSkipping {
   def pruneBloom(spark: SparkSession, bloom: DataFrame, keyCol: String,
       keys: Seq[Long], bits: Long = DEFAULT_BLOOM_BITS): Seq[String] = {
     import spark.implicits._
-    val probes = keys.toDF(keyCol)
+    pruneBloomKeys(spark, bloom, keyCol, keys.toDF(keyCol), bits)
+  }
+
+  /** String-key overload — xxhash64 hashes any atomic type, so the
+    * index and probe expressions are type-generic; only the driver-side
+    * probe list needs its own entry point.
+    */
+  def pruneBloomStrings(spark: SparkSession, bloom: DataFrame, keyCol: String,
+      keys: Seq[String], bits: Long = DEFAULT_BLOOM_BITS): Seq[String] = {
+    import spark.implicits._
+    pruneBloomKeys(spark, bloom, keyCol, keys.toDF(keyCol), bits)
+  }
+
+  /** Core bloom consult: probe keys arrive as a single-column DataFrame
+    * (any atomic key type), so a planner-sized IN-list and a
+    * small-batch join probe share one code path. The probe side must be
+    * point-lookup sized (it broadcasts into a file×key grid); for batch
+    * probes beyond that, a semi-join scan beats consulting per-file
+    * blooms anyway — the caller gates.
+    */
+  def pruneBloomKeys(spark: SparkSession, bloom: DataFrame, keyCol: String,
+      keysDf: DataFrame, bits: Long = DEFAULT_BLOOM_BITS): Seq[String] = {
+    val probes = keysDf.select(col(keyCol)).distinct()
       .select(col(keyCol),
         explode(array((0 until BLOOM_SEEDS).map(s =>
           pmod(xxhash64(col(keyCol), lit(s)), lit(bits))): _*)).as("p"))

@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The store's per-commit skipping stats (`_bloom`/`_zones` manifests):
+  * maintained incrementally by every commit (never rebuilt per query),
+  * promoted atomically with the commit, consulted by the email
+  * point-lookup path, and safe to lose (missing stats degrade to a
+  * read, never a wrong answer).
+  */
+class StoreStatsSpec extends SparkSpec {
+
+  private def batch(from: Int, until: Int) = {
+    import spark.implicits._
+    (from until until).map(i =>
+      (i.toLong, s"F$i", s"L$i", s"user$i@example.com", s"555-$i"))
+      .toDF("id", "first_name", "last_name", "email", "phone")
+  }
+
+  /** Seed across `commits` insert commits — AQE coalesces each small
+    * commit's write to one file, so this yields one pending file per
+    * commit and a genuinely multi-file, multi-commit manifest.
+    */
+  private def seed(path: String, n: Int, commits: Int = 1): CustomerStore = {
+    val store = new CustomerStore(spark, path)
+    val per = n / commits
+    for (c <- 0 until commits) {
+      val from = 1 + c * per
+      val until = if (c == commits - 1) n + 1 else from + per
+      store.insertNew(Ingest.enrich(batch(from, until)))
+    }
+    store
+  }
+
+  private def liveFiles(path: String): Set[String] =
+    Seq("uploaded=false", "uploaded=true")
+      .map(p => new File(path, p)).filter(_.exists())
+      .flatMap(_.listFiles().toSeq).filter(_.getName.endsWith(".parquet"))
+      .map(_.getName).toSet
+
+  test("every commit stages fresh manifests; all live files stay covered") {
+    val path = tmpDir("stats") + "/s"
+    val store = seed(path, 100)                       // commit 1
+    store.insertNew(Ingest.enrich(batch(101, 151)))   // commit 2
+    import spark.implicits._
+    store.markUploaded(Seq("user7@example.com", "user120@example.com")
+      .toDF("email"))                                 // commit 3 (file-level)
+    assert(store.currentVersion() === 3L)
+    for (v <- 1L to 3L; root <- Seq("_bloom", "_zones"))
+      assert(new File(path, f"$root%s/commit-$v%09d").exists(),
+        s"$root manifest missing for commit $v")
+    val bloomFiles = store.bloomManifest().select("file")
+      .distinct().collect().map(_.getString(0)).toSet
+    val zoneFiles = store.zonesManifest().select("file")
+      .collect().map(_.getString(0)).toSet
+    val live = liveFiles(path)
+    assert(live.nonEmpty)
+    assert(live.subsetOf(bloomFiles), s"uncovered files: ${live -- bloomFiles}")
+    assert(live.subsetOf(zoneFiles), s"unzoned files: ${live -- zoneFiles}")
+  }
+
+  test("zone manifest rows match the files' actual id stats") {
+    val path = tmpDir("stats") + "/z"
+    val store = seed(path, 80)
+    val actual = store.all()
+      .select(element_at(split(input_file_name(), "/"), -1).as("file"), col("id"))
+      .groupBy("file")
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val zoned = store.zonesManifest()
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for ((f, stats) <- actual)
+      assert(zoned.get(f).contains(stats), s"zone drift for $f")
+  }
+
+  test("pendingPointLookup opens only may-contain files, exact rows") {
+    val path = tmpDir("stats") + "/p"
+    val store = seed(path, 200, commits = 4)
+    val keys = Seq("user13@example.com", "user177@example.com")
+    val (rows, nRead, nTotal) = store.pendingPointLookup(keys)
+    assert(nTotal > 1, "fixture produced a single pending file — no skip possible")
+    assert(nRead < nTotal, s"bloom skipped nothing ($nRead of $nTotal)")
+    val got = rows.select("id", "email").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((13L, keys.head), (177L, keys.last)))
+  }
+
+  test("missing manifest degrades to reading every file, same rows") {
+    val path = tmpDir("stats") + "/m"
+    val store = seed(path, 60)
+    CustomerStore.deleteRecursively(new File(path, "_bloom"))
+    val (rows, nRead, nTotal) = store.pendingPointLookup(Seq("user5@example.com"))
+    assert(nRead === nTotal, "uncovered files must all be read")
+    assert(rows.count() === 1L)
+  }
+
+  test("ack is file-level: untouched pending files survive in place") {
+    val path = tmpDir("stats") + "/f"
+    val store = seed(path, 200, commits = 4)
+    val before = store.pendingDataFiles().toSet
+    assert(before.size > 1)
+    import spark.implicits._
+    store.markUploaded(Seq("user42@example.com").toDF("email"))
+    val after = store.pendingDataFiles().toSet
+    assert((before -- after).size <= 1, "ack rewrote files beyond the touched one")
+    assert((before & after).size >= before.size - 1,
+      "untouched pending files did not survive the ack commit")
+    assert(store.pending().count() === 199L)
+    assert(store.all().filter(col("uploaded")).count() === 1L)
+  }
+
+  test("stats promote with crash recovery at the commit point") {
+    val path = tmpDir("stats") + "/c"
+    val store = seed(path, 50)
+    // Stage an ack commit but crash before promotion (CrashRecoverySpec
+    // pattern): the staged manifests must land when recovery replays.
+    val acked = {
+      import spark.implicits._
+      Seq("user3@example.com").toDF("email").select(col("email").as("_ack"))
+    }
+    val pending = store.all().filter(!col("uploaded"))
+    val moved = pending.join(acked, col("email") === col("_ack"), "left_semi")
+      .withColumn("uploaded", lit(true))
+      .withColumn("modified_ts", current_timestamp())
+      .select(CustomerSchema.tableSchema.fieldNames.map(col): _*)
+    val kept = pending.join(acked, col("email") === col("_ack"), "left_anti")
+      .select(CustomerSchema.tableSchema.fieldNames.map(col): _*)
+    store.stageCommit(moved, kept,
+      moved.select(lit("ack").as("change_type") +:
+        CustomerSchema.tableSchema.fieldNames.map(col): _*))
+    assert(!new File(path, f"_bloom/commit-${2L}%09d").exists())
+    val reopened = new CustomerStore(spark, path) // recovery promotes
+    assert(new File(path, f"_bloom/commit-${2L}%09d").exists())
+    assert(new File(path, f"_zones/commit-${2L}%09d").exists())
+    val live = liveFiles(path)
+    val covered = reopened.bloomManifest().select("file")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(live.subsetOf(covered), s"uncovered after recovery: ${live -- covered}")
+  }
+}
