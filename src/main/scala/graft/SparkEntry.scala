@@ -13,6 +13,7 @@ object SparkEntry {
     graft.queries.TextAnalysis,
     graft.queries.Curation,
     graft.queries.BpeTraining,
+    graft.queries.UnigramLm,
     graft.queries.DedupQueries,
     graft.queries.Similarity,
     graft.queries.Events,
