@@ -308,23 +308,19 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       .map(_.getName.stripPrefix("v-").toLong)
   }
 
-  private def bloomSchema = org.apache.spark.sql.types.StructType(Seq(
+  private def statsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("kind",
       org.apache.spark.sql.types.StringType, nullable = false),
     org.apache.spark.sql.types.StructField("w",
-      org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("bits",
-      org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("nbits",
-      org.apache.spark.sql.types.LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("commit_version",
-      org.apache.spark.sql.types.LongType, nullable = false)))
-
-  private def zonesSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("file",
-      org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("n_rows",
-      org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("min_id",
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("max_id",
@@ -332,43 +328,41 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     org.apache.spark.sql.types.StructField("commit_version",
       org.apache.spark.sql.types.LongType, nullable = false)))
 
-  private def readManifest(root: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val dir = new java.io.File(path, root)
+  /** The per-commit skipping-stats manifest, reduced to the LATEST
+    * entry set per file (a defence against basename reuse; data files
+    * are immutable, so in practice each file has exactly one commit's
+    * entries). At 100 TB this is kilobytes per file against gigabytes
+    * of data — the manifest the planner consults before any file is
+    * opened.
+    */
+  private def statsManifest(): DataFrame = {
+    val dir = new java.io.File(path, StatsManifest)
     if (!dir.exists())
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    spark.read.schema(schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], statsSchema)
+    val m = spark.read.schema(statsSchema)
       .option("recursiveFileLookup", "true").parquet(dir.toString)
-      .select(schema.fieldNames.map(col): _*)
-  }
-
-  /** The email bloom manifest — the union of every commit's staged
-    * per-file filters, reduced to the LATEST entry per file (a defence
-    * against basename reuse; data files are immutable, so in practice
-    * each file has exactly one entry). One row per (file, 64-bit word
-    * with ≥1 bit set); at 100 TB this is kilobytes per file against
-    * gigabytes of data — the manifest the planner consults before any
-    * file is opened.
-    */
-  def bloomManifest(): DataFrame = {
-    val m = readManifest(BloomManifest, bloomSchema)
+      .select(statsSchema.fieldNames.map(col): _*)
     val latest = m.groupBy(col("file"))
       .agg(max(col("commit_version")).as("commit_version"))
     m.join(latest, Seq("file", "commit_version"))
-      .select(bloomSchema.fieldNames.map(col): _*)
   }
+
+  /** The email bloom manifest: one row per (file, 64-bit word with ≥1
+    * bit set) plus the file's filter geometry.
+    */
+  def bloomManifest(): DataFrame =
+    statsManifest().filter(col("kind") === "b")
+      .select(col("file"), col("w"), col("bits"), col("nbits"),
+        col("commit_version"))
 
   /** The zone-map manifest (per-file row count and id min/max),
     * maintained per commit like [[bloomManifest]].
     */
-  def zonesManifest(): DataFrame = {
-    val m = readManifest(ZonesManifest, zonesSchema)
-    val latest = m.groupBy(col("file"))
-      .agg(max(col("commit_version")).as("commit_version"))
-    m.join(latest, Seq("file", "commit_version"))
-      .select(zonesSchema.fieldNames.map(col): _*)
-  }
+  def zonesManifest(): DataFrame =
+    statsManifest().filter(col("kind") === "z")
+      .select(col("file"), col("n_rows"), col("min_id"), col("max_id"),
+        col("commit_version"))
 
   /** Live pending data files as (basename, absolute path). */
   private def livePendingFiles(): Seq[(String, String)] = {
@@ -395,7 +389,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     val files = livePendingFiles()
     if (files.isEmpty || emails.isEmpty) return (Seq.empty, files.size)
     import spark.implicits._
-    val bloom = bloomManifest().localCheckpoint(true)
+    val bloom = bloomManifest() // manifest-scale: re-reading beats a checkpoint job
     val covered = bloom.select(col("file")).distinct()
       .collect().map(_.getString(0)).toSet
     val coveredLive = files.filter { case (name, _) => covered(name) }
@@ -693,32 +687,34 @@ class CustomerStore(protected val spark: SparkSession, path: String,
         col("id"), col("email"))
       .cache()
     try {
+      // Both stats grains in ONE staged write (zone rows kind='z',
+      // bloom-word rows kind='b') — commit overhead is one Spark job,
+      // not one per stats family; the cache makes the second branch
+      // reuse the first's scan inside that job.
       val zones = staged.groupBy(col("file"))
         .agg(count(lit(1)).as("n_rows"),
           min(col("id")).as("min_id"), max(col("id")).as("max_id"))
-        .withColumn("commit_version", lit(v))
-      writeStagedStats(tmp, "zones", "zon", zones)
+        .select(col("file"), lit("z").as("kind"), lit(null).cast("long").as("w"),
+          lit(null).cast("long").as("bits"), lit(null).cast("long").as("nbits"),
+          col("n_rows"), col("min_id"), col("max_id"))
       val bloom = staged.select(col("file"),
           explode(array((0 until BloomSeeds).map(s =>
             pmod(xxhash64(col("email"), lit(s)), lit(bloomBits))): _*)).as("p"))
         .select(col("file"), expr("p DIV 64").as("w"),
           expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("b"))
         .groupBy(col("file"), col("w")).agg(expr("bit_or(b)").as("bits"))
-        .withColumn("nbits", lit(bloomBits))
-        .withColumn("commit_version", lit(v))
-      writeStagedStats(tmp, "bloom", "blm", bloom)
+        .select(col("file"), lit("b").as("kind"), col("w"), col("bits"),
+          lit(bloomBits).as("nbits"), lit(null).cast("long").as("n_rows"),
+          lit(null).cast("long").as("min_id"), lit(null).cast("long").as("max_id"))
+      val dir = new java.io.File(tmp, "stats")
+      zones.unionByName(bloom).withColumn("commit_version", lit(v))
+        .coalesce(1).write.parquet(dir.toString)
+      val commitId = java.util.UUID.randomUUID().toString.take(8)
+      dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        require(f.renameTo(new java.io.File(dir, s"sts-$commitId-${f.getName}")),
+          s"staging rename failed for $f")
+      }
     } finally staged.unpersist(): Unit
-  }
-
-  private def writeStagedStats(tmp: java.io.File, sub: String, prefix: String,
-      df: DataFrame): Unit = {
-    val dir = new java.io.File(tmp, sub)
-    df.coalesce(1).write.parquet(dir.toString)
-    val commitId = java.util.UUID.randomUUID().toString.take(8)
-    dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
-      require(f.renameTo(new java.io.File(dir, s"$prefix-$commitId-${f.getName}")),
-        s"staging rename failed for $f")
-    }
   }
 
   /** Write both partition outputs to `_staging.tmp` and atomically
@@ -834,26 +830,25 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       deleteRecursively(chgStage)
     }
     // Skipping-stats promotion into this commit's own manifest
-    // directories (`_bloom/commit-<v>/`, `_zones/commit-<v>/`) — same
-    // per-commit layout and replay rules as the changelog, so the
-    // manifest can never describe a commit that did not land.
-    Seq(("bloom", BloomManifest), ("zones", ZonesManifest)).foreach {
-      case (sub, root) =>
-        val st = new java.io.File(staging, sub)
-        if (st.exists()) {
-          val vm = new java.io.File(staging, "version")
-          val v =
-            if (vm.exists())
-              new String(java.nio.file.Files.readAllBytes(vm.toPath),
-                java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-            else currentVersion() + 1
-          val dst = new java.io.File(path, f"$root%s/commit-$v%09d")
-          dst.mkdirs()
-          st.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
-            require(f.renameTo(new java.io.File(dst, f.getName)), s"promote $f failed")
-          }
-          deleteRecursively(st)
+    // directory (`_stats/commit-<v>/`) — same per-commit layout and
+    // replay rules as the changelog, so the manifest can never
+    // describe a commit that did not land.
+    locally {
+      val st = new java.io.File(staging, "stats")
+      if (st.exists()) {
+        val vm = new java.io.File(staging, "version")
+        val v =
+          if (vm.exists())
+            new String(java.nio.file.Files.readAllBytes(vm.toPath),
+              java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          else currentVersion() + 1
+        val dst = new java.io.File(path, f"$StatsManifest%s/commit-$v%09d")
+        dst.mkdirs()
+        st.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+          require(f.renameTo(new java.io.File(dst, f.getName)), s"promote $f failed")
         }
+        deleteRecursively(st)
+      }
     }
     // Version promotion: advance the counter to the staged commit's
     // version (atomic tmp+rename; replay after a crash rewrites the
@@ -903,8 +898,7 @@ object CustomerStore {
   private[pipeline] val VersionFile = "_version"
   private[pipeline] val Snapshots = "_snapshots"
   private[pipeline] val Commits = "_commits"
-  private[pipeline] val BloomManifest = "_bloom"
-  private[pipeline] val ZonesManifest = "_zones"
+  private[pipeline] val StatsManifest = "_stats"
 
   /** Per-file bloom geometry for the email point-lookup index: 2^17
     * bits (2 KiB of words per file) holds ~8k keys per file at the

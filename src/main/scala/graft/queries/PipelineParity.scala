@@ -229,18 +229,21 @@ object PipelineParity extends QueryGroup {
       workqueueCycle(s, dir)(tmp =>
         new graft.pipeline.JdbcCustomerStore(s, s"jdbc:derby:$tmp/cust;create=true"))),
 
-    // Point reads THROUGH the store's per-commit skipping stats: six
-    // insert commits build a multi-file pending partition whose email
-    // bloom manifest is maintained INCREMENTALLY (each commit stages
-    // its own files' filters and promotes them with the same atomic
-    // rename — never rebuilt per query); a 3-email point lookup must
-    // open only may-contain files, and the ack that follows must
-    // rewrite only the touched files (file-level commit, untouched
-    // pending files survive in place) — both REQUIREd, so a manifest
-    // or commit-shape regression fails the round even though the
-    // counts would still be right. Bloom geometry is data-driven
-    // (~16 bits per key per file, like layout_bloom_skipping) so the
-    // filter cannot saturate as the SF grows.
+    // Point reads THROUGH the store's per-commit skipping stats: four
+    // insert commits (id-range slices, one pending file each under
+    // AQE) build a multi-file pending partition whose email bloom
+    // manifest is maintained INCREMENTALLY (each commit stages its own
+    // files' filters and promotes them with the same atomic rename —
+    // never rebuilt per query); a 2-email point lookup must open only
+    // may-contain files, and the ack that follows must rewrite only
+    // the touched files (file-level commit, untouched pending files
+    // survive in place) — both REQUIREd, so a manifest or commit-shape
+    // regression fails the round even though the counts would still be
+    // right. The 1/7- and 5/7-quantile keys land in range slices 0 and
+    // 2 at EVERY SF, so the two touched files are always distinct.
+    // Bloom geometry is data-driven (~16 bits per key per file, like
+    // layout_bloom_skipping) so the filter cannot saturate as the SF
+    // grows.
     "pipeline_bloom_pointread" -> ((s, dir) => {
       import s.implicits._
       val base = Tables(s, dir, "customer")
@@ -249,22 +252,19 @@ object PipelineParity extends QueryGroup {
           concat(lit("l"), col("c_custkey")).as("last_name"),
           concat(lit("u"), col("c_custkey"), lit("@example.com")).as("email"),
           concat(lit("555-"), col("c_custkey")).as("phone"))
-      val shifted = base
-        .withColumn("id", col("id") + 20000000L)
-        .withColumn("email", regexp_replace(col("email"), "^u", "v"))
       val mm = base.agg(min("id"), max("id"), count(lit(1))).head()
       val (mn, mx, n) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
-      val ks = Seq(1L, 3L, 5L).map(j => mn + (mx - mn) * j / 7)
-      val keys = Seq(s"u${ks(0)}@example.com", s"v${ks(1)}@example.com",
-        s"u${ks(2)}@example.com")
-      val bits = math.max(1L << 17, (2 * n / 6) * 16 / 64 * 64)
+      val ks = Seq(1L, 5L).map(j => mn + (mx - mn) * j / 7)
+      val keys = ks.map(k => s"u$k@example.com")
+      val bits = math.max(1L << 17, (n / 4) * 16 / 64 * 64)
+      val slice = expr(s"(id - $mn) * 4 DIV ${mx - mn + 1}")
       val out = withTempDir("graft-bloomread-") { tmp =>
         val store = new graft.pipeline.CustomerStore(s, s"$tmp/store",
           bloomBits = bits)
-        for (src <- Seq(base, shifted); m <- 0L until 3L)
-          store.insertNew(Ingest.enrich(src.filter(col("id") % 3 === m)))
+        for (sl <- 0L until 4L)
+          store.insertNew(Ingest.enrich(base.filter(slice === sl)))
         val (rows, nRead, nTotal) = store.pendingPointLookup(keys)
-        require(nTotal >= 6, s"expected >=6 pending files, got $nTotal")
+        require(nTotal >= 4, s"expected >=4 pending files, got $nTotal")
         require(nRead < nTotal,
           s"store bloom manifest skipped nothing ($nRead of $nTotal files)")
         val found = rows.agg(count(lit(1)), sum(col("id"))).head()
@@ -743,21 +743,19 @@ object PipelineParity extends QueryGroup {
            CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pending_after,
            CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_uploaded
          FROM customer""",
-    // Lookup keys are the 1/7, 3/7, 5/7 quantile custkeys (contiguous
-    // keys, so each exists); the 3/7 key is probed through its shifted
-    // twin (id + 20000000). The found/uploaded sums tie the point reads
-    // and the ack to the exact planted rows.
+    // Lookup keys are the 1/7 and 5/7 quantile custkeys (contiguous
+    // keys, so each exists). The found/uploaded sums tie the point
+    // reads and the ack to the exact planted rows.
     "pipeline_bloom_pointread" ->
       """WITH b AS (SELECT min(c_custkey) AS mn, max(c_custkey) AS mx,
                            count(*) AS n FROM customer),
               k AS (SELECT mn + (mx - mn) * 1 // 7 AS k1,
-                           mn + (mx - mn) * 3 // 7 AS k3,
                            mn + (mx - mn) * 5 // 7 AS k5, n FROM b)
-         SELECT CAST(3 AS BIGINT) AS n_found,
-           CAST(k1 + k5 + k3 + 20000000 AS BIGINT) AS sum_found_id,
-           CAST(2 * n - 3 AS BIGINT) AS n_pending_after,
-           CAST(3 AS BIGINT) AS n_uploaded,
-           CAST(k1 + k5 + k3 + 20000000 AS BIGINT) AS sum_uploaded_id
+         SELECT CAST(2 AS BIGINT) AS n_found,
+           CAST(k1 + k5 AS BIGINT) AS sum_found_id,
+           CAST(n - 2 AS BIGINT) AS n_pending_after,
+           CAST(2 AS BIGINT) AS n_uploaded,
+           CAST(k1 + k5 AS BIGINT) AS sum_uploaded_id
          FROM k""",
     // %3==0 update, %3==1 unchanged, %10==0 insert, %10==3 id-conflict
     // (dropped); phones re-derived from the stored table must equal

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** The store's per-commit skipping stats (`_bloom`/`_zones` manifests):
+/** The store's per-commit skipping stats (the `_stats` manifest):
   * maintained incrementally by every commit (never rebuilt per query),
   * promoted atomically with the commit, consulted by the email
   * point-lookup path, and safe to lose (missing stats degrade to a
@@ -50,7 +50,7 @@ class StoreStatsSpec extends SparkSpec {
     store.markUploaded(Seq("user7@example.com", "user120@example.com")
       .toDF("email"))                                 // commit 3 (file-level)
     assert(store.currentVersion() === 3L)
-    for (v <- 1L to 3L; root <- Seq("_bloom", "_zones"))
+    for (v <- 1L to 3L; root <- Seq("_stats"))
       assert(new File(path, f"$root%s/commit-$v%09d").exists(),
         s"$root manifest missing for commit $v")
     val bloomFiles = store.bloomManifest().select("file")
@@ -94,7 +94,7 @@ class StoreStatsSpec extends SparkSpec {
   test("missing manifest degrades to reading every file, same rows") {
     val path = tmpDir("stats") + "/m"
     val store = seed(path, 60)
-    CustomerStore.deleteRecursively(new File(path, "_bloom"))
+    CustomerStore.deleteRecursively(new File(path, "_stats"))
     val (rows, nRead, nTotal) = store.pendingPointLookup(Seq("user5@example.com"))
     assert(nRead === nTotal, "uncovered files must all be read")
     assert(rows.count() === 1L)
@@ -134,10 +134,10 @@ class StoreStatsSpec extends SparkSpec {
     store.stageCommit(moved, kept,
       moved.select(lit("ack").as("change_type") +:
         CustomerSchema.tableSchema.fieldNames.map(col): _*))
-    assert(!new File(path, f"_bloom/commit-${2L}%09d").exists())
+    assert(!new File(path, f"_stats/commit-${2L}%09d").exists())
     val reopened = new CustomerStore(spark, path) // recovery promotes
-    assert(new File(path, f"_bloom/commit-${2L}%09d").exists())
-    assert(new File(path, f"_zones/commit-${2L}%09d").exists())
+    assert(new File(path, f"_stats/commit-${2L}%09d").exists())
+    assert(new File(path, f"_stats/commit-${2L}%09d").exists())
     val live = liveFiles(path)
     val covered = reopened.bloomManifest().select("file")
       .distinct().collect().map(_.getString(0)).toSet
