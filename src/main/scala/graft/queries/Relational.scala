@@ -149,6 +149,194 @@ object Relational extends QueryGroup {
         .orderBy(col("total_price_cents").desc, col("o_orderkey")).limit(100)
     }),
 
+    // TPC-H Q4 shape (order priority checking): EXISTS-grouped count —
+    // the decorrelated semi join runs BEFORE the aggregate, so the
+    // group-by sees only qualifying orders. The date predicate is the
+    // testdata's analog of Q4's commit/receipt lateness (no
+    // l_commitdate column): a line shipped more than 60 days after the
+    // order date. Both sides shuffle on orderkey; the output is
+    // 5 rows whatever the SF.
+    "q4_order_priority" -> ((s, dir) => {
+      val late = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      Tables(s, dir, "orders")
+        .join(late,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q6 shape (forecast revenue): the pure scan-predicate
+    // aggregate — every filter is scan-pushable (shipdate range,
+    // discount band, quantity cap) and the projection is 2 columns, so
+    // the parquet reader materializes a fraction of the table and the
+    // aggregate is one mergeable partial. PlanContractsSpec pins the
+    // pushed filters + pruned read schema.
+    "q6_forecast_revenue" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          col("l_discount") >= 0.04 && col("l_discount") <= 0.08 &&
+          col("l_quantity") < 24.0)
+        .agg(sum(micros(col("l_extendedprice") * col("l_discount"))).as("revenue_micros"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q8 shape (national market share): the two-role nation join
+    // again (supplier leg vs customer leg), a region gate on the
+    // customer side, and a share-of-total per year. The share is
+    // emitted as two exact integer columns (nation numerator + total
+    // denominator) instead of an engine-dependent double division.
+    // Fixed-cardinality nation/region broadcast; part/supplier/
+    // customer are SF-scaling and stay size-gated.
+    "q8_market_share" -> ((s, dir) => {
+      val n1 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+      val promo = Tables(s, dir, "part").filter(col("p_type") === "PROMO")
+      val america = Tables(s, dir, "region").filter(col("r_name") === "AMERICA")
+      Tables(s, dir, "lineitem")
+        .join(promo, col("l_partkey") === col("p_partkey"))
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(america), col("c_rk") === col("r_regionkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3",
+            micros(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .otherwise(lit(0L))).as("nation_micros"),
+          sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("total_micros"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q13 shape (customer order distribution): LEFT OUTER join +
+    // two-level aggregate — per-customer order count (customers with no
+    // qualifying orders land in the 0 bucket through the outer join's
+    // null side), then the count-of-counts distribution. The first
+    // aggregate shuffles on custkey, the second on the (tiny) count
+    // domain; no broadcast hints on either SF-scaling input.
+    "q13_customer_distribution" -> ((s, dir) => {
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+      val perCust = Tables(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q14 shape (promo revenue): fact⋈part with a conditional
+    // aggregate — the promo share emitted as exact integer numerator +
+    // denominator (same no-division discipline as q8). The shipdate
+    // window is scan-pushed; part carries no hint (SF-scaling).
+    "q14_promo_revenue" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-07-01")))
+        .join(Tables(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            micros(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .otherwise(lit(0L))).as("promo_micros"),
+          sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("total_micros"))
+    }),
+
+    // TPC-H Q15 shape (top supplier): per-supplier revenue aggregate,
+    // then keep the row(s) equal to the global max — the scalar max is
+    // a 1-row aggregate joined back (broadcast of one row), never a
+    // global sort. Catalyst reuses the aggregated view on both sides
+    // via exchange/subquery reuse.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("total_revenue_micros"))
+      val top = rev.agg(max(col("total_revenue_micros")).as("max_rev"))
+      rev.join(broadcast(top), col("total_revenue_micros") === col("max_rev"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_micros"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    // per-part average subquery, decorrelated into one aggregate join
+    // — lineitem is scanned once for the per-part moments and once for
+    // the probe, both shuffling on partkey. The 0.2·avg comparison is
+    // integer cross-multiplied (5·n·qty_cents < sum_qty_cents) so no
+    // double division happens in either engine.
+    "q17_small_quantity" -> ((s, dir) => {
+      val brand = Tables(s, dir, "part").filter(col("p_brand") === "Brand#23")
+      val li = Tables(s, dir, "lineitem")
+      val moments = li.groupBy(col("l_partkey").as("m_partkey"))
+        .agg(count(lit(1)).as("n_part_lines"),
+          sum(cents(col("l_quantity"))).as("sum_qty_cents"))
+      li.join(brand, col("l_partkey") === col("p_partkey"))
+        .join(moments, col("l_partkey") === col("m_partkey"))
+        .filter(cents(col("l_quantity")) * lit(5) * col("n_part_lines") <
+          col("sum_qty_cents"))
+        .agg(sum(cents(col("l_extendedprice"))).as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    // three OR-of-AND branches mixing join-side (brand/size) and
+    // fact-side (quantity) conjuncts. The common equi-key join stays a
+    // single hash join; the disjunction evaluates as a post-join
+    // filter with the fact-only quantity bounds (qty ≤ 30 across
+    // branches) still scan-pushable.
+    "q19_disjunctive_revenue" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val p = Tables(s, dir, "part")
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1.0, 11.0)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10.0, 20.0)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20.0, 30.0)))
+        .agg(sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_micros"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q22 shape (global sales opportunity): customers above the
+    // global positive-balance average (scalar subquery, integer
+    // cross-multiplied: acctbal_cents · n_pos > sum_pos_cents) that
+    // went dormant — no order in the final year (anti join with a
+    // scan-pushed date filter on the orders side; this corpus has no
+    // order-free customers, so the date gate IS the Q22 "no recent
+    // order" predicate). The scalar average is a 1-row broadcast; the
+    // anti join shuffles on custkey. Grouped by nation.
+    "q22_dormant_customers" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+      val avgPos = cust.filter(col("c_acctbal") > 0.0)
+        .agg(count(lit(1)).as("n_pos"),
+          sum(cents(col("c_acctbal"))).as("sum_pos_cents"))
+      val recent = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("2000-07-01")))
+      cust.crossJoin(broadcast(avgPos))
+        .filter(cents(col("c_acctbal")) * col("n_pos") > col("sum_pos_cents"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(cents(col("c_acctbal"))).as("totacctbal_cents"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // Semi join (EXISTS): orders that contain at least one big line.
     "join_semi_big_lines" -> ((s, dir) => {
       val big = Tables(s, dir, "lineitem").filter(col("l_quantity") >= 49.0)
@@ -392,6 +580,101 @@ object Relational extends QueryGroup {
          FROM big JOIN orders ON o_orderkey = big.l_orderkey
          JOIN customer ON o_custkey = c_custkey
          ORDER BY total_price_cents DESC, o_orderkey LIMIT 100""",
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q6_forecast_revenue" ->
+      """SELECT
+           CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 1000000) AS BIGINT)) AS BIGINT) AS revenue_micros,
+           COUNT(*) AS n_lines
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.04 AND l_discount <= 0.08
+           AND l_quantity < 24.0""",
+    "q8_market_share" ->
+      """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+             THEN CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS nation_micros,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) AS total_micros
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+         GROUP BY 1 ORDER BY 1""",
+    "q13_customer_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+           SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey) t
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q14_promo_revenue" ->
+      """SELECT
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS promo_micros,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) AS total_micros
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1997-07-01'""",
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) AS total_revenue_micros
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1997-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue_micros
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue_micros = (SELECT MAX(total_revenue_micros) FROM rev)
+         ORDER BY s_suppkey""",
+    "q17_small_quantity" ->
+      """WITH moments AS (
+           SELECT l_partkey AS m_partkey, COUNT(*) AS n_part_lines,
+             CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
+           FROM lineitem GROUP BY l_partkey)
+         SELECT
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_lines
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
+         JOIN moments ON l_partkey = m_partkey
+         WHERE CAST(FLOOR(l_quantity * 100) AS BIGINT) * 5 * n_part_lines < sum_qty_cents""",
+    "q19_disjunctive_revenue" ->
+      """SELECT
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) AS revenue_micros,
+           COUNT(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1.0 AND 11.0)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10.0 AND 20.0)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20.0 AND 30.0)""",
+    "q22_dormant_customers" ->
+      """WITH avg_pos AS (
+           SELECT COUNT(*) AS n_pos,
+             CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_pos_cents
+           FROM customer WHERE c_acctbal > 0.0)
+         SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+         FROM customer, avg_pos
+         WHERE CAST(FLOOR(c_acctbal * 100) AS BIGINT) * n_pos > sum_pos_cents
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '2000-07-01')
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     "join_semi_big_lines" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
          WHERE EXISTS (SELECT 1 FROM lineitem

@@ -257,6 +257,82 @@ class PlanContractsSpec extends SparkSpec {
       s"pair sweep escaped its cluster bound:\n$p")
   }
 
+  test("q4 compiles the EXISTS to a semi join that stays keyed at scale") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    val scale = planAtScale("q4_order_priority")
+    assert(!scale.contains("BroadcastNestedLoopJoin") && !scale.contains("CartesianProduct"),
+      s"the lateness conjunct must ride the orderkey equi-join, not replace it:\n$scale")
+  }
+
+  test("q6 is a pure pushed-scan aggregate — no joins, filters at the parquet reader") {
+    // The scan node caps each metadata string (PushedFilters, ...) at
+    // 100 chars; widen it so the quantity cap (last in the pushed
+    // list) stays visible in the plan string.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    val p = try plan("q6_forecast_revenue")
+    finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert(!p.contains("Join"), s"q6 must not join:\n$p")
+    assert(p.contains("LessThan(l_quantity,24.0)"),
+      s"quantity cap not pushed to the parquet scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate window not pushed to the parquet scan:\n$p")
+    assert(!p.contains("l_orderkey"), "scan reads columns q6 never uses")
+  }
+
+  test("q8 at scale: exactly the nation/nation/region hints broadcast, the rest shuffle keyed") {
+    val p = planAtScale("q8_market_share")
+    assert(count(p, "BroadcastHashJoin") === 3,
+      s"exactly n1/n2/region may broadcast — part/supplier/customer scale with SF:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q8 lost a join key at scale:\n$p")
+    assert(count(p, "(SortMergeJoin|ShuffledHashJoin)") >= 4,
+      s"part/orders/customer/supplier joins must be keyed shuffle joins at scale:\n$p")
+  }
+
+  test("q13 at scale: the outer join shuffles on custkey, no forced broadcast") {
+    val p = planAtScale("q13_customer_distribution")
+    assert(count(p, "BroadcastHashJoin") === 0,
+      s"customer and orders both scale with SF — nothing may carry a hint:\n$p")
+    assert(p.contains("LeftOuter"), s"zero-order customers need the outer join's null side:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q13 lost its join key at scale:\n$p")
+  }
+
+  test("q15 computes the aggregate once and probes the 1-row max via broadcast") {
+    val p = plan("q15_top_supplier")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the scalar max must broadcast back onto the per-supplier aggregate:\n$p")
+    val scale = planAtScale("q15_top_supplier")
+    assert(!scale.contains("CartesianProduct"),
+      s"q15 max probe lost its key at scale:\n$scale")
+  }
+
+  test("q17 decorrelates the per-part average into keyed aggregate joins") {
+    val p = planAtScale("q17_small_quantity")
+    assert(p.contains("HashAggregate(keys=[l_partkey") ||
+      p.contains("HashAggregate(keys=[m_partkey"),
+      s"per-part moments aggregate missing:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"probe join lost its partkey at scale:\n$p")
+  }
+
+  test("q19's disjunctive predicate rides ONE partkey equi-join") {
+    val p = planAtScale("q19_disjunctive_revenue")
+    assert(count(p, "(SortMergeJoin|ShuffledHashJoin)") === 1,
+      s"the three OR branches share one keyed join — never a union of three scans or a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q19 degraded to an unkeyed join:\n$p")
+  }
+
+  test("q22: anti join keyed at scale; only the 1-row scalar average broadcasts") {
+    val p = planAtScale("q22_dormant_customers")
+    assert(p.contains("LeftAnti"), s"dormancy must plan as an anti join:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1,
+      s"only the 1-row average may be an unkeyed broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q22 cartesian:\n$p")
+  }
+
   test("model filter apply is a stateless projection + one source aggregate") {
     val p = SparkEntry.queries("corpus_model_filter")(spark, sf)
       .queryExecution.executedPlan.toString
