@@ -35,6 +35,9 @@ object DedupQueries extends QueryGroup {
   private val MINHASH_K = 128
   private val LSH_BANDS = 64 // r = 2
   private val CONTAM_N = 13 // GPT-3-style exact-collision window
+  // Bloom contamination screen: 4 hash functions (the four 32-bit md5
+  // words), ~16 bits/key → expected FP (1-e^-0.25)^4 ≈ 0.24%.
+  private val BLOOM_K = 4
 
   /** doc_id, distinct word 3-gram shingles, shingle-set size. Uses the
     * one-pass ShinglesExpr kernel (set-equal to the oracle's SQL list
@@ -557,6 +560,64 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("eval_doc_id"))
     }),
 
+    // BLOOM-FILTER contamination screen — the scale path the exact
+    // gram join's comment promises, shipped: the train side compresses
+    // to ONE packed-word bloom (4 md5-word hashes per gram, ~16
+    // bits/key sized from the measured distinct-gram count — same
+    // data-driven discipline as layout_bloom_skipping), and the eval
+    // probe is an equi-join on bloom WORD index against an index
+    // that is 64× smaller than the distinct gram list. No false
+    // negatives by construction (every exact hit sets all its bits);
+    // the per-doc output carries both the bloom count and the exact
+    // count so the false-positive mass is measured, not assumed
+    // (~0.24% expected at 16 bits/key, k=4). At 100 TB the bloom is
+    // the benchmark-side artifact every ingest batch probes without
+    // touching the train corpus — the decontamination-at-ingest
+    // pattern. Both engines build the identical bloom, so the result
+    // is hash-exact.
+    "dedup_bloom_contamination" -> ((s, dir) => {
+      import graft.functions.TextFunctions.trainEvalSplit
+      val grams = Tables.forKernels(s, dir, "documents")
+        .withColumn("split", trainEvalSplit(col("text")))
+        .select(col("doc_id"), col("split"),
+          explode(Exprs.shingles(col("text"), CONTAM_N)).as("g"))
+        .localCheckpoint(true)
+      val train = grams.filter(col("split") === "train")
+        .select(col("g")).distinct().localCheckpoint(true)
+      // Data-driven sizing: ~16 bits per distinct train gram.
+      val mBits = 16L * train.count()
+      def positions(g: Column): Column = array((0 until BLOOM_K).map(i =>
+        pmod(conv(substring(md5(g), 1 + i * 8, 8), 16, 10).cast("long"),
+          lit(mBits))): _*)
+      def toWord(df: DataFrame): DataFrame = df
+        .withColumn("w", expr("p DIV 64"))
+        .withColumn("b", expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"))
+      val bloom = toWord(train.select(explode(positions(col("g"))).as("p")))
+        .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
+      val evalG = grams.filter(col("split") === "eval")
+        .select(col("doc_id"), col("g"))
+      val probes = toWord(evalG
+        .select(col("doc_id"), col("g"), explode(positions(col("g"))).as("p")))
+      // LEFT join: a word with no set bits has no row, and that
+      // absence is a DEFINITE miss (see DataSkipping.pruneBloomKeys).
+      val flagged = probes.join(bloom, Seq("w"), "left")
+        .withColumn("hit",
+          coalesce((col("bits").bitwiseAND(col("b"))) === col("b"), lit(false)))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(min(col("hit")).as("may"))
+        .filter(col("may"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_flagged"))
+      val exact = evalG.join(train, Seq("g"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact"))
+      evalG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        .join(flagged, Seq("doc_id"), "left")
+        .join(exact, Seq("doc_id"), "left")
+        .select(col("doc_id").as("eval_doc_id"), col("n_grams"),
+          coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+        .orderBy(col("eval_doc_id"))
+    }),
+
     // CROSS-DOC EXACT SUBSTRING (span-level) dedup — the suffix-array
     // operator class (Lee et al., "Deduplicating Training Data Makes
     // Language Models Better": remove any ≥K-token span shared across
@@ -895,6 +956,44 @@ object DedupQueries extends QueryGroup {
             CAST(COUNT(DISTINCT ev.g) AS BIGINT) AS n_contaminated_grams
           FROM ev JOIN tr USING (g)
           GROUP BY 1 ORDER BY eval_doc_id""",
+    // The bloom rebuilt in SQL: positions are the four 32-bit md5
+    // words mod the data-sized bit count, words pack via bit_or with
+    // bit 63 spelled as the min-long literal (DuckDB range-checks
+    // 1<<63), and the probe LEFT-joins so an absent word is a
+    // definite miss — bit-identical to the Spark-side index.
+    "dedup_bloom_contamination" -> {
+      val posSql = (alias: String) =>
+        s"""CAST(CAST('0x' || substr(md5($alias.g), 1 + i * 8, 8) AS UBIGINT) AS BIGINT)
+            % (SELECT mbits FROM m)"""
+      val maskSql =
+        """CASE WHEN p % 64 = 63 THEN (-9223372036854775807::BIGINT - 1)
+           ELSE (1::BIGINT << CAST(p % 64 AS INT)) END"""
+      s"""WITH toks AS (SELECT doc_id,
+                 ${graft.functions.TextFunctions.trainEvalSplitSql(s"md5($normSql)")} AS split,
+                 $toksSql AS w
+               FROM documents),
+          g AS (SELECT doc_id, split, unnest(${shinglesSqlN(CONTAM_N)}) AS g FROM toks),
+          tr AS (SELECT DISTINCT g FROM g WHERE split = 'train'),
+          m AS (SELECT 16 * COUNT(*) AS mbits FROM tr),
+          bp AS (SELECT ${posSql("tr")} AS p FROM tr, range(0, $BLOOM_K) t(i)),
+          bw AS (SELECT p // 64 AS w, bit_or($maskSql) AS bits FROM bp GROUP BY 1),
+          ev AS (SELECT doc_id, g FROM g WHERE split = 'eval'),
+          pr AS (SELECT ev.doc_id, ev.g, ${posSql("ev")} AS p
+                 FROM ev, range(0, $BLOOM_K) t(i)),
+          prb AS (SELECT doc_id, g, p // 64 AS w, $maskSql AS b FROM pr),
+          hit AS (SELECT doc_id, g,
+                    bool_and(COALESCE((bw.bits & prb.b) = prb.b, FALSE)) AS may
+                  FROM prb LEFT JOIN bw USING (w) GROUP BY 1, 2),
+          fl AS (SELECT doc_id, COUNT(*) AS n_flagged FROM hit WHERE may GROUP BY 1),
+          exg AS (SELECT ev.doc_id, COUNT(*) AS n_exact FROM ev JOIN tr USING (g)
+                  GROUP BY 1),
+          ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM ev GROUP BY 1)
+          SELECT ng.doc_id AS eval_doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+            CAST(COALESCE(n_flagged, 0) AS BIGINT) AS n_flagged,
+            CAST(COALESCE(n_exact, 0) AS BIGINT) AS n_exact
+          FROM ng LEFT JOIN fl USING (doc_id) LEFT JOIN exg USING (doc_id)
+          ORDER BY eval_doc_id"""
+    },
     // Exhaustive cross-join reformulation of the banded simhash query:
     // pigeonhole banding is EXACT for d≤3, so the banded equi-join and
     // this all-pairs check must emit identical rows. The signature is

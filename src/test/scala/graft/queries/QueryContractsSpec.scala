@@ -127,6 +127,20 @@ class QueryContractsSpec extends SparkSpec {
     assert(n === total, s"graph covers $n of $total vectors")
   }
 
+  test("bloom contamination screen: zero false negatives, sub-percent FP mass") {
+    val rows = SparkEntry.queries("dedup_bloom_contamination")(spark, sf)
+      .select("eval_doc_id", "n_grams", "n_flagged", "n_exact").collect()
+    assert(rows.nonEmpty, "no eval docs screened")
+    rows.foreach(r => assert(r.getLong(2) >= r.getLong(3),
+      s"bloom missed an exact-contaminated gram for doc ${r.getLong(0)} — " +
+        "a false negative breaks the may-contain contract"))
+    val fp = rows.map(r => r.getLong(2) - r.getLong(3)).sum.toDouble
+    val tot = rows.map(_.getLong(1)).sum.toDouble
+    assert(fp / tot <= 0.01,
+      f"bloom FP mass ${fp / tot}%.4f above 1%% — sizing regressed " +
+        "(16 bits/key k=4 measures 0.13-0.26%% across SFs)")
+  }
+
   test("funnel stage counts are monotonically non-increasing") {
     val rows = SparkEntry.queries("events_funnel")(spark, sf)
       .orderBy("stage").collect().map(_.getLong(1))
