@@ -713,6 +713,34 @@ object PipelineParity extends QueryGroup {
         (g.getLong(0), g.getLong(1), g.getLong(2), nBad)
       }
       Seq(agg).toDF("n_good", "sum_doc_ids", "text_checksum", "n_quarantined")
+    }),
+
+    // ORC sink → source round trip — the columnar-format breadth leg
+    // beside parquet (native tables), CSV, JSONL, JDBC, and the DSv2
+    // connector: a reference user switching corpus formats keeps the
+    // same query surface. Written partitionBy(lang) so the read-back
+    // exercises directory-level partition pruning in the second
+    // columnar format; the md5-prefix checksum pins value fidelity
+    // (including the text column's UTF-8) through the ORC
+    // writer/reader pair.
+    "pipeline_orc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      val out = withTempDir("graft-orc-rt-") { tmp =>
+        docs.write.partitionBy("lang").orc(s"$tmp/orc")
+        val r = s.read.orc(s"$tmp/orc")
+          .filter(col("lang") === "en")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("sum_doc_ids"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("text_checksum"))
+          .head()
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      Seq(out).toDF("n_docs", "sum_doc_ids", "sum_chars", "text_checksum")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -929,5 +957,11 @@ object PipelineParity extends QueryGroup {
            CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids,
            CAST(SUM(CAST(CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT) AS BIGINT)) AS BIGINT) AS text_checksum,
            CAST(2 AS BIGINT) AS n_quarantined
-         FROM documents""")
+         FROM documents""",
+    "pipeline_orc_roundtrip" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CAST(CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT) AS BIGINT)) AS BIGINT) AS text_checksum
+         FROM documents WHERE lang = 'en'""")
 }
