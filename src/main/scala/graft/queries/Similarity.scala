@@ -96,6 +96,15 @@ object Similarity extends QueryGroup {
   // (12 probes measured 0.96/0.88/0.95); ≥0.9 pinned in
   // QueryContractsSpec.
   private val IVF_INC_PROBES = 16
+  // kNN-graph probe width. A narrower-than-serving probe was measured
+  // and REJECTED: probes 6/8/10 put sf0.01 graph recall at
+  // 0.76/0.80/0.84 — under the 0.9 floor (these near-orthogonal
+  // synthetics spread true neighbors across lists, so recall tracks
+  // the scanned fraction almost linearly and there is no cheap knee).
+  // The graph therefore probes the full serving width (12), recall
+  // 1.00/0.96/0.94; the scan-mass lever that DOES work at scale is
+  // list count ∝ √n, not probe narrowing (see SCALING.md).
+  private val GRAPH_PROBES = IVF_PROBES
   // Embedding dimensionality of the `embeddings` table — used only
   // where SQL needs an explicit per-position range; the Spark side is
   // length-generic.
@@ -678,7 +687,7 @@ object Similarity extends QueryGroup {
     "sim_knn_graph" -> ((s, dir) => {
       val all = quantized(s, dir)
       val (postings, cent) = ivfIndexCached(s, dir, all)
-      ivfProbe(all, postings, cent)
+      ivfProbe(all, postings, cent, GRAPH_PROBES)
         .withColumnRenamed("query_id", "vec_id")
         .orderBy(col("vec_id"), col("rank"))
     }),
@@ -696,21 +705,36 @@ object Similarity extends QueryGroup {
     // signature) is at BQ_THRESHOLDS; build is deterministic, so the
     // oracle rebuilds it in SQL and the result is hash-exact.
     "sim_binary_quant" -> ((s, dir) => {
-      val all = quantized(s, dir).withColumn("sg", signSig(col("qv")))
-      val q = all.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
-          col("sq").as("q_sq"), col("sg").as("q_sg"))
+      val all = quantized(s, dir)
+      // The scan side carries ONLY (vec_id, 5-word signature) — 48
+      // bytes/row. A first cut joined the full vector rows and
+      // measured 124s at 20k vectors (4M pairs × 1 KB of arrays
+      // materialized for a prefilter that never reads them); keeping
+      // the vectors out of the scan and joining them back for just
+      // the BQ_CAND rerank rows is what makes the signature column
+      // the only thing the scan touches.
+      val sigs = all.select(col("vec_id"), signSig(col("qv")).as("sg"))
+        .localCheckpoint(false)
+      val qSig = sigs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("sg").as("q_sg"))
       val wc = Window.partitionBy(col("query_id"))
         .orderBy(col("ham").asc, col("neighbor_id"))
-      val cand = all
-        .select(col("vec_id").as("neighbor_id"), col("qv"), col("sq"), col("sg"))
-        .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      val cand = sigs
+        .select(col("vec_id").as("neighbor_id"), col("sg"))
+        .join(broadcast(qSig), col("neighbor_id") =!= col("query_id"))
         .withColumn("ham", hamming(col("q_sg"), col("sg")))
+        .select(col("query_id"), col("neighbor_id"), col("ham"))
         .withColumn("crn", row_number().over(wc))
         .filter(col("crn") <= BQ_CAND)
+        .select(col("query_id"), col("neighbor_id"))
+      val qVec = all.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("sq").as("q_sq"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_ppm").desc, col("neighbor_id"))
       cand
+        .join(all.select(col("vec_id").as("neighbor_id"), col("qv"), col("sq")),
+          Seq("neighbor_id"))
+        .join(broadcast(qVec), Seq("query_id"))
         .withColumn("cos_ppm", cosPpm(qdot(col("q_qv"), col("qv")), col("q_sq"), col("sq")))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= TOP_K)
@@ -975,7 +999,7 @@ object Similarity extends QueryGroup {
                      ROW_NUMBER() OVER (PARTITION BY n.vec_id
                        ORDER BY ${cosPpmSql("n.qv", "c.cv", "n.sq", "c.c_sq")} DESC, c.list_id) AS p_rn
                    FROM n, $ivfFinalCent c)
-                 WHERE p_rn <= $IVF_PROBES),
+                 WHERE p_rn <= $GRAPH_PROBES),
           cand AS (SELECT DISTINCT qp.query_id, qp.q_qv, qp.q_sq,
                      nb.vec_id AS neighbor_id, nb.qv, nb.sq
                    FROM qp JOIN af nb USING (list_id)
