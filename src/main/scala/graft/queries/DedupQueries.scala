@@ -39,6 +39,82 @@ object DedupQueries extends QueryGroup {
   // words), ~16 bits/key → expected FP (1-e^-0.25)^4 ≈ 0.24%.
   private val BLOOM_K = 4
 
+  /** Positional split + 13-gram table (doc_id, split, g) shared by the
+    * batch bloom screen and the streaming parity gate — memoized per
+    * (session, dir) so the two queries never recompute or drift.
+    */
+  private val contamGramsCache = new graft.util.SessionCache[DataFrame]
+
+  private[queries] def contamGrams(s: SparkSession, dir: String): DataFrame =
+    contamGramsCache.getOrCompute(s, dir) {
+      import graft.functions.TextFunctions.trainEvalSplit
+      contamGramsOf(
+        Tables.forKernels(s, dir, "documents")
+          .withColumn("split", trainEvalSplit(col("text"))),
+        col("split"))
+        .localCheckpoint(true)
+    }
+
+  /** Explode a documents frame into its CONTAM_N-token grams — the one
+    * definition of the contamination gram window, shared with the
+    * streaming parity gate so batch and stream cannot drift.
+    */
+  private[queries] def contamGramsOf(docs: DataFrame, extra: Column*): DataFrame =
+    docs.select((col("doc_id") +: extra) :+
+      explode(Exprs.shingles(col("text"), CONTAM_N)).as("g"): _*)
+
+  /** The train-side bloom artifact: (mBits, distinct train grams,
+    * packed bloom words). Sizing is data-driven (~16 bits per distinct
+    * train gram — the layout_bloom_skipping discipline); memoized like
+    * any persisted index.
+    */
+  private val contamBloomCache = new graft.util.SessionCache[(Long, DataFrame, DataFrame)]
+
+  private[queries] def contamBloom(s: SparkSession, dir: String): (Long, DataFrame, DataFrame) =
+    contamBloomCache.getOrCompute(s, dir) {
+      val train = contamGrams(s, dir).filter(col("split") === "train")
+        .select(col("g")).distinct().localCheckpoint(true)
+      val mBits = 16L * train.count()
+      val bloom = train
+        .select(explode(array((0 until BLOOM_K).map(i =>
+          bloomPos(col("g"), i, mBits)): _*)).as("p"))
+        .withColumn("w", expr("p DIV 64"))
+        .withColumn("b", expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"))
+        .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
+        .localCheckpoint(true)
+      (mBits, train, bloom)
+    }
+
+  /** Bit position of hash seed `i` for gram `g`: the i-th 32-bit md5
+    * word mod the bloom size.
+    */
+  private def bloomPos(g: Column, i: Int, mBits: Long): Column =
+    pmod(conv(substring(md5(g), 1 + i * 8, 8), 16, 10).cast("long"), lit(mBits))
+
+  /** The (doc_id, g) pairs the bloom flags as may-contain. STATELESS —
+    * one LEFT join per hash seed against the broadcast-sized word
+    * table, no aggregation — so the SAME code runs over a batch frame
+    * and inside a streaming micro-batch (the parity gate). A word with
+    * no set bits has no row, and that absence is a DEFINITE miss (see
+    * DataSkipping.pruneBloomKeys), hence left joins with a false
+    * default.
+    */
+  private[queries] def bloomFlaggedPairs(evalG: DataFrame, mBits: Long,
+      bloom: DataFrame): DataFrame = {
+    val withHits = (0 until BLOOM_K).foldLeft(evalG) { (df, i) =>
+      df.withColumn(s"p$i", bloomPos(col("g"), i, mBits))
+        .withColumn(s"w$i", expr(s"p$i DIV 64"))
+        .withColumn(s"b$i", expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p$i % 64 AS INT))"))
+        .join(broadcast(bloom.select(col("w").as(s"w$i"), col("bits").as(s"bits$i"))),
+          Seq(s"w$i"), "left")
+        .withColumn(s"hit$i",
+          coalesce((col(s"bits$i").bitwiseAND(col(s"b$i"))) === col(s"b$i"), lit(false)))
+    }
+    withHits
+      .filter((0 until BLOOM_K).map(i => col(s"hit$i")).reduce(_ && _))
+      .select(col("doc_id"), col("g"))
+  }
+
   /** doc_id, distinct word 3-gram shingles, shingle-set size. Uses the
     * one-pass ShinglesExpr kernel (set-equal to the oracle's SQL list
     * comprehension; see TextKernels for why not the HOF composition).
@@ -576,36 +652,10 @@ object DedupQueries extends QueryGroup {
     // pattern. Both engines build the identical bloom, so the result
     // is hash-exact.
     "dedup_bloom_contamination" -> ((s, dir) => {
-      import graft.functions.TextFunctions.trainEvalSplit
-      val grams = Tables.forKernels(s, dir, "documents")
-        .withColumn("split", trainEvalSplit(col("text")))
-        .select(col("doc_id"), col("split"),
-          explode(Exprs.shingles(col("text"), CONTAM_N)).as("g"))
-        .localCheckpoint(true)
-      val train = grams.filter(col("split") === "train")
-        .select(col("g")).distinct().localCheckpoint(true)
-      // Data-driven sizing: ~16 bits per distinct train gram.
-      val mBits = 16L * train.count()
-      def positions(g: Column): Column = array((0 until BLOOM_K).map(i =>
-        pmod(conv(substring(md5(g), 1 + i * 8, 8), 16, 10).cast("long"),
-          lit(mBits))): _*)
-      def toWord(df: DataFrame): DataFrame = df
-        .withColumn("w", expr("p DIV 64"))
-        .withColumn("b", expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"))
-      val bloom = toWord(train.select(explode(positions(col("g"))).as("p")))
-        .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
-      val evalG = grams.filter(col("split") === "eval")
+      val (mBits, train, bloom) = contamBloom(s, dir)
+      val evalG = contamGrams(s, dir).filter(col("split") === "eval")
         .select(col("doc_id"), col("g"))
-      val probes = toWord(evalG
-        .select(col("doc_id"), col("g"), explode(positions(col("g"))).as("p")))
-      // LEFT join: a word with no set bits has no row, and that
-      // absence is a DEFINITE miss (see DataSkipping.pruneBloomKeys).
-      val flagged = probes.join(bloom, Seq("w"), "left")
-        .withColumn("hit",
-          coalesce((col("bits").bitwiseAND(col("b"))) === col("b"), lit(false)))
-        .groupBy(col("doc_id"), col("g"))
-        .agg(min(col("hit")).as("may"))
-        .filter(col("may"))
+      val flagged = bloomFlaggedPairs(evalG, mBits, bloom)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_flagged"))
       val exact = evalG.join(train, Seq("g"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact"))
@@ -711,6 +761,48 @@ object DedupQueries extends QueryGroup {
     s"list_distinct([$joined for i in range(1, len(w) - ${n - 2})])"
   }
   private val shinglesSql = shinglesSqlN(SHINGLE_N)
+
+  /** The bloom screen's shared CTE block (split → grams → train bloom
+    * → eval probe → per-gram may-contain verdicts), single-sourced for
+    * the batch oracle and the streaming-parity oracle. Positions are
+    * the four 32-bit md5 words mod the data-sized bit count; bit 63 is
+    * spelled as the min-long literal (DuckDB range-checks 1<<63); the
+    * probe LEFT-joins so an absent word is a definite miss.
+    */
+  private def bloomCtesSql: String = {
+    val posSql = (alias: String) =>
+      s"""CAST(CAST('0x' || substr(md5($alias.g), 1 + i * 8, 8) AS UBIGINT) AS BIGINT)
+          % (SELECT mbits FROM m)"""
+    val maskSql =
+      """CASE WHEN p % 64 = 63 THEN (-9223372036854775807::BIGINT - 1)
+         ELSE (1::BIGINT << CAST(p % 64 AS INT)) END"""
+    s"""toks AS (SELECT doc_id,
+               ${graft.functions.TextFunctions.trainEvalSplitSql(s"md5($normSql)")} AS split,
+               $toksSql AS w
+             FROM documents),
+        g AS (SELECT doc_id, split, unnest(${shinglesSqlN(CONTAM_N)}) AS g FROM toks),
+        tr AS (SELECT DISTINCT g FROM g WHERE split = 'train'),
+        m AS (SELECT 16 * COUNT(*) AS mbits FROM tr),
+        bp AS (SELECT ${posSql("tr")} AS p FROM tr, range(0, $BLOOM_K) t(i)),
+        bw AS (SELECT p // 64 AS w, bit_or($maskSql) AS bits FROM bp GROUP BY 1),
+        ev AS (SELECT doc_id, g FROM g WHERE split = 'eval'),
+        pr AS (SELECT ev.doc_id, ev.g, ${posSql("ev")} AS p
+               FROM ev, range(0, $BLOOM_K) t(i)),
+        prb AS (SELECT doc_id, g, p // 64 AS w, $maskSql AS b FROM pr),
+        hit AS (SELECT doc_id, g,
+                  bool_and(COALESCE((bw.bits & prb.b) = prb.b, FALSE)) AS may
+                FROM prb LEFT JOIN bw USING (w) GROUP BY 1, 2)"""
+  }
+
+  /** Oracle for the streaming decontamination parity gate: both sides
+    * flag the identical (doc, gram) set, so the counts are equal and
+    * the anti-join residues are zero.
+    */
+  private[queries] def bloomFlagParitySql: String =
+    s"""WITH $bloomCtesSql,
+        c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM hit WHERE may)
+        SELECT n AS n_stream, n AS n_batch, CAST(0 AS BIGINT) AS n_only_stream,
+          CAST(0 AS BIGINT) AS n_only_batch FROM c"""
 
   private def exactJaccardSql(threshold: String): String =
     s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
@@ -961,29 +1053,8 @@ object DedupQueries extends QueryGroup {
     // bit 63 spelled as the min-long literal (DuckDB range-checks
     // 1<<63), and the probe LEFT-joins so an absent word is a
     // definite miss — bit-identical to the Spark-side index.
-    "dedup_bloom_contamination" -> {
-      val posSql = (alias: String) =>
-        s"""CAST(CAST('0x' || substr(md5($alias.g), 1 + i * 8, 8) AS UBIGINT) AS BIGINT)
-            % (SELECT mbits FROM m)"""
-      val maskSql =
-        """CASE WHEN p % 64 = 63 THEN (-9223372036854775807::BIGINT - 1)
-           ELSE (1::BIGINT << CAST(p % 64 AS INT)) END"""
-      s"""WITH toks AS (SELECT doc_id,
-                 ${graft.functions.TextFunctions.trainEvalSplitSql(s"md5($normSql)")} AS split,
-                 $toksSql AS w
-               FROM documents),
-          g AS (SELECT doc_id, split, unnest(${shinglesSqlN(CONTAM_N)}) AS g FROM toks),
-          tr AS (SELECT DISTINCT g FROM g WHERE split = 'train'),
-          m AS (SELECT 16 * COUNT(*) AS mbits FROM tr),
-          bp AS (SELECT ${posSql("tr")} AS p FROM tr, range(0, $BLOOM_K) t(i)),
-          bw AS (SELECT p // 64 AS w, bit_or($maskSql) AS bits FROM bp GROUP BY 1),
-          ev AS (SELECT doc_id, g FROM g WHERE split = 'eval'),
-          pr AS (SELECT ev.doc_id, ev.g, ${posSql("ev")} AS p
-                 FROM ev, range(0, $BLOOM_K) t(i)),
-          prb AS (SELECT doc_id, g, p // 64 AS w, $maskSql AS b FROM pr),
-          hit AS (SELECT doc_id, g,
-                    bool_and(COALESCE((bw.bits & prb.b) = prb.b, FALSE)) AS may
-                  FROM prb LEFT JOIN bw USING (w) GROUP BY 1, 2),
+    "dedup_bloom_contamination" ->
+      s"""WITH $bloomCtesSql,
           fl AS (SELECT doc_id, COUNT(*) AS n_flagged FROM hit WHERE may GROUP BY 1),
           exg AS (SELECT ev.doc_id, COUNT(*) AS n_exact FROM ev JOIN tr USING (g)
                   GROUP BY 1),
@@ -992,8 +1063,7 @@ object DedupQueries extends QueryGroup {
             CAST(COALESCE(n_flagged, 0) AS BIGINT) AS n_flagged,
             CAST(COALESCE(n_exact, 0) AS BIGINT) AS n_exact
           FROM ng LEFT JOIN fl USING (doc_id) LEFT JOIN exg USING (doc_id)
-          ORDER BY eval_doc_id"""
-    },
+          ORDER BY eval_doc_id""",
     // Exhaustive cross-join reformulation of the banded simhash query:
     // pigeonhole banding is EXACT for d≤3, so the banded equi-join and
     // this all-pairs check must emit identical rows. The signature is

@@ -254,6 +254,47 @@ object StreamingParity extends QueryGroup {
         Seq("n_stream", "n_batch", "n_only_stream", "n_only_batch"))
     }),
 
+    // Decontaminate-on-ingest: the train-gram bloom is a BATCH-built
+    // artifact (DedupQueries.contamBloom — the benchmark-side index),
+    // and the stream screens arriving eval documents against it as a
+    // STATELESS per-micro-batch projection: explode 13-grams, four
+    // LEFT stream-static joins against the broadcast-sized bloom word
+    // table, keep all-bits-hit pairs. No streaming aggregation, no
+    // watermark, no state store — exactly how a production ingest
+    // pipeline consults a persisted bloom. The flagged (doc, gram)
+    // sets are pinned identical to the batch screen's
+    // (dedup_bloom_contamination flags the same pairs before its
+    // per-doc rollup), and the shared bloomFlaggedPairs code means
+    // the two paths cannot drift.
+    "streaming_bloom_filter_parity" -> ((s, dir) => {
+      import graft.functions.TextFunctions.trainEvalSplit
+      val (mBits, _, bloom) = DedupQueries.contamBloom(s, dir)
+      val batchFlagged = DedupQueries.bloomFlaggedPairs(
+        DedupQueries.contamGrams(s, dir).filter(col("split") === "eval")
+          .select(col("doc_id"), col("g")),
+        mBits, bloom).localCheckpoint(true)
+      val streamFlagged = withTempDir(s, "graft-bloomfilter-parity-") { tmp =>
+        val evalStream = DedupQueries.contamGramsOf(
+          s.readStream.schema(documentsSchema)
+            .parquet(s"$dir/{documents.parquet}")
+            .filter(trainEvalSplit(col("text")) === "eval"))
+        DedupQueries.bloomFlaggedPairs(evalStream, mBits, bloom)
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.schema(StructType(Seq(
+            StructField("doc_id", LongType), StructField("g", StringType))))
+          .parquet(s"$tmp/out")
+          .localCheckpoint(true)
+      }
+      parityCounts(s, streamFlagged, batchFlagged, Seq("doc_id", "g"),
+        Seq("n_stream", "n_batch", "n_only_stream", "n_only_batch"))
+    }),
+
     // Watermarked tumbling-window parity: EventStreams.hourlyCounts
     // (1-hour windows, 2-hour watermark, append mode) over the events
     // file stream, compared against the batch hourly counts restricted
@@ -518,6 +559,7 @@ object StreamingParity extends QueryGroup {
     // Parity forces the streamed emission count to equal the batch
     // distinct-fingerprint count and both residues to zero.
     "streaming_model_filter_parity" -> TextAnalysis.modelKeptParitySql,
+    "streaming_bloom_filter_parity" -> DedupQueries.bloomFlagParitySql,
     "streaming_dedup_parity" ->
       """SELECT CAST(COUNT(DISTINCT md5(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_stream,
            CAST(COUNT(DISTINCT md5(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_batch,
