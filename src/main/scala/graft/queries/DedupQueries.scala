@@ -261,10 +261,19 @@ object DedupQueries extends QueryGroup {
     pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
       .unionByName(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
 
-  private def computeComponents(s: SparkSession, dir: String): DataFrame = {
-    val edges = undirected(verifiedNearDupPairs(s, dir))
+  private def computeComponents(s: SparkSession, dir: String): DataFrame =
+    labelPropagate(undirected(verifiedNearDupPairs(s, dir))
       .select(col("x").as("doc_a"), col("y").as("doc_b"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
+
+  /** Min-label propagation to fixpoint over an undirected edge list
+    * (both orientations present as (doc_a, doc_b) rows). Returns
+    * (node, lbl) with lbl = min node id reachable. Shared by the full
+    * component build and the incremental merge-graph fixpoint — the
+    * SAME loop, run on frames of very different size (the corpus pair
+    * graph vs the touched-label quotient graph).
+    */
+  private def labelPropagate(edges: DataFrame): DataFrame = {
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint(true)
@@ -528,6 +537,80 @@ object DedupQueries extends QueryGroup {
       components(s, dir)
         .groupBy(col("lbl").as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc_id"))
+        .orderBy(col("cluster_id"))
+    }),
+
+    // INCREMENTAL COMPONENT MAINTENANCE — the clustering leg of the
+    // incremental family (text LSH / vector IVF / media pHash /
+    // components): a persisted base label table absorbs an arrival
+    // batch WITHOUT re-running the corpus fixpoint. The base
+    // components (arrivals = doc_id % 10, the fixture shared with
+    // dedup_incremental_lsh) persist as an IndexStore artifact; the
+    // arrival batch contributes delta pairs (≥1 arriving endpoint —
+    // in production from the delta-probe band join that
+    // dedup_incremental_lsh ships; here the same verified pairs,
+    // filtered); each delta pair becomes an edge between its
+    // endpoints' LABELS, and the min-label fixpoint then runs on that
+    // quotient merge graph — rows ∝ touched components, never the
+    // corpus (pinned in QueryContractsSpec). Relabeling is one keyed
+    // join of the label tables against the merge result; no broadcast
+    // hint — the delta scales with the corpus under this fixture.
+    // Output is the arrival-side answer: per component TOUCHED by the
+    // batch, how many docs it has now, how many arrived, and how many
+    // previously-separate base clusters the batch fused
+    // (n_base_clusters ≥ 2 ⇔ a genuine merge event). Exactness gate:
+    // this must equal a from-scratch recompute over base ∪ delta — the
+    // oracle IS that recompute (two recursive-CTE component passes).
+    "dedup_components_incremental" -> ((s, dir) => {
+      val isDelta = (c: Column) => c % 10 === 0
+      val pairs = verifiedNearDupPairs(s, dir)
+      val basePairs = pairs.filter(!isDelta(col("doc_a")) && !isDelta(col("doc_b")))
+      val baseLabels = graft.util.IndexStore.loadOrBuild(s, dir,
+        s"components_base_j50_n${SHINGLE_N}k${MINHASH_K}b$LSH_BANDS")(
+        labelPropagate(undirected(basePairs)
+          .select(col("x").as("doc_a"), col("y").as("doc_b"))
+          .localCheckpoint(true)))
+      val deltaPairs = pairs
+        .filter(isDelta(col("doc_a")) || isDelta(col("doc_b")))
+        .localCheckpoint(true)
+      // Endpoint → provisional label: its base component if it had
+      // one, else itself (arrivals and base singletons).
+      val la = baseLabels.select(col("node").as("doc_a"), col("lbl").as("la0"))
+      val lb = baseLabels.select(col("node").as("doc_b"), col("lbl").as("lb0"))
+      val mergeEdges = deltaPairs
+        .join(la, Seq("doc_a"), "left").join(lb, Seq("doc_b"), "left")
+        .select(coalesce(col("la0"), col("doc_a")).as("la"),
+          coalesce(col("lb0"), col("doc_b")).as("lb"))
+        .filter(col("la") =!= col("lb"))
+        .select(col("la").as("doc_a"), col("lb").as("doc_b"))
+        .distinct()
+        .localCheckpoint(true)
+      val merged = labelPropagate(undirected(mergeEdges)
+        .select(col("x").as("doc_a"), col("y").as("doc_b")))
+      // All clustered nodes: base-labeled docs plus any delta-pair
+      // endpoint not already labeled; provisional label as above.
+      val deltaNodes = deltaPairs.select(col("doc_a").as("node"))
+        .unionByName(deltaPairs.select(col("doc_b").as("node"))).distinct()
+      val prelim = baseLabels.unionByName(
+        deltaNodes.join(baseLabels, Seq("node"), "left_anti")
+          .withColumn("lbl", col("node")))
+      val finalLbl = prelim
+        .join(merged.select(col("node").as("lbl"), col("lbl").as("mlbl")),
+          Seq("lbl"), "left")
+        .select(col("node"),
+          coalesce(col("mlbl"), col("lbl")).as("flbl"),
+          col("lbl").as("plbl"))
+      finalLbl
+        .withColumn("is_arrival", isDelta(col("node")))
+        // Membership in the base label table (not plbl==node, which a
+        // component-min base doc also satisfies) marks pre-batch docs.
+        .join(baseLabels.select(col("node"), lit(1L).as("in_base")), Seq("node"), "left")
+        .groupBy(col("flbl").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_arrival"), 1L).otherwise(0L)).as("n_arrivals"),
+          countDistinct(when(col("in_base") === 1L, col("plbl"))).as("n_base_clusters"),
+          sum(when(col("in_base") === 1L, 1L).otherwise(0L)).as("n_docs_before"))
+        .filter(col("n_arrivals") > 0)
         .orderBy(col("cluster_id"))
     }),
 
@@ -930,6 +1013,44 @@ object DedupQueries extends QueryGroup {
             (5, 'decontaminated',
               (SELECT COUNT(*) FROM s4) - (SELECT COUNT(*) FROM cont))) t(stage, stage_name, n_docs)
           ORDER BY stage""",
+    // Incremental maintenance gate: the oracle is the from-scratch
+    // recompute — full components over base ∪ delta pairs (recursive
+    // CTE), base components over base-only pairs (second recursive
+    // CTE), joined into the per-touched-component census. The Spark
+    // side must land on the identical answer via the persisted-base +
+    // quotient-merge-graph path.
+    "dedup_components_incremental" ->
+      s"""WITH RECURSIVE
+          toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+          sh AS (SELECT doc_id, $shinglesSql AS shingles FROM toks),
+          sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+          ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+          co AS (SELECT a.doc_id ai, b.doc_id bi, count(*) AS common
+                 FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          p AS (SELECT ai a, bi b
+                FROM co JOIN sz na ON co.ai = na.doc_id JOIN sz nb ON co.bi = nb.doc_id
+                WHERE CAST(common AS DOUBLE)/(na.n + nb.n - common) >= 0.5),
+          edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+          reach AS (SELECT a AS node, a AS lbl FROM edges
+                    UNION
+                    SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+          comp AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node),
+          bp AS (SELECT a, b FROM p WHERE a % 10 <> 0 AND b % 10 <> 0),
+          bedges AS (SELECT a, b FROM bp UNION ALL SELECT b, a FROM bp),
+          breach AS (SELECT a AS node, a AS lbl FROM bedges
+                     UNION
+                     SELECT e.b, r.lbl FROM breach r JOIN bedges e ON e.a = r.node),
+          bcomp AS (SELECT node, MIN(lbl) AS lbl FROM breach GROUP BY node)
+          SELECT c.lbl AS cluster_id,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(COUNT(*) FILTER (c.node % 10 = 0) AS BIGINT) AS n_arrivals,
+            CAST(COUNT(DISTINCT b.lbl) AS BIGINT) AS n_base_clusters,
+            CAST(COUNT(b.lbl) AS BIGINT) AS n_docs_before
+          FROM comp c LEFT JOIN bcomp b ON b.node = c.node
+          GROUP BY c.lbl
+          HAVING COUNT(*) FILTER (c.node % 10 = 0) > 0
+          ORDER BY cluster_id""",
     // Connected components over the same pairs via recursive CTE
     // (transitive closure; fine for the oracle's tiny components).
     "dedup_clusters" ->

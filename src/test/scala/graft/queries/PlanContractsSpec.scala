@@ -66,6 +66,19 @@ class PlanContractsSpec extends SparkSpec {
       "top-20 must stay the distributed top-k operator at scale")
   }
 
+  test("graph_triangles at scale: wedge join and closing probe stay keyed, top-15 distributed") {
+    val p = planAtScale("graph_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"triangle joins must never degrade to an unkeyed join:\n$p")
+    // Wedge arms meet on the apex key, the closing probe on the (b, c)
+    // edge key — both shuffle joins once the edge list outgrows the
+    // broadcast threshold.
+    assert(count(p, "(SortMergeJoin|ShuffledHashJoin)") >= 2,
+      s"wedge and closing joins must be keyed shuffle joins at scale:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-15 must stay the distributed top-k operator")
+  }
+
   test("q18 aggregates lineitem BEFORE the joins and plans the top-100 as TakeOrderedAndProject") {
     val p = plan("q18_large_orders")
     // The HAVING aggregate must sit below the joins: the plan's first

@@ -281,4 +281,68 @@ class QueryContractsSpec extends SparkSpec {
     assert(pockets.head.getLong(2) > majority,
       s"pocket ${pockets.head.getLong(2)}/$n does not beat majority $majority/$n")
   }
+
+  test("triangle counting: oriented wedge join equals a naive recount at sf0.001") {
+    import org.apache.spark.sql.functions.{lit, to_timestamp}
+    // Independent formulation: materialize the co-purchase edge set
+    // driver-side (837 window rows at sf0.001) and enumerate triangles
+    // by neighbor-set intersection — no orientation involved, so an
+    // orientation bug in the query (e.g. wedge arms ordered by id
+    // instead of (degree, id)) cannot cancel out here.
+    val li = Tables(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-01-01")))
+      .select("l_orderkey", "l_partkey").collect()
+    val edges = scala.collection.mutable.Set[(Long, Long)]()
+    li.groupBy(_.getLong(0)).values.foreach { rows =>
+      val parts = rows.map(_.getLong(1)).distinct.sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        edges += ((parts(i), parts(j)))
+    }
+    val nbr = scala.collection.mutable.Map[Long, Set[Long]]()
+    edges.foreach { case (x, y) =>
+      nbr(x) = nbr.getOrElse(x, Set()) + y
+      nbr(y) = nbr.getOrElse(y, Set()) + x
+    }
+    val triPerV = scala.collection.mutable.Map[Long, Long]()
+    edges.foreach { case (x, y) =>
+      // (x < y); common neighbors z > y close each triangle exactly once.
+      (nbr(x) & nbr(y)).filter(_ > y).foreach { z =>
+        Seq(x, y, z).foreach(v => triPerV(v) = triPerV.getOrElse(v, 0L) + 1L)
+      }
+    }
+    val got = SparkEntry.queries("graph_triangles")(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= 15)
+    got.foreach { r =>
+      val (pk, ntri, deg) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(triPerV.getOrElse(pk, 0L) === ntri,
+        s"part $pk: query says $ntri triangles, naive recount ${triPerV.get(pk)}")
+      assert(nbr(pk).size.toLong === deg, s"part $pk degree mismatch")
+    }
+    // The 15 returned rows are the true top-15 under (n_triangles DESC, part).
+    val want = triPerV.toSeq.sortBy { case (pk, t) => (-t, pk) }.take(got.length)
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      want.map { case (pk, t) => (pk, t) },
+      "top-15 selection diverges from the naive ranking")
+  }
+
+  test("incremental component maintenance lands exactly on the full-rebuild census") {
+    val full = SparkEntry.queries("dedup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inc = SparkEntry.queries("dedup_components_incremental")(spark, sf).collect()
+    assert(inc.nonEmpty, "no components touched by the arrival batch")
+    inc.foreach { r =>
+      val (cid, n) = (r.getLong(0), r.getLong(1))
+      // Every touched component's (id, size) must agree with the
+      // from-scratch components the full pipeline computes — the
+      // incremental path may take a different route, never land on a
+      // different answer.
+      assert(full.get(cid).contains(n),
+        s"touched cluster $cid size $n disagrees with full rebuild (${full.get(cid)})")
+      val (arr, baseClusters, before) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(arr > 0, s"cluster $cid reported untouched yet returned")
+      assert(n >= arr + before && before >= baseClusters,
+        s"cluster $cid census inconsistent: n=$n arrivals=$arr base=$before clusters=$baseClusters")
+    }
+  }
 }
