@@ -220,6 +220,57 @@ object PipelineParity extends QueryGroup {
     "pipeline_workqueue_cycle" -> ((s, dir) =>
       workqueueCycle(s, dir)(tmp => new graft.pipeline.CustomerStore(s, s"$tmp/store"))),
 
+    // CHECK-constraint enforcement at the store commit boundary (the
+    // Delta-style table-constraint surface; see pipeline.Constraints):
+    // a batch with planted violations — negative ids (k % 97),
+    // at-stripped emails (k % 89), empty phones (k % 83), keyed on the
+    // ORIGINAL custkey so overlapping plants stay deterministic — is
+    // split before the staged commit; valid rows commit to a real
+    // CustomerStore, rejects carry their first-declared-violation
+    // reason. The oracle re-derives every per-reason count AND the
+    // committed (count, id-sum) from the same arithmetic, and a
+    // REQUIRE re-checks the constraints over the store's post-commit
+    // state — table data can never contain a violation, not merely
+    // "the counts look right". Enforcement is one projection over the
+    // batch (no shuffle); at 100 TB it rides the ingest scan.
+    "pipeline_constraints" -> ((s, dir) => {
+      val k = col("k")
+      val raw = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("k"))
+        .select(k,
+          when(k % 97 === 0, -k).otherwise(k).as("id"),
+          concat(lit("f"), k).as("first_name"),
+          concat(lit("l"), k).as("last_name"),
+          when(k % 89 === 0, concat(lit("u"), k, lit("_at_example.com")))
+            .otherwise(concat(lit("u"), k, lit("@example.com"))).as("email"),
+          when(k % 83 === 0, lit("")).otherwise(concat(lit("555-"), k)).as("phone"))
+      val checks = Seq(
+        graft.pipeline.CheckConstraint("chk_email_has_at", col("email").like("%@%")),
+        graft.pipeline.CheckConstraint("chk_id_positive", col("id") > 0),
+        graft.pipeline.CheckConstraint("chk_phone_nonempty", length(col("phone")) > 0))
+      val (valid, rejected) = graft.pipeline.Constraints.enforce(raw, checks)
+      withTempDir("graft-constraints-") { tmp =>
+        val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
+        store.insertNew(Ingest.enrich(valid.drop("k")))
+        // The committed row is derived from the STORE's state, and the
+        // constraints re-checked over it — the invariant, not the plan.
+        val pending = store.pending()
+        require(pending
+            .withColumn("_v", graft.pipeline.Constraints.violation(checks))
+            .filter(col("_v").isNotNull).count() == 0L,
+          "constraint violation observed in committed table data")
+        val committed = pending
+          .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("id_sum"))
+          .withColumn("reason", lit("committed"))
+        val rej = rejected.groupBy(col("_violation").as("reason"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("id_sum"))
+        committed.select(col("reason"), col("n_rows"), col("id_sum"))
+          .unionByName(rej.select(col("reason"), col("n_rows"), col("id_sum")))
+          .orderBy(col("reason"))
+          .localCheckpoint(true)
+      }
+    }),
+
     // The identical cycle against the JDBC backend (embedded Derby —
     // the reference's actual sink shape: transactional batch INSERT
     // with per-row salvage, indexed pending scan, keyed UPDATE). Same
@@ -771,6 +822,31 @@ object PipelineParity extends QueryGroup {
            CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pending_after,
            CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_uploaded
          FROM customer""",
+    // Re-derives the planted violations and the committed remainder
+    // from the same %-of-custkey arithmetic; CASE order mirrors the
+    // declared constraint order (first violated names the row).
+    "pipeline_constraints" ->
+      """WITH b AS (SELECT c_custkey AS k,
+              CASE WHEN c_custkey % 97 = 0 THEN -c_custkey ELSE c_custkey END AS id,
+              CASE WHEN c_custkey % 89 = 0 THEN 'u' || c_custkey || '_at_example.com'
+                   ELSE 'u' || c_custkey || '@example.com' END AS email,
+              CASE WHEN c_custkey % 83 = 0 THEN '' ELSE '555-' || c_custkey END AS phone
+            FROM customer),
+          t AS (SELECT k, id,
+              CASE WHEN NOT COALESCE(email LIKE '%@%', FALSE) THEN 'chk_email_has_at'
+                   WHEN NOT COALESCE(id > 0, FALSE) THEN 'chk_id_positive'
+                   WHEN NOT COALESCE(length(phone) > 0, FALSE) THEN 'chk_phone_nonempty'
+              END AS reason
+            FROM b)
+         SELECT reason, n_rows, id_sum FROM (
+           SELECT 'committed' AS reason, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(id) AS BIGINT) AS id_sum
+           FROM t WHERE reason IS NULL
+           UNION ALL
+           SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(k) AS BIGINT) AS id_sum
+           FROM t WHERE reason IS NOT NULL GROUP BY reason)
+         ORDER BY reason""",
     // Lookup keys are the 1/7 and 5/7 quantile custkeys (contiguous
     // keys, so each exists). The found/uploaded sums tie the point
     // reads and the ack to the exact planted rows.

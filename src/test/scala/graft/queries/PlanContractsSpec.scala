@@ -79,6 +79,18 @@ class PlanContractsSpec extends SparkSpec {
       "top-15 must stay the distributed top-k operator")
   }
 
+  test("phrase search probes the postings via broadcast of the phrase terms — never a corpus self-join") {
+    val p = plan("text_search_phrase")
+    // Each term-side probe broadcasts the ≤5-phrase term table against
+    // the persisted postings; the adjacency join then runs on the two
+    // RETRIEVED lists. A plan that self-joins the full postings on
+    // (doc, pos) would be quadratic in posting mass at scale.
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"phrase term probes must broadcast the tiny phrase table:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"phrase search must stay keyed:\n$p")
+  }
+
   test("q18 aggregates lineitem BEFORE the joins and plans the top-100 as TakeOrderedAndProject") {
     val p = plan("q18_large_orders")
     // The HAVING aggregate must sit below the joins: the plan's first

@@ -282,6 +282,32 @@ class QueryContractsSpec extends SparkSpec {
       s"pocket ${pockets.head.getLong(2)}/$n does not beat majority $majority/$n")
   }
 
+  test("constraint violation attribution: first declared constraint names the row; null is a violation") {
+    import graft.pipeline.{CheckConstraint, Constraints}
+    import spark.implicits._
+    import org.apache.spark.sql.functions.length
+    val df = Seq(
+      (1L, "a@x", "555"), // clean
+      (-2L, "b_x", "555"), // violates email (declared first) AND id
+      (3L, "c@x", ""), // violates phone only
+      (-4L, "d@x", "555") // violates id only
+    ).toDF("id", "email", "phone")
+    val checks = Seq(
+      CheckConstraint("chk_email", col("email").like("%@%")),
+      CheckConstraint("chk_id", col("id") > 0),
+      CheckConstraint("chk_phone", length(col("phone")) > 0))
+    val (valid, rejected) = Constraints.enforce(df, checks)
+    assert(valid.select("id").collect().map(_.getLong(0)).toSet === Set(1L))
+    val reasons = rejected.select("id", "_violation").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reasons === Map(-2L -> "chk_email", 3L -> "chk_phone", -4L -> "chk_id"),
+      s"attribution must follow declaration order: $reasons")
+    // NULL predicate result = violation (unknown is not clean).
+    val withNull = Seq((5L, null.asInstanceOf[String], "555")).toDF("id", "email", "phone")
+    val (v2, r2) = Constraints.enforce(withNull, checks)
+    assert(v2.count() === 0L && r2.head().getString(3) === "chk_email")
+  }
+
   test("triangle counting: oriented wedge join equals a naive recount at sf0.001") {
     import org.apache.spark.sql.functions.{lit, to_timestamp}
     // Independent formulation: materialize the co-purchase edge set
