@@ -97,7 +97,10 @@ object UnigramLm extends QueryGroup {
       .select(expr("substring(w, i, l)").as("piece"), col("freq"))
       .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
 
-  /** Train: returns the vocabulary (rank, piece, n_uses).
+  /** Train: returns (vocabulary (rank, piece, n_uses), per-word
+    * segmentation (w, np)) — the second frame is the ENCODE artifact:
+    * the Viterbi piece count of every trainable word under the final
+    * model, persisted so the apply leg never re-trains.
     *
     * The corpus-scale passes are DISTRIBUTED: the word count and the
     * substring (seed-candidate) count, both classic word-count
@@ -113,7 +116,7 @@ object UnigramLm extends QueryGroup {
     * shape — per-round job/codegen overhead on vocabulary-bounded
     * data, the wrong tool (SCALING.md).
     */
-  private[queries] def train(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def train(s: SparkSession, dir: String): Seq[DataFrame] = {
     import s.implicits._
     val w = words(s, dir).localCheckpoint(true)
     val cand = candidates(w)
@@ -134,6 +137,7 @@ object UnigramLm extends QueryGroup {
     // oracle's unrolled DP CTEs use, so segmentation ties can't drift.
     val vocab = w.collect().map(r => r.getString(0) -> r.getLong(1))
     val uses = scala.collection.mutable.HashMap.empty[String, Long]
+    val segNp = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     for ((word, freq) <- vocab) {
       val n = word.length
       val best = Array.fill(n + 1)((Long.MaxValue, Long.MaxValue, -1)) // (cost, np, pred)
@@ -148,6 +152,7 @@ object UnigramLm extends QueryGroup {
             best(i) = candT
         }
       }
+      segNp += ((word, best(n)._2))
       var i = n
       while (i > 0) { // single chars are always seeded, so the path exists
         val j = best(i)._3
@@ -156,11 +161,12 @@ object UnigramLm extends QueryGroup {
         i = j
       }
     }
-    uses.toSeq.sortBy { case (p, u) => (-u, p) }
+    val vocabDf = uses.toSeq.sortBy { case (p, u) => (-u, p) }
       .take(UNI_TOPV).zipWithIndex
       .map { case ((p, u), i) => (i + 1L, p, u) }
       .toDF("rank", "piece", "n_uses")
       .orderBy(col("rank"))
+    Seq(vocabDf, segNp.toSeq.toDF("w", "np"))
   }
 
   /** Driver-side mirror of the ilog formula (for the literal L(total)
@@ -171,19 +177,46 @@ object UnigramLm extends QueryGroup {
     m * UNI_K + (x - (1L << m)) * UNI_K / (1L << m)
   }
 
-  private val trainedCache = new graft.util.SessionCache[DataFrame]
+  private val trainedCache = new graft.util.SessionCache[Seq[DataFrame]]
 
-  private def trained(s: SparkSession, dir: String): DataFrame =
+  /** (vocab, per-word segmentation) — one atomic persisted group. */
+  private def model(s: SparkSession, dir: String): Seq[DataFrame] =
     trainedCache.getOrCompute(s, dir) {
-      graft.util.IndexStore.loadOrBuildAll(
-        s, dir, s"unigram_vocab_w${UNI_MAXW}_p${UNI_MAXP}_s$UNI_SEED" :: Nil) {
-        Seq(train(s, dir))
-      }.head
+      graft.util.IndexStore.loadOrBuildAll(s, dir,
+        Seq(s"unigram_vocab_w${UNI_MAXW}_p${UNI_MAXP}_s$UNI_SEED",
+          s"unigram_seg_w${UNI_MAXW}_p${UNI_MAXP}_s$UNI_SEED")) {
+        train(s, dir)
+      }
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unigram_train" -> ((s, dir) =>
-      trained(s, dir).orderBy(col("rank"))))
+      model(s, dir).head.orderBy(col("rank"))),
+
+    // The ENCODE leg — apply the trained segmenter to the corpus (the
+    // text_bpe_tokenize analog for the unigram model): per-token piece
+    // counts come from ONE keyed join of the token instances against
+    // the persisted per-word segmentation (vocabulary-sized, far under
+    // any broadcast threshold — Heaps' law), then a per-doc rollup.
+    // The corpus-scale work is the tokenize scan + one doc_id-keyed
+    // aggregate; no DP runs at encode time. Compression is reported as
+    // integer pieces-per-char ppm, so the whole surface is
+    // oracle-exact — the oracle re-derives np per word from the SAME
+    // unrolled Viterbi CTEs the trainer pins.
+    "text_unigram_encode" -> ((s, dir) => {
+      val seg = model(s, dir)(1)
+      Tables.forKernels(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .filter(col("w").rlike(s"^[a-z]{1,$UNI_MAXW}$$"))
+        .join(seg, "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("np")).as("n_pieces"),
+          sum(length(col("w"))).cast("long").as("n_chars"))
+        .withColumn("pieces_per_char_ppm",
+          expr("n_pieces * 1000000 DIV n_chars"))
+        .orderBy(col("doc_id"))
+    }))
 
   // ---- oracle ----------------------------------------------------------
 
@@ -211,13 +244,21 @@ object UnigramLm extends QueryGroup {
             FROM ($legs)) WHERE rn = 1)"""
   }
 
-  val oracles: Map[String, String] = Map(
-    "text_unigram_train" -> {
-      val dps = (1 to UNI_MAXW).map(dpSql).mkString(",\n        ")
-      val finals = (1 to UNI_MAXW)
-        .map(i => s"SELECT w, seg FROM d$i WHERE strlen(w) = $i")
-        .mkString("\n          UNION ALL ")
-      s"""WITH u0 AS MATERIALIZED (
+  /** Per-final-length projection over the DP tables (w + the requested
+    * columns) — shared by the train oracle (seg paths) and the encode
+    * oracle (piece counts).
+    */
+  private def finalsSel(cols: String): String = (1 to UNI_MAXW)
+    .map(i => s"SELECT $cols FROM d$i WHERE strlen(w) = $i")
+    .mkString("\n          UNION ALL ")
+
+  /** The model CTE chain (word count → seed → costs → unrolled Viterbi
+    * levels), shared verbatim by both oracles so the trained model and
+    * its application can never drift.
+    */
+  private def modelCtes: String = {
+    val dps = (1 to UNI_MAXW).map(dpSql).mkString(",\n        ")
+    s"""u0 AS MATERIALIZED (
             SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
               SELECT unnest($toksSql) AS w FROM documents)
             WHERE regexp_matches(w, '^[a-z]{1,$UNI_MAXW}${"$"}') GROUP BY 1),
@@ -242,8 +283,13 @@ object UnigramLm extends QueryGroup {
           d0 AS MATERIALIZED (
             SELECT w, CAST(0 AS BIGINT) AS cost, CAST(0 AS BIGINT) AS np,
               '' AS seg FROM u0),
-          $dps,
-          dp AS ($finals),
+          $dps"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_unigram_train" ->
+      s"""WITH $modelCtes,
+          dp AS (${finalsSel("w, seg")}),
           uses AS (
             SELECT piece, CAST(SUM(freq) AS BIGINT) AS n_uses FROM (
               SELECT u0.freq, unnest(string_split(dp.seg, '|')) AS piece
@@ -253,6 +299,16 @@ object UnigramLm extends QueryGroup {
             SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_uses DESC, piece) AS BIGINT) AS rank,
               piece, n_uses
             FROM uses)
-          WHERE rank <= $UNI_TOPV ORDER BY rank"""
-    })
+          WHERE rank <= $UNI_TOPV ORDER BY rank""",
+    "text_unigram_encode" ->
+      s"""WITH $modelCtes,
+          npw AS (${finalsSel("w, np")}),
+          tk AS (SELECT doc_id, unnest($toksSql) AS w FROM documents)
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+            CAST(SUM(n.np) AS BIGINT) AS n_pieces,
+            CAST(SUM(strlen(tk.w)) AS BIGINT) AS n_chars,
+            CAST(SUM(n.np) AS BIGINT) * 1000000
+              // CAST(SUM(strlen(tk.w)) AS BIGINT) AS pieces_per_char_ppm
+          FROM tk JOIN npw n USING (w)
+          GROUP BY doc_id ORDER BY doc_id""")
 }

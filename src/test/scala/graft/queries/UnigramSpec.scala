@@ -24,7 +24,7 @@ class UnigramSpec extends SparkSpec {
 
   test("vocab contract: ranks contiguous, pieces distinct and bounded") {
     val dir = fixture(Seq.fill(5)("the quick brown fox jumps over the lazy dog"))
-    val rows = UnigramLm.train(spark, dir)
+    val rows = UnigramLm.train(spark, dir).head
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(rows.nonEmpty)
     assert(rows.map(_._1).toSeq === (1L to rows.length))
@@ -43,7 +43,7 @@ class UnigramSpec extends SparkSpec {
     // 'ab' dominates: words are ab-repeats, so single chars a/b always
     // have a cheaper 'ab'-segmentation available once 'ab' is seeded.
     val dir = fixture(Seq.fill(20)("abab abab ababab xy") ++ Seq("q w e r t"))
-    val rows = UnigramLm.train(spark, dir)
+    val rows = UnigramLm.train(spark, dir).head
       .collect().map(r => (r.getString(1), r.getLong(2)))
     val multi = rows.filter(_._1.length > 1)
     assert(multi.nonEmpty, s"no multi-char piece trained: ${rows.mkString(",")}")
@@ -57,8 +57,26 @@ class UnigramSpec extends SparkSpec {
 
   test("training is deterministic across runs") {
     val dir = fixture(Seq.fill(3)("some words repeat some words differ here"))
-    val a = UnigramLm.train(spark, dir).collect().toSeq
-    val b = UnigramLm.train(spark, dir).collect().toSeq
+    val a = UnigramLm.train(spark, dir).head.collect().toSeq
+    val b = UnigramLm.train(spark, dir).head.collect().toSeq
     assert(a === b)
+  }
+
+  test("segmentation artifact covers every trainable word with sane piece counts") {
+    val dir = fixture(Seq.fill(10)("abab abab ababab xy") ++ Seq("q w e r t"))
+    val Seq(_, seg) = UnigramLm.train(spark, dir)
+    val rows = seg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Every distinct trainable word is segmented exactly once.
+    val words = Set("abab", "ababab", "xy", "q", "w", "e", "r", "t")
+    assert(rows.keySet === words, s"segmented ${rows.keySet}")
+    rows.foreach { case (w, np) =>
+      // np bounded by [ceil(len/maxPiece), len] — fewer pieces than the
+      // coarsest cover or more than the char count is impossible.
+      val lo = (w.length + UnigramLm.UNI_MAXP - 1) / UnigramLm.UNI_MAXP
+      assert(np >= lo && np <= w.length, s"$w segmented into $np pieces")
+    }
+    // The unit-heavy words segment via the discovered 'ab' pieces, so
+    // strictly fewer pieces than characters.
+    assert(rows("abab") < 4 && rows("ababab") < 6)
   }
 }
