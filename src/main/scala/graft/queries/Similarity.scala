@@ -29,6 +29,10 @@ import graft.functions.VectorFunctions._
 object Similarity extends QueryGroup {
 
   private val TOP_K = 5
+  // MMR reranking: pool of 20 candidates per query, 5 greedy picks,
+  // λ = 0.7 (integer-scaled objective 7·rel − 3·maxSim).
+  private val MMR_C = 20
+  private val MMR_K = 5
   // 8 hyperplanes → 256 buckets: sized so buckets hold a handful of
   // vectors at sf0.01 and ~20 at sf0.1; finer buckets (16 planes) left
   // almost every vector alone and recall collapsed.
@@ -423,6 +427,71 @@ object Similarity extends QueryGroup {
         .filter(col("rank") <= TOP_K)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_ppm"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // MMR DIVERSIFIED RERANKING — the serving-side stage between "top-k
+    // by cosine" and "what a retrieval pipeline actually returns":
+    // greedy Maximal Marginal Relevance over a candidate pool
+    // (Carbonell & Goldstein 1998). Step t picks
+    //   argmax  7·rel(d) − 3·max_{s∈S} sim(d, s)
+    // (λ = 0.7 scaled ×10 so the whole objective stays in exact
+    // integer ppm; ties by neighbor_id), so near-duplicate candidates
+    // are penalized once one of them is selected. Candidate generation
+    // is the same broadcast-query exact scan as sim_topk_bruteforce
+    // (in production the IVF probe feeds this stage instead); after
+    // that EVERYTHING is per-query constant work — the pool is C = 20
+    // rows/query, the pairwise sim table C²/query, and each of the
+    // K = 5 greedy rounds is one join + window over the (queries × C)
+    // frame, distributed by query_id. The oracle unrolls the greedy
+    // rounds as CTEs from the same constants.
+    "sim_mmr_rerank" -> ((s, dir) => {
+      val all = quantized(s, dir)
+      val q = all.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("sq").as("q_sq"))
+      val wC = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_ppm").desc, col("neighbor_id"))
+      val cand = all.select(col("vec_id").as("neighbor_id"), col("qv"), col("sq"))
+        .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos_ppm", cosPpm(qdot(col("q_qv"), col("qv")), col("q_sq"), col("sq")))
+        .withColumn("crank", row_number().over(wC))
+        .filter(col("crank") <= MMR_C)
+        .select(col("query_id"), col("neighbor_id"), col("qv"), col("sq"), col("cos_ppm"))
+        .localCheckpoint(true)
+      val a = cand.select(col("query_id"), col("neighbor_id").as("a_id"),
+        col("qv").as("a_qv"), col("sq").as("a_sq"))
+      val b = cand.select(col("query_id"), col("neighbor_id").as("b_id"),
+        col("qv").as("b_qv"), col("sq").as("b_sq"))
+      val sims = a.join(b, Seq("query_id")).filter(col("a_id") =!= col("b_id"))
+        .withColumn("sim_ppm", cosPpm(qdot(col("a_qv"), col("b_qv")), col("a_sq"), col("b_sq")))
+        .select(col("query_id"), col("a_id"), col("b_id"), col("sim_ppm"))
+        .localCheckpoint(true)
+      val pool0 = cand.select(col("query_id"), col("neighbor_id"), col("cos_ppm"))
+      var selAccum: DataFrame = null
+      var pool = pool0
+      val wSel = Window.partitionBy(col("query_id"))
+        .orderBy((col("cos_ppm") * 7 - col("max_sim") * 3).desc, col("neighbor_id"))
+      for (t <- 1 to MMR_K) {
+        val base =
+          if (selAccum == null) pool.withColumn("max_sim", lit(0L))
+          else {
+            val selSims = sims
+              .join(selAccum.select(col("query_id"), col("neighbor_id").as("b_id")),
+                Seq("query_id", "b_id"))
+              .groupBy(col("query_id"), col("a_id").as("neighbor_id"))
+              .agg(max(col("sim_ppm")).as("max_sim"))
+            pool.join(selSims, Seq("query_id", "neighbor_id"), "left")
+              .withColumn("max_sim", coalesce(col("max_sim"), lit(0L)))
+          }
+        val pick = base
+          .withColumn("rn", row_number().over(wSel)).filter(col("rn") === 1)
+          .select(col("query_id"), lit(t.toLong).as("sel_rank"), col("neighbor_id"),
+            col("cos_ppm"), (col("cos_ppm") * 7 - col("max_sim") * 3).as("mmr_score"))
+          .localCheckpoint(true) // bound lineage per greedy round
+        selAccum = if (selAccum == null) pick else selAccum.unionByName(pick)
+        pool = pool.join(pick.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+      }
+      selAccum.orderBy(col("query_id"), col("sel_rank"))
     }),
 
     // LSH-bucketed ANN: same query set, candidates = own bucket ∪ 1-bit
@@ -885,6 +954,37 @@ object Similarity extends QueryGroup {
   /** Name of the final centroid CTE inside [[ivfBuildSql]]. */
   private def ivfFinalCent: String = s"c$IVF_ITERS"
 
+  /** One greedy MMR round as CTEs — mirror of the Spark loop body. */
+  private def mmrRoundSql(t: Int): String =
+    if (t == 1)
+      s"""p1 AS (SELECT query_id, neighbor_id, cos_ppm, CAST(0 AS BIGINT) AS max_sim
+            FROM (SELECT query_id, neighbor_id, cos_ppm,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos_ppm * 7 DESC, neighbor_id) AS rn
+                  FROM cand) WHERE rn = 1)"""
+    else {
+      val prev = (1 until t)
+        .map(i => s"SELECT query_id, neighbor_id FROM p$i")
+        .mkString(" UNION ALL ")
+      s"""m$t AS (SELECT s.query_id, s.a_id AS neighbor_id,
+              CAST(MAX(s.sim_ppm) AS BIGINT) AS max_sim
+            FROM sims s JOIN ($prev) sel
+              ON sel.query_id = s.query_id AND sel.neighbor_id = s.b_id
+            GROUP BY 1, 2),
+          p$t AS (SELECT query_id, neighbor_id, cos_ppm, max_sim FROM (
+            SELECT c.query_id, c.neighbor_id, c.cos_ppm,
+              COALESCE(m.max_sim, 0) AS max_sim,
+              ROW_NUMBER() OVER (PARTITION BY c.query_id
+                ORDER BY c.cos_ppm * 7 - COALESCE(m.max_sim, 0) * 3 DESC,
+                  c.neighbor_id) AS rn
+            FROM cand c
+            LEFT JOIN m$t m
+              ON m.query_id = c.query_id AND m.neighbor_id = c.neighbor_id
+            WHERE NOT EXISTS (SELECT 1 FROM ($prev) x
+              WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id))
+            WHERE rn = 1)"""
+    }
+
   /** Zero-safe cosPpm as SQL — mirror of [[safeCos]]. */
   private def safeCosSql(aqv: String, bqv: String, asq: String, bsq: String): String =
     s"""CASE WHEN $asq = 0 OR $bsq = 0 THEN 0
@@ -1243,6 +1343,33 @@ object Similarity extends QueryGroup {
                 FROM p)
           SELECT query_id, rank, neighbor_id, cos_ppm FROM r
           WHERE rank <= $TOP_K ORDER BY query_id, rank""",
+    // Greedy MMR unrolled: round t excludes the prior picks, computes
+    // each survivor's max similarity to the selected set, and takes
+    // the (7·rel − 3·maxSim, neighbor_id) argmax — the same integer
+    // objective and tie order as the Spark loop.
+    "sim_mmr_rerank" -> {
+      val rounds = (1 to MMR_K).map(mmrRoundSql).mkString(",\n          ")
+      val finals = (1 to MMR_K)
+        .map(t => s"""SELECT query_id, CAST($t AS BIGINT) AS sel_rank, neighbor_id,
+              cos_ppm, cos_ppm * 7 - max_sim * 3 AS mmr_score FROM p$t""")
+        .mkString("\n          UNION ALL ")
+      s"""WITH $quantSql,
+          cand AS (SELECT query_id, neighbor_id, qv, sq, cos_ppm FROM (
+            SELECT qq.vec_id AS query_id, nn.vec_id AS neighbor_id, nn.qv, nn.sq,
+              ${cosPpmSql("qq.qv", "nn.qv", "qq.sq", "nn.sq")} AS cos_ppm,
+              ROW_NUMBER() OVER (PARTITION BY qq.vec_id
+                ORDER BY ${cosPpmSql("qq.qv", "nn.qv", "qq.sq", "nn.sq")} DESC,
+                  nn.vec_id) AS crank
+            FROM n qq JOIN n nn ON qq.vec_id % 100 = 0 AND nn.vec_id <> qq.vec_id)
+            WHERE crank <= $MMR_C),
+          sims AS (SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+              ${cosPpmSql("a.qv", "b.qv", "a.sq", "b.sq")} AS sim_ppm
+            FROM cand a JOIN cand b
+              ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id),
+          $rounds
+          SELECT * FROM ($finals)
+          ORDER BY query_id, sel_rank"""
+    },
     "sim_centroid_classify" ->
       s"""WITH $quantSql,
           ex AS (SELECT label, i AS pos, qv[i] AS v

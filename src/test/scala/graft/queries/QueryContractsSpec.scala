@@ -282,6 +282,39 @@ class QueryContractsSpec extends SparkSpec {
       s"pocket ${pockets.head.getLong(2)}/$n does not beat majority $majority/$n")
   }
 
+  test("mmr reranking diversifies: selected sets are no more self-similar than plain top-5") {
+    // Driver-side cosine over the same floor(x·1000) quantization the
+    // query uses; avg pairwise similarity of the 5 MMR picks must not
+    // exceed the plain relevance top-5's for any query, and must be
+    // strictly lower for at least one (the operator must DO something
+    // on a near-dup-heavy collection).
+    val vecs = Tables(spark, sf, "embeddings").collect().map { r =>
+      val q = r.getSeq[Float](1).map(x => math.floor(x * 1000.0).toLong).toArray
+      r.getLong(0) -> q
+    }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      dot / (math.sqrt(a.map(x => x * x).sum.toDouble) * math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    def avgPairSim(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield cos(vecs(ids(i)), vecs(ids(j)))
+      ps.sum / ps.size
+    }
+    val mmr = SparkEntry.queries("sim_mmr_rerank")(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSeq }
+    val top = SparkEntry.queries("sim_topk_bruteforce")(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSeq }
+    assert(mmr.nonEmpty && mmr.keySet === top.keySet)
+    val deltas = mmr.keys.toSeq.sorted.map { q =>
+      val d = avgPairSim(top(q)) - avgPairSim(mmr(q))
+      assert(d >= -1e-9, s"query $q: MMR picks MORE similar than top-5 (delta $d)")
+      d
+    }
+    assert(deltas.exists(_ > 1e-6),
+      s"MMR never diversified any query: deltas=${deltas.mkString(",")}")
+  }
+
   test("constraint violation attribution: first declared constraint names the row; null is a violation") {
     import graft.pipeline.{CheckConstraint, Constraints}
     import spark.implicits._
