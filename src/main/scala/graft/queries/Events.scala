@@ -23,6 +23,10 @@ object Events extends QueryGroup {
 
   private def cents(c: Column): Column = floor(c * 100)
   private val SESSION_GAP_US = 1800L * 1000000 // 30 min
+  // Windowed-funnel conversion deadline (6h): chosen so every SF shows
+  // real drop-off at both constrained stages (measured 15/14/1,
+  // 150/118/18, 1500/1081/195 across sf0.001/0.01/0.1).
+  private val FUNNEL_W_US = 6L * 3600 * 1000000
 
   /** events with `ts` (nanos-as-long, see Tables) converted to exact
     * microseconds via integer division — the nano value (~1.7e18)
@@ -107,6 +111,49 @@ object Events extends QueryGroup {
         df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
       stage("1_view", v).unionByName(stage("2_click", c))
         .unionByName(stage("3_purchase", p))
+        .orderBy(col("stage"))
+    }),
+
+    // TIME-CONSTRAINED funnel (the Amplitude-style conversion window):
+    // view → click within 6h → purchase within 6h OF THAT CLICK. The
+    // unconstrained funnel above is greedy-from-first-view; with a
+    // deadline that greedy walk is WRONG (a user whose first view
+    // never converts can still qualify via a later view), so this
+    // matches ANY qualifying sequence — without the quadratic
+    // view×click per-user join: three stacked running-min window
+    // functions over one (user, stream-order) sort give every event
+    // its next-purchase, next-click, and next-CONVERTING-click
+    // timestamps, and a view qualifies iff the relevant next-ts lands
+    // inside the window. One user_id exchange, O(n log n) per user —
+    // hot users cost their event count, never its square. Stream
+    // order is the (us, event_id) total order, mirrored in the
+    // oracle's window frames.
+    "events_funnel_windowed" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("us"))
+      val wNext = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val x = e.withColumn("next_p",
+        min(when(col("event_type") === "purchase", col("us"))).over(wNext))
+      val y = x
+        .withColumn("next_c",
+          min(when(col("event_type") === "click", col("us"))).over(wNext))
+        .withColumn("next_cc",
+          min(when(col("event_type") === "click" && col("next_p").isNotNull &&
+              col("next_p") - col("us") <= FUNNEL_W_US, col("us"))).over(wNext))
+      // ONE pass over the annotated views: the three stage cardinalities
+      // are conditional countDistincts in a single aggregate (shared
+      // scan + windows + shuffle), unpivoted to rows via stack.
+      y.filter(col("event_type") === "view")
+        .agg(
+          countDistinct(col("user_id")).as("s1"),
+          countDistinct(when(col("next_c").isNotNull &&
+            col("next_c") - col("us") <= FUNNEL_W_US, col("user_id"))).as("s2"),
+          countDistinct(when(col("next_cc").isNotNull &&
+            col("next_cc") - col("us") <= FUNNEL_W_US, col("user_id"))).as("s3"))
+        .selectExpr(
+          "stack(3, '1_view', s1, '2_click_6h', s2, '3_purchase_6h', s3) AS (stage, n_users)")
         .orderBy(col("stage"))
     }),
 
@@ -253,6 +300,30 @@ object Events extends QueryGroup {
          SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
          UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
          UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+         ORDER BY stage""",
+    "events_funnel_windowed" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+         x AS (SELECT *,
+             MIN(CASE WHEN event_type = 'purchase' THEN us END) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p
+           FROM e),
+         y AS (SELECT *,
+             MIN(CASE WHEN event_type = 'click' THEN us END) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_c,
+             MIN(CASE WHEN event_type = 'click' AND next_p IS NOT NULL
+                   AND next_p - us <= $FUNNEL_W_US THEN us END) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_cc
+           FROM x),
+         v AS (SELECT * FROM y WHERE event_type = 'view')
+         SELECT '1_view' AS stage,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM v
+         UNION ALL SELECT '2_click_6h', CAST(COUNT(DISTINCT user_id) AS BIGINT)
+           FROM v WHERE next_c IS NOT NULL AND next_c - us <= $FUNNEL_W_US
+         UNION ALL SELECT '3_purchase_6h', CAST(COUNT(DISTINCT user_id) AS BIGINT)
+           FROM v WHERE next_cc IS NOT NULL AND next_cc - us <= $FUNNEL_W_US
          ORDER BY stage""",
     "events_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

@@ -153,6 +153,23 @@ class PlanContractsSpec extends SparkSpec {
       "lag/running-sum windows and the aggregate must share one shuffle")
   }
 
+  test("windowed funnel: the three stacked running-min windows share one user_id exchange") {
+    // The whole point of the window formulation (vs the quadratic
+    // view×click per-user join) is ONE sort per user stream — the
+    // next-purchase, next-click, and next-converting-click mins must
+    // not each re-shuffle.
+    val p = plan("events_funnel_windowed")
+    // Exactly one SINGLE-KEY user_id exchange (the sort all three
+    // windows stack on); the multi-distinct aggregate's expand shuffle
+    // has a composite key and is counted separately.
+    assert(count(p, "Exchange hashpartitioning\\(user_id#\\d+L, \\d+\\)") === 1,
+      s"stacked windows must share one user_id shuffle:\n$p")
+    assert(count(p, "\\bWindow \\[") === 3,
+      s"expected the three stacked running-min windows:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "funnel must stay join-free")
+  }
+
   test("repetition scoring never aggregates — per-doc metrics stay in the projection") {
     val p = plan("text_repetition")
     assert(!p.contains("Aggregate"),
