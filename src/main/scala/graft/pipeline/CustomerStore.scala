@@ -37,11 +37,122 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       new java.io.File(path).listFiles().exists(f => f.getName.startsWith("uploaded="))
 
   def all(): DataFrame =
-    if (tableExists)
-      spark.read.schema(tableSchema).parquet(path)
-        .select(tableSchema.fieldNames.map(col): _*)
+    if (tableExists) allWithFile().select(tableSchema.fieldNames.map(col): _*)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+
+  /** The live table with each row's physical file URI in `_file`,
+    * DELETION VECTORS APPLIED. `_file` is captured at the scan (before
+    * the anti-join — `input_file_name()` is a task-local scan function
+    * and returns nothing above a shuffle), so file-level commit paths
+    * (ack, merge) can keep selecting touched files through it.
+    */
+  private def allWithFile(): DataFrame =
+    withVectorsApplied(
+      spark.read.schema(tableSchema).parquet(path)
+        .withColumn("_file", input_file_name()))
+
+  // ---- Merge-on-read deletion vectors --------------------------------
+
+  /** True iff any deletion-vector file exists (fast path: readers skip
+    * the anti-join entirely on vector-free tables).
+    */
+  private def hasDeletes: Boolean = {
+    val d = new java.io.File(path, Deletes)
+    d.isDirectory && d.listFiles().exists(_.getName.endsWith(".parquet"))
+  }
+
+  private def dvSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("email",
+      org.apache.spark.sql.types.StringType, nullable = false)))
+
+  /** The committed deletion vectors: (data-file BASENAME, email) rows
+    * naming tombstoned rows. FILE-scoped, not key-scoped — a later
+    * insert of the same email lands in a NEW file and is untouched,
+    * and any commit that rewrites a file makes its vector rows inert
+    * (the basename no longer exists), so vectors never have to be
+    * rewritten on data commits.
+    */
+  def deletionVectors(): DataFrame =
+    if (hasDeletes)
+      spark.read.schema(dvSchema)
+        .parquet(new java.io.File(path, Deletes).toString)
+        .select(col("file"), col("email"))
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dvSchema)
+
+  /** (total vector rows, rows still matching a live data file) — the
+    * live count is what merge-on-read reads pay for; compaction
+    * materializes the deletes and drives it back to zero.
+    */
+  def deletionVectorStats(): (Long, Long) = {
+    val dv = deletionVectors().cache()
+    try {
+      val total = dv.count()
+      if (total == 0) return (0L, 0L)
+      val liveNames = (livePendingFiles().map(_._1) ++ {
+        val d = new java.io.File(path, "uploaded=true")
+        if (d.exists()) d.listFiles().toSeq.filter(_.getName.endsWith(".parquet")).map(_.getName)
+        else Seq.empty
+      })
+      import spark.implicits._
+      val live = dv.join(liveNames.toDF("file"), Seq("file"), "left_semi").count()
+      (total, live)
+    } finally dv.unpersist(): Unit
+  }
+
+  /** Anti-join a `_file`-carrying frame against the deletion vectors
+    * (match on basename + email). No-op on vector-free tables.
+    */
+  private def withVectorsApplied(df: DataFrame): DataFrame =
+    if (!hasDeletes) df
+    else {
+      val dv = deletionVectors()
+        .select(col("file").as("_dvf"), col("email").as("_dve"))
+      df.join(dv,
+        element_at(split(col("_file"), "/"), -1) === col("_dvf") &&
+          col("email") === col("_dve"), "left_anti")
+    }
+
+  /** Merge-on-read DELETE: tombstone every live row whose email is in
+    * `emails` WITHOUT touching any data file — the commit stages only
+    * the (file, email) deletion-vector rows plus `delete_pre`
+    * retraction feed rows (full pre-images, weight −1 under the
+    * standard `_pre` convention, so every incremental consumer
+    * subtracts them with no new code), and promotes them by the same
+    * atomic rename as every mutation. Readers anti-join the vectors
+    * ([[allWithFile]]); [[compact]] materializes them physically.
+    * An empty match commits nothing (the reference's empty-batch
+    * no-op). Returns the number of rows tombstoned.
+    */
+  def delete(emails: DataFrame): Long = {
+    if (!tableExists) return 0L
+    recover()
+    val keys = emails.select(col("email").as("_del")).distinct()
+    val hit = allWithFile()
+      .join(keys, col("email") === col("_del"), "left_semi")
+      .withColumn("_file", element_at(split(col("_file"), "/"), -1))
+      .localCheckpoint(true)
+    val n = hit.count()
+    if (n == 0) return 0L
+    val tmp = new java.io.File(path, StagingTmp)
+    deleteRecursively(tmp)
+    val dvDir = new java.io.File(tmp, "deletes")
+    hit.select(col("_file").as("file"), col("email")).write.parquet(dvDir.toString)
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    dvDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      require(f.renameTo(new java.io.File(dvDir, s"del-$commitId-${f.getName}")),
+        s"staging rename failed for $f")
+    }
+    stageChanges(tmp,
+      changeRows(hit.drop("_file", "_del"), "delete_pre")): Unit
+    val staging = new java.io.File(path, Staging)
+    require(tmp.renameTo(staging), s"commit rename $tmp -> $staging failed")
+    applyStaged()
+    n
+  }
 
   /** Survivor append: new files into the uploaded=false partition,
     * through the SAME staged-commit protocol as every other mutation
@@ -188,13 +299,20 @@ class CustomerStore(protected val spark: SparkSession, path: String,
           s"${oldest.getOrElse(version + 1)} were vacuumed and no snapshot at " +
           "or below the requested version exists")
     }
+    // `delete_pre` rows ride along as TOMBSTONES: a delete commit has
+    // no post-image, so its pre-image (kept despite the _pre filter)
+    // is the marker — if it wins the per-email last-writer window the
+    // email was deleted as of `version` and the row is dropped below.
     val delta = feedSince(base.getOrElse(0L), version)
-      .filter(!col("change_type").endsWith("_pre"))
-      .select(col("commit_version") +: tableSchema.fieldNames.map(col): _*)
+      .filter(!col("change_type").endsWith("_pre") ||
+        col("change_type") === "delete_pre")
+      .select(col("commit_version") +: col("change_type") +:
+        tableSchema.fieldNames.map(col): _*)
     val merged = base match {
       case Some(v0) =>
         spark.read.schema(tableSchema).parquet(snapshotDir(v0).toString)
-          .select(lit(v0).as("commit_version") +: tableSchema.fieldNames.map(col): _*)
+          .select(lit(v0).as("commit_version") +: lit("snapshot").as("change_type") +:
+            tableSchema.fieldNames.map(col): _*)
           .unionByName(delta)
       case None => delta
     }
@@ -202,6 +320,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       .partitionBy(col("email")).orderBy(col("commit_version").desc)
     merged
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .filter(col("change_type") =!= "delete_pre")
       .select(tableSchema.fieldNames.map(col): _*)
   }
 
@@ -286,7 +405,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
   def compact(targetFilesPerPartition: Int = 1): Unit = {
     if (!tableExists) return
     recover()
-    val cur = all().localCheckpoint(true)
+    val cur = all().localCheckpoint(true) // deletion vectors applied
     stageFullCommit(
       cur.filter(!col("uploaded")).coalesce(targetFilesPerPartition),
       cur.filter(col("uploaded")).coalesce(targetFilesPerPartition),
@@ -295,6 +414,12 @@ class CustomerStore(protected val spark: SparkSession, path: String,
           org.apache.spark.sql.types.StructField("change_type",
             org.apache.spark.sql.types.StringType, nullable = false) +: tableSchema.fields)))
     applyStaged()
+    // The full rewrite MATERIALIZED every tombstone (all() above is
+    // vector-applied and every pre-compact file name is gone), so the
+    // vectors are inert — drop them. A crash between the promotion and
+    // this cleanup leaves stale-but-inert vectors (basenames that no
+    // longer exist), which the next compact clears; never a wrong read.
+    deleteRecursively(new java.io.File(path, Deletes))
   }
 
   private def snapshotDir(v: Long): java.io.File =
@@ -435,9 +560,11 @@ class CustomerStore(protected val spark: SparkSession, path: String,
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
       else
-        spark.read.schema(dataSchema).parquet(keep: _*)
-          .filter(col("email").isin(emails: _*))
-          .withColumn("uploaded", lit(false))
+        withVectorsApplied(
+          spark.read.schema(dataSchema).parquet(keep: _*)
+            .filter(col("email").isin(emails: _*))
+            .withColumn("uploaded", lit(false))
+            .withColumn("_file", input_file_name()))
           .select(tableSchema.fieldNames.map(col): _*)
     (rows, keep.size, total)
   }
@@ -488,11 +615,12 @@ class CustomerStore(protected val spark: SparkSession, path: String,
             .withColumn("uploaded", lit(false))
             .withColumn("_file", lit(""))
         else
-          spark.read.schema(dataSchema).parquet(keep: _*)
-            .withColumn("uploaded", lit(false))
-            .withColumn("_file", input_file_name())
+          withVectorsApplied(
+            spark.read.schema(dataSchema).parquet(keep: _*)
+              .withColumn("uploaded", lit(false))
+              .withColumn("_file", input_file_name()))
       } else
-        all().filter(!col("uploaded")).withColumn("_file", input_file_name())
+        allWithFile().filter(!col("uploaded"))
     // Pre-image first (the rows about to flip), pinned before any file
     // moves; the post-image derives from it so both reflect ONE scan.
     val movedPre = candidates.join(acked, col("email") === col("_ack"), "left_semi")
@@ -550,7 +678,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     if (updates.isEmpty && inserts.isEmpty) return
     if (!tableExists) { appendRows(inserts): Unit; return }
     recover()
-    val withFile = all().withColumn("_file", input_file_name())
+    val withFile = allWithFile()
     // Pre-image: the stored rows the updates replace, pinned before
     // the staged rewrite starts moving the files they live in.
     val updatesPre = withFile
@@ -808,6 +936,18 @@ class CustomerStore(protected val spark: SparkSession, path: String,
         deleteRecursively(addDir)
       }
     }
+    // Deletion-vector promotion: append the staged (file, email)
+    // tombstone files into `_deletes/` (commit-unique names, so crash
+    // replay is a no-op for files a previous attempt already moved).
+    val dvStage = new java.io.File(staging, "deletes")
+    if (dvStage.exists()) {
+      val dvDir = new java.io.File(path, Deletes)
+      dvDir.mkdirs()
+      dvStage.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        require(f.renameTo(new java.io.File(dvDir, f.getName)), s"promote $f failed")
+      }
+      deleteRecursively(dvStage)
+    }
     // Change-feed promotion: append this commit's rows (already under
     // commit-unique names, so replay after a crash is a no-op for
     // files a previous attempt landed).
@@ -899,6 +1039,7 @@ object CustomerStore {
   private[pipeline] val Snapshots = "_snapshots"
   private[pipeline] val Commits = "_commits"
   private[pipeline] val StatsManifest = "_stats"
+  private[pipeline] val Deletes = "_deletes"
 
   /** Per-file bloom geometry for the email point-lookup index: 2^17
     * bits (2 KiB of words per file) holds ~8k keys per file at the

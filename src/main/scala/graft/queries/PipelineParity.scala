@@ -220,6 +220,61 @@ object PipelineParity extends QueryGroup {
     "pipeline_workqueue_cycle" -> ((s, dir) =>
       workqueueCycle(s, dir)(tmp => new graft.pipeline.CustomerStore(s, s"$tmp/store"))),
 
+    // MERGE-ON-READ DELETE via deletion vectors (the Delta/Iceberg
+    // row-level-delete shape): a delete commit stages ONLY (file,
+    // email) tombstone rows + delete_pre retraction feed rows — no
+    // data file is touched (REQUIREd by comparing the live file set
+    // across the commit). Readers anti-join the vectors; a later
+    // insert of the same key lands in a new file the FILE-scoped
+    // vector cannot hide; time travel sees pre-delete versions intact
+    // and post-delete versions tombstoned; compaction materializes
+    // the deletes and drives the live-vector count to zero (REQUIREd).
+    // The weighted feed replay (+1 post, −1 _pre — no delete-specific
+    // consumer code) must equal the live count at every step.
+    "pipeline_delete_vectors" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          concat(lit("f"), col("c_custkey")).as("first_name"),
+          concat(lit("l"), col("c_custkey")).as("last_name"),
+          concat(lit("u"), col("c_custkey"), lit("@example.com")).as("email"),
+          concat(lit("555-"), col("c_custkey")).as("phone"))
+      withTempDir("graft-delvec-") { tmp =>
+        val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
+        store.insertNew(Ingest.enrich(base)) // v1
+        val nBefore = store.pending().count()
+        val filesBefore = store.pendingDataFiles().toSet
+        val nDeleted = store.delete(
+          base.filter(col("id") % 7 === 0).select(col("email"))) // v2
+        require(store.pendingDataFiles().toSet == filesBefore,
+          "delete rewrote data files — merge-on-read contract broken")
+        val nAfterDelete = store.all().count()
+        // Re-insert the smallest deleted email under a fresh id (v3):
+        // visible again despite the tombstone (file-scoped vectors).
+        val m = base.filter(col("id") % 7 === 0).agg(min(col("id"))).head().getLong(0)
+        store.insertNew(Ingest.enrich(
+          base.filter(col("id") === m).withColumn("id", col("id") + 50000000L)))
+        val nAfterReinsert = store.all().count()
+        val nAsOf1 = store.asOf(1).count()
+        val nAsOf2 = store.asOf(2).count()
+        // Feed replay parity at the current state.
+        val weighted = store.changeFeed()
+          .withColumn("w", when(col("change_type").endsWith("_pre"), -1L).otherwise(1L))
+          .agg(coalesce(sum(col("w")), lit(0L))).head().getLong(0)
+        require(weighted == nAfterReinsert,
+          s"feed replay $weighted != live count $nAfterReinsert")
+        store.compact() // v4: materialize
+        val (_, liveVectors) = store.deletionVectorStats()
+        require(liveVectors == 0L,
+          s"compaction left $liveVectors live deletion-vector rows")
+        val nAfterCompact = store.all().count()
+        Seq((nBefore, nDeleted, nAfterDelete, nAfterReinsert,
+            nAsOf1, nAsOf2, nAfterCompact))
+          .toDF("n_before", "n_deleted", "n_after_delete", "n_after_reinsert",
+            "n_asof_v1", "n_asof_v2", "n_after_compact")
+      }
+    }),
+
     // CHECK-constraint enforcement at the store commit boundary (the
     // Delta-style table-constraint surface; see pipeline.Constraints):
     // a batch with planted violations — negative ids (k % 97),
@@ -822,6 +877,16 @@ object PipelineParity extends QueryGroup {
            CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pending_after,
            CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_uploaded
          FROM customer""",
+    // All seven counts derive from the same %-of-custkey arithmetic:
+    // N rows inserted, D = multiples of 7 deleted, one re-inserted.
+    "pipeline_delete_vectors" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+            FROM customer)
+         SELECT n AS n_before, d AS n_deleted, n - d AS n_after_delete,
+           n - d + 1 AS n_after_reinsert, n AS n_asof_v1, n - d AS n_asof_v2,
+           n - d + 1 AS n_after_compact
+         FROM c""",
     // Re-derives the planted violations and the committed remainder
     // from the same %-of-custkey arithmetic; CASE order mirrors the
     // declared constraint order (first violated names the row).
