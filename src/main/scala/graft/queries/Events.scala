@@ -114,6 +114,40 @@ object Events extends QueryGroup {
         .orderBy(col("stage"))
     }),
 
+    // CHANGE-POINT DETECTION over the hourly event series — the CUSUM
+    // statistic kept EXACTLY integer: with prefix_t = Σ_{i≤t} x_i the
+    // centered cumulative sum is S_t = prefix_t − t·mean, which scaled
+    // by n becomes S'_t = n·prefix_t − t·total (no rational mean, no
+    // floats); the change point is the interior argmax of |S'_t| (ties
+    // by hour). Level-shift means on either side are reported as exact
+    // floor-ppm ratios. The corpus-scale work is ONE hourly count
+    // aggregate (us DIV 3600000000 — integer bucketing, no date
+    // functions); the CUSUM scan runs on the hours table, which is
+    // bounded by the time range whatever the event volume — the same
+    // aggregate-then-analyze shape as graph_nation_rank.
+    "events_changepoint" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(expr("us DIV 3600000000").as("hour"))
+        .agg(count(lit(1)).as("x"))
+      val wOrd = Window.orderBy(col("hour"))
+      val seq = hourly
+        .withColumn("t", row_number().over(wOrd).cast("long"))
+        .withColumn("prefix", sum(col("x")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = seq.agg(count(lit(1)).as("n"), sum(col("x")).as("total"))
+      seq.crossJoin(tot)
+        .filter(col("t") < col("n")) // interior points only
+        .withColumn("cusum_stat",
+          abs(col("n") * col("prefix") - col("t") * col("total")))
+        .orderBy(col("cusum_stat").desc, col("hour"))
+        .limit(1)
+        .select(col("hour").as("cp_hour"), col("t").as("cp_index"),
+          col("n").as("n_hours"), col("total").as("total_events"),
+          col("cusum_stat"),
+          expr("prefix * 1000000 DIV t").as("mean_before_ppm"),
+          expr("(total - prefix) * 1000000 DIV (n - t)").as("mean_after_ppm"))
+    }),
+
     // TIME-CONSTRAINED funnel (the Amplitude-style conversion window):
     // view → click within 6h → purchase within 6h OF THAT CLICK. The
     // unconstrained funnel above is greedy-from-first-view; with a
@@ -301,6 +335,20 @@ object Events extends QueryGroup {
          UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
          UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
          ORDER BY stage""",
+    "events_changepoint" ->
+      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour,
+              CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1),
+         seq AS (SELECT hour, x,
+             CAST(ROW_NUMBER() OVER (ORDER BY hour) AS BIGINT) AS t,
+             CAST(SUM(x) OVER (ORDER BY hour ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix
+           FROM h),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS total FROM seq)
+         SELECT hour AS cp_hour, t AS cp_index, n AS n_hours, total AS total_events,
+           abs(n * prefix - t * total) AS cusum_stat,
+           prefix * 1000000 // t AS mean_before_ppm,
+           (total - prefix) * 1000000 // (n - t) AS mean_after_ppm
+         FROM seq, tot WHERE t < n
+         ORDER BY abs(n * prefix - t * total) DESC, hour LIMIT 1""",
     "events_funnel_windowed" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
          x AS (SELECT *,
