@@ -48,6 +48,34 @@ class StreamingViewSpec extends SparkSpec {
     viewEqualsTable(store, s"$base/state")
   }
 
+  test("view absorbs delete retractions: tombstone-only commits keep the aggregate exact") {
+    val base = tmpDir("smv-del")
+    val store = new CustomerStore(spark, s"$base/store")
+    store.insertNew(rows(
+      (1L, "Ann", "A", "ann@example.com", "555-1"),
+      (2L, "Bob", "B", "bob@example.com", "555-2"),
+      (3L, "Cai", "C", "cai@example.com", "555-3"),
+      (4L, "Dee", "D", "dee@example.com", "555-4"))): Unit
+    val feedSchema = store.changeFeed().schema
+    def drain(): Unit =
+      StreamingView.start(spark, s"$base/store/_changelog/*", feedSchema,
+        s"$base/state", s"$base/ckpt").awaitTermination()
+    drain()
+    viewEqualsTable(store, s"$base/state")
+    // A delete commit carries ONLY delete_pre retractions — the view's
+    // standard −1 weighting must absorb it with no delete-aware code.
+    assert(store.delete(Seq("bob@example.com", "dee@example.com").toDF("email")) === 2L)
+    drain()
+    viewEqualsTable(store, s"$base/state")
+    // Resurrect one key under a fresh id, ack another, then resume the
+    // SAME checkpoint: insert + ack deltas apply on top of the
+    // retracted state.
+    store.insertNew(rows((14L, "Bob2", "B", "bob@example.com", "555-14"))): Unit
+    store.markUploaded(Seq("ann@example.com").toDF("email"))
+    drain()
+    viewEqualsTable(store, s"$base/state")
+  }
+
   test("parameterized view shape: per id%3 census maintained exactly-once across restart") {
     val base = tmpDir("smv-spec2")
     val spec = StreamingView.ViewSpec(
