@@ -402,24 +402,77 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     * rewrite is per-partition and the bin-packing target is a file
     * size, but the commit shape is identical.
     */
-  def compact(targetFilesPerPartition: Int = 1): Unit = {
+  def compact(targetFilesPerPartition: Int = 1): Unit =
+    rewriteTable(_.coalesce(targetFilesPerPartition))
+
+  /** OPTIMIZE with range CLUSTERING on the merge-grain key: the same
+    * data-only rewrite commit as [[compact]], but each partition's
+    * rows are range-partitioned by `id` into `filesPerPartition`
+    * files with DISJOINT id ranges — which is what turns the
+    * per-commit zone maps ([[zonesManifest]]) from descriptive
+    * metadata into a pruning index: an id-range read
+    * ([[pendingRangeRead]]) then opens only intersecting files. The
+    * Delta OPTIMIZE ZORDER / liquid-clustering maintenance shape,
+    * 1-D form (one clustering key).
+    */
+  def optimize(filesPerPartition: Int = 4): Unit =
+    rewriteTable(_.repartitionByRange(filesPerPartition, col("id")))
+
+  /** Shared data-only rewrite commit (compaction / clustering): the
+    * version advances, the feed stays silent (physical layout, not a
+    * logical change), and the full rewrite MATERIALIZES every
+    * deletion-vector tombstone (all() below is vector-applied and
+    * every pre-rewrite file name is gone) — so the vectors are
+    * dropped after promotion. A crash between the promotion and that
+    * cleanup leaves stale-but-inert vectors (basenames that no longer
+    * exist), which the next rewrite clears; never a wrong read.
+    */
+  private def rewriteTable(shape: DataFrame => DataFrame): Unit = {
     if (!tableExists) return
     recover()
     val cur = all().localCheckpoint(true) // deletion vectors applied
     stageFullCommit(
-      cur.filter(!col("uploaded")).coalesce(targetFilesPerPartition),
-      cur.filter(col("uploaded")).coalesce(targetFilesPerPartition),
+      shape(cur.filter(!col("uploaded"))),
+      shape(cur.filter(col("uploaded"))),
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(
           org.apache.spark.sql.types.StructField("change_type",
             org.apache.spark.sql.types.StringType, nullable = false) +: tableSchema.fields)))
     applyStaged()
-    // The full rewrite MATERIALIZED every tombstone (all() above is
-    // vector-applied and every pre-compact file name is gone), so the
-    // vectors are inert — drop them. A crash between the promotion and
-    // this cleanup leaves stale-but-inert vectors (basenames that no
-    // longer exist), which the next compact clears; never a wrong read.
     deleteRecursively(new java.io.File(path, Deletes))
+  }
+
+  /** Zone-pruned id-range read over the pending partition: consult the
+    * per-commit zone manifest and OPEN only live files whose
+    * [min_id, max_id] intersects [lo, hi]; a file without manifest
+    * coverage degrades to a read, never a wrong answer. The exact
+    * predicate is re-applied to the opened files and deletion vectors
+    * are honored. Returns (rows, filesRead, filesTotal) so callers can
+    * assert the skip actually happened.
+    */
+  def pendingRangeRead(lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    recover()
+    val files = livePendingFiles()
+    val zones = zonesManifest()
+      .select(col("file"), col("min_id"), col("max_id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val keep = files.filter { case (name, _) =>
+      zones.get(name).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      tableSchema.filterNot(_.name == "uploaded"))
+    val rows =
+      if (keep.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+      else
+        withVectorsApplied(
+          spark.read.schema(dataSchema).parquet(keep.map(_._2): _*)
+            .filter(col("id") >= lo && col("id") <= hi)
+            .withColumn("uploaded", lit(false))
+            .withColumn("_file", input_file_name()))
+          .select(tableSchema.fieldNames.map(col): _*)
+    (rows, keep.size, files.size)
   }
 
   private def snapshotDir(v: Long): java.io.File =

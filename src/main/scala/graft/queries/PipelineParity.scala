@@ -220,6 +220,48 @@ object PipelineParity extends QueryGroup {
     "pipeline_workqueue_cycle" -> ((s, dir) =>
       workqueueCycle(s, dir)(tmp => new graft.pipeline.CustomerStore(s, s"$tmp/store"))),
 
+    // OPTIMIZE with range clustering (the Delta OPTIMIZE ZORDER /
+    // liquid-clustering maintenance shape, 1-D): four id-interleaved
+    // insert commits build a worst-case layout — every pending file
+    // spans the full id range, so the per-commit zone maps can prune
+    // NOTHING for a range read (REQUIREd: all files opened). One
+    // optimize() rewrite range-partitions the rows into disjoint-range
+    // files, after which the same read must open strictly fewer files
+    // (REQUIREd) and return the identical rows. Counts + id-sum are
+    // oracle-pinned from the same quantile arithmetic.
+    "pipeline_optimize_clustered" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          concat(lit("f"), col("c_custkey")).as("first_name"),
+          concat(lit("l"), col("c_custkey")).as("last_name"),
+          concat(lit("u"), col("c_custkey"), lit("@example.com")).as("email"),
+          concat(lit("555-"), col("c_custkey")).as("phone"))
+      val mm = base.agg(min(col("id")), max(col("id")), count(lit(1))).head()
+      val (mn, mx, nTotal) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+      val lo = mn + (mx - mn) / 4
+      val hi = mn + (mx - mn) / 2
+      withTempDir("graft-optimize-") { tmp =>
+        val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
+        for (m <- 0L until 4L)
+          store.insertNew(Ingest.enrich(base.filter(col("id") % 4 === m)))
+        val (r1, read1, total1) = store.pendingRangeRead(lo, hi)
+        val first = r1.agg(count(lit(1)), coalesce(sum(col("id")), lit(0L))).head()
+        val (n1, sum1) = (first.getLong(0), first.getLong(1))
+        require(read1 == total1,
+          s"interleaved layout pruned $read1/$total1 — fixture not worst-case")
+        store.optimize(4)
+        val (r2, read2, total2) = store.pendingRangeRead(lo, hi)
+        val second = r2.agg(count(lit(1)), coalesce(sum(col("id")), lit(0L))).head()
+        require(second.getLong(0) == n1 && second.getLong(1) == sum1,
+          "clustered read returned different rows than the unclustered read")
+        require(read2 < total2,
+          s"clustered zone maps must prune the range read ($read2/$total2 opened)")
+        Seq((nTotal, n1, sum1))
+          .toDF("n_rows", "n_in_range", "id_sum_in_range")
+      }
+    }),
+
     // MERGE-ON-READ DELETE via deletion vectors (the Delta/Iceberg
     // row-level-delete shape): a delete commit stages ONLY (file,
     // email) tombstone rows + delete_pre retraction feed rows — no
@@ -877,6 +919,18 @@ object PipelineParity extends QueryGroup {
            CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pending_after,
            CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_uploaded
          FROM customer""",
+    // Range bounds derive from the same min/max quantile arithmetic
+    // (integer division, positive operands — // and Scala / agree).
+    "pipeline_optimize_clustered" ->
+      """WITH b AS (SELECT MIN(c_custkey) AS mn, MAX(c_custkey) AS mx,
+              COUNT(*) AS n FROM customer),
+         r AS (SELECT n, mn + (mx - mn) // 4 AS lo, mn + (mx - mn) // 2 AS hi FROM b)
+         SELECT CAST(r.n AS BIGINT) AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer, r
+            WHERE c_custkey BETWEEN lo AND hi) AS n_in_range,
+           (SELECT CAST(SUM(c_custkey) AS BIGINT) FROM customer, r
+            WHERE c_custkey BETWEEN lo AND hi) AS id_sum_in_range
+         FROM r""",
     // All seven counts derive from the same %-of-custkey arithmetic:
     // N rows inserted, D = multiples of 7 deleted, one re-inserted.
     "pipeline_delete_vectors" ->
