@@ -26,7 +26,7 @@ object Events extends QueryGroup {
   // Windowed-funnel conversion deadline (6h): chosen so every SF shows
   // real drop-off at both constrained stages (measured 15/14/1,
   // 150/118/18, 1500/1081/195 across sf0.001/0.01/0.1).
-  private val FUNNEL_W_US = 6L * 3600 * 1000000
+  private[queries] val FUNNEL_W_US = 6L * 3600 * 1000000
 
   /** events with `ts` (nanos-as-long, see Tables) converted to exact
     * microseconds via integer division — the nano value (~1.7e18)

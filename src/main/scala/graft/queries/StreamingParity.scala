@@ -341,6 +341,64 @@ object StreamingParity extends QueryGroup {
     // form; with AvailableNow over one parquet file everything lands
     // in the first micro-batch, so the full match set must equal the
     // batch interval join row-for-row.
+    // STREAMING WINDOWED FUNNEL parity: EventStreams.viewConversions
+    // (flatMapGroupsWithState, event-time timeout, per-user state
+    // bounded to a 2W horizon) emits each VIEW's conversion stage once
+    // the watermark passes view + 2W; the batch twin computes the same
+    // per-view stages via the events_funnel_windowed stacked windows,
+    // restricted to the views the modeled final watermark finalizes.
+    // Keys include the STAGE, so a converted view emitted at the wrong
+    // stage lands in both residues, not just a count shift.
+    "streaming_funnel_parity" -> ((s, dir) => {
+      import s.implicits._
+      val w = Events.FUNNEL_W_US
+      val batch = Tables(s, dir, "events").withColumn("us", expr("ts DIV 1000"))
+      val streamed = withTempDir(s, "graft-parity-") { tmp =>
+        val stream = s.readStream.schema(eventsSchema)
+          .parquet(s"$dir/{events.parquet}")
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .as[EventStreams.FunnelEvent]
+        EventStreams.viewConversions(stream, w)
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.schema(StructType(Seq(
+            StructField("user_id", LongType),
+            StructField("view_event_id", LongType),
+            StructField("stage", LongType))))
+          .parquet(s"$tmp/out")
+          .localCheckpoint(true)
+      }
+      val wmMs = batch.agg(max(expr("us DIV 1000"))).head().getLong(0) -
+        WATERMARK_DELAY_MS
+      val wNext = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val x = batch.select(col("user_id"), col("event_id"), col("event_type"), col("us"))
+        .withColumn("next_p",
+          min(when(col("event_type") === "purchase", col("us"))).over(wNext))
+      val y = x
+        .withColumn("next_c",
+          min(when(col("event_type") === "click", col("us"))).over(wNext))
+        .withColumn("next_cc",
+          min(when(col("event_type") === "click" && col("next_p").isNotNull &&
+              col("next_p") - col("us") <= w, col("us"))).over(wNext))
+      val perView = y.filter(col("event_type") === "view")
+        .filter(col("us") + lit(2 * w) < lit(wmMs) * 1000L)
+        .withColumn("stage",
+          when(col("next_cc").isNotNull && col("next_cc") - col("us") <= w, 3L)
+            .when(col("next_c").isNotNull && col("next_c") - col("us") <= w, 2L)
+            .otherwise(1L))
+        .select(col("user_id"), col("event_id").as("view_event_id"), col("stage"))
+      parityCounts(s, streamed, perView,
+        Seq("user_id", "view_event_id", "stage"),
+        Seq("n_stream", "n_batch", "n_only_stream", "n_only_batch"))
+    }),
+
     "streaming_join_parity" -> ((s, dir) => {
       import s.implicits._
       val batch = Tables(s, dir, "events")
@@ -577,6 +635,35 @@ object StreamingParity extends QueryGroup {
            CAST(0 AS BIGINT) AS n_only_stream,
            CAST(0 AS BIGINT) AS n_only_batch
          FROM bf""",
+    // The batch side of the funnel parity recomputed in SQL (same
+    // stacked running-min windows as events_funnel_windowed, per-view
+    // grain, modeled final watermark); residues pinned at zero.
+    "streaming_funnel_parity" -> {
+      val w = Events.FUNNEL_W_US
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+         wm AS (SELECT MAX(us) // 1000 - $WATERMARK_DELAY_MS AS wm_ms FROM e),
+         x AS (SELECT *,
+             MIN(CASE WHEN event_type = 'purchase' THEN us END) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p
+           FROM e),
+         y AS (SELECT *,
+             MIN(CASE WHEN event_type = 'click' THEN us END) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_c,
+             MIN(CASE WHEN event_type = 'click' AND next_p IS NOT NULL
+                   AND next_p - us <= $w THEN us END) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_cc
+           FROM x),
+         pv AS (SELECT user_id, event_id FROM y, wm
+                WHERE event_type = 'view' AND us + ${2 * w} < wm_ms * 1000)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_stream,
+           CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(0 AS BIGINT) AS n_only_stream,
+           CAST(0 AS BIGINT) AS n_only_batch
+         FROM pv"""
+    },
     "streaming_join_parity" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
          p AS (SELECT user_id, event_id AS purchase_id, us AS p_us FROM e

@@ -133,6 +133,82 @@ object EventStreams {
       }
   }
 
+  case class FunnelEvent(user_id: Long, event_id: Long, ts: Timestamp,
+      event_type: String)
+  case class BufEvent(us: Long, eventId: Long, typ: String)
+  case class FunnelBuffer(events: Seq[BufEvent])
+  case class ViewOutcome(user_id: Long, view_event_id: Long, stage: Long)
+
+  /** STREAMING WINDOWED FUNNEL — per-VIEW conversion outcomes under a
+    * conversion deadline `windowUs` (view → click ≤ W → purchase ≤ W of
+    * that click), the streaming twin of the batch
+    * `events_funnel_windowed` semantics at view grain. Per-user final
+    * stages never finalize on an unbounded stream (a new view can
+    * always arrive), but a single VIEW's outcome is immutable once the
+    * watermark passes `view + 2W`: every event that could still change
+    * it (a click in (v, v+W], a purchase within W of such a click)
+    * lies at or below v + 2W, and anything admitted later has
+    * ts ≥ watermark > v + 2W. So the operator buffers each user's
+    * events, finalizes views as the watermark crosses their horizon,
+    * and EVICTS events older than `watermark − 2W` — influencing
+    * events always FOLLOW their view in (us, event_id) stream order,
+    * so nothing a pending view needs is ever dropped. State per user
+    * is bounded by 2W of events whatever the stream length — the
+    * bounded-state contract — and is reclaimed via the event-time
+    * timeout, re-armed at the earliest pending horizon.
+    *
+    * Outcome rule (identical to the batch twin's stacked running-min
+    * windows, restricted per view): stage 3 if some click in
+    * (v, v+W] (stream order) has a following purchase within W;
+    * else stage 2 if some click in (v, v+W]; else stage 1.
+    */
+  def viewConversions(events: Dataset[FunnelEvent],
+      windowUs: Long): Dataset[ViewOutcome] = {
+    import events.sparkSession.implicits._
+    val horizonUs = 2L * windowUs
+
+    def follows(a: BufEvent, b: BufEvent): Boolean =
+      a.us > b.us || (a.us == b.us && a.eventId > b.eventId)
+
+    def stageOf(v: BufEvent, sorted: Seq[BufEvent]): Long = {
+      val clicksInWindow = sorted.filter(e =>
+        e.typ == "click" && follows(e, v) && e.us - v.us <= windowUs)
+      if (clicksInWindow.exists(c => sorted.exists(p =>
+          p.typ == "purchase" && follows(p, c) && p.us - c.us <= windowUs))) 3L
+      else if (clicksInWindow.nonEmpty) 2L
+      else 1L
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelBuffer]) =>
+          val prior = state.getOption.map(_.events).getOrElse(Seq.empty)
+          val all = (prior ++ rows.map(e =>
+              BufEvent(tsToUs(e.ts), e.event_id, e.event_type)))
+            .sortBy(e => (e.us, e.eventId))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (doneViews, pendingViews) = all.filter(_.typ == "view")
+            .partition(_.us + horizonUs < wmUs)
+          val out = doneViews.map(v =>
+            ViewOutcome(uid, v.eventId, stageOf(v, all)))
+          // Evict finalized views and anything past the horizon; keep
+          // the rest (a kept event can still decide a pending or
+          // future view's outcome).
+          val kept = all.filter(e =>
+            e.us + horizonUs >= wmUs && !(e.typ == "view" && e.us + horizonUs < wmUs))
+          if (kept.isEmpty) state.remove()
+          else {
+            state.update(FunnelBuffer(kept))
+            val nextDue = pendingViews.map(v => (v.us + horizonUs) / 1000L + 1)
+              .minOption.getOrElse(wmUs / 1000L + 60000L)
+            state.setTimeoutTimestamp(math.max(nextDue, wmUs / 1000L + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Stream-stream interval join: each purchase paired with the same
     * user's views from the preceding `lookback`. Input needs columns
     * (user_id, event_id, event_type, ts). The watermarks on BOTH sides
