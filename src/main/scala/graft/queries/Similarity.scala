@@ -282,7 +282,7 @@ object Similarity extends QueryGroup {
     * TOP_K.
     */
   private def ivfProbe(queries: DataFrame, postings: DataFrame,
-      cent: DataFrame, probes: Int = IVF_PROBES): DataFrame = {
+      cent: DataFrame, probes: Int = IVF_PROBES, k: Int = TOP_K): DataFrame = {
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("c_cos").desc, col("list_id"))
     val qProbes = queries
@@ -309,7 +309,7 @@ object Similarity extends QueryGroup {
       .select(col("query_id"), col("neighbor_id"), col("cos_ppm"))
       .distinct()
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TOP_K)
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_ppm"))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -450,48 +450,30 @@ object Similarity extends QueryGroup {
         .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("sq").as("q_sq"))
       val wC = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_ppm").desc, col("neighbor_id"))
-      val cand = all.select(col("vec_id").as("neighbor_id"), col("qv"), col("sq"))
+      mmrSelect(all.select(col("vec_id").as("neighbor_id"), col("qv"), col("sq"))
         .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
         .withColumn("cos_ppm", cosPpm(qdot(col("q_qv"), col("qv")), col("q_sq"), col("sq")))
         .withColumn("crank", row_number().over(wC))
         .filter(col("crank") <= MMR_C)
-        .select(col("query_id"), col("neighbor_id"), col("qv"), col("sq"), col("cos_ppm"))
-        .localCheckpoint(true)
-      val a = cand.select(col("query_id"), col("neighbor_id").as("a_id"),
-        col("qv").as("a_qv"), col("sq").as("a_sq"))
-      val b = cand.select(col("query_id"), col("neighbor_id").as("b_id"),
-        col("qv").as("b_qv"), col("sq").as("b_sq"))
-      val sims = a.join(b, Seq("query_id")).filter(col("a_id") =!= col("b_id"))
-        .withColumn("sim_ppm", cosPpm(qdot(col("a_qv"), col("b_qv")), col("a_sq"), col("b_sq")))
-        .select(col("query_id"), col("a_id"), col("b_id"), col("sim_ppm"))
-        .localCheckpoint(true)
-      val pool0 = cand.select(col("query_id"), col("neighbor_id"), col("cos_ppm"))
-      var selAccum: DataFrame = null
-      var pool = pool0
-      val wSel = Window.partitionBy(col("query_id"))
-        .orderBy((col("cos_ppm") * 7 - col("max_sim") * 3).desc, col("neighbor_id"))
-      for (t <- 1 to MMR_K) {
-        val base =
-          if (selAccum == null) pool.withColumn("max_sim", lit(0L))
-          else {
-            val selSims = sims
-              .join(selAccum.select(col("query_id"), col("neighbor_id").as("b_id")),
-                Seq("query_id", "b_id"))
-              .groupBy(col("query_id"), col("a_id").as("neighbor_id"))
-              .agg(max(col("sim_ppm")).as("max_sim"))
-            pool.join(selSims, Seq("query_id", "neighbor_id"), "left")
-              .withColumn("max_sim", coalesce(col("max_sim"), lit(0L)))
-          }
-        val pick = base
-          .withColumn("rn", row_number().over(wSel)).filter(col("rn") === 1)
-          .select(col("query_id"), lit(t.toLong).as("sel_rank"), col("neighbor_id"),
-            col("cos_ppm"), (col("cos_ppm") * 7 - col("max_sim") * 3).as("mmr_score"))
-          .localCheckpoint(true) // bound lineage per greedy round
-        selAccum = if (selAccum == null) pick else selAccum.unionByName(pick)
-        pool = pool.join(pick.select(col("query_id"), col("neighbor_id")),
-          Seq("query_id", "neighbor_id"), "left_anti")
-      }
-      selAccum.orderBy(col("query_id"), col("sel_rank"))
+        .select(col("query_id"), col("neighbor_id"), col("qv"), col("sq"), col("cos_ppm")))
+    }),
+
+    // The PRODUCTION MMR path: the same greedy diversification stage
+    // fed by the persisted IVF index instead of the exact scan — probe
+    // the trained index for each query's top-MMR_C candidates (the
+    // serving-side retrieval), then rerank. Composes two
+    // already-shipped stages; the oracle retrains the index and
+    // unrolls the greedy rounds from the same constants.
+    "sim_mmr_ann" -> ((s, dir) => {
+      val all = quantized(s, dir)
+      val (postings, cent) = ivfIndexCached(s, dir, all)
+      val cand = ivfProbe(all.filter(col("vec_id") % 100 === 0),
+          postings, cent, k = MMR_C)
+        .join(all.select(col("vec_id").as("neighbor_id"), col("qv"), col("sq")),
+          "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"), col("qv"), col("sq"),
+          col("cos_ppm"))
+      mmrSelect(cand)
     }),
 
     // LSH-bucketed ANN: same query set, candidates = own bucket ∪ 1-bit
@@ -954,6 +936,51 @@ object Similarity extends QueryGroup {
   /** Name of the final centroid CTE inside [[ivfBuildSql]]. */
   private def ivfFinalCent: String = s"c$IVF_ITERS"
 
+  /** Greedy MMR selection over a per-query candidate pool carrying
+    * (query_id, neighbor_id, qv, sq, cos_ppm) — the stage shared by
+    * the exact-scan and IVF-fed variants. K rounds of join + window
+    * over the (queries × C) frame, each pick checkpointed to bound
+    * lineage; the integer objective 7·rel − 3·maxSimToSelected with
+    * ties by neighbor_id makes the whole trajectory oracle-exact.
+    */
+  private def mmrSelect(cand0: DataFrame): DataFrame = {
+    val cand = cand0.localCheckpoint(true)
+    val a = cand.select(col("query_id"), col("neighbor_id").as("a_id"),
+      col("qv").as("a_qv"), col("sq").as("a_sq"))
+    val b = cand.select(col("query_id"), col("neighbor_id").as("b_id"),
+      col("qv").as("b_qv"), col("sq").as("b_sq"))
+    val sims = a.join(b, Seq("query_id")).filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim_ppm", cosPpm(qdot(col("a_qv"), col("b_qv")), col("a_sq"), col("b_sq")))
+      .select(col("query_id"), col("a_id"), col("b_id"), col("sim_ppm"))
+      .localCheckpoint(true)
+    var selAccum: DataFrame = null
+    var pool = cand.select(col("query_id"), col("neighbor_id"), col("cos_ppm"))
+    val wSel = Window.partitionBy(col("query_id"))
+      .orderBy((col("cos_ppm") * 7 - col("max_sim") * 3).desc, col("neighbor_id"))
+    for (t <- 1 to MMR_K) {
+      val base =
+        if (selAccum == null) pool.withColumn("max_sim", lit(0L))
+        else {
+          val selSims = sims
+            .join(selAccum.select(col("query_id"), col("neighbor_id").as("b_id")),
+              Seq("query_id", "b_id"))
+            .groupBy(col("query_id"), col("a_id").as("neighbor_id"))
+            .agg(max(col("sim_ppm")).as("max_sim"))
+          pool.join(selSims, Seq("query_id", "neighbor_id"), "left")
+            .withColumn("max_sim", coalesce(col("max_sim"), lit(0L)))
+        }
+      val pick = base
+        .withColumn("rn", row_number().over(wSel)).filter(col("rn") === 1)
+        .select(col("query_id"), lit(t.toLong).as("sel_rank"), col("neighbor_id"),
+          col("cos_ppm"), (col("cos_ppm") * 7 - col("max_sim") * 3).as("mmr_score"))
+        .localCheckpoint(true) // bound lineage per greedy round
+      selAccum = if (selAccum == null) pick else selAccum.unionByName(pick)
+      pool = pool.join(pick.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+    }
+    selAccum.orderBy(col("query_id"), col("sel_rank"))
+  }
+
   /** One greedy MMR round as CTEs — mirror of the Spark loop body. */
   private def mmrRoundSql(t: Int): String =
     if (t == 1)
@@ -1362,6 +1389,42 @@ object Similarity extends QueryGroup {
                   nn.vec_id) AS crank
             FROM n qq JOIN n nn ON qq.vec_id % 100 = 0 AND nn.vec_id <> qq.vec_id)
             WHERE crank <= $MMR_C),
+          sims AS (SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+              ${cosPpmSql("a.qv", "b.qv", "a.sq", "b.sq")} AS sim_ppm
+            FROM cand a JOIN cand b
+              ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id),
+          $rounds
+          SELECT * FROM ($finals)
+          ORDER BY query_id, sel_rank"""
+    },
+    // IVF-fed MMR: retrain the index in SQL (same unrolled Lloyd
+    // rounds), probe for each query's top-MMR_C candidates, then run
+    // the same unrolled greedy rounds — the `cand`/`sims` CTE names
+    // match what mmrRoundSql expects.
+    "sim_mmr_ann" -> {
+      val rounds = (1 to MMR_K).map(mmrRoundSql).mkString(",\n          ")
+      val finals = (1 to MMR_K)
+        .map(t => s"""SELECT query_id, CAST($t AS BIGINT) AS sel_rank, neighbor_id,
+              cos_ppm, cos_ppm * 7 - max_sim * 3 AS mmr_score FROM p$t""")
+        .mkString("\n          UNION ALL ")
+      s"""WITH $quantSql,
+          $ivfBuildSql,
+          qp AS (SELECT query_id, q_qv, q_sq, list_id FROM (
+                   SELECT n.vec_id AS query_id, n.qv AS q_qv, n.sq AS q_sq, c.list_id,
+                     ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY ${cosPpmSql("n.qv", "c.cv", "n.sq", "c.c_sq")} DESC, c.list_id) AS p_rn
+                   FROM n, $ivfFinalCent c WHERE n.vec_id % 100 = 0)
+                 WHERE p_rn <= $IVF_PROBES),
+          cand0 AS (SELECT DISTINCT qp.query_id, qp.q_qv, qp.q_sq,
+                      nb.vec_id AS neighbor_id, nb.qv, nb.sq
+                    FROM qp JOIN af nb USING (list_id)
+                    WHERE nb.vec_id <> qp.query_id),
+          sc AS (SELECT query_id, neighbor_id, qv, sq,
+                   ${cosPpmSql("q_qv", "qv", "q_sq", "sq")} AS cos_ppm FROM cand0),
+          cand AS (SELECT query_id, neighbor_id, qv, sq, cos_ppm FROM (
+                     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_ppm DESC, neighbor_id) AS crank FROM sc)
+                   WHERE crank <= $MMR_C),
           sims AS (SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
               ${cosPpmSql("a.qv", "b.qv", "a.sq", "b.sq")} AS sim_ppm
             FROM cand a JOIN cand b
