@@ -442,6 +442,41 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     deleteRecursively(new java.io.File(path, Deletes))
   }
 
+  /** RESTORE to an earlier committed version (the Delta RESTORE shape):
+    * a full-replace data commit whose change feed records the restore
+    * as the email-keyed DIFF from the current state to the target —
+    * `insert` rows for emails only in the target, `delete_pre`
+    * retractions for emails only in the current state, and
+    * `update_pre`/`update` pairs for changed rows (null-safe struct
+    * comparison) — so every CDC consumer (incremental MV, streaming
+    * view, asOf) absorbs a restore with no special code and the feed's
+    * replay invariant (+1 post, −1 `_pre` ⇒ live state) is preserved.
+    * The restore is a NEW commit: history is never rewritten, and time
+    * travel to pre-restore versions still works.
+    */
+  def restore(version: Long): Unit = {
+    recover()
+    val target = asOf(version).localCheckpoint(true)
+    val current = all().localCheckpoint(true)
+    val rowS = struct(tableSchema.fieldNames.map(col): _*)
+    val cur = current.select(col("email").as("_e"), rowS.as("_c"))
+    val tgt = target.select(col("email").as("_e"), rowS.as("_t"))
+    val diff = cur.join(tgt, Seq("_e"), "full_outer").localCheckpoint(true)
+    val ins = changeRows(diff.filter(col("_c").isNull).select(col("_t.*")), "insert")
+    val del = changeRows(diff.filter(col("_t").isNull).select(col("_c.*")), "delete_pre")
+    val changed = diff.filter(col("_c").isNotNull && col("_t").isNotNull &&
+      !(col("_c") <=> col("_t"))).localCheckpoint(true)
+    val updPre = changeRows(changed.select(col("_c.*")), "update_pre")
+    val upd = changeRows(changed.select(col("_t.*")), "update")
+    stageFullCommit(
+      target.filter(!col("uploaded")),
+      target.filter(col("uploaded")),
+      ins.unionByName(del).unionByName(updPre).unionByName(upd))
+    applyStaged()
+    // Full replace: every pre-restore file is gone, vectors are inert.
+    deleteRecursively(new java.io.File(path, Deletes))
+  }
+
   /** Zone-pruned id-range read over the pending partition: consult the
     * per-commit zone manifest and OPEN only live files whose
     * [min_id, max_id] intersects [lo, hi]; a file without manifest

@@ -220,6 +220,60 @@ object PipelineParity extends QueryGroup {
     "pipeline_workqueue_cycle" -> ((s, dir) =>
       workqueueCycle(s, dir)(tmp => new graft.pipeline.CustomerStore(s, s"$tmp/store"))),
 
+    // RESTORE to an earlier version (the Delta RESTORE shape): after
+    // insert (v1) → merge with phone changes + fresh rows (v2) →
+    // vector delete (v3), restore(1) commits the email-keyed DIFF back
+    // to v1 — inserts for the deleted rows, delete_pre retractions for
+    // the fresh rows, update pairs for the changed ones — as commit
+    // v4. REQUIREd: the restored table equals asOf(1) row-for-row, and
+    // the +1/−1 feed replay still reconstructs the live count (the
+    // restore is CDC-consistent, not a history rewrite). The
+    // per-change-type counts of the restore commit are oracle-pinned
+    // from the planted arithmetic.
+    "pipeline_restore" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          concat(lit("f"), col("c_custkey")).as("first_name"),
+          concat(lit("l"), col("c_custkey")).as("last_name"),
+          concat(lit("u"), col("c_custkey"), lit("@example.com")).as("email"),
+          concat(lit("555-"), col("c_custkey")).as("phone"))
+      withTempDir("graft-restore-") { tmp =>
+        val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
+        store.insertNew(Ingest.enrich(base)) // v1
+        val nV1 = store.all().count()
+        val changed = base.filter(col("id") % 3 === 0)
+          .withColumn("phone", concat(lit("999-"), col("id")))
+        val fresh = base.filter(col("id") % 10 === 0)
+          .withColumn("id", col("id") + 30000000L)
+          .withColumn("email", concat(lit("new"), col("id"), lit("@example.com")))
+        store.merge(Ingest.enrich(changed.unionByName(fresh))): Unit // v2
+        store.delete(base.filter(col("id") % 5 === 0).select(col("email"))): Unit // v3
+        val nBefore = store.all().count()
+        store.restore(1L) // v4
+        val after = store.all().localCheckpoint(true)
+        val tgt = store.asOf(1L)
+        require(after.exceptAll(tgt).isEmpty && tgt.exceptAll(after).isEmpty,
+          "restore did not reproduce the target version row-for-row")
+        val weighted = store.changeFeed()
+          .withColumn("w", when(col("change_type").endsWith("_pre"), -1L).otherwise(1L))
+          .agg(coalesce(sum(col("w")), lit(0L))).head().getLong(0)
+        val nAfter = after.count()
+        require(weighted == nAfter,
+          s"feed replay $weighted != live count $nAfter after restore")
+        val byType = store.feedSince(3L, 4L)
+          .groupBy(col("change_type")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(byType.getOrElse("update", 0L) == byType.getOrElse("update_pre", 0L),
+          "restore update rows must pair with their retractions")
+        Seq((nV1, nBefore, nAfter,
+            byType.getOrElse("insert", 0L), byType.getOrElse("delete_pre", 0L),
+            byType.getOrElse("update", 0L)))
+          .toDF("n_v1", "n_before_restore", "n_after_restore",
+            "n_restore_inserts", "n_restore_deletes", "n_restore_updates")
+      }
+    }),
+
     // OPTIMIZE with range clustering (the Delta OPTIMIZE ZORDER /
     // liquid-clustering maintenance shape, 1-D): four id-interleaved
     // insert commits build a worst-case layout — every pending file
@@ -919,6 +973,23 @@ object PipelineParity extends QueryGroup {
            CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pending_after,
            CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_uploaded
          FROM customer""",
+    // Restore-commit change-type counts from the planted arithmetic:
+    // inserts = rows deleted in v3 (k%5), delete_pre = fresh merge rows
+    // (k%10), updates = phone-changed survivors (k%3 minus deleted).
+    "pipeline_restore" ->
+      """WITH c AS (SELECT COUNT(*) AS n,
+              SUM(CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END) AS d,
+              SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS f,
+              SUM(CASE WHEN c_custkey % 3 = 0 AND c_custkey % 5 <> 0
+                  THEN 1 ELSE 0 END) AS u
+            FROM customer)
+         SELECT CAST(n AS BIGINT) AS n_v1,
+           CAST(n - d + f AS BIGINT) AS n_before_restore,
+           CAST(n AS BIGINT) AS n_after_restore,
+           CAST(d AS BIGINT) AS n_restore_inserts,
+           CAST(f AS BIGINT) AS n_restore_deletes,
+           CAST(u AS BIGINT) AS n_restore_updates
+         FROM c""",
     // Range bounds derive from the same min/max quantile arithmetic
     // (integer division, positive operands — // and Scala / agree).
     "pipeline_optimize_clustered" ->

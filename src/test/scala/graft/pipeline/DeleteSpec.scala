@@ -91,6 +91,25 @@ class DeleteSpec extends SparkSpec {
     assert(store.all().filter(col("email") === "u2@example.com").count() === 0L)
   }
 
+  test("restore is a new commit: pre-restore versions still reconstruct, feed stays consistent") {
+    val (store, _) = freshStore()
+    store.insertNew(Ingest.enrich(rows(1L to 6L))) // v1
+    store.delete(Seq("u2@example.com").toDF("email")) // v2
+    store.restore(1L) // v3: insert u2 back as a diff commit
+    assert(store.currentVersion() === 3L)
+    assert(store.all().count() === 6L)
+    assert(store.asOf(2).count() === 5L, "pre-restore version must still reconstruct")
+    assert(store.asOf(3).count() === 6L)
+    val weighted = store.changeFeed()
+      .withColumn("w", when(col("change_type").endsWith("_pre"), -1L).otherwise(1L))
+      .agg(sum(col("w"))).head().getLong(0)
+    assert(weighted === 6L, "replay invariant broken by restore")
+    // The restore commit's only change is the re-insert of u2.
+    val types = store.feedSince(2L, 3L).groupBy("change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types === Map("insert" -> 1L))
+  }
+
   test("a committed delete staging directory is applied by recovery on next open") {
     val (store, dir) = freshStore()
     store.insertNew(Ingest.enrich(rows(1L to 8L)))
