@@ -27,6 +27,9 @@ object Events extends QueryGroup {
   // real drop-off at both constrained stages (measured 15/14/1,
   // 150/118/18, 1500/1081/195 across sf0.001/0.01/0.1).
   private[queries] val FUNNEL_W_US = 6L * 3600 * 1000000
+  // Attribution lookback (1h): short enough that all three channels
+  // (click / view / direct) are populated at every SF.
+  private val ATTR_W_US = 3600L * 1000000
 
   /** events with `ts` (nanos-as-long, see Tables) converted to exact
     * microseconds via integer division — the nano value (~1.7e18)
@@ -112,6 +115,38 @@ object Events extends QueryGroup {
       stage("1_view", v).unionByName(stage("2_click", c))
         .unionByName(stage("3_purchase", p))
         .orderBy(col("stage"))
+    }),
+
+    // LAST-TOUCH REVENUE ATTRIBUTION (the marketing-analytics dual of
+    // the windowed funnel — nearest PRECEDING touch instead of next
+    // following conversion): each purchase's floor-cents value is
+    // attributed to the most recent click within 1h, else the most
+    // recent view within 1h, else 'direct'. Two stacked running-MAX
+    // windows over one (user, stream-order) sort give every event its
+    // last-click and last-view timestamps — join-free, one user_id
+    // exchange, linear in events; the rollup is a 3-row channel
+    // census in exact integer cents.
+    "events_attribution" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), col("us"), col("value"))
+      val wPrev = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("last_c",
+          max(when(col("event_type") === "click", col("us"))).over(wPrev))
+        .withColumn("last_v",
+          max(when(col("event_type") === "view", col("us"))).over(wPrev))
+        .filter(col("event_type") === "purchase")
+        .withColumn("channel",
+          when(col("last_c").isNotNull &&
+            col("us") - col("last_c") <= ATTR_W_US, "click")
+          .when(col("last_v").isNotNull &&
+            col("us") - col("last_v") <= ATTR_W_US, "view")
+          .otherwise("direct"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(cents(col("value"))).cast("long").as("revenue_cents"))
+        .orderBy(col("channel"))
     }),
 
     // CHANGE-POINT DETECTION over the hourly event series — the CUSUM
@@ -335,6 +370,26 @@ object Events extends QueryGroup {
          UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
          UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
          ORDER BY stage""",
+    "events_attribution" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us, value
+            FROM events),
+         x AS (SELECT *,
+             MAX(CASE WHEN event_type = 'click' THEN us END) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_c,
+             MAX(CASE WHEN event_type = 'view' THEN us END) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_v
+           FROM e),
+         p AS (SELECT
+             CASE WHEN last_c IS NOT NULL AND us - last_c <= $ATTR_W_US THEN 'click'
+                  WHEN last_v IS NOT NULL AND us - last_v <= $ATTR_W_US THEN 'view'
+                  ELSE 'direct' END AS channel,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+           FROM x WHERE event_type = 'purchase')
+         SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+         FROM p GROUP BY channel ORDER BY channel""",
     "events_changepoint" ->
       """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour,
               CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1),
