@@ -6,17 +6,22 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** Property-style check for commit versioning + asOf: arbitrary
-  * mutation histories (insert / merge / ack, with random snapshot
-  * checkpoints interleaved) must replay so that `asOf(v)` equals an
-  * independent in-memory model's state after commit v, for EVERY v —
-  * including versions answered from a snapshot + delta and versions
-  * answered by genesis replay. Deterministic seeded generation, same
-  * harness style as MergePropertySpec.
+  * mutation histories (insert / merge / ack / vector DELETE / RESTORE,
+  * with random snapshot checkpoints interleaved) must replay so that
+  * `asOf(v)` equals an independent in-memory model's state after
+  * commit v, for EVERY v — including versions answered from a
+  * snapshot + delta, versions answered by genesis replay, versions
+  * whose reconstruction crosses delete tombstones, and versions
+  * before/after a restore (which must never rewrite history).
+  * Deterministic seeded generation, same harness style as
+  * MergePropertySpec.
   *
   * The model mirrors the documented commit rules: an insert commits
   * iff ≥1 row survives the UNIQUE dedup; a merge commits iff it
   * updates or inserts at least one row (identical matches alone do
-  * not commit); an ack always commits once the table exists.
+  * not commit); an ack always commits once the table exists; a delete
+  * commits iff ≥1 live key matched; a restore always commits and sets
+  * the state to the target version's.
   */
 class TimeTravelPropertySpec extends SparkSpec {
 
@@ -46,7 +51,7 @@ class TimeTravelPropertySpec extends SparkSpec {
       var state: State = Map.empty
       var history = Vector[State]() // history(v-1) = state after commit v
       (1 to (4 + rnd.nextInt(3))).foreach { _ =>
-        rnd.nextInt(3) match {
+        rnd.nextInt(5) match {
           case 0 => // insert: conflict-free within batch by construction
             val picks = rnd.shuffle((1L to 10L).toList).take(1 + rnd.nextInt(3))
               .map(i => (i, s"f${rnd.nextInt(3)}", s"u$i@example.com", s"p${rnd.nextInt(3)}"))
@@ -88,6 +93,23 @@ class TimeTravelPropertySpec extends SparkSpec {
                 val (id, fn, ph, _) = state(em)
                 state += em -> (id, fn, ph, true)
               }
+              history :+= state
+            }
+          case 3 => // vector delete: commits iff >=1 live key matched
+            val picks = rnd.shuffle(state.keys.toList).take(rnd.nextInt(3)) :+
+              "missing@example.com"
+            import spark.implicits._
+            store.delete(picks.toDF("email")): Unit
+            val hit = picks.filter(state.contains)
+            if (hit.nonEmpty) {
+              hit.foreach(em => state -= em)
+              history :+= state
+            }
+          case 4 => // restore to a random earlier version (always commits)
+            if (history.nonEmpty) {
+              val v = 1 + rnd.nextInt(history.size)
+              store.restore(v.toLong)
+              state = history(v - 1)
               history :+= state
             }
         }
