@@ -128,6 +128,17 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     * no-op). Returns the number of rows tombstoned.
     */
   def delete(emails: DataFrame): Long = {
+    val n = stageDelete(emails)
+    if (n > 0) applyStaged()
+    n
+  }
+
+  /** Stage a delete commit up to and including the commit-point rename
+    * (no promotion) — separated from [[delete]] so crash-recovery
+    * specs can stop exactly at the commit point. Returns the number of
+    * rows tombstoned; 0 means nothing matched and nothing was staged.
+    */
+  private[pipeline] def stageDelete(emails: DataFrame): Long = {
     if (!tableExists) return 0L
     recover()
     val keys = emails.select(col("email").as("_del")).distinct()
@@ -150,7 +161,6 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       changeRows(hit.drop("_file", "_del"), "delete_pre")): Unit
     val staging = new java.io.File(path, Staging)
     require(tmp.renameTo(staging), s"commit rename $tmp -> $staging failed")
-    applyStaged()
     n
   }
 

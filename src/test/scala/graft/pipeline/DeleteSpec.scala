@@ -110,16 +110,21 @@ class DeleteSpec extends SparkSpec {
     assert(types === Map("insert" -> 1L))
   }
 
-  test("a committed delete staging directory is applied by recovery on next open") {
+  test("crash at the delete commit point: recovery applies the tombstones exactly once") {
     val (store, dir) = freshStore()
     store.insertNew(Ingest.enrich(rows(1L to 8L)))
-    store.delete(Seq("u4@example.com").toDF("email"))
-    // Simulate a crash AFTER the commit point of a second delete by
-    // moving its committed vectors back into a staging dir shape.
-    val path = s"$dir/store"
-    // A fresh store instance must see the committed state unchanged.
-    val reopened = new CustomerStore(spark, path)
-    assert(reopened.all().count() === 7L)
-    assert(reopened.deletionVectorStats()._2 === 1L)
+    // Stage up to and including the commit-point rename, then "crash"
+    // (no promotion). The commit is durable: a fresh open must apply
+    // it — rows gone, feed rows present once, version advanced.
+    assert(store.stageDelete(Seq("u4@example.com", "u6@example.com").toDF("email")) === 2L)
+    val reopened = new CustomerStore(spark, s"$dir/store") // ctor recovers
+    assert(reopened.all().count() === 6L)
+    assert(reopened.deletionVectorStats()._2 === 2L)
+    assert(reopened.currentVersion() === 2L)
+    assert(reopened.changeFeed().filter(col("change_type") === "delete_pre").count() === 2L)
+    // Recovery again is a no-op (idempotent promotion).
+    reopened.recover()
+    assert(reopened.all().count() === 6L)
+    assert(reopened.changeFeed().filter(col("change_type") === "delete_pre").count() === 2L)
   }
 }
