@@ -29,7 +29,7 @@ object Events extends QueryGroup {
   private[queries] val FUNNEL_W_US = 6L * 3600 * 1000000
   // Attribution lookback (1h): short enough that all three channels
   // (click / view / direct) are populated at every SF.
-  private val ATTR_W_US = 3600L * 1000000
+  private[queries] val ATTR_W_US = 3600L * 1000000
 
   /** events with `ts` (nanos-as-long, see Tables) converted to exact
     * microseconds via integer division — the nano value (~1.7e18)

@@ -341,6 +341,66 @@ object StreamingParity extends QueryGroup {
     // form; with AvailableNow over one parquet file everything lands
     // in the first micro-batch, so the full match set must equal the
     // batch interval join row-for-row.
+    // STREAMING LAST-TOUCH ATTRIBUTION parity — the tenth gate:
+    // attributedPurchases finalizes each purchase the moment the
+    // watermark passes its own timestamp (every candidate touch
+    // precedes it in stream order), so its state is one 1h lookback of
+    // touch events + pending purchases, the smallest custom state in
+    // the family. Batch twin: the events_attribution preceding-window
+    // maxes at purchase grain, restricted to the purchases the modeled
+    // final watermark finalizes. Channel AND cents ride in the parity
+    // key, so a wrong attribution or amount lands in both residues.
+    "streaming_attribution_parity" -> ((s, dir) => {
+      import s.implicits._
+      val w = Events.ATTR_W_US
+      val batch = Tables(s, dir, "events").withColumn("us", expr("ts DIV 1000"))
+      val streamed = withTempDir(s, "graft-parity-") { tmp =>
+        val stream = s.readStream.schema(eventsSchema)
+          .parquet(s"$dir/{events.parquet}")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"))
+          .as[EventStreams.AttrEvent]
+        EventStreams.attributedPurchases(stream, w)
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.schema(StructType(Seq(
+            StructField("user_id", LongType),
+            StructField("purchase_event_id", LongType),
+            StructField("channel", StringType),
+            StructField("cents", LongType))))
+          .parquet(s"$tmp/out")
+          .localCheckpoint(true)
+      }
+      val wmMs = batch.agg(max(expr("us DIV 1000"))).head().getLong(0) -
+        WATERMARK_DELAY_MS
+      val wPrev = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val perPurchase = batch
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("us"), col("value"))
+        .withColumn("last_c",
+          max(when(col("event_type") === "click", col("us"))).over(wPrev))
+        .withColumn("last_v",
+          max(when(col("event_type") === "view", col("us"))).over(wPrev))
+        .filter(col("event_type") === "purchase" &&
+          col("us") < lit(wmMs) * 1000L)
+        .withColumn("channel",
+          when(col("last_c").isNotNull && col("us") - col("last_c") <= w, "click")
+          .when(col("last_v").isNotNull && col("us") - col("last_v") <= w, "view")
+          .otherwise("direct"))
+        .select(col("user_id"), col("event_id").as("purchase_event_id"),
+          col("channel"), floor(col("value") * 100).cast("long").as("cents"))
+      parityCounts(s, streamed, perPurchase,
+        Seq("user_id", "purchase_event_id", "channel", "cents"),
+        Seq("n_stream", "n_batch", "n_only_stream", "n_only_batch"))
+    }),
+
     // STREAMING WINDOWED FUNNEL parity: EventStreams.viewConversions
     // (flatMapGroupsWithState, event-time timeout, per-user state
     // bounded to a 2W horizon) emits each VIEW's conversion stage once
@@ -635,6 +695,28 @@ object StreamingParity extends QueryGroup {
            CAST(0 AS BIGINT) AS n_only_stream,
            CAST(0 AS BIGINT) AS n_only_batch
          FROM bf""",
+    // The batch side of the attribution parity recomputed in SQL
+    // (preceding-window running maxes at purchase grain, modeled final
+    // watermark); residues pinned at zero.
+    "streaming_attribution_parity" -> {
+      val w = Events.ATTR_W_US
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us, value
+            FROM events),
+         wm AS (SELECT MAX(us) // 1000 - $WATERMARK_DELAY_MS AS wm_ms FROM e),
+         x AS (SELECT *,
+             MAX(CASE WHEN event_type = 'click' THEN us END) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_c,
+             MAX(CASE WHEN event_type = 'view' THEN us END) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_v
+           FROM e),
+         p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x, wm
+               WHERE event_type = 'purchase' AND us < wm_ms * 1000)
+         SELECT n AS n_stream, n AS n_batch,
+           CAST(0 AS BIGINT) AS n_only_stream, CAST(0 AS BIGINT) AS n_only_batch
+         FROM p"""
+    },
     // The batch side of the funnel parity recomputed in SQL (same
     // stacked running-min windows as events_funnel_windowed, per-view
     // grain, modeled final watermark); residues pinned at zero.

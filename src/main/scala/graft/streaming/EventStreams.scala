@@ -209,6 +209,70 @@ object EventStreams {
       }
   }
 
+  case class AttrEvent(user_id: Long, event_id: Long, ts: Timestamp,
+      event_type: String, value: Double)
+  case class AttrBuf(us: Long, eventId: Long, typ: String, cents: Long)
+  case class AttrBuffer(events: Seq[AttrBuf])
+  case class AttrOut(user_id: Long, purchase_event_id: Long, channel: String,
+      cents: Long)
+
+  /** STREAMING LAST-TOUCH ATTRIBUTION — the streaming twin of
+    * `events_attribution`: each purchase's floor-cents value is
+    * attributed to the most recent click within `windowUs` (stream
+    * order), else the most recent view, else 'direct'. A purchase
+    * finalizes as soon as the watermark passes its OWN timestamp —
+    * every event that could still become its touch PRECEDES it in
+    * stream order, and anything admitted later has ts ≥ watermark >
+    * purchase ts. State per user is one `windowUs` horizon of touch
+    * events plus the not-yet-final purchases — far smaller than the
+    * funnel's 2W buffer, the cheapest member of the custom-state
+    * family.
+    */
+  def attributedPurchases(events: Dataset[AttrEvent],
+      windowUs: Long): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+
+    def precedes(a: AttrBuf, b: AttrBuf): Boolean =
+      a.us < b.us || (a.us == b.us && a.eventId < b.eventId)
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[AttrEvent], state: GroupState[AttrBuffer]) =>
+          val prior = state.getOption.map(_.events).getOrElse(Seq.empty)
+          val all = (prior ++ rows.map(e => AttrBuf(tsToUs(e.ts), e.event_id,
+              e.event_type, math.floor(e.value * 100).toLong)))
+            .sortBy(e => (e.us, e.eventId))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (duePurch, pendPurch) = all.filter(_.typ == "purchase")
+            .partition(_.us < wmUs)
+          val out = duePurch.map { p =>
+            def lastWithin(typ: String): Option[AttrBuf] =
+              all.filter(e => e.typ == typ && precedes(e, p) &&
+                p.us - e.us <= windowUs).lastOption
+            val channel =
+              if (lastWithin("click").isDefined) "click"
+              else if (lastWithin("view").isDefined) "view"
+              else "direct"
+            AttrOut(uid, p.eventId, channel, p.cents)
+          }
+          // Touch events older than any unfinalized purchase's lookback
+          // are dead; finalized purchases leave the buffer.
+          val kept = all.filter(e =>
+            if (e.typ == "purchase") e.us >= wmUs
+            else e.us + windowUs >= wmUs)
+          if (kept.isEmpty) state.remove()
+          else {
+            state.update(AttrBuffer(kept))
+            val nextDue = pendPurch.map(_.us / 1000L + 1)
+              .minOption.getOrElse(wmUs / 1000L + 60000L)
+            state.setTimeoutTimestamp(math.max(nextDue, wmUs / 1000L + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Stream-stream interval join: each purchase paired with the same
     * user's views from the preceding `lookback`. Input needs columns
     * (user_id, event_id, event_type, ts). The watermarks on BOTH sides
