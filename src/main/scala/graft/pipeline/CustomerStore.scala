@@ -432,10 +432,10 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     * version advances, the feed stays silent (physical layout, not a
     * logical change), and the full rewrite MATERIALIZES every
     * deletion-vector tombstone (all() below is vector-applied and
-    * every pre-rewrite file name is gone) — so the vectors are
-    * dropped after promotion. A crash between the promotion and that
-    * cleanup leaves stale-but-inert vectors (basenames that no longer
-    * exist), which the next rewrite clears; never a wrong read.
+    * every pre-rewrite file name is gone) — so the commit stages a
+    * truncation marker and promotion clears the vectors inside the
+    * idempotent replay (crash-safe: stats stay exact, not just
+    * never-wrong).
     */
   private def rewriteTable(shape: DataFrame => DataFrame): Unit = {
     if (!tableExists) return
@@ -447,9 +447,9 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(
           org.apache.spark.sql.types.StructField("change_type",
-            org.apache.spark.sql.types.StringType, nullable = false) +: tableSchema.fields)))
+            org.apache.spark.sql.types.StringType, nullable = false) +: tableSchema.fields)),
+      truncateDeletes = true)
     applyStaged()
-    deleteRecursively(new java.io.File(path, Deletes))
   }
 
   /** RESTORE to an earlier committed version (the Delta RESTORE shape):
@@ -466,6 +466,14 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     */
   def restore(version: Long): Unit = {
     recover()
+    // A nonexistent target must error (the Delta RESTORE contract),
+    // not silently commit a no-change full replace and advance the
+    // version — a typoed version number would otherwise be absorbed
+    // invisibly.
+    require(tableExists, s"RESTORE: table at $path does not exist")
+    val headV = currentVersion()
+    require(version >= 1 && version <= headV,
+      s"RESTORE: version $version does not exist (current version is $headV)")
     val target = asOf(version).localCheckpoint(true)
     val current = all().localCheckpoint(true)
     val rowS = struct(tableSchema.fieldNames.map(col): _*)
@@ -481,10 +489,11 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     stageFullCommit(
       target.filter(!col("uploaded")),
       target.filter(col("uploaded")),
-      ins.unionByName(del).unionByName(updPre).unionByName(upd))
+      ins.unionByName(del).unionByName(updPre).unionByName(upd),
+      // Full replace: every pre-restore file is gone, so the vectors
+      // truncate inside the commit's idempotent promotion.
+      truncateDeletes = true)
     applyStaged()
-    // Full replace: every pre-restore file is gone, vectors are inert.
-    deleteRecursively(new java.io.File(path, Deletes))
   }
 
   /** Zone-pruned id-range read over the pending partition: consult the
@@ -839,11 +848,19 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     * (`done-append`).
     */
   private[pipeline] def stageFullCommit(pending: DataFrame, done: DataFrame,
-      changes: DataFrame): Unit = {
+      changes: DataFrame, truncateDeletes: Boolean = false): Unit = {
     val tmp = new java.io.File(path, StagingTmp)
     deleteRecursively(tmp)
     pending.drop("uploaded").write.parquet(new java.io.File(tmp, "pending").toString)
     done.drop("uploaded").write.parquet(new java.io.File(tmp, "done").toString)
+    // A full replace materializes every deletion-vector tombstone, so
+    // the rewrite commits stage a truncation marker and promotion
+    // clears `_deletes/` INSIDE the idempotent replay — a crash
+    // between promotion steps can no longer leave stale (inert)
+    // vector rows inflating deletionVectorStats' total.
+    if (truncateDeletes)
+      java.nio.file.Files.write(new java.io.File(tmp, "truncate-deletes").toPath,
+        Array.emptyByteArray): Unit
     val v = stageChanges(tmp, changes)
     stageStats(tmp, v)
     val staging = new java.io.File(path, Staging)
@@ -1046,6 +1063,12 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       }
       deleteRecursively(dvStage)
     }
+    // Deletion-vector truncation (full-rewrite commits): the rewrite
+    // materialized every tombstone, so clearing `_deletes/` is part of
+    // the committed promotion — idempotent (clearing an absent dir is
+    // a no-op on replay), and a crash mid-promotion re-runs it.
+    if (new java.io.File(staging, "truncate-deletes").exists())
+      deleteRecursively(new java.io.File(path, Deletes))
     // Change-feed promotion: append this commit's rows (already under
     // commit-unique names, so replay after a crash is a no-op for
     // files a previous attempt landed).

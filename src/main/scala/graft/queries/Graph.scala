@@ -41,9 +41,11 @@ object Graph extends QueryGroup {
 
   /** (src, dst, w, wout, deg): aggregated trade edges with the
     * out-weight and out-degree joined on — computed once, reused by
-    * every iteration.
+    * every iteration. Package-visible so PlanContractsSpec can pin the
+    * at-scale join shape (the checkpoint in the query hides it from
+    * the final plan).
     */
-  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem").select(
       col("l_orderkey"), col("l_suppkey"),
       floor((col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * 1000000)
@@ -58,8 +60,11 @@ object Graph extends QueryGroup {
       .join(Tables(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .join(custNation, col("c_nationkey") === col("cnk"))
-      .join(broadcast(Tables(s, dir, "supplier")
-          .select(col("s_suppkey"), col("s_nationkey"))),
+      // supplier scales with SF (10k rows/SF) — no broadcast hint; let
+      // size-based planning decide, so at 100 TB this joins keyed on
+      // s_suppkey like q7's (pinned in PlanContractsSpec).
+      .join(Tables(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
       .join(suppNation, col("s_nationkey") === col("snk"))
       .groupBy(col("src"), col("dst"))

@@ -313,6 +313,68 @@ object Relational extends QueryGroup {
           count(lit(1)).as("n_lines"))
     }),
 
+    // TPC-H Q12 shape (shipmode lateness classification): one
+    // lineitem⋈orders join with CONDITIONAL aggregation — the
+    // shipdate-year filter is scan-pushable; the lateness predicate
+    // (shipped >60 days after order date, the corpus's receipt/commit
+    // analog, as q4) needs both sides so it rides the orderkey join
+    // as a residual. l_returnflag stands in for l_shipmode (the
+    // corpus has no shipmode column); priority split mirrors Q12's
+    // URGENT/HIGH vs rest CASE sums. 3 rows at any SF.
+    "q12_shipmode_priority" -> ((s, dir) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+        .join(Tables(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the
+    // correlated-pair plan shape — one EXISTS and one NOT EXISTS
+    // against the SAME fact table. A supplier "kept an order waiting"
+    // when it shipped late (the q4/q12 lateness analog) on a
+    // finished multi-supplier order where NO other supplier was late.
+    // The lateness flag needs o_orderdate, so lineitem⋈orders(F) is
+    // derived ONCE and both subqueries are self-joins against that
+    // frame: the EXISTS compiles to a LeftSemi and the NOT EXISTS to
+    // a LeftAnti, both keyed on l_orderkey with the suppkey
+    // inequality as a join residual — never per-row subplans
+    // (PlanContractsSpec pins both). distinct() makes numwait count
+    // ORDERS kept waiting, not late lines. Top-100 via
+    // TakeOrderedAndProject.
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val lateBy = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+      val fin = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders")
+            .filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          lateBy.as("late"))
+      val l1 = fin.filter(col("late")).select(col("ok"), col("sk")).distinct()
+      val others = fin.select(col("ok").as("ok2"), col("sk").as("sk2"),
+        col("late").as("late2"))
+      val waiting = l1
+        .join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"),
+          "left_semi")
+        .join(others.filter(col("late2")),
+          col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_anti")
+      waiting
+        .join(Tables(s, dir, "supplier"), col("sk") === col("s_suppkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
     // TPC-H Q22 shape (global sales opportunity): customers above the
     // global positive-balance average (scalar subquery, integer
     // cross-multiplied: acctbal_cents · n_pos > sum_pos_cents) that
@@ -662,6 +724,35 @@ object Relational extends QueryGroup {
                 AND l_quantity BETWEEN 10.0 AND 20.0)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                 AND l_quantity BETWEEN 20.0 AND 30.0)""",
+    "q12_shipmode_priority" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q21_waiting_suppliers" ->
+      """WITH fin AS (
+           SELECT l_orderkey AS ok, l_suppkey AS sk,
+             (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+           FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           WHERE o_orderstatus = 'F'),
+         l1 AS (SELECT DISTINCT ok, sk FROM fin WHERE late),
+         waiting AS (
+           SELECT l1.ok, l1.sk FROM l1
+           WHERE EXISTS (SELECT 1 FROM fin l2
+                         WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
+             AND NOT EXISTS (SELECT 1 FROM fin l3
+                             WHERE l3.ok = l1.ok AND l3.sk <> l1.sk AND l3.late))
+         SELECT n_name, s_name, COUNT(*) AS numwait
+         FROM waiting JOIN supplier ON s_suppkey = sk
+         JOIN nation ON n_nationkey = s_nationkey
+         GROUP BY 1, 2
+         ORDER BY numwait DESC, s_name LIMIT 100""",
     "q22_dormant_customers" ->
       """WITH avg_pos AS (
            SELECT COUNT(*) AS n_pos,

@@ -193,11 +193,11 @@ object EventStreams {
             .partition(_.us + horizonUs < wmUs)
           val out = doneViews.map(v =>
             ViewOutcome(uid, v.eventId, stageOf(v, all)))
-          // Evict finalized views and anything past the horizon; keep
-          // the rest (a kept event can still decide a pending or
-          // future view's outcome).
-          val kept = all.filter(e =>
-            e.us + horizonUs >= wmUs && !(e.typ == "view" && e.us + horizonUs < wmUs))
+          // Evict anything past the horizon; keep the rest (a kept
+          // event can still decide a pending or future view's
+          // outcome). The horizon test alone also evicts finalized
+          // views — a view finalizes exactly when it crosses it.
+          val kept = all.filter(_.us + horizonUs >= wmUs)
           if (kept.isEmpty) state.remove()
           else {
             state.update(FunnelBuffer(kept))

@@ -66,6 +66,28 @@ class PlanContractsSpec extends SparkSpec {
       "top-20 must stay the distributed top-k operator at scale")
   }
 
+  test("graph_nation_rank at scale: only the two nation aliases broadcast, supplier/customer keyed") {
+    // The edge derivation is the q7 shape (lineitem⋈orders⋈customer⋈
+    // supplier + two 25-row nation aliases). supplier/customer scale
+    // with SF, so at 100 TB they must shuffle on their keys; only the
+    // fixed-cardinality nation aliases may carry a broadcast hint.
+    // Pin tradeEdges itself — the query checkpoints it, which hides
+    // the derivation joins from the final plan.
+    val p = {
+      val conf = spark.conf
+      val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try Graph.tradeEdges(spark, sf).queryExecution.executedPlan.toString
+      finally conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    assert(count(p, "BroadcastHashJoin") === 2,
+      s"exactly the two nation aliases may broadcast — supplier scales with SF:\n$p")
+    assert(count(p, "(SortMergeJoin|ShuffledHashJoin)") >= 3,
+      s"orders/customer/supplier joins must be keyed shuffle joins at scale:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"edge derivation must never degrade to an unkeyed join:\n$p")
+  }
+
   test("graph_triangles at scale: wedge join and closing probe stay keyed, top-15 distributed") {
     val p = planAtScale("graph_triangles")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
@@ -365,6 +387,31 @@ class PlanContractsSpec extends SparkSpec {
       s"the three OR branches share one keyed join — never a union of three scans or a cartesian:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"q19 degraded to an unkeyed join:\n$p")
+  }
+
+  test("q12 pushes the shipdate window to the scan; lateness rides the orderkey join at scale") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    val p = try plan("q12_shipmode_priority")
+    finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate window not pushed to the parquet scan:\n$p")
+    val scale = planAtScale("q12_shipmode_priority")
+    assert(count(scale, "(SortMergeJoin|ShuffledHashJoin)") === 1,
+      s"the lateness predicate must ride ONE keyed orderkey join:\n$scale")
+    assert(!scale.contains("BroadcastNestedLoopJoin") && !scale.contains("CartesianProduct"),
+      s"q12 degraded to an unkeyed join:\n$scale")
+  }
+
+  test("q21: EXISTS/NOT-EXISTS pair plans as semi+anti joins keyed on orderkey at scale") {
+    val p = planAtScale("q21_waiting_suppliers")
+    assert(p.contains("LeftSemi"), s"the other-supplier EXISTS must plan as a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"the no-other-late NOT EXISTS must plan as an anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the suppkey inequality must ride the orderkey equi-joins as a residual:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must stay the distributed top-k operator")
+    assert(count(p, "BroadcastHashJoin") === 1,
+      s"only the 25-row nation dim may broadcast at scale:\n$p")
   }
 
   test("q22: anti join keyed at scale; only the 1-row scalar average broadcasts") {
