@@ -29,6 +29,62 @@ object TextAnalysis extends QueryGroup {
   // df ≥ 3, consecutive pairs → 7 two-term AND queries.
   private val SEARCH_TERMS = 8
 
+  /** Positional postings + bigram doc-frequency dictionary, persisted
+    * as ONE atomic index group from a SINGLE tokenize pass (the
+    * checkpoint feeds both derivations) — the phrase dictionary is
+    * part of the index build, not a per-query corpus pass. Shared by
+    * text_search_phrase and the two index-lifecycle-under-deletion
+    * legs so the three probes can never drift from one another.
+    */
+  private def phraseIndex(s: SparkSession, dir: String): Seq[DataFrame] =
+    graft.util.IndexStore.loadOrBuildAll(
+      s, dir, Seq("search_postings_pos", "search_bigram_df")) {
+      val toks = Tables.forKernels(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .localCheckpoint(true)
+      // Adjacent-bigram table (guard: a <2-token doc yields no
+      // bigrams; an unguarded sequence(1, size-1) would auto-step
+      // DOWN to [1, 0] and fabricate grams — the trigram-edge-case
+      // lesson).
+      val bigrams = toks
+        .withColumn("bgs", when(size(col("w")) >= 2,
+            expr("transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"))
+          .otherwise(array().cast("array<string>")))
+        .select(col("doc_id"), explode(col("bgs")).as("bg"))
+      Seq(
+        toks.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "t"))),
+        bigrams.distinct().groupBy(col("bg")).agg(count(lit(1)).as("df")))
+    }
+
+  /** The 5 rarest adjacent bigrams with doc-df ≥ 3, split into their
+    * two probe terms — the deterministic phrase workload fixture.
+    */
+  private def phraseWorkload(bgdf: DataFrame): DataFrame = {
+    val wPh = Window.orderBy(col("df").asc, col("bg")) // ≤5 rows
+    bgdf.filter(col("df") >= 3)
+      .orderBy(col("df").asc, col("bg")).limit(5)
+      .withColumn("phrase_id", row_number().over(wPh).cast("long"))
+      .withColumn("ta", split(col("bg"), " ").getItem(0))
+      .withColumn("tb", split(col("bg"), " ").getItem(1))
+  }
+
+  /** Adjacency join of the two retrieved posting lists + per-phrase
+    * top-5 ranking — the shared probe tail of the phrase-search family.
+    */
+  private def phraseMatch(pa: DataFrame, pb: DataFrame): DataFrame = {
+    val wRank = Window.partitionBy(col("phrase_id"))
+      .orderBy(col("n_occ").desc, col("doc_id"))
+    pa.join(pb, col("phrase_id") === col("pid2") &&
+        col("doc_id") === col("d2") && col("pos2") === col("pos") + 1)
+      .groupBy(col("phrase_id"), col("bg"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("phrase_id"), col("bg").as("phrase"), col("rank"),
+        col("doc_id"), col("n_occ"))
+      .orderBy(col("phrase_id"), col("rank"))
+  }
+
   /** A trained pocket model: the checkpointed feature projection
     * (`source`, label `y`, integer features x0..x3), the per-round
     * (round, n_updates, n_correct) trajectory, and the pocket pick.
@@ -342,51 +398,76 @@ object TextAnalysis extends QueryGroup {
     // occurrence, including overlapping runs), so the join is
     // hash-gated, not rows-only.
     "text_search_phrase" -> ((s, dir) => {
-      // Postings and the bigram doc-frequency dictionary persist as ONE
-      // atomic index group from a SINGLE tokenize pass (the checkpoint
-      // feeds both derivations) — the phrase dictionary is part of the
-      // index build, not a per-query corpus pass.
-      val Seq(post, bgdf) = graft.util.IndexStore.loadOrBuildAll(
-        s, dir, Seq("search_postings_pos", "search_bigram_df")) {
-        val toks = Tables.forKernels(s, dir, "documents")
-          .select(col("doc_id"), tokens(col("text")).as("w"))
-          .localCheckpoint(true)
-        // Adjacent-bigram table (guard: a <2-token doc yields no
-        // bigrams; an unguarded sequence(1, size-1) would auto-step
-        // DOWN to [1, 0] and fabricate grams — the trigram-edge-case
-        // lesson).
-        val bigrams = toks
-          .withColumn("bgs", when(size(col("w")) >= 2,
-              expr("transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"))
-            .otherwise(array().cast("array<string>")))
-          .select(col("doc_id"), explode(col("bgs")).as("bg"))
-        Seq(
-          toks.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "t"))),
-          bigrams.distinct().groupBy(col("bg")).agg(count(lit(1)).as("df")))
-      }
-      val wPh = Window.orderBy(col("df").asc, col("bg")) // ≤5 rows
-      val phrases = bgdf.filter(col("df") >= 3)
-        .orderBy(col("df").asc, col("bg")).limit(5)
-        .withColumn("phrase_id", row_number().over(wPh).cast("long"))
-        .withColumn("ta", split(col("bg"), " ").getItem(0))
-        .withColumn("tb", split(col("bg"), " ").getItem(1))
+      val Seq(post, bgdf) = phraseIndex(s, dir)
+      val phrases = phraseWorkload(bgdf)
       val pa = post.join(broadcast(
           phrases.select(col("phrase_id"), col("bg"), col("ta").as("t"))), "t")
         .select(col("phrase_id"), col("bg"), col("doc_id"), col("pos"))
       val pb = post.join(broadcast(
           phrases.select(col("phrase_id").as("pid2"), col("tb").as("t"))), "t")
         .select(col("pid2"), col("doc_id").as("d2"), col("pos").as("pos2"))
-      val wRank = Window.partitionBy(col("phrase_id"))
-        .orderBy(col("n_occ").desc, col("doc_id"))
-      pa.join(pb, col("phrase_id") === col("pid2") &&
-          col("doc_id") === col("d2") && col("pos2") === col("pos") + 1)
-        .groupBy(col("phrase_id"), col("bg"), col("doc_id"))
-        .agg(count(lit(1)).as("n_occ"))
-        .withColumn("rank", row_number().over(wRank).cast("long"))
-        .filter(col("rank") <= 5)
-        .select(col("phrase_id"), col("bg").as("phrase"), col("rank"),
-          col("doc_id"), col("n_occ"))
-        .orderBy(col("phrase_id"), col("rank"))
+      phraseMatch(pa, pb)
+    }),
+
+    // INDEX LIFECYCLE UNDER DELETION, merge-on-read leg: the persisted
+    // positional postings keep serving after documents are deleted —
+    // WITHOUT a rebuild — by anti-joining the tombstone set at probe
+    // time (the same pattern the store's deletion vectors use:
+    // CustomerStore.withVectorsApplied). The tombstone set (every 7th
+    // doc) is a TABLE, not a pushed filter: at 100 TB it is the
+    // deleted-doc manifest, joined against the two RETRIEVED posting
+    // lists — one anti-join on the pa side suffices because the
+    // adjacency join equates doc_ids. The phrase WORKLOAD still
+    // derives from the full index's bigram dictionary (the dictionary
+    // is a build artifact; deletes don't re-derive the workload), but
+    // every emitted match must come from a live doc — the oracle
+    // recomputes matches from the live corpus only, so a tombstoned
+    // doc leaking through the probe hash-fails. The require pins "no
+    // rebuild": if the artifact pre-existed, its success-marker mtime
+    // must be untouched after the load.
+    "text_search_phrase_tombstoned" -> ((s, dir) => {
+      val mtBefore = graft.util.IndexStore.artifactMtime(dir, "search_postings_pos")
+      val Seq(post, bgdf) = phraseIndex(s, dir)
+      val mtAfter = graft.util.IndexStore.artifactMtime(dir, "search_postings_pos")
+      require(mtBefore.forall(mtAfter.contains),
+        s"tombstoned probe rebuilt the postings index ($mtBefore -> $mtAfter)")
+      val tomb = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 2).select(col("doc_id"))
+      val phrases = phraseWorkload(bgdf)
+      val pa = post.join(broadcast(
+          phrases.select(col("phrase_id"), col("bg"), col("ta").as("t"))), "t")
+        .join(tomb, Seq("doc_id"), "left_anti")
+        .select(col("phrase_id"), col("bg"), col("doc_id"), col("pos"))
+      val pb = post.join(broadcast(
+          phrases.select(col("phrase_id").as("pid2"), col("tb").as("t"))), "t")
+        .select(col("pid2"), col("doc_id").as("d2"), col("pos").as("pos2"))
+      phraseMatch(pa, pb)
+    }),
+
+    // INDEX LIFECYCLE UNDER DELETION, compaction leg: the maintenance
+    // op that makes merge-on-read temporary — a COMPACTED postings
+    // artifact physically drops every tombstoned doc's postings (one
+    // anti-join of the persisted index against the tombstone set,
+    // derived from the INDEX, never a corpus re-tokenize), persists
+    // under a tombstone-set-keyed name, and serves probes with NO
+    // per-query tombstone join. Hash-gated against the same live-docs
+    // oracle as the merge-on-read leg — compacted-equals-incremental
+    // is exactly the rebuild-parity contract, checked cross-engine.
+    "text_search_phrase_compacted" -> ((s, dir) => {
+      val Seq(post, bgdf) = phraseIndex(s, dir)
+      val tomb = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 2).select(col("doc_id"))
+      val compacted = graft.util.IndexStore.loadOrBuild(
+        s, dir, "search_postings_pos_compact_m7")(
+        post.join(tomb, Seq("doc_id"), "left_anti"))
+      val phrases = phraseWorkload(bgdf)
+      val pa = compacted.join(broadcast(
+          phrases.select(col("phrase_id"), col("bg"), col("ta").as("t"))), "t")
+        .select(col("phrase_id"), col("bg"), col("doc_id"), col("pos"))
+      val pb = compacted.join(broadcast(
+          phrases.select(col("phrase_id").as("pid2"), col("tb").as("t"))), "t")
+        .select(col("pid2"), col("doc_id").as("d2"), col("pos").as("pos2"))
+      phraseMatch(pa, pb)
     }),
 
     // Deterministic uniform sample: the k docs with the smallest content
@@ -657,6 +738,33 @@ object TextAnalysis extends QueryGroup {
               FROM (SELECT doc_id, lang, $toksSql AS w FROM documents))"""
   }
 
+  /** Shared oracle for both index-deletion legs: phrase dictionary
+    * from the FULL corpus (the workload fixture the persisted index
+    * carries), matches recomputed from live docs only (doc_id % 7 <> 2
+    * = the tombstone set). Both probe paths must hash-equal this.
+    */
+  private def phraseDeleteSql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+        bgs AS (SELECT doc_id,
+                  unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+                FROM toks),
+        bgdf AS (SELECT bg, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                 FROM bgs GROUP BY 1),
+        ph AS (SELECT bg, df,
+                 CAST(ROW_NUMBER() OVER (ORDER BY df ASC, bg) AS BIGINT) AS phrase_id
+               FROM (SELECT bg, df FROM bgdf WHERE df >= 3
+                     ORDER BY df ASC, bg LIMIT 5)),
+        occ AS (SELECT p.phrase_id, p.bg, b.doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_occ
+                FROM bgs b JOIN ph p ON p.bg = b.bg
+                WHERE b.doc_id % 7 <> 2 GROUP BY 1, 2, 3),
+        rk AS (SELECT phrase_id, bg, doc_id, n_occ,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY phrase_id
+                   ORDER BY n_occ DESC, doc_id) AS BIGINT) AS rank
+               FROM occ)
+        SELECT phrase_id, bg AS phrase, rank, doc_id, n_occ
+        FROM rk WHERE rank <= 5 ORDER BY phrase_id, rank"""
+
   val oracles: Map[String, String] = Map(
     "text_pretokenize" ->
       """SELECT doc_id,
@@ -754,6 +862,13 @@ object TextAnalysis extends QueryGroup {
                  FROM occ)
           SELECT phrase_id, bg AS phrase, rank, doc_id, n_occ
           FROM rk WHERE rank <= 5 ORDER BY phrase_id, rank""",
+    // Deletion legs: the phrase WORKLOAD still derives from the full
+    // corpus's bigram dictionary (build artifact), but matches must
+    // come from live (non-tombstoned) docs only — both the
+    // merge-on-read and the compacted probe are gated against this
+    // same from-scratch recompute, which IS the rebuild-parity check.
+    "text_search_phrase_tombstoned" -> phraseDeleteSql,
+    "text_search_phrase_compacted" -> phraseDeleteSql,
     "corpus_sample_hash" ->
       s"""SELECT doc_id, lang, md5($normSql) AS fp FROM documents
           ORDER BY fp, doc_id LIMIT 20""",

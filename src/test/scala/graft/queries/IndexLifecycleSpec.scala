@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+import graft.util.IndexStore
+
+/** Index lifecycle under deletion: the persisted phrase-search
+  * artifacts must keep serving after docs are tombstoned WITHOUT a
+  * rebuild (merge-on-read anti-join at probe time), and the compaction
+  * op must physically drop every dead posting so post-compaction
+  * serving needs no tombstone join. Cross-engine correctness of both
+  * legs is the oracle's job (both hash-gate against the same live-docs
+  * recompute); this spec pins the PHYSICAL claims the oracle can't
+  * see: artifact untouched, dead postings really gone, legs identical.
+  */
+class IndexLifecycleSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf)
+
+  private def loadArtifact(name: String) =
+    IndexStore.loadOrBuild(spark, sf, name)(
+      throw new AssertionError(s"artifact $name absent — build order broken"))
+
+  test("tombstoned probe serves from the existing index without rebuilding it") {
+    run("text_search_phrase").collect(): Unit // build the index group
+    val mt0 = IndexStore.artifactMtime(sf, "search_postings_pos")
+    assert(mt0.nonEmpty, "postings artifact missing after the build query")
+    val out = run("text_search_phrase_tombstoned").collect()
+    assert(out.nonEmpty, "tombstoned probe returned nothing")
+    assert(IndexStore.artifactMtime(sf, "search_postings_pos") === mt0,
+      "serving deletes must not rebuild the postings index")
+    // No tombstoned doc may leak through the merge-on-read probe.
+    assert(!out.exists(r => r.getAs[Long]("doc_id") % 7 == 2),
+      "a tombstoned doc leaked through the anti-join probe")
+  }
+
+  test("compaction physically drops every dead posting, and the legs agree") {
+    run("text_search_phrase").collect(): Unit
+    val full = loadArtifact("search_postings_pos")
+    val nDead = full.filter(col("doc_id") % 7 === 2).count()
+    assert(nDead > 0, "fixture has no dead postings — the gate would be vacuous")
+    val compactedOut = run("text_search_phrase_compacted").collect()
+    val compact = loadArtifact("search_postings_pos_compact_m7")
+    assert(compact.filter(col("doc_id") % 7 === 2).count() === 0L,
+      "compacted index still holds postings of tombstoned docs")
+    assert(compact.count() === full.count() - nDead,
+      "compaction dropped live postings (or kept dead ones)")
+    // Merge-on-read and compacted serving must be indistinguishable —
+    // the local half of the rebuild-parity contract (the cross-engine
+    // half is both legs hash-gating against the same oracle).
+    val tombstonedOut = run("text_search_phrase_tombstoned").collect()
+    assert(compactedOut.toSeq === tombstonedOut.toSeq,
+      "compacted probe diverged from the merge-on-read probe")
+  }
+}
