@@ -428,6 +428,38 @@ class CustomerStore(protected val spark: SparkSession, path: String,
   def optimize(filesPerPartition: Int = 4): Unit =
     rewriteTable(_.repartitionByRange(filesPerPartition, col("id")))
 
+  /** OPTIMIZE with TWO-dimensional Z-ORDER clustering (the Delta
+    * `OPTIMIZE ... ZORDER BY (a, b)` maintenance shape; [[optimize]]
+    * is the 1-D form): range-partition each partition's rows by the
+    * bit-interleaved key over (64-bucket scaled id, 64-way hash shard
+    * of id), so every output file covers a contiguous segment of the
+    * z-curve — a TIGHT rectangle in BOTH dimensions — and the
+    * per-commit zone maps ([[zonesManifest]]: min/max id AND min/max
+    * shard, staged and promoted with this commit like any other)
+    * prune id-range reads, shard reads, and rectangle reads
+    * ([[pendingRectRead]]) alike. The id scaling normalizes the key
+    * domain into the curve's 6-bit grid from the table's own min/max
+    * (one 1-row aggregate, driver-side); at 100 TB the same rewrite
+    * runs per partition with file-size bin targets, but the curve and
+    * the zone consult are unchanged.
+    */
+  def optimizeZorder(filesPerPartition: Int = 16): Unit = {
+    if (!tableExists) return
+    recover()
+    val mm = all().agg(min(col("id")), max(col("id"))).head()
+    if (mm.isNullAt(0)) return
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(1L, mx - mn + 1)
+    // Scale id into curve buckets 0..63 in double precision (exact for
+    // any realistic id span; ids here are < 2^53) and clamp the max.
+    val idBucket = least(lit(63L),
+      floor((col("id") - lit(mn)).cast("double") * 64.0d / span.toDouble)
+        .cast("long"))
+    val zkey = graft.util.DataSkipping.zorderKey(
+      idBucket, CustomerStore.hashBucket(col("id")), 6)
+    rewriteTable(_.repartitionByRange(filesPerPartition, zkey))
+  }
+
   /** Shared data-only rewrite commit (compaction / clustering): the
     * version advances, the feed stays silent (physical layout, not a
     * logical change), and the full rewrite MATERIALIZES every
@@ -504,14 +536,55 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     * are honored. Returns (rows, filesRead, filesTotal) so callers can
     * assert the skip actually happened.
     */
-  def pendingRangeRead(lo: Long, hi: Long): (DataFrame, Int, Int) = {
+  def pendingRangeRead(lo: Long, hi: Long): (DataFrame, Int, Int) =
+    zonePrunedPendingRead(
+      idZ => idZ.forall { case (mn, mx) => mx >= lo && mn <= hi },
+      _ => true,
+      col("id") >= lo && col("id") <= hi)
+
+  /** TWO-dimensional zone-pruned read over the pending partition: open
+    * only live files whose [min_id,max_id] × [min_hb,max_hb] zone
+    * rectangle intersects the query rectangle (id range × hash-shard
+    * band). After [[optimizeZorder]] every file's rectangle is tight
+    * in BOTH dimensions, so id-only reads, shard-only reads, and true
+    * rectangles all prune — a single-key clustering ([[optimize]])
+    * serves only its leading column. Missing stats degrade to a read,
+    * never a wrong answer; the exact predicate is re-applied and
+    * deletion vectors are honored. Returns (rows, filesRead,
+    * filesTotal) so callers can assert the skip happened.
+    */
+  def pendingRectRead(idLo: Long, idHi: Long, hbLo: Long, hbHi: Long)
+      : (DataFrame, Int, Int) =
+    zonePrunedPendingRead(
+      _.forall { case (mn, mx) => mx >= idLo && mn <= idHi },
+      _.forall { case (mn, mx) => mx >= hbLo && mn <= hbHi },
+      col("id") >= idLo && col("id") <= idHi &&
+        CustomerStore.hashBucket(col("id")).between(hbLo, hbHi))
+
+  /** Shared zone-consulted pending read: keep a live file iff its
+    * latest zone entry passes BOTH dimension tests (a missing entry or
+    * a null dimension keeps the file — may-contain metadata degrades
+    * to a read), then re-apply the exact predicate to the opened
+    * files.
+    */
+  private def zonePrunedPendingRead(
+      idKeep: Option[(Long, Long)] => Boolean,
+      hbKeep: Option[(Long, Long)] => Boolean,
+      exact: org.apache.spark.sql.Column): (DataFrame, Int, Int) = {
     recover()
     val files = livePendingFiles()
     val zones = zonesManifest()
-      .select(col("file"), col("min_id"), col("max_id"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .select(col("file"), col("min_id"), col("max_id"),
+        col("min_hb"), col("max_hb"))
+      .collect().map { r =>
+        r.getString(0) -> ((
+          if (r.isNullAt(1) || r.isNullAt(2)) None
+          else Some((r.getLong(1), r.getLong(2))),
+          if (r.isNullAt(3) || r.isNullAt(4)) None
+          else Some((r.getLong(3), r.getLong(4)))))
+      }.toMap
     val keep = files.filter { case (name, _) =>
-      zones.get(name).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      zones.get(name).forall { case (idZ, hbZ) => idKeep(idZ) && hbKeep(hbZ) }
     }
     val dataSchema = org.apache.spark.sql.types.StructType(
       tableSchema.filterNot(_.name == "uploaded"))
@@ -522,7 +595,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       else
         withVectorsApplied(
           spark.read.schema(dataSchema).parquet(keep.map(_._2): _*)
-            .filter(col("id") >= lo && col("id") <= hi)
+            .filter(exact)
             .withColumn("uploaded", lit(false))
             .withColumn("_file", input_file_name()))
           .select(tableSchema.fieldNames.map(col): _*)
@@ -557,6 +630,10 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("max_id",
       org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("min_hb",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("max_hb",
+      org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("commit_version",
       org.apache.spark.sql.types.LongType, nullable = false)))
 
@@ -588,13 +665,16 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       .select(col("file"), col("w"), col("bits"), col("nbits"),
         col("commit_version"))
 
-  /** The zone-map manifest (per-file row count and id min/max),
-    * maintained per commit like [[bloomManifest]].
+  /** The zone-map manifest (per-file row count, id min/max, and
+    * hash-shard min/max — the store's two clustering dimensions),
+    * maintained per commit like [[bloomManifest]]. `min_hb`/`max_hb`
+    * may be null for files whose commit predates shard stats; pruning
+    * treats that as no coverage (the file is read, never skipped).
     */
   def zonesManifest(): DataFrame =
     statsManifest().filter(col("kind") === "z")
       .select(col("file"), col("n_rows"), col("min_id"), col("max_id"),
-        col("commit_version"))
+        col("min_hb"), col("max_hb"), col("commit_version"))
 
   /** Live pending data files as (basename, absolute path). */
   private def livePendingFiles(): Seq[(String, String)] = {
@@ -936,10 +1016,13 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       // reuse the first's scan inside that job.
       val zones = staged.groupBy(col("file"))
         .agg(count(lit(1)).as("n_rows"),
-          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+          min(CustomerStore.hashBucket(col("id"))).as("min_hb"),
+          max(CustomerStore.hashBucket(col("id"))).as("max_hb"))
         .select(col("file"), lit("z").as("kind"), lit(null).cast("long").as("w"),
           lit(null).cast("long").as("bits"), lit(null).cast("long").as("nbits"),
-          col("n_rows"), col("min_id"), col("max_id"))
+          col("n_rows"), col("min_id"), col("max_id"),
+          col("min_hb"), col("max_hb"))
       val bloom = staged.select(col("file"),
           explode(array((0 until BloomSeeds).map(s =>
             pmod(xxhash64(col("email"), lit(s)), lit(bloomBits))): _*)).as("p"))
@@ -948,7 +1031,8 @@ class CustomerStore(protected val spark: SparkSession, path: String,
         .groupBy(col("file"), col("w")).agg(expr("bit_or(b)").as("bits"))
         .select(col("file"), lit("b").as("kind"), col("w"), col("bits"),
           lit(bloomBits).as("nbits"), lit(null).cast("long").as("n_rows"),
-          lit(null).cast("long").as("min_id"), lit(null).cast("long").as("max_id"))
+          lit(null).cast("long").as("min_id"), lit(null).cast("long").as("max_id"),
+          lit(null).cast("long").as("min_hb"), lit(null).cast("long").as("max_hb"))
       val dir = new java.io.File(tmp, "stats")
       zones.unionByName(bloom).withColumn("commit_version", lit(v))
         .coalesce(1).write.parquet(dir.toString)
@@ -1180,6 +1264,27 @@ object CustomerStore {
     * index makes between point lookups and batch scans).
     */
   private[pipeline] val PointLookupMax = 256
+
+  /** Shard count of the store's SECOND clustering dimension (the
+    * hash shard of the merge-grain id): 64 shards interleave with 64
+    * id buckets into a 6+6-bit z-order key, which is also the grain
+    * of the per-file `min_hb`/`max_hb` zone entries.
+    */
+  val HashShards = 64L
+
+  /** Hash shard of a row's id: a Lehmer-style multiplicative hash in
+    * EXACT 64-bit integer arithmetic (`((id mod 65537) * 48271) mod
+    * 65537 mod 64`, all operands positive and < 2^32 so no overflow),
+    * deliberately engine-neutral — any external system can recompute a
+    * row's shard from plain integer ops, unlike an engine-specific
+    * hash builtin. The shard order is DECORRELATED from the id order
+    * (consecutive ids land 48271 apart mod 65537), so an id-clustered
+    * layout gives no shard locality and a shard-clustered layout gives
+    * no id locality — the two-dimensional tension [[CustomerStore
+    * .optimizeZorder]] resolves by interleaving both into one curve.
+    */
+  def hashBucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(pmod(pmod(c, lit(65537L)) * lit(48271L), lit(65537L)), lit(HashShards))
 
   private[pipeline] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)

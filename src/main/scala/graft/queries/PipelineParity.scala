@@ -316,6 +316,64 @@ object PipelineParity extends QueryGroup {
       }
     }),
 
+    // OPTIMIZE with two-dimensional Z-ORDER clustering (the Delta
+    // OPTIMIZE ZORDER BY (a,b) shape, task-7 lifecycle form of the
+    // layout_zorder_skipping demo): the store's second clustering
+    // dimension is an engine-neutral hash shard of id (plain bigint
+    // arithmetic both engines compute), DECORRELATED from id order —
+    // so the four id-interleaved insert commits are worst-case on
+    // BOTH dimensions and the rectangle read must open every file
+    // (REQUIREd). One optimizeZorder() rewrite interleaves (id
+    // bucket, shard) into a z-curve; after it the id-only range read,
+    // the shard-only band read, AND the rectangle read each open
+    // strictly fewer files through the per-commit zone manifest
+    // (REQUIREd; the rectangle never opens more than either 1-D
+    // read), while every count stays identical to the unclustered
+    // answer — counts and the rect id-sum are oracle-pinned from the
+    // same integer arithmetic.
+    "pipeline_optimize_zorder" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          concat(lit("f"), col("c_custkey")).as("first_name"),
+          concat(lit("l"), col("c_custkey")).as("last_name"),
+          concat(lit("u"), col("c_custkey"), lit("@example.com")).as("email"),
+          concat(lit("555-"), col("c_custkey")).as("phone"))
+      val mm = base.agg(min(col("id")), max(col("id")), count(lit(1))).head()
+      val (mn, mx, nTotal) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+      val idLo = mn + (mx - mn) / 4
+      val idHi = mn + (mx - mn) / 2
+      val (hbLo, hbHi) = (16L, 31L)
+      withTempDir("graft-zorder-store-") { tmp =>
+        val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
+        for (m <- 0L until 4L)
+          store.insertNew(Ingest.enrich(base.filter(col("id") % 4 === m))): Unit
+        val (r0, read0, total0) = store.pendingRectRead(idLo, idHi, hbLo, hbHi)
+        val first = r0.agg(count(lit(1)), coalesce(sum(col("id")), lit(0L))).head()
+        val (nRect, sumRect) = (first.getLong(0), first.getLong(1))
+        require(read0 == total0,
+          s"interleaved layout pruned $read0/$total0 — fixture not worst-case")
+        store.optimizeZorder(16)
+        val (rid, readId, total) = store.pendingRectRead(idLo, idHi, 0L, 63L)
+        val (rhb, readHb, _) = store.pendingRectRead(mn, mx, hbLo, hbHi)
+        val (rr, readRect, _) = store.pendingRectRead(idLo, idHi, hbLo, hbHi)
+        val second = rr.agg(count(lit(1)), coalesce(sum(col("id")), lit(0L))).head()
+        require(second.getLong(0) == nRect && second.getLong(1) == sumRect,
+          "clustered rectangle read returned different rows than unclustered")
+        require(readId < total && readHb < total && readRect < total,
+          s"z-order zone maps must prune BOTH dimensions " +
+            s"(id $readId, shard $readHb, rect $readRect of $total opened)")
+        require(readRect <= math.min(readId, readHb),
+          s"rectangle read ($readRect files) must not open more than " +
+            s"either 1-D read ($readId id-only, $readHb shard-only)")
+        val nId = rid.count()
+        val nHb = rhb.count()
+        Seq((nTotal, nId, nHb, nRect, sumRect))
+          .toDF("n_rows", "n_in_id_range", "n_in_shard_band",
+            "n_in_rect", "id_sum_in_rect")
+      }
+    }),
+
     // MERGE-ON-READ DELETE via deletion vectors (the Delta/Iceberg
     // row-level-delete shape): a delete commit stages ONLY (file,
     // email) tombstone rows + delete_pre retraction feed rows — no
@@ -1001,6 +1059,26 @@ object PipelineParity extends QueryGroup {
             WHERE c_custkey BETWEEN lo AND hi) AS n_in_range,
            (SELECT CAST(SUM(c_custkey) AS BIGINT) FROM customer, r
             WHERE c_custkey BETWEEN lo AND hi) AS id_sum_in_range
+         FROM r""",
+    // The shard is engine-neutral integer arithmetic — DuckDB
+    // recomputes ((k % 65537) * 48271) % 65537 % 64 exactly; range
+    // bounds derive from the same min/max quantile arithmetic as
+    // pipeline_optimize_clustered.
+    "pipeline_optimize_zorder" ->
+      """WITH b AS (SELECT MIN(c_custkey) AS mn, MAX(c_custkey) AS mx,
+              COUNT(*) AS n FROM customer),
+         r AS (SELECT n, mn + (mx - mn) // 4 AS lo, mn + (mx - mn) // 2 AS hi FROM b),
+         h AS (SELECT c_custkey AS k,
+               ((c_custkey % 65537) * 48271) % 65537 % 64 AS hb FROM customer)
+         SELECT CAST(r.n AS BIGINT) AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM h, r
+            WHERE k BETWEEN lo AND hi) AS n_in_id_range,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM h
+            WHERE hb BETWEEN 16 AND 31) AS n_in_shard_band,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM h, r
+            WHERE k BETWEEN lo AND hi AND hb BETWEEN 16 AND 31) AS n_in_rect,
+           (SELECT CAST(COALESCE(SUM(k), 0) AS BIGINT) FROM h, r
+            WHERE k BETWEEN lo AND hi AND hb BETWEEN 16 AND 31) AS id_sum_in_rect
          FROM r""",
     // All seven counts derive from the same %-of-custkey arithmetic:
     // N rows inserted, D = multiples of 7 deleted, one re-inserted.

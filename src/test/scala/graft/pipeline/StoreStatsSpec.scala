@@ -115,6 +115,33 @@ class StoreStatsSpec extends SparkSpec {
     assert(store.all().filter(col("uploaded")).count() === 1L)
   }
 
+  test("optimizeZorder: tight zone rectangles prune BOTH dimensions") {
+    val path = tmpDir("stats") + "/zorder"
+    val store = new CustomerStore(spark, path)
+    // Interleave ids across 4 insert commits so every pending file
+    // spans the full id range AND (hash decorrelation) the full shard
+    // range — worst case for both dimensions.
+    for (m <- 0 until 4)
+      store.insertNew(Ingest.enrich(batch(1, 601).filter(col("id") % 4 === m)))
+    val (_, read0, total0) = store.pendingRectRead(150L, 300L, 16L, 31L)
+    assert(read0 === total0, "interleaved fixture must prune nothing")
+    store.optimizeZorder(16)
+    val (rows, readRect, total) = store.pendingRectRead(150L, 300L, 16L, 31L)
+    val (_, readId, _) = store.pendingRectRead(150L, 300L, 0L, 63L)
+    val (_, readHb, _) = store.pendingRectRead(1L, 600L, 16L, 31L)
+    assert(readId < total, s"id-only read must prune ($readId/$total)")
+    assert(readHb < total, s"shard-only read must prune ($readHb/$total)")
+    assert(readRect <= math.min(readId, readHb),
+      "rectangle read opened more files than a 1-D read")
+    // Exact-predicate parity with a naive full-scan filter.
+    val expect = store.pending().filter(col("id").between(150L, 300L) &&
+      CustomerStore.hashBucket(col("id")).between(16L, 31L))
+      .select(CustomerSchema.uploadColumns.map(col): _*)
+    val got = rows.select(CustomerSchema.uploadColumns.map(col): _*)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "zone-pruned rectangle read and full-scan filter disagree")
+  }
+
   test("stats promote with crash recovery at the commit point") {
     val path = tmpDir("stats") + "/c"
     val store = seed(path, 50)
