@@ -776,6 +776,62 @@ object PipelineParity extends QueryGroup {
       out.toDF("uploaded", "n", "id_sum").orderBy(col("uploaded"))
     }),
 
+    // NON-DISTRIBUTIVE incremental view maintenance (the boundary the
+    // retraction-weighted MV cannot cross): per-group MIN/MAX under
+    // DELETE. A +1/−1 weighted sketch absorbs a retraction of a sum
+    // or count but not of an extremum (the runner-up is gone from the
+    // sketch), so MinMaxView folds inserts and interior deletes in
+    // monotonically and falls back to PER-GROUP re-aggregation only
+    // when a retraction reaches a stored extremum. The fixture's
+    // delete (multiples of 7) hits the minimum of exactly the groups
+    // whose smallest member is a multiple of 7 and the maximum of
+    // those whose largest is; the follow-up insert commit (fresh
+    // emails, ids +50M ≡ 0 mod 8 so groups are preserved) must fold
+    // in with ZERO further recomputes (REQUIREd: recompute count
+    // strictly between 0 and the group count, unchanged by the
+    // insert-only commit; maintained view equals the batch recompute
+    // row-for-row). Final per-group min/max/count oracle-pinned from
+    // the planted arithmetic.
+    "pipeline_incremental_mv_minmax" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          concat(lit("f"), col("c_custkey")).as("first_name"),
+          concat(lit("l"), col("c_custkey")).as("last_name"),
+          concat(lit("u"), col("c_custkey"), lit("@example.com")).as("email"),
+          concat(lit("555-"), col("c_custkey")).as("phone"))
+      val out = withTempDir("graft-mvminmax-") { tmp =>
+        val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
+        store.insertNew(Ingest.enrich(base)): Unit                       // v1
+        store.delete(
+          base.filter(col("id") % 7 === 0).select(col("email"))): Unit  // v2
+        val grp = pmod(col("id"), lit(8L))
+        val (_, recomputesAfterDelete) =
+          graft.pipeline.MinMaxView.maintain(store, grp)
+        store.insertNew(Ingest.enrich(                                   // v3
+          base.filter(col("id") % 11 === 0)
+            .withColumn("id", col("id") + 50000000L)
+            .withColumn("email",
+              concat(lit("u"), col("id"), lit("@example.com"))))): Unit
+        val (view, recomputes) = graft.pipeline.MinMaxView.maintain(store, grp)
+        val nGroups = view.count()
+        require(recomputesAfterDelete > 0L && recomputesAfterDelete < nGroups,
+          s"extremum deletes must recompute SOME but not ALL groups " +
+            s"($recomputesAfterDelete of $nGroups)")
+        require(recomputes == recomputesAfterDelete,
+          s"insert-only commit must fold in without re-aggregation " +
+            s"($recomputes vs $recomputesAfterDelete)")
+        val batch = store.all().select(grp.as("g"), col("id"))
+          .groupBy(col("g")).agg(min(col("id")).as("mn"),
+            max(col("id")).as("mx"), count(lit(1)).as("n"))
+        require(view.exceptAll(batch).isEmpty && batch.exceptAll(view).isEmpty,
+          "maintained min/max view diverged from the batch recompute")
+        view.localCheckpoint(true)
+      }
+      out.select(col("g"), col("mn").as("min_id"), col("mx").as("max_id"),
+        col("n").as("n_rows")).orderBy(col("g"))
+    }),
+
     // The STREAMING materialized view (StreamingView): the same
     // retraction-weighted aggregate as pipeline_incremental_mv, but
     // maintained by a checkpointed stream over the feed's commit
@@ -1271,6 +1327,20 @@ object PipelineParity extends QueryGroup {
                    CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 5 = 0)
           SELECT * FROM pend UNION ALL SELECT * FROM up
           ORDER BY uploaded""",
+    // Final per-group min/max/count over the planted live set: all
+    // custkeys minus multiples of 7 (the vector delete) plus the
+    // +50M re-keys of multiples of 11 (group-preserving: 50M ≡ 0
+    // mod 8).
+    "pipeline_incremental_mv_minmax" ->
+      """WITH live AS (
+           SELECT c_custkey AS id FROM customer WHERE c_custkey % 7 <> 0
+           UNION ALL
+           SELECT c_custkey + 50000000 FROM customer WHERE c_custkey % 11 = 0)
+         SELECT CAST(id % 8 AS BIGINT) AS g,
+           CAST(MIN(id) AS BIGINT) AS min_id,
+           CAST(MAX(id) AS BIGINT) AS max_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+         FROM live GROUP BY 1 ORDER BY g""",
     "pipeline_merge_jdbc" ->
       """SELECT CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
            CAST(SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
