@@ -515,6 +515,48 @@ object Similarity extends QueryGroup {
       ivfProbe(all.filter(col("vec_id") % 100 === 0), postings, cent)
     }),
 
+    // IVF INDEX LIFECYCLE UNDER DELETION, merge-on-read leg — the
+    // vector-index analog of text_search_phrase_tombstoned: vectors
+    // are deleted from the COLLECTION (vec_id % 9 = 4, the deleted-vec
+    // manifest of a vector store), but the persisted index is NOT
+    // rebuilt — the probe anti-joins the tombstone set against the
+    // candidate postings before scoring, exactly the pattern the
+    // store's deletion vectors use at read time. Centroids stay those
+    // of the full training run (a delete never retrains; drift repair
+    // is the periodic rebuild), the mtime REQUIRE pins no-rebuild, and
+    // the oracle recomputes the probe over live postings only — a
+    // tombstoned vector surfacing as any query's neighbor hash-fails.
+    "sim_ivf_tombstoned" -> ((s, dir) => {
+      val postName = s"ivf_postings_l${IVF_LISTS}r${IVF_ITERS}a$IVF_ASSIGN_R"
+      val mtBefore = graft.util.IndexStore.artifactMtime(dir, postName)
+      val all = quantized(s, dir)
+      val (postings, cent) = ivfIndexCached(s, dir, all)
+      val mtAfter = graft.util.IndexStore.artifactMtime(dir, postName)
+      require(mtBefore.forall(mtAfter.contains),
+        s"tombstoned probe rebuilt the IVF index ($mtBefore -> $mtAfter)")
+      val tomb = all.filter(col("vec_id") % 9 === 4).select(col("vec_id"))
+      ivfProbe(all.filter(col("vec_id") % 100 === 0),
+        postings.join(tomb, Seq("vec_id"), "left_anti"), cent)
+    }),
+
+    // IVF INDEX LIFECYCLE, compaction leg: derive a tombstone-free
+    // postings artifact FROM the persisted index (one anti-join — no
+    // re-quantize, no retrain, no corpus scan), persist it under a
+    // tombstone-set-keyed name, and serve with NO per-query tombstone
+    // join. Hash-gated against the same live-postings oracle as the
+    // merge-on-read leg (compacted ≡ incremental, the rebuild-parity
+    // contract, checked cross-engine); IndexLifecycleSpec pins the
+    // physical half — dead postings really gone, legs identical.
+    "sim_ivf_compacted" -> ((s, dir) => {
+      val all = quantized(s, dir)
+      val (postings, cent) = ivfIndexCached(s, dir, all)
+      val tomb = all.filter(col("vec_id") % 9 === 4).select(col("vec_id"))
+      val compacted = graft.util.IndexStore.loadOrBuild(s, dir,
+        s"ivf_postings_l${IVF_LISTS}r${IVF_ITERS}a${IVF_ASSIGN_R}_compact_m9")(
+        postings.join(tomb, Seq("vec_id"), "left_anti"))
+      ivfProbe(all.filter(col("vec_id") % 100 === 0), compacted, cent)
+    }),
+
     // INCREMENTAL IVF maintenance — the streaming-ingest shape of a
     // production vector index: the base collection (vec_id % 10 != 0)
     // trained and persisted once; the arriving tenth is folded in by
@@ -1062,7 +1104,38 @@ object Similarity extends QueryGroup {
                   GROUP BY 1, 2))"""
   }
 
+  /** Shared oracle for the two IVF lifecycle legs: the sim_ivf_ann
+    * probe over the SAME full-collection retrained index (deletes
+    * never retrain), with candidates restricted to live vectors
+    * (% 9 <> 4 = the tombstone set) before scoring. Both probe paths
+    * — merge-on-read anti-join and compacted artifact — must
+    * hash-equal this.
+    */
+  private def ivfDeleteSql: String =
+    s"""WITH $quantSql,
+        $ivfBuildSql,
+        qp AS (SELECT query_id, q_qv, q_sq, list_id FROM (
+                 SELECT n.vec_id AS query_id, n.qv AS q_qv, n.sq AS q_sq, c.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                     ORDER BY ${cosPpmSql("n.qv", "c.cv", "n.sq", "c.c_sq")} DESC, c.list_id) AS p_rn
+                 FROM n, $ivfFinalCent c WHERE n.vec_id % 100 = 0)
+               WHERE p_rn <= $IVF_PROBES),
+        cand AS (SELECT DISTINCT qp.query_id, qp.q_qv, qp.q_sq,
+                   nb.vec_id AS neighbor_id, nb.qv, nb.sq
+                 FROM qp JOIN af nb USING (list_id)
+                 WHERE nb.vec_id <> qp.query_id AND nb.vec_id % 9 <> 4),
+        sc AS (SELECT query_id, neighbor_id,
+                 ${cosPpmSql("q_qv", "qv", "q_sq", "sq")} AS cos_ppm FROM cand),
+        r AS (SELECT query_id, neighbor_id, cos_ppm,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos_ppm DESC, neighbor_id) AS BIGINT) AS rank
+              FROM sc)
+        SELECT query_id, rank, neighbor_id, cos_ppm FROM r
+        WHERE rank <= $TOP_K ORDER BY query_id, rank"""
+
   val oracles: Map[String, String] = Map(
+    "sim_ivf_tombstoned" -> ivfDeleteSql,
+    "sim_ivf_compacted" -> ivfDeleteSql,
     // The LSH index rebuilt in SQL: hyperplanes as list literals, sign
     // bits → bucket, the shared probe-mask list XOR'd per query. All
     // integer math up to the final cosPpm, so hash-exact.

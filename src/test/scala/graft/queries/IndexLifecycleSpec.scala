@@ -56,4 +56,37 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(compactedOut.toSeq === tombstonedOut.toSeq,
       "compacted probe diverged from the merge-on-read probe")
   }
+
+  // The IVF (vector) index under the same lifecycle: postings artifact
+  // name mirrors Similarity's private constants (lists=32, iters=2,
+  // assign_r=2) — a constant change there breaks these loads loudly.
+  private val ivfPostings = "ivf_postings_l32r2a2"
+
+  test("IVF tombstoned probe serves without rebuild and never returns a dead vector") {
+    run("sim_ivf_ann").collect(): Unit // build + persist the index group
+    val mt0 = IndexStore.artifactMtime(sf, ivfPostings)
+    assert(mt0.nonEmpty, "IVF postings artifact missing after the build query")
+    val out = run("sim_ivf_tombstoned").collect()
+    assert(out.nonEmpty, "tombstoned IVF probe returned nothing")
+    assert(IndexStore.artifactMtime(sf, ivfPostings) === mt0,
+      "serving deletes must not rebuild the IVF index")
+    assert(!out.exists(r => r.getAs[Long]("neighbor_id") % 9 == 4),
+      "a tombstoned vector surfaced as a neighbor")
+  }
+
+  test("IVF compaction drops every dead posting, and the legs agree") {
+    run("sim_ivf_ann").collect(): Unit
+    val full = loadArtifact(ivfPostings)
+    val nDead = full.filter(col("vec_id") % 9 === 4).count()
+    assert(nDead > 0, "fixture has no dead postings — the gate would be vacuous")
+    val compactedOut = run("sim_ivf_compacted").collect()
+    val compact = loadArtifact(ivfPostings + "_compact_m9")
+    assert(compact.filter(col("vec_id") % 9 === 4).count() === 0L,
+      "compacted IVF index still posts tombstoned vectors")
+    assert(compact.count() === full.count() - nDead,
+      "IVF compaction dropped live postings (or kept dead ones)")
+    val tombstonedOut = run("sim_ivf_tombstoned").collect()
+    assert(compactedOut.toSeq === tombstonedOut.toSeq,
+      "compacted IVF probe diverged from the merge-on-read probe")
+  }
 }
