@@ -198,6 +198,82 @@ object Extended extends QueryGroup {
         .orderBy(col("set_name"))
     }),
 
+    // CUSTOM mergeable BOTTOM-K (KMV) sketch — the uniform-sample dual
+    // of the HLL above, and the one sketch that serves BOTH quantile
+    // estimation (the bottom-k rows ordered by a uniform hash are an
+    // exact without-replacement k-sample) and cardinality (the k-th
+    // smallest hash estimates N as (k-1)·2^32/h_k). State is
+    // cross-engine hash-exact: the hash is the md5-word both engines
+    // compute, the sketch is ORDER BY h LIMIT k (Spark plans it as
+    // TakeOrderedAndProject — per-partition top-k, driver merges k·p
+    // rows, NO global sort shuffle), and the MERGE is bottom-k of the
+    // halves' sketch union, REQUIRE'd identical to the whole-data
+    // sketch (each half's bottom-k contains every global-bottom-k
+    // candidate, so KMV merge is exact, not approximate — the property
+    // that makes it the 100 TB percentile sketch: per-partition/per-day
+    // sketches merge associatively without re-reading data). Quantile
+    // estimates are audited against the exact discrete percentile with
+    // integer rank error (≤10% of N, ~3σ at k=256); the cardinality
+    // estimate within 15% (~2.4σ). The exact side is the audit's
+    // oracle half; production reads the 256-row sketch alone.
+    "approx_kmv_quantile" -> ((s, dir) => {
+      import s.implicits._
+      val K = 256
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          cents(col("o_totalprice")).cast("long").as("cents"),
+          conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+            .cast("long").as("h"))
+      def bottomK(df: DataFrame): DataFrame =
+        df.orderBy(col("h"), col("k")).limit(K)
+      val whole = bottomK(o).localCheckpoint(true)
+      val mergedSk = bottomK(
+        bottomK(o.filter(col("k") % 2 === 0))
+          .unionByName(bottomK(o.filter(col("k") % 2 === 1))))
+        .localCheckpoint(true)
+      val mergeExact = mergedSk.exceptAll(whole).isEmpty &&
+        whole.exceptAll(mergedSk).isEmpty
+      require(mergeExact, "KMV merge must equal the whole-data sketch exactly")
+      val nExact = o.count()
+      val kthHash = whole.agg(max(col("h"))).head().getLong(0)
+      val estN = (K - 1).toLong * 4294967296L / kthHash
+      // Sample values by rank — a 256-row bounded sort, driver-side.
+      val sample = whole.orderBy(col("cents"), col("k"))
+        .select(col("cents")).collect().map(_.getLong(0))
+      val qs = Seq(10L, 50L, 90L, 99L)
+      val ests = qs.map(q => q -> sample(((q * K + 99) / 100).toInt - 1)).toMap
+      // The rank of each estimate in the full data: ONE aggregate over
+      // the fact table (four conditional sums — no sort, no shuffle
+      // beyond the partial-merge).
+      val exactAgg = o.agg(
+        qs.map(q => sum(when(col("cents") <= ests(q), 1L).otherwise(0L))
+          .as(s"r_est_$q")).head,
+        qs.map(q => sum(when(col("cents") <= ests(q), 1L).otherwise(0L))
+          .as(s"r_est_$q")).tail: _*).head()
+      val rEst = qs.zipWithIndex.map { case (q, i) => q -> exactAgg.getLong(i) }.toMap
+      // Exact discrete percentile (the audit's truth side): value at
+      // rank ceil(q·N/100) under (cents, k) order. The global-window
+      // rank is the one deliberate sort here — it IS the exact
+      // computation being audited against; production reads the
+      // 256-row sketch alone and never pays it.
+      val wFull = Window.orderBy(col("cents"), col("k"))
+      val targets = qs.map(q => q -> ((q * nExact + 99) / 100)).toMap
+      val ranked = o.withColumn("rn", row_number().over(wFull).cast("long"))
+        .filter(col("rn").isin(targets.values.toSeq: _*))
+        .select(col("rn"), col("cents")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rows = qs.map { q =>
+        val est = ests(q)
+        val errPpm = math.abs(rEst(q) * 1000000L / nExact - q * 10000L)
+        (q, est, ranked(targets(q)), errPpm <= 100000L,
+          kthHash, estN, nExact,
+          math.abs(estN - nExact) * 100L <= nExact * 15L, mergeExact)
+      }
+      rows.toDF("q", "est_cents", "exact_cents", "rank_within_10pct",
+        "kth_hash", "est_n", "n_exact", "n_within_15pct", "merge_exact")
+        .orderBy(col("q"))
+    }),
+
     "approx_distinct_stats" -> ((s, dir) => {
       def within5(apx: Column, exact: Column): Column =
         abs(apx.cast("double") - exact.cast("double")) / exact.cast("double") <= 0.05
@@ -532,6 +608,43 @@ object Extended extends QueryGroup {
             TRUE AS est_within_7pct
           FROM sk JOIN ex USING (set_name) ORDER BY set_name"""
     },
+    // The KMV sketch rebuilt in SQL: same md5-word hash, same ORDER BY
+    // h LIMIT 256 state, same integer rank and estimator arithmetic —
+    // the audit booleans are COMPUTED on both sides (not literal), so
+    // the bound check itself is cross-engine pinned. merge_exact alone
+    // is literal TRUE: bottom-k of the halves' bottom-k unions equals
+    // the whole-data bottom-k by construction, and Spark REQUIREs it.
+    "approx_kmv_quantile" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+              CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+              CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                AS UBIGINT) AS BIGINT) AS h
+            FROM orders),
+          st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM o),
+          sk AS (SELECT h, cents, k FROM o ORDER BY h, k LIMIT 256),
+          kh AS (SELECT MAX(h) AS kth FROM sk),
+          sv AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, k) AS rn FROM sk),
+          fv AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, k) AS rn FROM o),
+          qs AS (SELECT CAST(UNNEST([10, 50, 90, 99]) AS BIGINT) AS q),
+          est AS (SELECT q, (SELECT cents FROM sv
+                    WHERE rn = (q * 256 + 99) // 100) AS est_cents FROM qs),
+          ex AS (SELECT e.q, e.est_cents,
+                   (SELECT cents FROM fv
+                    WHERE rn = (e.q * (SELECT n FROM st) + 99) // 100) AS exact_cents,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM o
+                    WHERE cents <= e.est_cents) AS r_est
+                 FROM est e)
+          SELECT q, CAST(est_cents AS BIGINT) AS est_cents,
+            CAST(exact_cents AS BIGINT) AS exact_cents,
+            ABS(r_est * 1000000 // (SELECT n FROM st) - q * 10000) <= 100000
+              AS rank_within_10pct,
+            CAST((SELECT kth FROM kh) AS BIGINT) AS kth_hash,
+            CAST(255 * 4294967296 // (SELECT kth FROM kh) AS BIGINT) AS est_n,
+            (SELECT n FROM st) AS n_exact,
+            ABS(255 * 4294967296 // (SELECT kth FROM kh) - (SELECT n FROM st)) * 100
+              <= (SELECT n FROM st) * 15 AS n_within_15pct,
+            TRUE AS merge_exact
+          FROM ex ORDER BY q""",
     // The booleans are the sketch-error gate: DuckDB supplies the
     // exact values and expects TRUE; a sketch drifting past its bound
     // hash-fails the query.

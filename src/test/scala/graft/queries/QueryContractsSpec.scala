@@ -404,4 +404,33 @@ class QueryContractsSpec extends SparkSpec {
         s"cluster $cid census inconsistent: n=$n arrivals=$arr base=$before clusters=$baseClusters")
     }
   }
+
+  test("KMV sketch: audit bounds hold, estimates are sane, and the " +
+      "bottom-k plans as TakeOrdered (no global sort shuffle)") {
+    val out = SparkEntry.queries("approx_kmv_quantile")(spark, sf).collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("rank_within_10pct"),
+        s"quantile rank drifted past 10% at q=${r.getAs[Long]("q")}")
+      assert(r.getAs[Boolean]("n_within_15pct") && r.getAs[Boolean]("merge_exact"))
+      // A quantile estimate must be a real data value between min and max.
+      assert(r.getAs[Long]("est_cents") > 0L)
+    }
+    // Estimates are monotone in q (the sample is sorted).
+    val ests = out.map(_.getAs[Long]("est_cents"))
+    assert(ests.sorted.sameElements(ests), "quantile estimates not monotone")
+    // The sketch build itself must be per-partition top-k + driver
+    // merge, never a global ordered exchange.
+    import org.apache.spark.sql.functions._
+    val o = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("k"),
+        conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    val plan = o.orderBy(col("h"), col("k")).limit(256)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bottom-k did not plan as TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"bottom-k plan contains a global sort exchange:\n$plan")
+  }
 }
