@@ -649,6 +649,64 @@ object StreamingParity extends QueryGroup {
       }
       parityCounts(s, streamedCounts, batchCounts, Seq("user_id", "n_events"),
         Seq("n_stream_users", "n_batch_users", "n_only_stream", "n_only_batch"))
+    }),
+
+    // The ELEVENTH parity gate, and the first whose streaming state is
+    // a MERGEABLE SKETCH: the bottom-k/KMV sample (approx_kmv_quantile)
+    // maintained by a streaming AGGREGATION whose buffer is the
+    // TopKAggregator — the same typed UDAF the batch inventory uses,
+    // fed -h so its DESC order keeps the k SMALLEST hashes. Sharding
+    // by event_id % 32 makes the state topology the 100 TB one: 32
+    // independent per-shard sketches in the state store (each O(k)),
+    // merged OUTSIDE the stream by one re-trim — sound because KMV
+    // merge is exact (shard-local bottom-k contains every global
+    // bottom-k candidate), which is precisely the aggregator's own
+    // merge law. Update-mode emissions append per batch; the union of
+    // emissions still contains each shard's final sketch, so the
+    // re-trim recovers the exact global sketch, REQUIRE'd equal to the
+    // batch bottom-k via the anti-join residues the oracle pins at
+    // zero.
+    "streaming_kmv_parity" -> ((s, dir) => {
+      import s.implicits._
+      val K = 256
+      def hOf = conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+      val batchSketch = Tables(s, dir, "events")
+        .select(hOf.as("h"), col("event_id"))
+        .orderBy(col("h"), col("event_id")).limit(K)
+        .localCheckpoint(true)
+      val streamedSketch = withTempDir(s, "graft-kmv-parity-") { tmp =>
+        val topk = new graft.functions.TopKAggregator(K).toColumn
+        s.readStream.schema(eventsSchema)
+          .parquet(s"$dir/{events.parquet}")
+          .select(pmod(col("event_id"), lit(32L)).as("shard"),
+            (-hOf).as("negh"), col("event_id"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .mapValues(r => (r._2, r._3))
+          .agg(topk.name("sk"))
+          .toDF("shard", "sk")
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$tmp/out"); ()
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+        s.read.schema(StructType(Seq(
+            StructField("shard", LongType),
+            StructField("sk", ArrayType(StructType(Seq(
+              StructField("_1", LongType), StructField("_2", LongType))))))))
+          .parquet(s"$tmp/out")
+          .select(explode(col("sk")).as("p"))
+          .select((-col("p._1")).as("h"), col("p._2").as("event_id"))
+          .distinct()
+          .orderBy(col("h"), col("event_id")).limit(K)
+          .localCheckpoint(true)
+      }
+      parityCounts(s, streamedSketch, batchSketch, Seq("h", "event_id"),
+        Seq("n_stream", "n_batch", "n_only_stream", "n_only_batch"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -789,6 +847,14 @@ object StreamingParity extends QueryGroup {
     "streaming_totals_parity" ->
       """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_stream_users,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_batch_users,
+           CAST(0 AS BIGINT) AS n_only_stream,
+           CAST(0 AS BIGINT) AS n_only_batch
+         FROM events""",
+    // Exact-parity contract: both sides hold the same 256-row sketch
+    // (events always exceed k), the residues pin set equality.
+    "streaming_kmv_parity" ->
+      """SELECT CAST(LEAST(256, COUNT(*)) AS BIGINT) AS n_stream,
+           CAST(LEAST(256, COUNT(*)) AS BIGINT) AS n_batch,
            CAST(0 AS BIGINT) AS n_only_stream,
            CAST(0 AS BIGINT) AS n_only_batch
          FROM events""")
