@@ -149,6 +149,45 @@ object Events extends QueryGroup {
         .orderBy(col("channel"))
     }),
 
+    // CEP-STYLE PATTERN WITH NEGATION — the MATCH_RECOGNIZE shape
+    // ("A then B with NO C between") that neither the funnel
+    // (existence within a window) nor attribution (nearest preceding
+    // touch) expresses: a view converts DIRECTLY iff the user's next
+    // purchase after it has no click strictly between the two events.
+    // Join-free: one (user, stream-order) sort carries a running click
+    // count plus two following-window mins over purchase rows — next
+    // purchase timestamp and next purchase's click-prefix (the SAME
+    // row's, because the prefix is nondecreasing in stream order, so
+    // the min over following purchases is the first one's) — and the
+    // negation collapses to one integer equality of prefixes, never a
+    // per-pair interval scan. One user_id exchange, linear in events;
+    // hot users cost their event count, not its square.
+    "events_pattern_negation" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), col("us"))
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val wFollow = wOrd.rowsBetween(1, Window.unboundedFollowing)
+      val marked = e
+        .withColumn("cum_clicks",
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("next_p_us",
+          min(when(col("event_type") === "purchase", col("us"))).over(wFollow))
+        .withColumn("next_p_cum",
+          min(when(col("event_type") === "purchase", col("cum_clicks"))).over(wFollow))
+      marked.filter(col("event_type") === "view")
+        .agg(count(lit(1)).as("n_views"),
+          sum(when(col("next_p_us").isNull, 1L).otherwise(0L)).as("n_no_purchase"),
+          sum(when(col("next_p_us").isNotNull &&
+            col("next_p_cum") === col("cum_clicks"), 1L).otherwise(0L)).as("n_direct"),
+          sum(when(col("next_p_us").isNotNull &&
+            col("next_p_cum") =!= col("cum_clicks"), 1L).otherwise(0L)).as("n_intervened"),
+          coalesce(sum(when(col("next_p_us").isNotNull &&
+            col("next_p_cum") === col("cum_clicks"),
+            col("next_p_us") - col("us"))), lit(0L)).as("direct_gap_us_sum"))
+    }),
+
     // CHANGE-POINT DETECTION over the hourly event series — the CUSUM
     // statistic kept EXACTLY integer: with prefix_t = Σ_{i≤t} x_i the
     // centered cumulative sum is S_t = prefix_t − t·mean, which scaled
@@ -390,6 +429,35 @@ object Events extends QueryGroup {
          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
            CAST(SUM(cents) AS BIGINT) AS revenue_cents
          FROM p GROUP BY channel ORDER BY channel""",
+    // Same stream-order windows: running click prefix, then the two
+    // following-purchase mins (us + prefix — the first purchase's,
+    // because the prefix is nondecreasing); no-click-between is the
+    // prefix equality.
+    "events_pattern_negation" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+            FROM events),
+         m AS (SELECT user_id, event_id, event_type, us,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_clicks
+           FROM e),
+         n AS (SELECT user_id, event_type, us, cum_clicks,
+             MIN(CASE WHEN event_type = 'purchase' THEN us END) OVER w2 AS next_p_us,
+             MIN(CASE WHEN event_type = 'purchase' THEN cum_clicks END) OVER w2
+               AS next_p_cum
+           FROM m WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(SUM(CASE WHEN next_p_us IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_no_purchase,
+           CAST(SUM(CASE WHEN next_p_us IS NOT NULL AND next_p_cum = cum_clicks
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_direct,
+           CAST(SUM(CASE WHEN next_p_us IS NOT NULL AND next_p_cum <> cum_clicks
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_intervened,
+           CAST(COALESCE(SUM(CASE WHEN next_p_us IS NOT NULL
+             AND next_p_cum = cum_clicks THEN next_p_us - us END), 0) AS BIGINT)
+             AS direct_gap_us_sum
+         FROM n WHERE event_type = 'view'""",
     "events_changepoint" ->
       """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour,
               CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1),

@@ -192,6 +192,19 @@ class PlanContractsSpec extends SparkSpec {
       "funnel must stay join-free")
   }
 
+  test("pattern-negation: one user_id exchange, stacked windows, join-free") {
+    // The MATCH_RECOGNIZE-with-negation shape must stay one sort per
+    // user stream: running click prefix + the two following-purchase
+    // mins stack on the same (us, event_id) order, and the no-click-
+    // between test is a prefix equality, never a per-pair join.
+    val p = plan("events_pattern_negation")
+    assert(count(p, "Exchange hashpartitioning\\(user_id#\\d+L, \\d+\\)") === 1,
+      s"stacked windows must share one user_id shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin"),
+      s"pattern negation must stay join-free:\n$p")
+  }
+
   test("repetition scoring never aggregates — per-doc metrics stay in the projection") {
     val p = plan("text_repetition")
     assert(!p.contains("Aggregate"),
