@@ -374,6 +374,56 @@ object PipelineParity extends QueryGroup {
       }
     }),
 
+    // ANALYZE-style table statistics — the CBO consult: every commit's
+    // stats stage a per-file bottom-k KMV sample (kind='s') beside the
+    // zones and blooms, and estimatePendingRange answers "how many
+    // rows match id BETWEEN lo AND hi" from the MANIFEST ALONE — the
+    // live files' samples re-trim to the exact table-level uniform
+    // sample (KMV merge is exact, whatever commits wrote which files),
+    // the row total comes from the zone rows, and the estimate is
+    // integer arithmetic total·|sample∩range|/k. No data file is
+    // opened (StoreStatsSpec pins this physically: every data file
+    // truncated to zero bytes, the estimate is unchanged). Three
+    // ranges (decile/quartile/half) audited within 15% of N
+    // (REQUIRE'd; k=128 → 3σ ≈ 13%); the oracle recomputes the same
+    // sample, estimates, and audit booleans from the same md5-word
+    // integer arithmetic.
+    "pipeline_analyze_estimate" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          concat(lit("f"), col("c_custkey")).as("first_name"),
+          concat(lit("l"), col("c_custkey")).as("last_name"),
+          concat(lit("u"), col("c_custkey"), lit("@example.com")).as("email"),
+          concat(lit("555-"), col("c_custkey")).as("phone"))
+      val mm = base.agg(min(col("id")), max(col("id"))).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val ranges = Seq(
+        ("1_decile", mn, mn + (mx - mn) / 10),
+        ("2_quartile", mn + (mx - mn) / 4, mn + (mx - mn) / 2),
+        ("3_half", mn, mn + (mx - mn) / 2))
+      val exact = ranges.map { case (name, lo, hi) =>
+        name -> base.filter(col("id").between(lo, hi)).count()
+      }.toMap
+      val out = withTempDir("graft-analyze-") { tmp =>
+        val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
+        for (m <- 0L until 4L)
+          store.insertNew(Ingest.enrich(base.filter(col("id") % 4 === m))): Unit
+        ranges.map { case (name, lo, hi) =>
+          val (est, total, k) = store.estimatePendingRange(lo, hi)
+          require(k == graft.pipeline.CustomerStore.SampleK,
+            s"table sample re-trimmed to $k rows, expected SampleK")
+          val within = math.abs(est - exact(name)) * 100L <= total * 15L
+          require(within,
+            s"$name estimate $est vs exact ${exact(name)} drifted past 15% of $total")
+          (name, est, exact(name), total, k, within)
+        }
+      }
+      out.toDF("range_name", "est_rows", "exact_rows", "n_rows",
+          "sample_k", "within_15pct_of_total")
+        .orderBy(col("range_name"))
+    }),
+
     // MERGE-ON-READ DELETE via deletion vectors (the Delta/Iceberg
     // row-level-delete shape): a delete commit stages ONLY (file,
     // email) tombstone rows + delete_pre retraction feed rows — no
@@ -1136,6 +1186,37 @@ object PipelineParity extends QueryGroup {
            (SELECT CAST(COALESCE(SUM(k), 0) AS BIGINT) FROM h, r
             WHERE k BETWEEN lo AND hi AND hb BETWEEN 16 AND 31) AS id_sum_in_rect
          FROM r""",
+    // The KMV table sample, the integer estimates, and the audit
+    // booleans all recomputed from the same md5-word arithmetic; range
+    // bounds from the min/max quantile arithmetic.
+    "pipeline_analyze_estimate" ->
+      """WITH o AS (SELECT c_custkey AS id,
+              CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
+                AS UBIGINT) AS BIGINT) AS h
+            FROM customer),
+          b AS (SELECT MIN(id) AS mn, MAX(id) AS mx,
+                  CAST(COUNT(*) AS BIGINT) AS total FROM o),
+          sk AS (SELECT id FROM o ORDER BY h, id LIMIT 128),
+          r AS (SELECT '1_decile' AS range_name, mn AS lo,
+                  mn + (mx - mn) // 10 AS hi FROM b
+                UNION ALL
+                SELECT '2_quartile', mn + (mx - mn) // 4,
+                  mn + (mx - mn) // 2 FROM b
+                UNION ALL
+                SELECT '3_half', mn, mn + (mx - mn) // 2 FROM b),
+          e AS (SELECT r.range_name, r.lo, r.hi,
+                  (SELECT total FROM b) *
+                    (SELECT COUNT(*) FROM sk WHERE id BETWEEN r.lo AND r.hi)
+                    // 128 AS est_rows,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM o
+                   WHERE id BETWEEN r.lo AND r.hi) AS exact_rows
+                FROM r)
+          SELECT range_name, CAST(est_rows AS BIGINT) AS est_rows,
+            exact_rows, (SELECT total FROM b) AS n_rows,
+            CAST(128 AS BIGINT) AS sample_k,
+            ABS(est_rows - exact_rows) * 100 <= (SELECT total FROM b) * 15
+              AS within_15pct_of_total
+          FROM e ORDER BY range_name""",
     // All seven counts derive from the same %-of-custkey arithmetic:
     // N rows inserted, D = multiples of 7 deleted, one re-inserted.
     "pipeline_delete_vectors" ->

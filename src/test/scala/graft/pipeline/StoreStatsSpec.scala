@@ -142,6 +142,24 @@ class StoreStatsSpec extends SparkSpec {
       "zone-pruned rectangle read and full-scan filter disagree")
   }
 
+  test("ANALYZE estimate consults only the stats manifest — data files may be unreadable") {
+    val path = tmpDir("stats") + "/analyze"
+    val store = seed(path, 400, commits = 4)
+    val (est, total, k) = store.estimatePendingRange(100L, 300L)
+    assert(total === 400L && k === CustomerStore.SampleK)
+    // Exact selectivity is 201/400; the estimate must land within 15% of N.
+    assert(math.abs(est - 201L) * 100L <= total * 15L,
+      s"estimate $est drifted past 15% of $total from exact 201")
+    // Truncate every pending data file: any attempt to OPEN one now
+    // fails loudly — the estimate must not notice.
+    val dir = new File(path, "uploaded=false")
+    dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      new java.io.FileOutputStream(f).close()
+    }
+    assert(store.estimatePendingRange(100L, 300L) === ((est, total, k)),
+      "estimate changed after data files were truncated — it read data")
+  }
+
   test("stats promote with crash recovery at the commit point") {
     val path = tmpDir("stats") + "/c"
     val store = seed(path, 50)
