@@ -1067,23 +1067,24 @@ class CustomerStore(protected val spark: SparkSession, path: String,
           min(CustomerStore.hashBucket(col("id"))).as("min_hb"),
           max(CustomerStore.hashBucket(col("id"))).as("max_hb"),
           bottomK(col("neg_h"), col("id")).as("sample"))
-        // One row per staged FILE — manifest-scale: collect once,
-        // unnest driver-side, and the zone + sample rows become a
-        // local DataFrame (no second evaluation of the aggregate, no
-        // extra stage — at any scale this is files × (1 + SampleK)
-        // rows of metadata).
-        .collect()
-      val R = org.apache.spark.sql.Row
-      val zoneSampleRows: Seq[org.apache.spark.sql.Row] = zonesAgg.toSeq.flatMap { r =>
-        val file = r.getString(0)
-        R(file, "z", null, null, null, r.getLong(1), r.getLong(2), r.getLong(3),
-            r.getLong(4), r.getLong(5), null, null, v) +:
-          r.getSeq[org.apache.spark.sql.Row](6).map(p =>
-            R(file, "s", null, null, null, null, null, null, null, null,
-              -p.getLong(0), p.getLong(1), v))
-      }
-      val zonesAndSample = spark.createDataFrame(
-        spark.sparkContext.parallelize(zoneSampleRows, 1), statsSchema)
+      // zones and sample are two projections of the SAME per-file
+      // aggregate; both evaluate inside the single union write below,
+      // each from the cached staged keys — commit overhead stays one
+      // stats job, not one per stats family.
+      val zones = zonesAgg
+        .select(col("file"), lit("z").as("kind"), lit(null).cast("long").as("w"),
+          lit(null).cast("long").as("bits"), lit(null).cast("long").as("nbits"),
+          col("n_rows"), col("min_id"), col("max_id"),
+          col("min_hb"), col("max_hb"),
+          lit(null).cast("long").as("s_h"), lit(null).cast("long").as("s_id"))
+      val sample = zonesAgg
+        .select(col("file"), explode(col("sample")).as("p"))
+        .select(col("file"), lit("s").as("kind"), lit(null).cast("long").as("w"),
+          lit(null).cast("long").as("bits"), lit(null).cast("long").as("nbits"),
+          lit(null).cast("long").as("n_rows"),
+          lit(null).cast("long").as("min_id"), lit(null).cast("long").as("max_id"),
+          lit(null).cast("long").as("min_hb"), lit(null).cast("long").as("max_hb"),
+          (-col("p._1")).as("s_h"), col("p._2").as("s_id"))
       val bloom = staged.select(col("file"),
           explode(array((0 until BloomSeeds).map(s =>
             pmod(xxhash64(col("email"), lit(s)), lit(bloomBits))): _*)).as("p"))
@@ -1096,9 +1097,8 @@ class CustomerStore(protected val spark: SparkSession, path: String,
           lit(null).cast("long").as("min_hb"), lit(null).cast("long").as("max_hb"),
           lit(null).cast("long").as("s_h"), lit(null).cast("long").as("s_id"))
       val dir = new java.io.File(tmp, "stats")
-      zonesAndSample.unionByName(
-          bloom.withColumn("commit_version", lit(v))
-            .select(statsSchema.fieldNames.map(col): _*))
+      zones.unionByName(sample).unionByName(bloom)
+        .withColumn("commit_version", lit(v))
         .coalesce(1).write.parquet(dir.toString)
       val commitId = java.util.UUID.randomUUID().toString.take(8)
       dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>

@@ -275,7 +275,7 @@ object PipelineParity extends QueryGroup {
     }),
 
     // OPTIMIZE with range clustering (the Delta OPTIMIZE ZORDER /
-    // liquid-clustering maintenance shape, 1-D): four id-interleaved
+    // liquid-clustering maintenance shape, 1-D): three id-interleaved
     // insert commits build a worst-case layout — every pending file
     // spans the full id range, so the per-commit zone maps can prune
     // NOTHING for a range read (REQUIREd: all files opened). One
@@ -297,8 +297,8 @@ object PipelineParity extends QueryGroup {
       val hi = mn + (mx - mn) / 2
       withTempDir("graft-optimize-") { tmp =>
         val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
-        for (m <- 0L until 4L)
-          store.insertNew(Ingest.enrich(base.filter(col("id") % 4 === m)))
+        for (m <- 0L until 3L)
+          store.insertNew(Ingest.enrich(base.filter(col("id") % 3 === m)))
         val (r1, read1, total1) = store.pendingRangeRead(lo, hi)
         val first = r1.agg(count(lit(1)), coalesce(sum(col("id")), lit(0L))).head()
         val (n1, sum1) = (first.getLong(0), first.getLong(1))
@@ -321,7 +321,7 @@ object PipelineParity extends QueryGroup {
     // layout_zorder_skipping demo): the store's second clustering
     // dimension is an engine-neutral hash shard of id (plain bigint
     // arithmetic both engines compute), DECORRELATED from id order —
-    // so the four id-interleaved insert commits are worst-case on
+    // so the three id-interleaved insert commits are worst-case on
     // BOTH dimensions and the rectangle read must open every file
     // (REQUIREd). One optimizeZorder() rewrite interleaves (id
     // bucket, shard) into a z-curve; after it the id-only range read,
@@ -346,8 +346,8 @@ object PipelineParity extends QueryGroup {
       val (hbLo, hbHi) = (16L, 31L)
       withTempDir("graft-zorder-store-") { tmp =>
         val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
-        for (m <- 0L until 4L)
-          store.insertNew(Ingest.enrich(base.filter(col("id") % 4 === m))): Unit
+        for (m <- 0L until 3L)
+          store.insertNew(Ingest.enrich(base.filter(col("id") % 3 === m))): Unit
         val (r0, read0, total0) = store.pendingRectRead(idLo, idHi, hbLo, hbHi)
         val first = r0.agg(count(lit(1)), coalesce(sum(col("id")), lit(0L))).head()
         val (nRect, sumRect) = (first.getLong(0), first.getLong(1))
@@ -407,8 +407,8 @@ object PipelineParity extends QueryGroup {
       }.toMap
       val out = withTempDir("graft-analyze-") { tmp =>
         val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
-        for (m <- 0L until 4L)
-          store.insertNew(Ingest.enrich(base.filter(col("id") % 4 === m))): Unit
+        for (m <- 0L until 2L)
+          store.insertNew(Ingest.enrich(base.filter(col("id") % 2 === m))): Unit
         ranges.map { case (name, lo, hi) =>
           val (est, total, k) = store.estimatePendingRange(lo, hi)
           require(k == graft.pipeline.CustomerStore.SampleK,
