@@ -460,6 +460,67 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     rewriteTable(_.repartitionByRange(filesPerPartition, zkey))
   }
 
+  /** INCREMENTAL Z-ORDER maintenance — absorb the commits that landed
+    * SINCE the last clustering without touching the clustered layer
+    * (at 100 TB a full rewrite per delta is the scale-killer; Delta's
+    * OPTIMIZE is incremental for exactly this reason). The clustered
+    * baseline is identified from the stats manifest alone: the live
+    * pending files carrying the OLDEST commit_version are the last
+    * rewrite's output (a rewrite replaces everything, so anything
+    * newer is post-rewrite delta); delta files — plus any file
+    * without stats coverage, conservatively — are read back, deletion
+    * vectors applied (the rewrite makes their vectors inert),
+    * z-ordered on the SAME curve (global id bounds also from the
+    * manifest — no full-table read anywhere), and committed through
+    * the FILE-LEVEL merge commit: replacement files land, delta files
+    * are removed, every baseline file survives in place, the feed
+    * stays silent (physical layout only) and the version advances.
+    * Successive layers compact into one on the next call (they become
+    * the newest versions). Falls back to [[optimizeZorder]] when no
+    * file has stats coverage.
+    */
+  def optimizeZorderIncremental(filesPerDelta: Int = 8): Unit = {
+    if (!tableExists) return
+    recover()
+    val files = livePendingFiles()
+    if (files.isEmpty) return
+    val names = files.map(_._1).toSet
+    val zoneRows = zonesManifest()
+      .select(col("file"), col("commit_version"), col("min_id"), col("max_id"))
+      .collect()
+      .filter(r => names(r.getString(0)) && !r.isNullAt(2) && !r.isNullAt(3))
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    if (zoneRows.isEmpty) { optimizeZorder(); return }
+    val vBase = zoneRows.values.map(_._1).min
+    val delta = files.filter { case (n, _) =>
+      zoneRows.get(n).forall(_._1 > vBase)
+    }
+    if (delta.isEmpty) return
+    val mn = zoneRows.values.map(_._2).min
+    val mx = zoneRows.values.map(_._3).max
+    val span = math.max(1L, mx - mn + 1)
+    val idBucket = least(lit(63L),
+      floor((col("id") - lit(mn)).cast("double") * 64.0d / span.toDouble)
+        .cast("long"))
+    val zkey = graft.util.DataSkipping.zorderKey(
+      idBucket, CustomerStore.hashBucket(col("id")), 6)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      tableSchema.filterNot(_.name == "uploaded"))
+    val rows = withVectorsApplied(
+        spark.read.schema(dataSchema).parquet(delta.map(_._2): _*)
+          .withColumn("uploaded", lit(false))
+          .withColumn("_file", input_file_name()))
+      .select(tableSchema.fieldNames.map(col): _*)
+      .repartitionByRange(filesPerDelta, zkey)
+    stageMergeCommit(rows, delta.map(_._2),
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("change_type",
+            org.apache.spark.sql.types.StringType, nullable = false) +: tableSchema.fields)))
+    applyStaged()
+  }
+
   /** Shared data-only rewrite commit (compaction / clustering): the
     * version advances, the feed stays silent (physical layout, not a
     * logical change), and the full rewrite MATERIALIZES every

@@ -374,6 +374,81 @@ object PipelineParity extends QueryGroup {
       }
     }),
 
+    // INCREMENTAL Z-ORDER maintenance — the lifecycle claim a 100 TB
+    // table lives or dies by: absorbing a delta must NOT rewrite the
+    // standing layer. Fixture: one baseline insert commit → two
+    // delta insert commits (fresh ids in disjoint +50M/+60M blocks,
+    // fresh emails; their hash shards spread over all 64, so a
+    // shard-band read must open every delta file).
+    // optimizeZorderIncremental identifies the delta from the stats
+    // manifest alone (oldest live commit_version = the standing
+    // baseline), z-orders ONLY those rows on the shared curve, and
+    // lands them through the file-level merge commit. REQUIREd: every
+    // baseline file survives IN PLACE, every delta file is gone, the
+    // band read returns identical aggregates and opens strictly fewer
+    // files than before the maintenance (the delta's shard zones are
+    // now tight; the full-rewrite clustering claim lives in
+    // pipeline_optimize_zorder). Totals, band count, and band id-sum
+    // are oracle-pinned from the planted arithmetic.
+    "pipeline_optimize_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          concat(lit("f"), col("c_custkey")).as("first_name"),
+          concat(lit("l"), col("c_custkey")).as("last_name"),
+          concat(lit("u"), col("c_custkey"), lit("@example.com")).as("email"),
+          concat(lit("555-"), col("c_custkey")).as("phone"))
+      val aggs = Seq(min(col("id")), max(col("id")), count(lit(1))) ++
+        Seq(0L, 1L).map(m =>
+          sum(when(col("id") % 7 === m, 1L).otherwise(0L)))
+      val mm = base.agg(aggs.head, aggs.tail: _*).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val nTotal = mm.getLong(2) + mm.getLong(3) + mm.getLong(4)
+      val (hbLo, hbHi) = (16L, 23L)
+      def deltaBatch(m: Long, off: Long) =
+        base.filter(col("id") % 7 === m)
+          .withColumn("id", col("id") + off)
+          .withColumn("email", concat(lit("w"), col("id"), lit("@example.com")))
+      val offsets = Seq(0L -> 50000000L, 1L -> 60000000L)
+      withTempDir("graft-inc-zorder-") { tmp =>
+        val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
+        store.insertNew(Ingest.enrich(base)): Unit
+        val baseline = store.pendingDataFiles().toSet
+        for ((m, off) <- offsets)
+          store.insertNew(Ingest.enrich(deltaBatch(m, off))): Unit
+        val deltaFiles = store.pendingDataFiles().toSet -- baseline
+        require(deltaFiles.size >= 2,
+          s"fixture produced only ${deltaFiles.size} delta files — no layering to prove")
+        val idHiAll = mx + 60000000L
+        val (rPre, readPre, totalPre) = store.pendingRectRead(mn, idHiAll, hbLo, hbHi)
+        val pre = rPre.agg(count(lit(1)), coalesce(sum(col("id")), lit(0L))).head()
+        val (nBand, sumBand) = (pre.getLong(0), pre.getLong(1))
+        // Unclustered worst case: every live file spans the full shard
+        // range, so the band read can prune NOTHING.
+        require(readPre == totalPre,
+          s"unclustered band read pruned $readPre/$totalPre — fixture not worst-case")
+        store.optimizeZorderIncremental(16)
+        val after = store.pendingDataFiles().toSet
+        require(baseline.subsetOf(after),
+          s"incremental optimize rewrote the standing layer " +
+            s"(${(baseline -- after).size} baseline files gone)")
+        require((deltaFiles & after).isEmpty,
+          "incremental optimize left unclustered delta files in place")
+        val (rInc, readInc, totalInc) = store.pendingRectRead(mn, idHiAll, hbLo, hbHi)
+        val post = rInc.agg(count(lit(1)), coalesce(sum(col("id")), lit(0L))).head()
+        require(post.getLong(0) == nBand && post.getLong(1) == sumBand,
+          "band read changed across incremental optimize")
+        // Clustered delta: the band read now SKIPS a real share of the
+        // delta files (their shard zones are tight), where the
+        // pre-maintenance read could skip none.
+        require(readInc + 2 <= totalInc,
+          s"incremental clustering must make the band read prune " +
+            s"($readInc of $totalInc files opened)")
+        Seq((nTotal, nBand, sumBand))
+          .toDF("n_rows", "n_in_band", "id_sum_in_band")
+      }
+    }),
+
     // ANALYZE-style table statistics — the CBO consult: every commit's
     // stats stage a per-file bottom-k KMV sample (kind='s') beside the
     // zones and blooms, and estimatePendingRange answers "how many
@@ -1186,6 +1261,21 @@ object PipelineParity extends QueryGroup {
            (SELECT CAST(COALESCE(SUM(k), 0) AS BIGINT) FROM h, r
             WHERE k BETWEEN lo AND hi AND hb BETWEEN 16 AND 31) AS id_sum_in_rect
          FROM r""",
+    // The planted live set (base plus the two disjoint +50M/+60M
+    // delta blocks) and the engine-neutral shard arithmetic give the
+    // band census exactly.
+    "pipeline_optimize_incremental" ->
+      """WITH live AS (
+           SELECT c_custkey AS id FROM customer
+           UNION ALL SELECT c_custkey + 50000000 FROM customer WHERE c_custkey % 7 = 0
+           UNION ALL SELECT c_custkey + 60000000 FROM customer WHERE c_custkey % 7 = 1),
+         h AS (SELECT id, ((id % 65537) * 48271) % 65537 % 64 AS hb FROM live)
+         SELECT CAST((SELECT COUNT(*) FROM live) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN hb BETWEEN 16 AND 23 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_in_band,
+           CAST(COALESCE(SUM(CASE WHEN hb BETWEEN 16 AND 23 THEN id END), 0)
+             AS BIGINT) AS id_sum_in_band
+         FROM h""",
     // The KMV table sample, the integer estimates, and the audit
     // booleans all recomputed from the same md5-word arithmetic; range
     // bounds from the min/max quantile arithmetic.
