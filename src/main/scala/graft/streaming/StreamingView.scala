@@ -40,6 +40,18 @@ import org.apache.spark.sql.types._
   * instance ([[Census]]); a 100 TB deployment swaps the spec, not the
   * mechanism (state stays one row per group; the stream reads only
   * feed deltas).
+  *
+  * BOUNDARY — non-distributive aggregates: MIN/MAX cannot ride the
+  * ±1 weighting (retracting the current extremum leaves the sketch
+  * without the runner-up), so they are deliberately OUT of ViewSpec's
+  * measure class. The store-side complement is
+  * [[graft.pipeline.MinMaxView]]: inserts and interior deletes fold
+  * in monotonically, and a retraction reaching a stored extremum
+  * triggers a PER-GROUP re-aggregation from `asOf(v)` — a table
+  * read this stream, which sees only feed deltas, cannot perform.
+  * That fallback is the honest cost of min/max-under-delete
+  * (`pipeline_incremental_mv_minmax` pins it: some-but-not-all
+  * groups recomputed, zero recomputes on insert-only commits).
   */
 object StreamingView {
 

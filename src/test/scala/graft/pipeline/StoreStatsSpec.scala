@@ -142,6 +142,26 @@ class StoreStatsSpec extends SparkSpec {
       "zone-pruned rectangle read and full-scan filter disagree")
   }
 
+  test("incremental optimize: no delta is a no-op; no stats coverage falls back to a full rewrite") {
+    val path = tmpDir("stats") + "/inc"
+    val store = seed(path, 200, commits = 2)
+    store.optimizeZorder(8)
+    val vAfterFull = store.currentVersion()
+    val filesAfterFull = store.pendingDataFiles().toSet
+    // Everything carries the rewrite's version — nothing to absorb.
+    store.optimizeZorderIncremental()
+    assert(store.currentVersion() === vAfterFull, "no-delta call committed")
+    assert(store.pendingDataFiles().toSet === filesAfterFull)
+    // Without stats coverage the conservative path is the full rewrite
+    // (missing metadata degrades to more work, never a wrong answer).
+    CustomerStore.deleteRecursively(new File(path, "_stats"))
+    store.optimizeZorderIncremental(4)
+    assert(store.currentVersion() === vAfterFull + 1, "fallback did not commit")
+    assert((store.pendingDataFiles().toSet & filesAfterFull).isEmpty,
+      "fallback full rewrite left old files in place")
+    assert(store.pending().count() === 200L)
+  }
+
   test("ANALYZE estimate consults only the stats manifest — data files may be unreadable") {
     val path = tmpDir("stats") + "/analyze"
     val store = seed(path, 400, commits = 4)
