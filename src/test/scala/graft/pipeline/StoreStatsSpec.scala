@@ -142,6 +142,29 @@ class StoreStatsSpec extends SparkSpec {
       "zone-pruned rectangle read and full-scan filter disagree")
   }
 
+  test("sample manifest rows are each file's exact bottom-k") {
+    val path = tmpDir("stats") + "/sm"
+    val store = seed(path, 300, commits = 3)
+    val actual = store.all()
+      .select(element_at(split(input_file_name(), "/"), -1).as("file"),
+        conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"),
+        col("id"))
+      .collect().groupBy(_.getString(0))
+      .map { case (f, rs) =>
+        f -> rs.map(r => (r.getLong(1), r.getLong(2))).sorted
+          .take(CustomerStore.SampleK).toSeq
+      }
+    val manifest = store.sampleManifest()
+      .collect().groupBy(_.getString(0))
+      .map { case (f, rs) =>
+        f -> rs.map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+      }
+    assert(manifest.keySet === actual.keySet, "sample coverage differs from files")
+    for ((f, expect) <- actual)
+      assert(manifest(f) === expect, s"sample drift for $f")
+  }
+
   test("incremental optimize: no delta is a no-op; no stats coverage falls back to a full rewrite") {
     val path = tmpDir("stats") + "/inc"
     val store = seed(path, 200, commits = 2)
