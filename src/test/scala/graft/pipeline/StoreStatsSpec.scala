@@ -203,6 +203,32 @@ class StoreStatsSpec extends SparkSpec {
       "estimate changed after data files were truncated — it read data")
   }
 
+  test("rect reads equal the naive filter for random rectangles across clustering and deletes") {
+    import spark.implicits._
+    val path = tmpDir("stats") + "/rect"
+    val store = seed(path, 400, commits = 4)
+    val rnd = new scala.util.Random(17)
+    def checkRects(stage: String): Unit =
+      (1 to 4).foreach { _ =>
+        val (a, b) = (1L + rnd.nextInt(400), 1L + rnd.nextInt(400))
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        val (h1, h2) = (rnd.nextInt(64).toLong, rnd.nextInt(64).toLong)
+        val (hbLo, hbHi) = (math.min(h1, h2), math.max(h1, h2))
+        val (rows, _, _) = store.pendingRectRead(lo, hi, hbLo, hbHi)
+        val expect = store.pending().filter(col("id").between(lo, hi) &&
+          CustomerStore.hashBucket(col("id")).between(hbLo, hbHi))
+          .select(CustomerSchema.uploadColumns.map(col): _*)
+        val got = rows.select(CustomerSchema.uploadColumns.map(col): _*)
+        assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+          s"rect read drifted from naive filter ($stage, [$lo,$hi]x[$hbLo,$hbHi])")
+      }
+    checkRects("unclustered")
+    store.optimizeZorder(8)
+    checkRects("clustered")
+    store.delete((1 to 40).map(i => s"user${i * 10}@example.com").toDF("email"))
+    checkRects("with deletion vectors")
+  }
+
   test("stats promote with crash recovery at the commit point") {
     val path = tmpDir("stats") + "/c"
     val store = seed(path, 50)
