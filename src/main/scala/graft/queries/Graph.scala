@@ -39,6 +39,13 @@ object Graph extends QueryGroup {
   private val PAGE_ITERS = 3
   private val DAMP = 0.85
 
+  /** Fan-out / depth of the recursive reachability walk: 3 strongest
+    * out-edges per nation, 4 hops — frontier ≤ 3^4 paths.
+    */
+  private val REACH_OUT = 3
+  private val REACH_HOPS = 4
+
+
   /** (src, dst, w, wout, deg): aggregated trade edges with the
     * out-weight and out-degree joined on — computed once, reused by
     * every iteration. Package-visible so PlanContractsSpec can pin the
@@ -192,6 +199,42 @@ object Graph extends QueryGroup {
           coalesce(col("deg"), lit(0L)).as("n_partners"),
           coalesce(col("wout"), lit(0L)).as("trade_out_micros"))
         .orderBy(col("rank"))
+    }),
+
+    // RECURSIVE-CTE BFS — SQL-level iteration (Spark 4's WITH
+    // RECURSIVE), the surface complement of the DataFrame fixpoint
+    // loops (PageRank, connected components): min-hop distances from
+    // the lexicographically first nation over the STRONG trade graph
+    // (each nation keeps only its top-[[REACH_OUT]] outgoing edges by
+    // weight — the full Q7-shape graph is near-complete, so the
+    // pruned graph is what gives BFS real multi-hop structure). The
+    // corpus-scale work is the ONE edge aggregation (shared
+    // derivation with graph_nation_rank); the recursion walks a
+    // ≤25-node quotient graph with fan-out [[REACH_OUT]] and depth
+    // cap [[REACH_HOPS]], so the UNION ALL frontier is bounded by
+    // REACH_OUT^REACH_HOPS rows whatever the corpus size — the
+    // aggregate-then-recurse shape. Unreachable nations are absent;
+    // MIN(depth) outside the recursion turns path enumeration into
+    // distances. DuckDB runs the identical recursion.
+    "graph_reachability_sql" -> ((s, dir) => {
+      val wTop = Window.partitionBy(col("src"))
+        .orderBy(col("w").desc, col("dst"))
+      val edges = tradeEdges(s, dir)
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= REACH_OUT)
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      val source = edges.agg(min(col("src"))).head().getString(0)
+      edges.createOrReplaceTempView("graft_reach_edges")
+      s.sql(
+        s"""WITH RECURSIVE walk(nation, depth) AS (
+              SELECT CAST('$source' AS STRING), 0
+              UNION ALL
+              SELECT g.dst, w.depth + 1
+              FROM walk w JOIN graft_reach_edges g ON g.src = w.nation
+              WHERE w.depth < $REACH_HOPS)
+            SELECT nation, CAST(MIN(depth) AS BIGINT) AS hops
+            FROM walk GROUP BY nation ORDER BY hops, nation""")
     }))
 
   /** One unrolled PageRank iteration as CTEs — mirror of the Spark
@@ -265,5 +308,31 @@ object Graph extends QueryGroup {
             COALESCE(o.deg, 0) AS n_partners,
             COALESCE(o.wout, 0) AS trade_out_micros
           FROM r$PAGE_ITERS r LEFT JOIN outw o ON o.src = r.nation
-          ORDER BY rank""")
+          ORDER BY rank""",
+    // Same edge derivation, same top-REACH_OUT pruning, and the
+    // IDENTICAL recursion in DuckDB — the engines must agree on the
+    // pruned graph, the source pick, the bounded frontier, and the
+    // min-hop rollup.
+    "graph_reachability_sql" ->
+      s"""WITH RECURSIVE e AS (SELECT cn.n_name AS src, sn.n_name AS dst,
+              CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 1000000) AS BIGINT)) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+            GROUP BY 1, 2),
+          t AS (SELECT src, dst,
+                  ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+                FROM e),
+          g AS (SELECT src, dst FROM t WHERE rn <= $REACH_OUT),
+          walk(nation, depth) AS (
+            SELECT s.s, 0 FROM (SELECT MIN(src) AS s FROM g) s
+            UNION ALL
+            SELECT g.dst, w.depth + 1
+            FROM walk w JOIN g ON g.src = w.nation
+            WHERE w.depth < $REACH_HOPS)
+          SELECT nation, CAST(MIN(depth) AS BIGINT) AS hops
+          FROM walk GROUP BY nation ORDER BY hops, nation""")
 }
