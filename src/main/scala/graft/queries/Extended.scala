@@ -198,6 +198,26 @@ object Extended extends QueryGroup {
         .orderBy(col("set_name"))
     }),
 
+    // LATERAL correlated subquery (the SQL-2003 surface Spark 4
+    // decorrelates into a per-group rank under the hood — declared
+    // per-row, executed set-at-a-time): each nation's top-2 customers
+    // by integer account cents, the "top-N per group as the user
+    // actually writes it" shape. DuckDB executes the identical
+    // LATERAL, so the query is hash-exact without restating it as a
+    // window — the point is that BOTH phrasings are first-class.
+    "sql_lateral_topk" -> ((s, dir) => {
+      Tables(s, dir, "nation").createOrReplaceTempView("graft_lat_nation")
+      Tables(s, dir, "customer").createOrReplaceTempView("graft_lat_customer")
+      s.sql("""SELECT n.n_name AS nation, l.c_custkey, l.cents
+        FROM graft_lat_nation n,
+        LATERAL (SELECT c_custkey,
+                   CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents
+                 FROM graft_lat_customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY cents DESC, c_custkey LIMIT 2) l
+        ORDER BY nation, cents DESC, c_custkey""")
+    }),
+
     // CUSTOM mergeable BOTTOM-K (KMV) sketch — the uniform-sample dual
     // of the HLL above, and the one sketch that serves BOTH quantile
     // estimation (the bottom-k rows ordered by a uniform hash are an
@@ -608,6 +628,17 @@ object Extended extends QueryGroup {
             TRUE AS est_within_7pct
           FROM sk JOIN ex USING (set_name) ORDER BY set_name"""
     },
+    // The identical LATERAL runs in DuckDB — same correlation, same
+    // per-group ORDER/LIMIT, same integer cents.
+    "sql_lateral_topk" ->
+      """SELECT n.n_name AS nation, l.c_custkey, l.cents
+         FROM nation n,
+         LATERAL (SELECT c_custkey,
+                    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents
+                  FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY cents DESC, c_custkey LIMIT 2) l
+         ORDER BY nation, cents DESC, c_custkey""",
     // The KMV sketch rebuilt in SQL: same md5-word hash, same ORDER BY
     // h LIMIT 256 state, same integer rank and estimator arithmetic —
     // the audit booleans are COMPUTED on both sides (not literal), so
