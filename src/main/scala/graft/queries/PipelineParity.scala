@@ -104,6 +104,34 @@ object PipelineParity extends QueryGroup {
     (base, batch)
   }
 
+  private val mergeStoreCache = new graft.util.SessionCache[String]
+
+  /** Shared READ-ONLY 3-commit fixture store (insert → merge → ack,
+    * the exact history the planted %-of-custkey oracles derive):
+    * built once per (session, SF) and reused by every gate that only
+    * READS the history afterward (time travel, incremental MV) — the
+    * fixture-sharing the bench budget needs. Mutating gates (compact,
+    * restore, delete, the merge cycle itself) build their own stores.
+    * The bench evicts the cache between passes, so each pass pays ONE
+    * build, attributed to the first reader in name order like the
+    * memoized index-family builds.
+    */
+  private def sharedMergeStore(s: SparkSession,
+      dir: String): graft.pipeline.CustomerStore = {
+    val path = mergeStoreCache.getOrCompute(s, dir) {
+      val (base, batch) = mergeFixtures(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sharedstore-")
+        .toString
+      val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
+      store.insertNew(base): Unit
+      store.merge(batch): Unit
+      store.markUploaded(
+        base.filter(col("id") % 5 === 0).select(col("email"))): Unit
+      s"$tmp/store"
+    }
+    new graft.pipeline.CustomerStore(s, path)
+  }
+
   private def mergeCycle(s: SparkSession, dir: String)(
       mkStore: java.nio.file.Path => graft.pipeline.CustomerStoreApi): DataFrame = {
     import s.implicits._
@@ -767,25 +795,21 @@ object PipelineParity extends QueryGroup {
     // cross-checked against the live table inside the query.
     "pipeline_time_travel" -> ((s, dir) => {
       import s.implicits._
-      val (base, batch) = mergeFixtures(s, dir)
-      val out = withTempDir("graft-timetravel-") { tmp =>
-        val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
-        store.insertNew(base): Unit
-        store.merge(batch): Unit
-        store.markUploaded(
-          base.filter(col("id") % 5 === 0).select(col("email")))
-        require(store.currentVersion() == 3L, "three commits must be three versions")
-        val live = store.all()
-          .select("id", "email", "phone", "uploaded").localCheckpoint(true)
-        val head = store.asOf(3L).select("id", "email", "phone", "uploaded")
-        require(head.exceptAll(live).isEmpty && live.exceptAll(head).isEmpty,
-          "asOf(currentVersion) diverged from the live table")
-        (1L to 3L).map { v =>
-          val snap = store.asOf(v)
-            .agg(count(lit(1)), sum(when(col("uploaded"), 1L).otherwise(0L)),
-              sum(col("id"))).head()
-          (v, snap.getLong(0), snap.getLong(1), snap.getLong(2))
-        }
+      // Read-only gate over the SHARED 3-commit fixture store (the
+      // build is charged to the first reader per pass — see
+      // sharedMergeStore).
+      val store = sharedMergeStore(s, dir)
+      require(store.currentVersion() == 3L, "three commits must be three versions")
+      val live = store.all()
+        .select("id", "email", "phone", "uploaded").localCheckpoint(true)
+      val head = store.asOf(3L).select("id", "email", "phone", "uploaded")
+      require(head.exceptAll(live).isEmpty && live.exceptAll(head).isEmpty,
+        "asOf(currentVersion) diverged from the live table")
+      val out = (1L to 3L).map { v =>
+        val snap = store.asOf(v)
+          .agg(count(lit(1)), sum(when(col("uploaded"), 1L).otherwise(0L)),
+            sum(col("id"))).head()
+        (v, snap.getLong(0), snap.getLong(1), snap.getLong(2))
       }
       out.toDF("version", "n_rows", "n_uploaded", "id_sum")
         .orderBy(col("version"))
@@ -884,20 +908,14 @@ object PipelineParity extends QueryGroup {
     // thing read).
     "pipeline_incremental_mv" -> ((s, dir) => {
       import s.implicits._
-      val (base, batch) = mergeFixtures(s, dir)
-      val out = withTempDir("graft-ivm-") { tmp =>
-        val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
-        store.insertNew(base): Unit
-        store.merge(batch): Unit
-        store.markUploaded(
-          base.filter(col("id") % 5 === 0).select(col("email")))
-        store.changeFeed()
-          .withColumn("w", when(col("change_type").endsWith("_pre"), -1L).otherwise(1L))
-          .groupBy(col("uploaded").cast("long").as("uploaded"))
-          .agg(sum(col("w")).as("n"), sum(col("w") * col("id")).as("id_sum"))
-          .filter(col("n") =!= 0)
-          .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      }
+      // Reads ONLY the change feed of the shared 3-commit fixture.
+      val store = sharedMergeStore(s, dir)
+      val out = store.changeFeed()
+        .withColumn("w", when(col("change_type").endsWith("_pre"), -1L).otherwise(1L))
+        .groupBy(col("uploaded").cast("long").as("uploaded"))
+        .agg(sum(col("w")).as("n"), sum(col("w") * col("id")).as("id_sum"))
+        .filter(col("n") =!= 0)
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       out.toDF("uploaded", "n", "id_sum").orderBy(col("uploaded"))
     }),
 
