@@ -203,6 +203,29 @@ class StoreStatsSpec extends SparkSpec {
       "estimate changed after data files were truncated — it read data")
   }
 
+  test("estimates keep pre-delete counts while vectors are live; compaction re-derives them") {
+    import spark.implicits._
+    val path = tmpDir("stats") + "/estdel"
+    val store = seed(path, 400, commits = 2)
+    val (_, total0, _) = store.estimatePendingRange(1L, 400L)
+    assert(total0 === 400L)
+    // Merge-on-read delete: data files untouched, so the documented
+    // may-contain boundary applies — stats still count deleted rows.
+    store.delete((1 to 100).map(i => s"user$i@example.com").toDF("email"))
+    val (_, totalDel, _) = store.estimatePendingRange(1L, 400L)
+    assert(totalDel === 400L,
+      "stats changed under a merge-on-read delete (no file was rewritten)")
+    // Compaction materializes the tombstones; the rewrite commit's
+    // stats are exact again.
+    store.compact(targetFilesPerPartition = 2)
+    val (est, totalC, k) = store.estimatePendingRange(1L, 200L)
+    assert(totalC === 300L, s"post-compaction stats total $totalC != live 300")
+    assert(k === CustomerStore.SampleK)
+    // Exact live count in [1,200] is 100; bound is 15% of N=300.
+    assert(math.abs(est - 100L) * 100L <= totalC * 15L,
+      s"post-compaction estimate $est drifted from exact 100")
+  }
+
   test("rect reads equal the naive filter for random rectangles across clustering and deletes") {
     import spark.implicits._
     val path = tmpDir("stats") + "/rect"
