@@ -185,6 +185,24 @@ class StoreStatsSpec extends SparkSpec {
     assert(store.pending().count() === 200L)
   }
 
+  test("incremental optimize layering: the next call absorbs earlier delta layers, never the baseline") {
+    val path = tmpDir("stats") + "/layer"
+    val store = seed(path, 200, commits = 1)
+    store.optimizeZorder(4)
+    val baseline = store.pendingDataFiles().toSet
+    store.insertNew(Ingest.enrich(batch(201, 261)))
+    store.optimizeZorderIncremental(4)
+    val layer1 = store.pendingDataFiles().toSet -- baseline
+    assert(layer1.nonEmpty)
+    store.insertNew(Ingest.enrich(batch(261, 321)))
+    store.optimizeZorderIncremental(4)
+    val after = store.pendingDataFiles().toSet
+    assert(baseline.subsetOf(after), "baseline rewritten by a later incremental call")
+    assert((layer1 & after).isEmpty,
+      "earlier delta layer survived — layers must compact into one")
+    assert(store.pending().count() === 320L)
+  }
+
   test("ANALYZE estimate consults only the stats manifest — data files may be unreadable") {
     val path = tmpDir("stats") + "/analyze"
     val store = seed(path, 400, commits = 4)
