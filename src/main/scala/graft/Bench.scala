@@ -2,7 +2,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Prints ONE compact JSON line:
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":"..."}
+  * {"metric":"total","value":N,"unit":"sec","sf":"...",
+  *  "covered":"k/n","aborted":bool,"passes":p,"queries":{...}}
+  * "covered" < n means a self-abort truncated the inventory: "value"
+  * sums only the covered queries, and the run still exits 0 with both
+  * the line and BENCH_DETAIL.json published (partial beats void).
   *
   * Contention resistance: timings on this box are routinely 2-4×
   * inflated by co-running JVMs (the round-3 bench artifact was skewed
@@ -134,16 +138,26 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale would print 82,35
     // and corrupt both the harness line and BENCH_DETAIL.json.
     def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
-    val total = names.map(best).sum
+    // A pass-1 self-abort leaves `best` without entries for queries
+    // never reached (round 11: the driver's contended run aborted at
+    // 134/188 and the old `names.map(best).sum` threw, eating the whole
+    // artifact). All summary math runs over the RECORDED set only; the
+    // line carries "covered" so a partial inventory is explicit, never
+    // silent.
+    val done = names.filter(best.contains)
+    val total = done.map(best).sum
     val sfLabel = new java.io.File(sfDir).getName
     // The inventory outgrew the ~1870-byte line budget (75 queries ≈
     // 2.1 KB), so the line lists queries in descending cost until the
     // budget is spent and folds the cheap tail into one "_other_Nq"
     // bucket; the FULL per-query map goes to BENCH_DETAIL.json in the
     // repo root for the judge / cross-round diffs.
-    val byCost = names.sortBy(n => (-best(n), n))
+    val byCost = done.sortBy(n => (-best(n), n))
     val entries = byCost.map(n => "\"" + n + "\":" + r2(best(n)))
-    val prefix = s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfLabel","queries":{"""
+    val coverage =
+      s""""covered":"${done.length}/${names.length}","aborted":$aborted,"passes":$passesDone"""
+    val prefix =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfLabel",$coverage,"queries":{"""
     val budget = 1800 - prefix.length - 40 // room for the _other bucket + close
     // Keep a strict PREFIX of the cost-sorted list (stop at the first
     // entry that doesn't fit — a later shorter entry must NOT slip in,
@@ -161,20 +175,25 @@ object Bench {
     val qs = (kept ++ (if (rest.isEmpty) Nil
       else Seq("\"_other_" + rest.size + "q\":" + r2(rest.map(best).sum))))
       .mkString(",")
-    val fullJson = names.map(n => "\"" + n + "\":" + r2(best(n))).mkString("{", ",", "}")
+    val fullJson = done.map(n => "\"" + n + "\":" + r2(best(n))).mkString("{", ",", "}")
     // Resolve the detail artifact against the repo root, not the cwd (a
     // bench launched elsewhere must not scatter/clobber files), and
     // write a per-SF copy so a multi-SF run keeps every SF's detail —
     // the unsuffixed name stays the driver/judge artifact for the run's
-    // primary SF.
+    // primary SF. The writes are individually fault-isolated AND
+    // precede the summary println: no failure mode may eat both
+    // artifacts (round 11 lost the detail file to a summary-math crash
+    // that ran first).
     val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR",
       if (new java.io.File("build.sbt").isFile) "." else "/root/repo")
     val detailJson =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfLabel","passes":$passesDone,"budget_s":${r2(budgetS)},"wall_s":${r2(elapsedS)},"queries":$fullJson}\n"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(repoRoot, "BENCH_DETAIL.json"), detailJson)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(repoRoot, s"BENCH_DETAIL_$sfLabel.json"), detailJson)
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfLabel",$coverage,"budget_s":${r2(budgetS)},"wall_s":${r2(elapsedS)},"queries":$fullJson}\n"""
+    def writeQuiet(name: String): Unit =
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(repoRoot, name), detailJson)
+      catch { case e: Throwable => System.err.println(s"[bench] detail write $name: $e") }
+    writeQuiet("BENCH_DETAIL.json")
+    writeQuiet(s"BENCH_DETAIL_$sfLabel.json")
     println(prefix + qs + "}}")
     spark.stop()
   }

@@ -491,7 +491,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       .filter(r => names(r.getString(0)) && !r.isNullAt(2) && !r.isNullAt(3))
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
-    if (zoneRows.isEmpty) { optimizeZorder(); return }
+    if (zoneRows.isEmpty) { optimizeZorder(filesPerDelta); return }
     val vBase = zoneRows.values.map(_._1).min
     val delta = files.filter { case (n, _) =>
       zoneRows.get(n).forall(_._1 > vBase)
@@ -500,9 +500,16 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     val mn = zoneRows.values.map(_._2).min
     val mx = zoneRows.values.map(_._3).max
     val span = math.max(1L, mx - mn + 1)
-    val idBucket = least(lit(63L),
+    // Clamp BOTH ends: stats-uncovered files ride the delta
+    // conservatively, and an id below the manifest min would make the
+    // bucket negative — shiftright on a negative bucket interleaves a
+    // malformed key (layout quality, not correctness; zones re-derive
+    // from actual data). Mirrors the upper least(63,...) clamp; the
+    // full rewrite above needs no lower clamp (bounds come from the
+    // data itself).
+    val idBucket = greatest(lit(0L), least(lit(63L),
       floor((col("id") - lit(mn)).cast("double") * 64.0d / span.toDouble)
-        .cast("long"))
+        .cast("long")))
     val zkey = graft.util.DataSkipping.zorderKey(
       idBucket, CustomerStore.hashBucket(col("id")), 6)
     val dataSchema = org.apache.spark.sql.types.StructType(
@@ -762,6 +769,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     * Returns (estimatedRows, totalRows, sampleSize).
     */
   def estimatePendingRange(lo: Long, hi: Long): (Long, Long, Long) = {
+    recover() // consult post-commit state, same as every other read path
     val live = livePendingFiles().map(_._1)
     if (live.isEmpty) return (0L, 0L, 0L)
     import spark.implicits._

@@ -106,6 +106,21 @@ object PipelineParity extends QueryGroup {
 
   private val mergeStoreCache = new graft.util.SessionCache[String]
 
+  // Disk ownership for the shared fixture stores: SessionCache eviction
+  // (clearAll between bench passes, context stop) drops only the PATH
+  // entry, so without this registry each pass leaked an orphaned
+  // multi-commit store directory. One slot per SF key — a recompute
+  // deletes its predecessor — and a JVM shutdown hook sweeps whatever
+  // is live at exit.
+  private val sharedStoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val sharedStoreSweep: Unit =
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      sharedStoreDirs.values().forEach { d =>
+        try graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(d))
+        catch { case _: Throwable => () }
+      }))
+
   /** Shared READ-ONLY 3-commit fixture store (insert → merge → ack,
     * the exact history the planted %-of-custkey oracles derive):
     * built once per (session, SF) and reused by every gate that only
@@ -118,6 +133,7 @@ object PipelineParity extends QueryGroup {
     */
   private def sharedMergeStore(s: SparkSession,
       dir: String): graft.pipeline.CustomerStore = {
+    sharedStoreSweep
     val path = mergeStoreCache.getOrCompute(s, dir) {
       val (base, batch) = mergeFixtures(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft-sharedstore-")
@@ -127,6 +143,10 @@ object PipelineParity extends QueryGroup {
       store.merge(batch): Unit
       store.markUploaded(
         base.filter(col("id") % 5 === 0).select(col("email"))): Unit
+      val prev = sharedStoreDirs.put(dir, tmp)
+      if (prev != null)
+        try graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(prev))
+        catch { case _: Throwable => () }
       s"$tmp/store"
     }
     new graft.pipeline.CustomerStore(s, path)
