@@ -101,7 +101,11 @@ object Bench {
       // real end-to-end cost, not build-once-probe-thrice. Scoped to
       // the benched dir: invalidateAll would clobber artifacts of
       // other dirs/processes sharing the store root (a co-running
-      // test JVM would lose parquet files mid-read).
+      // test JVM would lose parquet files mid-read). Fixture-store
+      // TEMPLATES (util.FixtureStores) are deliberately exempt: they
+      // are test scaffolding the parity gates clone, not operator
+      // builds — rebuilding them per pass charged ~47% of a round-11
+      // pass to fixture construction instead of the operators.
       graft.util.SessionCache.clearAll()
       graft.util.IndexStore.invalidate(sfDir)
       val tPass = System.nanoTime()
