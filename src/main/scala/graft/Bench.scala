@@ -28,13 +28,23 @@ import org.apache.spark.sql.SparkSession
   * exactly what cost the run its second pass (1/3 passes completed,
   * every published number cold). Pass 1 now pays all codegen/JIT
   * in-line (its numbers are cold and are NOT the published min);
-  * pass 2 is the warm floor the line reports. Pass gating is
-  * predictive: pass 2 starts if elapsed + 0.70×pass1 < budget (the
-  * warm/cold ratio measured across rounds 9-10 is ~0.55-0.65; 0.70
-  * adds margin), later passes if elapsed + 1.05×fastest-pass <
-  * budget. A started pass also self-aborts at a query boundary once
-  * elapsed exceeds the budget — minima recorded so far are kept, but
-  * only COMPLETED passes count in the published "passes" field.
+  * pass 2 is the warm floor the line reports. Pass 2 starts
+  * UNCONDITIONALLY whenever any budget remains: since the self-abort
+  * is survivable (partial minima kept, artifact still published), an
+  * aborted pass 2 still converts the alphabetical prefix to warm
+  * minima at zero risk — strictly better than gating it (round-12
+  * verdict #1). Pass 3+ stays predictively gated: it starts only if
+  * elapsed + 1.05×fastest-pass < budget. A started pass self-aborts
+  * at a query boundary once elapsed exceeds the budget — minima
+  * recorded so far are kept, but only COMPLETED passes count in the
+  * published "passes" field.
+  *
+  * A query that THROWS records nothing: its elapsed time never enters
+  * the per-query min and it is excluded from "covered" (which
+  * therefore means succeeded, not attempted); names that never
+  * succeed in any pass are published in a "failed" field so a crash
+  * can't hide inside a green-looking artifact (round-12 advisory —
+  * the Recursive-update crash read as a 0.01s pass).
   *
   * Output-size note: the harness that collects this line keeps only
   * the LAST 2000 bytes of the run's output, and sbt appends a ~120
@@ -83,18 +93,18 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val best = scala.collection.mutable.Map[String, Double]()
+    val failedEver = scala.collection.mutable.Set[String]()
     var passesDone = 0
     var p = 1
     var minPassS = Double.MaxValue
-    // Predictive pass gating (see scaladoc): a pass starts only when
-    // its expected duration fits the remaining budget, so wall_s lands
-    // UNDER budget_s instead of being checked after the overshoot.
-    def nextPassFits: Boolean = {
-      val estimate =
-        if (p == 2) 0.70 * minPassS
-        else 1.05 * minPassS
-      elapsedS + estimate < budgetS
-    }
+    // Pass gating (see scaladoc): pass 2 starts whenever budget
+    // remains — a partial warm pass is strictly beneficial now that
+    // the self-abort is survivable. Pass 3+ is predictive so wall_s
+    // lands UNDER budget_s instead of being checked after the
+    // overshoot.
+    def nextPassFits: Boolean =
+      if (p == 2) elapsedS < budgetS
+      else elapsedS + 1.05 * minPassS < budgetS
     var aborted = false
     while (p <= passes && !aborted && (p == 1 || nextPassFits)) {
       // Re-pay memoized AND persisted builds each pass, so the min is a
@@ -115,10 +125,17 @@ object Bench {
         val name = names(i)
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] p$p $name: $e") }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] p$p $name: $e"); failedEver += name; false
+          }
         val sec = (System.nanoTime() - t0) / 1e9
-        if (!best.contains(name) || sec < best(name)) best(name) = sec
+        // Only a SUCCEEDED run may set the min: a crash's near-zero
+        // elapsed would otherwise deflate "value" and masquerade as
+        // covered (round-12 advisory).
+        if (ok && (!best.contains(name) || sec < best(name))) best(name) = sec
         i += 1
         // Self-abort at a query boundary once the budget is spent
         // (contention can double a pass mid-flight): minima recorded
@@ -150,6 +167,9 @@ object Bench {
     // silent.
     val done = names.filter(best.contains)
     val total = done.map(best).sum
+    // A name is "failed" only if it never succeeded in ANY pass (a
+    // pass-1 crash recovered by pass 2 is covered, not failed).
+    val failed = failedEver.diff(best.keySet).toSeq.sorted
     val sfLabel = new java.io.File(sfDir).getName
     // The inventory outgrew the ~1870-byte line budget (75 queries ≈
     // 2.1 KB), so the line lists queries in descending cost until the
@@ -159,7 +179,9 @@ object Bench {
     val byCost = done.sortBy(n => (-best(n), n))
     val entries = byCost.map(n => "\"" + n + "\":" + r2(best(n)))
     val coverage =
-      s""""covered":"${done.length}/${names.length}","aborted":$aborted,"passes":$passesDone"""
+      s""""covered":"${done.length}/${names.length}","aborted":$aborted,"passes":$passesDone""" +
+        (if (failed.isEmpty) ""
+         else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
     val prefix =
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfLabel",$coverage,"queries":{"""
     val budget = 1800 - prefix.length - 40 // room for the _other bucket + close

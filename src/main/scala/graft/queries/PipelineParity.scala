@@ -152,15 +152,20 @@ object PipelineParity extends QueryGroup {
     * planted %-of-custkey oracles derive. Built by cloning the I+M
     * layer and acking the id%5 slice.
     */
-  private def mergeIMATemplate(s: SparkSession, dir: String): String =
+  private def mergeIMATemplate(s: SparkSession, dir: String): String = {
+    // Resolve the inner template BEFORE entering the outer build: even
+    // though FixtureStores.template now builds outside the map's locks,
+    // layered fixtures read clearer (and stay safe under any future
+    // registry change) when dependencies are acquired first.
+    val im = mergeIMTemplate(s, dir)
     FixtureStores.template(s"mergeIMA|$dir") { storePath =>
-      val im = mergeIMTemplate(s, dir)
       FixtureStores.cloneInto(im,
         java.nio.file.Paths.get(storePath).getParent): Unit
       val store = new graft.pipeline.CustomerStore(s, storePath)
       val (base, _) = mergeFixtures(s, dir)
       store.markUploaded(base.filter(col("id") % 5 === 0).select(col("email")))
     }
+  }
 
   /** Shared READ-ONLY view of the 3-commit store (time travel,
     * incremental MV, changelog aggregation).

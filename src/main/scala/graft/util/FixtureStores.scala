@@ -38,14 +38,31 @@ object FixtureStores {
     * dir + any fixture constants), built on first use by `build`
     * receiving a fresh temp directory whose `store` subdirectory is
     * the conventional store path. Returns the STORE path.
+    *
+    * `build` runs OUTSIDE the map's locks (get → build → putIfAbsent,
+    * never computeIfAbsent): a template builder may therefore resolve
+    * another template — a nested computeIfAbsent would throw
+    * "Recursive update" whenever the two keys hash to the same bin.
+    * Two threads racing the same cold key may both build; the loser's
+    * directory is swept and the winner's is returned, which is safe
+    * because builders write only into their fresh temp dir.
     */
   def template(key: String)(build: String => Unit): String = {
     sweepHook
-    templates.computeIfAbsent(key, _ => {
-      val tmp = Files.createTempDirectory("graft-fixture-").toString
-      build(s"$tmp/store")
-      tmp
-    }) + "/store"
+    val existing = templates.get(key)
+    val root =
+      if (existing != null) existing
+      else {
+        val tmp = Files.createTempDirectory("graft-fixture-").toString
+        build(s"$tmp/store")
+        val prior = templates.putIfAbsent(key, tmp)
+        if (prior != null) {
+          try Fs.deleteRecursively(Paths.get(tmp))
+          catch { case _: Throwable => () }
+          prior
+        } else tmp
+      }
+    root + "/store"
   }
 
   /** Recursive file copy of a template store into a fresh directory
