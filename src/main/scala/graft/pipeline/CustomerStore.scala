@@ -798,6 +798,74 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     */
   def pendingDataFiles(): Seq[String] = livePendingFiles().map(_._1)
 
+  // ---- Table-format metadata API (the DSv2 connector's planner) ------
+  //
+  // sources.CustomerStoreSource serves this store through
+  // spark.read.format("graft-store"); its planInputPartitions consults
+  // ONLY these metadata methods (live file list, manifests, snapshot/
+  // feed resolution) — the same files-before-bytes discipline every
+  // transactional table format's scan planning follows.
+
+  /** Every live data file as (basename, absolute path, uploaded
+    * partition value) — the current snapshot's complete file list.
+    */
+  def liveDataFiles(): Seq[(String, String, Boolean)] = {
+    recover()
+    val done = {
+      val d = new java.io.File(path, "uploaded=true")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.getAbsolutePath, true))
+    }
+    livePendingFiles().map { case (n, p) => (n, p, false) } ++ done
+  }
+
+  /** Absolute paths of the committed deletion-vector parquet files
+    * ((file, email) tombstone rows) — empty when the table has none.
+    */
+  def deletionVectorFiles(): Seq[String] = {
+    val d = new java.io.File(path, Deletes)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath)
+  }
+
+  /** The newest snapshot checkpoint at or below `version`, as
+    * (snapshot version, its parquet file paths) — None if the replay
+    * must run from genesis.
+    */
+  def snapshotFilesFor(version: Long): Option[(Long, Seq[String])] =
+    snapshotVersions().filter(_ <= version).sorted.lastOption.map { v0 =>
+      v0 -> snapshotDir(v0).listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    }
+
+  /** Feed commit directories with fromExclusive < version ≤
+    * toInclusive, in version order — the delta a time-travel scan
+    * replays on top of its snapshot base.
+    */
+  def feedDirsIn(fromExclusive: Long, toInclusive: Long): Seq[(Long, String)] =
+    commitDirs()
+      .filter { case (v, _) => v > fromExclusive && v <= toInclusive }
+      .map { case (v, d) => (v, d.getAbsolutePath) }
+
+  /** Zone-manifest file pruning for `id BETWEEN lo AND hi` over an
+    * arbitrary live-file list: keep a file iff its latest zone entry
+    * intersects the range — or it has no coverage (may-contain
+    * metadata degrades to a read, never a wrong answer).
+    */
+  def zoneKeepFiles[A](files: Seq[(String, A)], lo: Long, hi: Long): Seq[(String, A)] = {
+    val zones = zonesManifest()
+      .select(col("file"), col("min_id"), col("max_id"))
+      .collect().flatMap { r =>
+        if (r.isNullAt(1) || r.isNullAt(2)) None
+        else Some(r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      }.toMap
+    files.filter { case (name, _) =>
+      zones.get(name).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+  }
+
   /** Bloom-consulted selection of the pending files that may contain
     * any of `emails`: probe each live file's latest manifest filter
     * with the same xxhash64 expressions that built it (per-file `nbits`
@@ -807,7 +875,17 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     */
   private def prunePendingByBloom(emails: Seq[String]): (Seq[String], Int) = {
     val files = livePendingFiles()
-    if (files.isEmpty || emails.isEmpty) return (Seq.empty, files.size)
+    (bloomKeepFiles(files, emails), files.size)
+  }
+
+  /** Bloom-manifest file pruning for an email IN-list over an
+    * arbitrary live-file list (the generic core of
+    * [[pendingPointLookup]]'s consult, also the DSv2 planner's email
+    * prune). Returns the paths that MAY contain any of `emails`;
+    * uncovered files are kept.
+    */
+  def bloomKeepFiles(files: Seq[(String, String)], emails: Seq[String]): Seq[String] = {
+    if (files.isEmpty || emails.isEmpty) return Seq.empty
     import spark.implicits._
     val bloom = bloomManifest() // manifest-scale: re-reading beats a checkpoint job
     val covered = bloom.select(col("file")).distinct()
@@ -836,7 +914,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
           .collect().map(_.getString(0)).toSet
       }
     val keep = files.filter { case (name, _) => mayContain(name) || !covered(name) }
-    (keep.map(_._2), files.size)
+    keep.map(_._2)
   }
 
   /** Email point lookup over the pending partition THROUGH the

@@ -740,6 +740,68 @@ object PipelineParity extends QueryGroup {
         "n_uploaded", "sum_uploaded_id")
     }),
 
+    // The store served through its DataSource V2 connector
+    // (sources.CustomerStoreSource, format "graft-store") — the
+    // SQL-addressable face of the table: a full catalog read must be
+    // row-identical to the API read (deletion-vector and partition
+    // semantics included), an id-range + partition filter must reach
+    // the scan as PushedFilters AND zone/partition-prune files (the
+    // scan description's files=k/n is REQUIREd k<n), an email point
+    // lookup must bloom-prune files, and versionAsOf must reconstruct
+    // exactly what the API's asOf serves. Planning consults only
+    // manifests — the files-before-bytes discipline that makes the
+    // 100 TB scan open the files the query needs and nothing else.
+    "pipeline_catalog_read" -> ((s, dir) => {
+      import s.implicits._
+      val path = mergeIMATemplate(s, dir) // read-only 3-commit template
+      val store = new graft.pipeline.CustomerStore(s, path)
+      def cat(opts: (String, String)*): DataFrame = {
+        val r = s.read.format("graft-store").option("path", path)
+        opts.foreach { case (k, v) => r.option(k, v): Unit }
+        r.load()
+      }
+      def filesKeptTotal(df: DataFrame): (Int, Int) = {
+        val plan = df.queryExecution.executedPlan.toString()
+        require(plan.contains("PushedFilters: ["), s"no pushdown in plan:\n$plan")
+        val m = """files=(\d+)/(\d+)""".r.findFirstMatchIn(plan)
+        require(m.isDefined, s"no files=k/n in plan:\n$plan")
+        (m.get.group(1).toInt, m.get.group(2).toInt)
+      }
+      // 1. Full catalog read ≡ API read.
+      val full = cat()
+      require(full.exceptAll(store.all()).isEmpty &&
+        store.all().exceptAll(full).isEmpty,
+        "catalog full read diverged from store.all()")
+      val nTotal = full.count()
+      val nUploaded = full.filter(col("uploaded")).count()
+      // 2. Quartile id-range over the pending partition: pushed +
+      // file-pruned (the merge's +20M fresh file must zone-skip).
+      val mm = baseCols(s, dir).agg(min("id"), max("id")).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+      val ranged = cat().filter(col("id").between(lo, hi) &&
+        col("uploaded") === false)
+      val (kR, nR) = filesKeptTotal(ranged)
+      require(kR < nR, s"range read skipped nothing ($kR/$nR files)")
+      val rr = ranged.agg(count(lit(1)), coalesce(sum(col("id")), lit(0L))).head()
+      // 3. Email point lookup: bloom-pruned.
+      val ks = Seq(1L, 5L).map(j => mn + (mx - mn) * j / 7)
+      val probe = cat().filter(col("email").isin(ks.map(k => s"u$k@example.com"): _*))
+      val (kB, nB) = filesKeptTotal(probe)
+      require(kB < nB, s"point lookup skipped nothing ($kB/$nB files)")
+      val pr = probe.agg(count(lit(1)), coalesce(sum(col("id")), lit(0L))).head()
+      // 4. Time travel through the connector ≡ asOf.
+      val asof2 = cat("versionAsOf" -> "2")
+      require(asof2.exceptAll(store.asOf(2L)).isEmpty &&
+        store.asOf(2L).exceptAll(asof2).isEmpty,
+        "catalog versionAsOf=2 diverged from store.asOf(2)")
+      Seq((nTotal, nUploaded, nTotal - nUploaded,
+          rr.getLong(0), rr.getLong(1), pr.getLong(0), pr.getLong(1),
+          cat("versionAsOf" -> "1").count(), asof2.count()))
+        .toDF("n_total", "n_uploaded", "n_pending", "n_in_range",
+          "id_sum_in_range", "n_found", "sum_found_id", "n_asof_v1", "n_asof_v2")
+    }),
+
     // MERGE INTO on the email natural key (update-matched +
     // insert-new, the state-table operation the reference's
     // INSERT-only path stops short of) against the parquet
@@ -1410,6 +1472,29 @@ object PipelineParity extends QueryGroup {
            CAST(2 AS BIGINT) AS n_uploaded,
            CAST(k1 + k5 AS BIGINT) AS sum_uploaded_id
          FROM k""",
+    // Every figure the catalog read returns derives from the planted
+    // insert→merge→ack arithmetic: +%10-of-custkey fresh rows, %5
+    // acked, quartile range over the un-acked base, quantile-key point
+    // lookups; the REQUIREs (row parity with the API read, pushed
+    // filters, files actually skipped) run inside the query.
+    "pipeline_catalog_read" ->
+      """WITH b AS (SELECT MIN(c_custkey) AS mn, MAX(c_custkey) AS mx,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f,
+              CAST(SUM(CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS u
+            FROM customer),
+          r AS (SELECT mn + (mx - mn) // 4 AS lo, mn + (mx - mn) // 2 AS hi,
+              mn + (mx - mn) * 1 // 7 AS k1, mn + (mx - mn) * 5 // 7 AS k5 FROM b)
+         SELECT b.n + b.f AS n_total, b.u AS n_uploaded,
+           b.n + b.f - b.u AS n_pending,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer, r
+            WHERE c_custkey BETWEEN lo AND hi AND c_custkey % 5 <> 0) AS n_in_range,
+           (SELECT CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT) FROM customer, r
+            WHERE c_custkey BETWEEN lo AND hi AND c_custkey % 5 <> 0) AS id_sum_in_range,
+           CAST(2 AS BIGINT) AS n_found,
+           CAST(r.k1 + r.k5 AS BIGINT) AS sum_found_id,
+           b.n AS n_asof_v1, b.n + b.f AS n_asof_v2
+         FROM b, r""",
     // %3==0 update, %3==1 unchanged, %10==0 insert, %10==3 id-conflict
     // (dropped); phones re-derived from the stored table must equal
     // the update count.

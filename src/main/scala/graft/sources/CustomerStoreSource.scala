@@ -1,0 +1,436 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.pipeline.{CustomerSchema, CustomerStore}
+
+/** The transactional customer store as a first-class DataSource V2
+  * table — the SQL-addressable face of [[graft.pipeline.CustomerStore]]
+  * (the reference's `customers` Postgres table, csv-crm-upload
+  * database/database.go:15-20, served to Catalyst the way Delta/
+  * Iceberg serve theirs):
+  *
+  * {{{
+  *   spark.read.format("graft-store").option("path", dir).load()
+  *     .filter($"id".between(lo, hi))            // zone-manifest prune
+  *     .filter($"email" === "u7@example.com")    // bloom-manifest prune
+  *   spark.read.format("graft-store").option("path", dir)
+  *     .option("versionAsOf", 2).load()          // time travel
+  * }}}
+  *
+  * Planning consults ONLY the store's metadata API (live-file list,
+  * zone/bloom manifests, snapshot/feed resolution) — the
+  * files-before-bytes discipline of every transactional format's scan:
+  *
+  *  - PARTITION PRUNE: an `uploaded = …` filter drops the other
+  *    partition directory without listing its stats.
+  *  - ZONE PRUNE: id comparisons intersect each file's
+  *    [min_id, max_id] manifest entry; non-intersecting files are
+  *    never opened ([[CustomerStore.zoneKeepFiles]]).
+  *  - BLOOM PRUNE: email equality/IN probes each file's committed
+  *    bloom words ([[CustomerStore.bloomKeepFiles]]); definite-miss
+  *    files are never opened.
+  *  - COLUMN PRUNE: the projected schema reaches the parquet page
+  *    level (unrequested columns are not decoded).
+  *  - DELETION VECTORS: each data-file reader anti-joins its file's
+  *    committed (file, email) tombstones — merge-on-read, identical
+  *    to the API path's [[CustomerStore.all]].
+  *
+  * Time travel (`versionAsOf` / `timestampAsOf`, semantics pinned
+  * against [[CustomerStore.asOf]]): the scan plans the NEWEST snapshot
+  * checkpoint at or below the version plus one delta partition
+  * replaying the feed `(snapshot, v]`; snapshot readers drop emails
+  * the delta touches (any delta row outranks every snapshot row), and
+  * the delta reader resolves per-email last-writer-wins in memory.
+  * The delta is retention-bounded by checkpoint cadence — the same
+  * bound that keeps `asOf` itself fast — so the in-memory resolution
+  * and the driver-side touched-email set are metadata-scale, not
+  * table-scale.
+  */
+class CustomerStoreSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-store"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CustomerSchema.tableSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "graft-store requires a path")
+    val versionAsOf = Option(properties.get("versionAsOf")).map(_.toLong)
+    val timestampAsOf = Option(properties.get("timestampAsOf")).map(_.toLong)
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "graft-store: versionAsOf and timestampAsOf are mutually exclusive")
+    new CustomerStoreTable(path, versionAsOf, timestampAsOf)
+  }
+}
+
+class CustomerStoreTable(path: String, versionAsOf: Option[Long],
+    timestampAsOf: Option[Long]) extends Table with SupportsRead {
+  override def name(): String = s"graft_store($path)"
+  override def schema(): StructType = CustomerSchema.tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CustomerStoreScanBuilder(path, versionAsOf, timestampAsOf)
+}
+
+class CustomerStoreScanBuilder(path: String, versionAsOf: Option[Long],
+    timestampAsOf: Option[Long]) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = CustomerSchema.tableSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, rest) = filters.partition(CustomerStoreScan.supported)
+    pushed = sup
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new CustomerStoreScan(path, versionAsOf, timestampAsOf, required, pushed)
+}
+
+object CustomerStoreScan {
+  /** Predicates the scan prunes/evaluates itself: id comparisons
+    * (zone manifest), email equality/IN (bloom manifest), uploaded
+    * equality (partition directory), IsNotNull. Everything else stays
+    * residual above the scan.
+    */
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo("id", _: java.lang.Long) => true
+    case GreaterThan("id", _: java.lang.Long) => true
+    case GreaterThanOrEqual("id", _: java.lang.Long) => true
+    case LessThan("id", _: java.lang.Long) => true
+    case LessThanOrEqual("id", _: java.lang.Long) => true
+    case EqualTo("email", _: String) => true
+    case In("email", vs) => vs.forall(_.isInstanceOf[String])
+    case EqualTo("uploaded", _: java.lang.Boolean) => true
+    case IsNotNull(_) => true
+    case _ => false
+  }
+
+  /** [lo, hi] implied by the pushed id comparisons (conjunction). */
+  def idBounds(filters: Array[Filter]): (Long, Long) =
+    filters.foldLeft((Long.MinValue, Long.MaxValue)) { case ((lo, hi), f) =>
+      f match {
+        case EqualTo("id", v: java.lang.Long) =>
+          (math.max(lo, v.longValue()), math.min(hi, v.longValue()))
+        case GreaterThan("id", v: java.lang.Long) => (math.max(lo, v.longValue() + 1), hi)
+        case GreaterThanOrEqual("id", v: java.lang.Long) => (math.max(lo, v.longValue()), hi)
+        case LessThan("id", v: java.lang.Long) => (lo, math.min(hi, v.longValue() - 1))
+        case LessThanOrEqual("id", v: java.lang.Long) => (lo, math.min(hi, v.longValue()))
+        case _ => (lo, hi)
+      }
+    }
+
+  /** The smallest email IN-set among the pushed equality/IN filters
+    * (pruning with any one conjunct is sound; the readers re-apply
+    * them all exactly).
+    */
+  def emailProbe(filters: Array[Filter]): Option[Seq[String]] =
+    filters.collect {
+      case EqualTo("email", v: String) => Seq(v)
+      case In("email", vs) => vs.toSeq.map(_.asInstanceOf[String])
+    }.sortBy(_.size).headOption
+
+  def uploadedEq(filters: Array[Filter]): Option[Boolean] =
+    filters.collectFirst { case EqualTo("uploaded", v: java.lang.Boolean) =>
+      v.booleanValue()
+    }
+}
+
+class CustomerStoreScan(path: String, versionAsOf: Option[Long],
+    timestampAsOf: Option[Long], required: StructType, filters: Array[Filter])
+    extends Scan with Batch {
+
+  import CustomerStoreScan._
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  // (partitions, files kept, files total) — resolved once; driver-side
+  // manifest consult, no data file opened.
+  private lazy val planned: (Array[InputPartition], Int, Int) = {
+    val spark = SparkSession.active
+    val store = new CustomerStore(spark, path)
+    versionAsOf.orElse(timestampAsOf.map(ts =>
+      store.commitTimestamps().filter(_._2 <= ts).map(_._1).maxOption.getOrElse(0L))) match {
+      case Some(v) => planTimeTravel(store, v)
+      case None => planCurrent(store)
+    }
+  }
+
+  private def planCurrent(store: CustomerStore): (Array[InputPartition], Int, Int) = {
+    val all = store.liveDataFiles()
+    val partPruned = uploadedEq(filters) match {
+      case Some(u) => all.filter(_._3 == u)
+      case None => all
+    }
+    val (lo, hi) = idBounds(filters)
+    val zonePruned =
+      if (lo == Long.MinValue && hi == Long.MaxValue) partPruned
+      else store.zoneKeepFiles(partPruned.map(f => (f._1, f)), lo, hi).map(_._2)
+    val bloomPruned = emailProbe(filters) match {
+      case Some(emails) =>
+        val keep = store.bloomKeepFiles(
+          zonePruned.map(f => (f._1, f._2)), emails).toSet
+        zonePruned.filter(f => keep(f._2))
+      case None => zonePruned
+    }
+    val dv = store.deletionVectorFiles()
+    val parts = bloomPruned.map { case (name, p, uploaded) =>
+      StoreDataPartition(p, name, uploaded, dv): InputPartition
+    }.toArray
+    (parts, bloomPruned.size, all.size)
+  }
+
+  private def planTimeTravel(store: CustomerStore, v: Long)
+      : (Array[InputPartition], Int, Int) = {
+    if (v <= 0L) return (Array.empty, 0, 0)
+    val base = store.snapshotFilesFor(v)
+    if (base.isEmpty) {
+      val oldest = store.feedDirsIn(0L, v).headOption.map(_._1)
+      require(oldest.exists(_ <= 1L),
+        s"cannot reconstruct version $v: commits before " +
+          s"${oldest.getOrElse(v + 1)} were vacuumed and no snapshot at or " +
+          "below the requested version exists")
+    }
+    val feedDirs = store.feedDirsIn(base.map(_._1).getOrElse(0L), v).map(_._2)
+    // Emails the delta touches (post-images and delete tombstones): any
+    // delta row outranks every snapshot row for its email, so snapshot
+    // readers drop these outright. Delta-scale (retention-bounded).
+    val touched: Set[UTF8String] = feedDirs.flatMap { d =>
+      ParquetGroups.parquetFilesIn(d).iterator.flatMap { f =>
+        ParquetGroups.readAll(f, Seq("change_type", "email")).collect {
+          case Array(ct: UTF8String, email: UTF8String)
+              if !ct.toString.endsWith("_pre") || ct.toString == "delete_pre" =>
+            email.clone()
+        }
+      }
+    }.toSet
+    val snapParts = base.toSeq.flatMap(_._2).map { f =>
+      StoreSnapshotPartition(f, touched): InputPartition
+    }
+    val deltaParts =
+      if (feedDirs.isEmpty) Seq.empty
+      else Seq(StoreDeltaPartition(feedDirs): InputPartition)
+    val parts = (snapParts ++ deltaParts).toArray
+    (parts, parts.length, parts.length)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = planned._1
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    StoreReaderFactory(required.fieldNames, filters)
+
+  override def description(): String = {
+    val (_, kept, total) = planned
+    val travel = versionAsOf.map(v => s", versionAsOf=$v")
+      .orElse(timestampAsOf.map(ts => s", timestampAsOf=$ts")).getOrElse("")
+    s"GraftStore path=$path$travel, files=$kept/$total, " +
+      s"ReadSchema: ${required.simpleString}, " +
+      s"PushedFilters: [${filters.mkString(", ")}]"
+  }
+}
+
+/** One live data file of the current snapshot: `uploaded` carried by
+  * its partition directory, tombstones in the table's deletion-vector
+  * files (filtered to this file's basename by the reader).
+  */
+case class StoreDataPartition(file: String, basename: String,
+    uploaded: Boolean, dvFiles: Seq[String]) extends InputPartition
+
+/** One snapshot-checkpoint file of a time-travel scan; rows whose
+  * email the feed delta touches are dropped (the delta outranks the
+  * snapshot).
+  */
+case class StoreSnapshotPartition(file: String,
+    skipEmails: Set[UTF8String]) extends InputPartition
+
+/** The feed delta of a time-travel scan: per-email last-writer-wins
+  * over the commit range, delete tombstones dropping their email.
+  */
+case class StoreDeltaPartition(feedDirs: Seq[String]) extends InputPartition
+
+case class StoreReaderFactory(required: Array[String],
+    filters: Array[Filter]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: StoreDataPartition => new StoreDataReader(p, required, filters)
+      case p: StoreSnapshotPartition => new StoreSnapshotReader(p, required, filters)
+      case p: StoreDeltaPartition => new StoreDeltaReader(p, required, filters)
+    }
+}
+
+/** Shared row plumbing: evaluate the pushed filters against a decoded
+  * row and assemble the projected InternalRow. Values are
+  * Catalyst-internal (Long / UTF8String / Boolean / micros).
+  */
+private[sources] abstract class StoreRowReader(required: Array[String],
+    filters: Array[Filter]) extends PartitionReader[InternalRow] {
+
+  protected val TableCols: Array[String] = CustomerSchema.tableSchema.fieldNames
+
+  private val emailEq: Array[Set[UTF8String]] = filters.collect {
+    case EqualTo("email", v: String) => Set(UTF8String.fromString(v))
+    case In("email", vs) => vs.map(v => UTF8String.fromString(v.asInstanceOf[String])).toSet
+  }
+  private val (idLo, idHi) = CustomerStoreScan.idBounds(filters)
+  private val uploadedWant = CustomerStoreScan.uploadedEq(filters)
+  private val notNullCols = filters.collect { case IsNotNull(c) => c }
+
+  /** `get(col)` returns the row's Catalyst value for a table column. */
+  protected def passes(get: String => Any): Boolean = {
+    val id = get("id").asInstanceOf[Long]
+    if (id < idLo || id > idHi) return false
+    val email = get("email").asInstanceOf[UTF8String]
+    if (!emailEq.forall(_.contains(email))) return false
+    if (!uploadedWant.forall(_ == get("uploaded").asInstanceOf[Boolean])) return false
+    notNullCols.forall(c => get(c) != null)
+  }
+
+  protected def project(get: String => Any): InternalRow =
+    InternalRow.fromSeq(required.toIndexedSeq.map(get))
+}
+
+/** Streams one current-state data file: projected parquet read →
+  * deletion-vector anti-join (this file's tombstoned emails) → pushed
+  * filters → projected row. `uploaded` is a directory constant.
+  */
+class StoreDataReader(p: StoreDataPartition, required: Array[String],
+    filters: Array[Filter]) extends StoreRowReader(required, filters) {
+
+  // Columns to decode: requested ∪ filter-referenced ∪ email (for the
+  // tombstone check); `uploaded` is never physical in data files.
+  private val readCols: Seq[String] =
+    (required ++ filters.flatMap(_.references) ++ Seq("id", "email"))
+      .distinct.filter(_ != "uploaded").toSeq
+
+  private val tombstones: Set[UTF8String] = {
+    val name = UTF8String.fromString(p.basename)
+    p.dvFiles.iterator.flatMap { f =>
+      ParquetGroups.readAll(f, Seq("file", "email")).collect {
+        case Array(fn: UTF8String, email: UTF8String) if fn == name => email.clone()
+      }
+    }.toSet
+  }
+
+  private val (reader, present) = ParquetGroups.open(p.file, readCols)
+  private val colIdx: Map[String, Int] = present.zipWithIndex.toMap
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    var g = reader.read()
+    while (g != null) {
+      val get: String => Any = {
+        case "uploaded" => p.uploaded
+        case c => colIdx.get(c).map(ParquetGroups.value(g, _)).orNull
+      }
+      val email = get("email").asInstanceOf[UTF8String]
+      if ((tombstones.isEmpty || !tombstones.contains(email)) && passes(get)) {
+        current = project(get)
+        return true
+      }
+      g = reader.read()
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
+
+/** Streams one snapshot file of a time-travel scan (all table columns
+  * physical, `uploaded` included), dropping delta-touched emails.
+  */
+class StoreSnapshotReader(p: StoreSnapshotPartition, required: Array[String],
+    filters: Array[Filter]) extends StoreRowReader(required, filters) {
+
+  private val readCols: Seq[String] =
+    (required ++ filters.flatMap(_.references) ++ Seq("id", "email"))
+      .distinct.toSeq
+
+  private val (reader, present) = ParquetGroups.open(p.file, readCols)
+  private val colIdx: Map[String, Int] = present.zipWithIndex.toMap
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    var g = reader.read()
+    while (g != null) {
+      val get: String => Any =
+        c => colIdx.get(c).map(ParquetGroups.value(g, _)).orNull
+      val email = get("email").asInstanceOf[UTF8String]
+      if (!p.skipEmails.contains(email) && passes(get)) {
+        current = project(get)
+        return true
+      }
+      g = reader.read()
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
+
+/** Replays the feed delta of a time-travel scan in one task:
+  * per-email last-writer-wins by commit_version over the post-image +
+  * delete-tombstone rows, tombstone winners dropped — the in-memory
+  * form of [[graft.pipeline.CustomerStore.asOf]]'s window, sound
+  * because the delta is retention-bounded (checkpoint cadence), never
+  * table-scale.
+  */
+class StoreDeltaReader(p: StoreDeltaPartition, required: Array[String],
+    filters: Array[Filter]) extends StoreRowReader(required, filters) {
+
+  private val it: Iterator[Map[String, Any]] = {
+    val cols = Seq("commit_version", "change_type") ++ TableCols
+    val winners = new java.util.HashMap[UTF8String, (Long, String, Array[Any])]()
+    for {
+      dir <- p.feedDirs
+      f <- ParquetGroups.parquetFilesIn(dir)
+      row <- ParquetGroups.readAll(f, cols)
+    } {
+      val v = row(0).asInstanceOf[Long]
+      val ct = row(1).asInstanceOf[UTF8String].toString
+      if (!ct.endsWith("_pre") || ct == "delete_pre") {
+        val email = row(cols.indexOf("email")).asInstanceOf[UTF8String].clone()
+        val prev = winners.get(email)
+        if (prev == null || v > prev._1)
+          winners.put(email, (v, ct, row.map {
+            case s: UTF8String => s.clone()
+            case x => x
+          }))
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    winners.values().asScala.iterator.collect {
+      case (_, ct, row) if ct != "delete_pre" =>
+        TableCols.zipWithIndex.map { case (c, i) => c -> row(i + 2) }.toMap
+    }
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (it.hasNext) {
+      val row = it.next()
+      if (passes(row.apply)) { current = project(row.apply); return true }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

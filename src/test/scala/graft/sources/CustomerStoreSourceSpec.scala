@@ -1,0 +1,149 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.pipeline.{CustomerStore, Ingest}
+
+/** The graft-store DSv2 connector against the API it mirrors: every
+  * read path (current state with deletion vectors, manifest pruning,
+  * column pruning, pushed filters, time travel by version and
+  * timestamp) must be row-identical to the corresponding
+  * [[CustomerStore]] call, and the plan must SHOW the pushdown
+  * (PushedFilters + files=kept/total in the scan description).
+  */
+class CustomerStoreSourceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def rows(rs: (Long, String, String, String, String)*): DataFrame =
+    Ingest.enrich(rs.toDF("id", "first_name", "last_name", "email", "phone"))
+
+  private def block(lo: Long, hi: Long): DataFrame =
+    rows((lo to hi).map(i => (i, s"F$i", s"L$i", s"u$i@example.com", s"555-$i")): _*)
+
+  private def cat(path: String, opts: (String, String)*): DataFrame = {
+    val r = spark.read.format("graft-store").option("path", path)
+    opts.foreach { case (k, v) => r.option(k, v): Unit }
+    r.load()
+  }
+
+  private def key(df: DataFrame): Set[(Long, String, String, String, String, Boolean)] =
+    df.select(col("id"), col("first_name"), col("last_name"), col("email"),
+        col("phone"), col("uploaded"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getBoolean(5))).toSet
+
+  /** Multi-commit store: 3 disjoint id blocks (zone-prunable), an ack
+    * (both partitions populated), and a delete (live vectors).
+    */
+  private def buildStore(path: String): CustomerStore = {
+    val store = new CustomerStore(spark, path)
+    store.insertNew(block(1L, 40L)): Unit // v1
+    store.insertNew(block(1001L, 1040L)): Unit // v2
+    store.insertNew(block(2001L, 2040L)): Unit // v3
+    store.markUploaded( // v4
+      (1001L to 1040L).map(i => s"u$i@example.com").toDF("email"))
+    store.delete(Seq("u3@example.com", "u2003@example.com").toDF("email")): Unit // v5
+    store
+  }
+
+  test("full read is row-identical to the API read (deletion vectors applied)") {
+    val path = tmpDir("dsv2-full") + "/store"
+    val store = buildStore(path)
+    assert(key(cat(path)) === key(store.all()))
+    assert(cat(path).count() === 118L) // 120 inserted − 2 tombstoned
+  }
+
+  test("id-range filter is pushed and zone-prunes files") {
+    val path = tmpDir("dsv2-zone") + "/store"
+    val store = buildStore(path)
+    val q = cat(path).filter(col("id").between(1001L, 1040L))
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThanOrEqual(id,1001)"), plan)
+    val filesRe = """files=(\d+)/(\d+)""".r
+    val m = filesRe.findFirstMatchIn(plan).getOrElse(fail(s"no files=k/n in:\n$plan"))
+    assert(m.group(1).toInt < m.group(2).toInt,
+      s"zone manifest skipped nothing: ${m.matched}")
+    assert(key(q) === key(store.all().filter(col("id").between(1001L, 1040L))))
+  }
+
+  test("email equality is pushed and bloom-prunes files") {
+    val path = tmpDir("dsv2-bloom") + "/store"
+    buildStore(path)
+    val q = cat(path).filter(col("email") === "u2005@example.com")
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("EqualTo(email,u2005@example.com)"), plan)
+    val filesRe = """files=(\d+)/(\d+)""".r
+    val m = filesRe.findFirstMatchIn(plan).get
+    assert(m.group(1).toInt < m.group(2).toInt,
+      s"bloom manifest skipped nothing: ${m.matched}")
+    assert(q.select(col("id")).collect().map(_.getLong(0)).toSeq === Seq(2005L))
+  }
+
+  test("uploaded filter prunes the other partition directory") {
+    val path = tmpDir("dsv2-part") + "/store"
+    val store = buildStore(path)
+    val q = cat(path).filter(col("uploaded") === true)
+    val plan = q.queryExecution.executedPlan.toString()
+    val filesRe = """files=(\d+)/(\d+)""".r
+    val m = filesRe.findFirstMatchIn(plan).get
+    assert(m.group(1).toInt < m.group(2).toInt, m.matched)
+    assert(q.count() === store.all().filter(col("uploaded")).count())
+  }
+
+  test("column pruning serves narrow projections and COUNT(*)") {
+    val path = tmpDir("dsv2-prune") + "/store"
+    val store = buildStore(path)
+    val two = cat(path).select(col("email"), col("phone"))
+    assert(two.columns.toSeq === Seq("email", "phone"))
+    assert(two.count() === store.all().count())
+    assert(cat(path).groupBy().count().head().getLong(0) === store.all().count())
+  }
+
+  test("versionAsOf matches asOf at every version, including delete and genesis replay") {
+    val path = tmpDir("dsv2-asof") + "/store"
+    val store = buildStore(path)
+    for (v <- 0L to store.currentVersion()) {
+      val viaCat = cat(path, "versionAsOf" -> v.toString)
+      assert(key(viaCat) === key(store.asOf(v)), s"versionAsOf=$v diverged from asOf")
+    }
+  }
+
+  test("versionAsOf replays snapshot + delta when a checkpoint exists") {
+    val path = tmpDir("dsv2-snap") + "/store"
+    val store = new CustomerStore(spark, path)
+    store.insertNew(block(1L, 30L)): Unit // v1
+    store.markUploaded((1L to 10L).map(i => s"u$i@example.com").toDF("email")) // v2
+    assert(store.writeSnapshot() === 2L)
+    store.insertNew(block(101L, 120L)): Unit // v3
+    store.delete(Seq("u5@example.com", "u105@example.com").toDF("email")): Unit // v4
+    store.vacuumFeed(): Unit // log before the snapshot retired: replay MUST use it
+    for (v <- 2L to 4L)
+      assert(key(cat(path, "versionAsOf" -> v.toString)) === key(store.asOf(v)),
+        s"versionAsOf=$v diverged from asOf after vacuum")
+  }
+
+  test("timestampAsOf matches asOfTimestamp through the commit registry") {
+    val path = tmpDir("dsv2-ts") + "/store"
+    var now = 100L
+    val store = new CustomerStore(spark, path, commitClock = () => now)
+    store.insertNew(block(1L, 10L)): Unit // v1 @ 100
+    now = 200L
+    store.insertNew(block(21L, 30L)): Unit // v2 @ 200
+    now = 300L
+    store.delete(Seq("u4@example.com").toDF("email")): Unit // v3 @ 300
+    for (ts <- Seq(50L, 100L, 150L, 250L, 999L))
+      assert(key(cat(path, "timestampAsOf" -> ts.toString)) ===
+        key(store.asOfTimestamp(ts)), s"timestampAsOf=$ts diverged")
+  }
+
+  test("filters compose with time travel (applied post-reconstruction)") {
+    val path = tmpDir("dsv2-ttf") + "/store"
+    val store = buildStore(path)
+    val q = cat(path, "versionAsOf" -> "3").filter(col("id") >= 2001L)
+    assert(key(q) === key(store.asOf(3L).filter(col("id") >= 2001L)))
+  }
+}
