@@ -784,6 +784,51 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     (total * inRange / sample.length, total, sample.length.toLong)
   }
 
+  /** Join-cardinality estimate |store ⋈ batch| on the id key FROM THE
+    * MANIFEST KMV SAMPLES ALONE — the two-table CBO consult that sizes
+    * a join before reading either side (K-Min-Values set-operation
+    * estimation, Beyer et al., SIGMOD 2007). The store side is the
+    * exact KMV re-trim of the live files' per-file bottom-k samples
+    * (no data file opened — pinned by StoreStatsSpec's truncation
+    * check); the batch side sketches the in-flight batch with the
+    * SAME engine-neutral md5-word hash, one bounded pass.
+    *
+    * Estimator (all integer arithmetic, mirrored textually by the
+    * DuckDB oracle): k = min(SampleK, |S|, |B|); L = k smallest
+    * distinct (hash, id) pairs of S ∪ B; with h_k = max hash in L,
+    * |store ∪ batch| ≈ (k−1)·2³² / h_k (exact |S ∪ B| when the
+    * merged sketch holds the whole union), and since both sides are
+    * key-unique, |store ⋈ batch| = |store ∩ batch| ≈
+    * |L ∩ S ∩ B| · unionEst / k. Returns (estJoinRows, unionEst, k).
+    */
+  def estimateJoinOnId(batchIds: DataFrame): (Long, Long, Long) = {
+    recover()
+    import spark.implicits._
+    val live = liveDataFiles().map(_._1).toDF("file")
+    val storeSample = sampleManifest().join(live, Seq("file"))
+      .orderBy(col("s_h"), col("s_id")).limit(SampleK)
+      .select(col("s_h"), col("s_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val idCol = col(batchIds.columns.head).cast("long")
+    val batchSample = batchIds
+      .select(conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+        .cast("long").as("h"), idCol.as("id"))
+      .orderBy(col("h"), col("id")).limit(SampleK)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (storeSample.isEmpty || batchSample.isEmpty)
+      return (0L, storeSample.length.toLong + batchSample.length.toLong, 0L)
+    val k = math.min(SampleK, math.min(storeSample.length, batchSample.length))
+    val union = (storeSample ++ batchSample).distinct.sorted
+    val l = union.take(k)
+    val unionEst =
+      if (union.length <= k) union.length.toLong
+      else (k - 1).toLong * 4294967296L / math.max(l.last._1, 1L)
+    val sSet = storeSample.toSet
+    val bSet = batchSample.toSet
+    val matches = l.count(p => sSet(p) && bSet(p)).toLong
+    (matches * unionEst / k, unionEst, k.toLong)
+  }
+
   /** Live pending data files as (basename, absolute path). */
   private def livePendingFiles(): Seq[(String, String)] = {
     val dir = new java.io.File(path, "uploaded=false")

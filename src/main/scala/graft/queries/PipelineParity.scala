@@ -572,6 +572,37 @@ object PipelineParity extends QueryGroup {
         .orderBy(col("range_name"))
     }),
 
+    // Two-table CBO consult: |store ⋈ batch| on the id key estimated
+    // from the manifest KMV samples alone (store side: exact re-trim
+    // of the per-file bottom-k manifests, no data file opened — the
+    // truncation pin lives in StoreStatsSpec; batch side: one bounded
+    // sketch pass with the same engine-neutral md5-word hash). The
+    // planted batch half-overlaps the store (even custkeys) and adds
+    // a disjoint +30M block, so the estimator must see a genuine
+    // partial intersection; the REQUIRE bounds the estimate against
+    // the true join count within 15% of the estimated union — the
+    // accuracy a join-order decision actually needs. The oracle
+    // recomputes the entire estimator (samples, merged bottom-k,
+    // union and intersection estimates) from the same integer
+    // arithmetic, so the sketch STATE is cross-engine exact, not just
+    // plausible.
+    "pipeline_join_estimate" -> ((s, dir) => {
+      import s.implicits._
+      val path = mergeIMATemplate(s, dir) // read-only 3-commit template
+      val store = new graft.pipeline.CustomerStore(s, path)
+      val base = baseCols(s, dir)
+      val batchIds = base.filter(col("id") % 2 === 0).select(col("id"))
+        .unionByName(base.filter(col("id") % 3 === 0)
+          .select((col("id") + 30000000L).as("id")))
+      val (est, unionEst, k) = store.estimateJoinOnId(batchIds)
+      val exact = store.all().select(col("id"))
+        .join(batchIds, Seq("id"), "left_semi").count()
+      require(math.abs(est - exact) * 100L <= unionEst * 15L,
+        s"join estimate $est vs exact $exact drifted past 15% of union $unionEst")
+      Seq((est, exact, unionEst, k))
+        .toDF("est_rows", "exact_rows", "union_est", "sample_k")
+    }),
+
     // MERGE-ON-READ DELETE via deletion vectors (the Delta/Iceberg
     // row-level-delete shape): a delete commit stages ONLY (file,
     // email) tombstone rows + delete_pre retraction feed rows — no
@@ -1423,6 +1454,46 @@ object PipelineParity extends QueryGroup {
             ABS(est_rows - exact_rows) * 100 <= (SELECT total FROM b) * 15
               AS within_15pct_of_total
           FROM e ORDER BY range_name""",
+    // The full KMV join estimator re-run in SQL: store ids = custkeys
+    // + the merge's +20M fresh block, batch ids = evens + a disjoint
+    // +30M block; bottom-k sketches by the md5-word hash, merged
+    // bottom-k, integer union/intersection estimates — every
+    // intermediate identical to the Scala side's arithmetic.
+    "pipeline_join_estimate" ->
+      """WITH s_ids AS (SELECT c_custkey AS id FROM customer
+              UNION ALL SELECT c_custkey + 20000000 FROM customer
+              WHERE c_custkey % 10 = 0),
+          b_ids AS (SELECT c_custkey AS id FROM customer WHERE c_custkey % 2 = 0
+              UNION ALL SELECT c_custkey + 30000000 FROM customer
+              WHERE c_custkey % 3 = 0),
+          sh AS (SELECT id, CAST(CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)
+                AS UBIGINT) AS BIGINT) AS h FROM s_ids),
+          bh AS (SELECT id, CAST(CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)
+                AS UBIGINT) AS BIGINT) AS h FROM b_ids),
+          ss AS (SELECT h, id FROM (SELECT h, id,
+                ROW_NUMBER() OVER (ORDER BY h, id) AS rn FROM sh) WHERE rn <= 128),
+          bs AS (SELECT h, id FROM (SELECT h, id,
+                ROW_NUMBER() OVER (ORDER BY h, id) AS rn FROM bh) WHERE rn <= 128),
+          kk AS (SELECT LEAST(128, (SELECT COUNT(*) FROM ss),
+                (SELECT COUNT(*) FROM bs)) AS k),
+          u AS (SELECT DISTINCT h, id FROM
+                (SELECT h, id FROM ss UNION ALL SELECT h, id FROM bs)),
+          l AS (SELECT h, id FROM (SELECT h, id,
+                ROW_NUMBER() OVER (ORDER BY h, id) AS rn FROM u)
+                WHERE rn <= (SELECT k FROM kk)),
+          ue AS (SELECT CASE
+                WHEN (SELECT COUNT(*) FROM u) <= (SELECT k FROM kk)
+                  THEN (SELECT COUNT(*) FROM u)
+                ELSE ((SELECT k FROM kk) - 1) * 4294967296
+                  // GREATEST((SELECT MAX(h) FROM l), 1) END AS union_est),
+          m AS (SELECT COUNT(*) AS matches FROM l
+                JOIN ss USING (h, id) JOIN bs USING (h, id))
+         SELECT CAST((SELECT matches FROM m) * (SELECT union_est FROM ue)
+             // (SELECT k FROM kk) AS BIGINT) AS est_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+            WHERE c_custkey % 2 = 0) AS exact_rows,
+           CAST((SELECT union_est FROM ue) AS BIGINT) AS union_est,
+           CAST((SELECT k FROM kk) AS BIGINT) AS sample_k""",
     // All seven counts derive from the same %-of-custkey arithmetic:
     // N rows inserted, D = multiples of 7 deleted, one re-inserted.
     "pipeline_delete_vectors" ->

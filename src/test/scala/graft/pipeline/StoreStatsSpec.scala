@@ -298,4 +298,38 @@ class StoreStatsSpec extends SparkSpec {
       .distinct().collect().map(_.getString(0)).toSet
     assert(live.subsetOf(covered), s"uncovered after recovery: ${live -- covered}")
   }
+
+  test("join estimate consults only the manifest samples — data files may be unreadable") {
+    import spark.implicits._
+    val path = tmpDir("stats") + "/joinest"
+    val store = seed(path, 400, commits = 4)
+    // Half-overlapping batch: evens of [1,400] plus a disjoint block.
+    val batchIds = ((2 to 400 by 2) ++ (1001 to 1100)).map(_.toLong).toDF("id")
+    val (est, unionEst, k) = store.estimateJoinOnId(batchIds)
+    assert(k === CustomerStore.SampleK.toLong)
+    // Exact |store ⋈ batch| = 200 evens; the bound is the one the
+    // driver gate REQUIREs: within 15% of the estimated union.
+    assert(math.abs(est - 200L) * 100L <= unionEst * 15L,
+      s"join estimate $est drifted past 15% of union $unionEst from exact 200")
+    // Truncate every data file: any open now fails loudly — the store
+    // side of the estimate must not notice.
+    val dir = new File(path, "uploaded=false")
+    dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      new java.io.FileOutputStream(f).close()
+    }
+    assert(store.estimateJoinOnId(batchIds) === ((est, unionEst, k)),
+      "join estimate changed after data files were truncated — it read data")
+  }
+
+  test("join estimate clamps k to the smaller sketch and stays in bound below SampleK") {
+    import spark.implicits._
+    val path = tmpDir("stats") + "/joinsmall"
+    val store = seed(path, 60) // < SampleK: the manifest sample IS the id set
+    val batchIds = ((31 to 90).map(_.toLong)).toDF("id")
+    val (est, unionEst, k) = store.estimateJoinOnId(batchIds)
+    assert(k === 60L, s"k should clamp to the smaller sketch, got $k")
+    // Exact |store ∩ batch| = 30 (ids 31..60), union = 90.
+    assert(math.abs(est - 30L) * 100L <= unionEst * 15L,
+      s"small-sketch estimate $est drifted past 15% of union $unionEst from exact 30")
+  }
 }
