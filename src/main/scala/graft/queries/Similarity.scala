@@ -404,12 +404,58 @@ object Similarity extends QueryGroup {
       (loaded(0), loaded(1))
     }
 
+  /** Base index of the composed lifecycle gate (trained on vec_id %
+    * 10 ∉ {0, 7} — the collection before either arrival batch), its
+    * own artifact names so it coexists with the full and %10-base
+    * indexes in the store.
+    */
+  private val ivfLcCache = new graft.util.SessionCache[(DataFrame, DataFrame)]
+
+  private def ivfLcIndexCached(s: SparkSession, dir: String,
+      base: DataFrame): (DataFrame, DataFrame) =
+    ivfLcCache.getOrCompute(s, dir) {
+      val loaded = graft.util.IndexStore.loadOrBuildAll(
+        s, dir, s"ivf_lc_postings_l${IVF_LISTS}r${IVF_ITERS}a$IVF_ASSIGN_R" ::
+          s"ivf_lc_centroids_l${IVF_LISTS}r$IVF_ITERS" :: Nil) {
+        val (a, c) = ivfIndex(base)
+        Seq(a, c)
+      }
+      (loaded(0), loaded(1))
+    }
+
+  /** Exact top-k (query_id, neighbor_id) pairs of `queries` over
+    * `coll` — the truth side of the lifecycle recall REQUIREs (same
+    * shape as sim_topk_bruteforce).
+    */
+  private def bruteTopK(queries: DataFrame, coll: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("qv").as("q_qv"), col("sq").as("q_sq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_ppm").desc, col("neighbor_id"))
+    coll.select(col("vec_id").as("neighbor_id"), col("qv"), col("sq"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_ppm", cosPpm(qdot(col("q_qv"), col("qv")), col("q_sq"), col("sq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** recall@k of `ann` against the exact `truth` pairs, REQUIRE ≥ 0.9
+    * (integer arithmetic; the transition gates of sim_ivf_lifecycle).
+    */
+  private def requireRecall(stage: String, ann: DataFrame, truth: DataFrame): Unit = {
+    val total = truth.count()
+    val hit = ann.select(col("query_id"), col("neighbor_id"))
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
+    require(hit * 10L >= total * 9L, s"$stage recall $hit/$total fell below 0.9")
+  }
+
   /** Drop the memoized IVF/PQ indexes (long-lived-JVM hook; required
     * only if a cached dir's data is rewritten mid-session).
     * [[graft.util.SessionCache.clearAll]] clears every module at once.
     */
   def clearCaches(): Unit = {
-    ivfCache.clear(); pqCache.clear(); ivfBaseCache.clear()
+    ivfCache.clear(); pqCache.clear(); ivfBaseCache.clear(); ivfLcCache.clear()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -576,6 +622,75 @@ object Similarity extends QueryGroup {
       val deltaPost = assign(delta, cent, IVF_ASSIGN_R)
       ivfProbe(all.filter(col("vec_id") % 100 === 0),
         basePost.unionByName(deltaPost), cent, IVF_INC_PROBES)
+    }),
+
+    // COMPOSED INDEX LIFECYCLE: one persisted IVF index driven through
+    // insert → delete → compact → insert, recall ≥ 0.9 REQUIREd after
+    // every transition against a fresh brute-force truth over that
+    // state's live set. The index trains ONCE on the pre-arrival base
+    // (vec_id % 10 ∉ {0,7}); v1 appends the first arrival batch
+    // (%10=0) as a centroid-assign of the delta only; v2 tombstones
+    // %9=4 merge-on-read (the v1 artifact's mtime is REQUIREd
+    // untouched across ALL later transitions); v3 compacts BY DERIVING
+    // from the persisted index (anti-join, no corpus scan — REQUIREd
+    // physically tombstone-free, and REQUIREd row-identical to the
+    // merge-on-read leg); v4 appends the second batch (%10=7, live
+    // even where %9=4 — arrivals after the delete are new rows) onto
+    // the compacted artifact. The closing rebuild-parity REQUIRE:
+    // the lifecycle-composed postings must equal a fresh assignment of
+    // the final live set — the index never drifts from what a rebuild
+    // would produce. The returned final-state probe is hash-gated
+    // against a DuckDB oracle that retrains the base index and
+    // assigns the composed live set from the same integer arithmetic.
+    "sim_ivf_lifecycle" -> ((s, dir) => {
+      val all = quantized(s, dir).localCheckpoint(false)
+      val base = all.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 10 =!= 7)
+      val delta1 = all.filter(col("vec_id") % 10 === 0)
+      val delta2 = all.filter(col("vec_id") % 10 === 7)
+      // Fixed query set, present and live in every state.
+      val queries = all.filter(col("vec_id") % 100 === 1 && col("vec_id") % 9 =!= 4)
+      val (basePost, cent) = ivfLcIndexCached(s, dir, base)
+      val v1Name = s"ivf_lc_post_l${IVF_LISTS}r${IVF_ITERS}a${IVF_ASSIGN_R}_v1"
+      // v1 INSERT: assign ONLY the delta against the persisted
+      // centroids (cost ∝ batch), append to the postings.
+      val v1 = graft.util.IndexStore.loadOrBuild(s, dir, v1Name)(
+        basePost.unionByName(assign(delta1, cent, IVF_ASSIGN_R)))
+      val mtV1 = graft.util.IndexStore.artifactMtime(dir, v1Name)
+      val liveA = base.unionByName(delta1)
+      requireRecall("insert-v1",
+        ivfProbe(queries, v1, cent, IVF_INC_PROBES),
+        bruteTopK(queries, liveA, TOP_K))
+      // v2 DELETE, merge-on-read: anti-join tombstones at probe time.
+      val tomb = liveA.filter(col("vec_id") % 9 === 4).select(col("vec_id"))
+      val liveB = liveA.join(tomb, Seq("vec_id"), "left_anti")
+      val probeB = ivfProbe(queries,
+        v1.join(tomb, Seq("vec_id"), "left_anti"), cent, IVF_INC_PROBES)
+      requireRecall("delete-v2", probeB, bruteTopK(queries, liveB, TOP_K))
+      // v3 COMPACT: derive from the INDEX (never the corpus), persist.
+      val v3 = graft.util.IndexStore.loadOrBuild(s, dir, v1Name + "_compact_m9")(
+        v1.join(tomb, Seq("vec_id"), "left_anti"))
+      require(v3.join(tomb, Seq("vec_id"), "left_semi").count() == 0L,
+        "compacted lifecycle index still posts tombstoned vectors")
+      val probeC = ivfProbe(queries, v3, cent, IVF_INC_PROBES)
+      require(probeC.collect().toSeq == probeB.collect().toSeq,
+        "compacted probe diverged from the merge-on-read probe")
+      // v4 INSERT onto the compacted artifact (%9=4 arrivals are NEW
+      // rows — a delete never shadows later inserts).
+      val v4 = graft.util.IndexStore.loadOrBuild(s, dir, v1Name + "_v4")(
+        v3.unionByName(assign(delta2, cent, IVF_ASSIGN_R)))
+      require(graft.util.IndexStore.artifactMtime(dir, v1Name) == mtV1,
+        "a lifecycle transition rewrote the v1 postings artifact")
+      val liveD = liveB.unionByName(delta2)
+      // Rebuild parity: composed postings ≡ fresh assignment of the
+      // live set under the same centroids.
+      val postCols = Seq("vec_id", "label", "qv", "sq", "list_id", "rn").map(col)
+      val fresh = assign(liveD, cent, IVF_ASSIGN_R).select(postCols: _*)
+      val composed = v4.select(postCols: _*)
+      require(composed.exceptAll(fresh).isEmpty && fresh.exceptAll(composed).isEmpty,
+        "lifecycle-composed postings drifted from a fresh rebuild")
+      val probeD = ivfProbe(queries, v4, cent, IVF_INC_PROBES)
+      requireRecall("insert-v4", probeD, bruteTopK(queries, liveD, TOP_K))
+      probeD
     }),
 
     // RANGE (radius) search over the persisted IVF index — the other
@@ -1136,6 +1251,36 @@ object Similarity extends QueryGroup {
   val oracles: Map[String, String] = Map(
     "sim_ivf_tombstoned" -> ivfDeleteSql,
     "sim_ivf_compacted" -> ivfDeleteSql,
+    // The composed-lifecycle oracle retrains the BASE index (the
+    // pre-arrival %10 ∉ {0,7} collection — deletes and inserts never
+    // retrain) and assigns the final live set (survivors + the
+    // post-delete arrival batch) against those centroids: exactly the
+    // postings the rebuild-parity REQUIRE pins the composed artifact
+    // to, probed with the incremental probe width.
+    "sim_ivf_lifecycle" ->
+      s"""WITH $quantSql,
+          bsrc AS (SELECT * FROM n WHERE vec_id % 10 NOT IN (0, 7)),
+          lsrc AS (SELECT * FROM n WHERE vec_id % 10 = 7 OR vec_id % 9 <> 4),
+          ${ivfBuildSqlFrom("bsrc")},
+          lf AS ${ivfAssignSql(ivfFinalCent, IVF_ASSIGN_R, "lsrc")},
+          qp AS (SELECT query_id, q_qv, q_sq, list_id FROM (
+                   SELECT n.vec_id AS query_id, n.qv AS q_qv, n.sq AS q_sq, c.list_id,
+                     ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY ${cosPpmSql("n.qv", "c.cv", "n.sq", "c.c_sq")} DESC, c.list_id) AS p_rn
+                   FROM n, $ivfFinalCent c WHERE n.vec_id % 100 = 1 AND n.vec_id % 9 <> 4)
+                 WHERE p_rn <= $IVF_INC_PROBES),
+          cand AS (SELECT DISTINCT qp.query_id, qp.q_qv, qp.q_sq,
+                     nb.vec_id AS neighbor_id, nb.qv, nb.sq
+                   FROM qp JOIN lf nb USING (list_id)
+                   WHERE nb.vec_id <> qp.query_id),
+          sc AS (SELECT query_id, neighbor_id,
+                   ${cosPpmSql("q_qv", "qv", "q_sq", "sq")} AS cos_ppm FROM cand),
+          r AS (SELECT query_id, neighbor_id, cos_ppm,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_ppm DESC, neighbor_id) AS BIGINT) AS rank
+                FROM sc)
+          SELECT query_id, rank, neighbor_id, cos_ppm FROM r
+          WHERE rank <= $TOP_K ORDER BY query_id, rank""",
     // The LSH index rebuilt in SQL: hyperplanes as list literals, sign
     // bits → bucket, the shared probe-mask list XOR'd per query. All
     // integer math up to the final cosPpm, so hash-exact.

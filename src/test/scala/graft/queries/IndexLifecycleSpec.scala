@@ -74,6 +74,36 @@ class IndexLifecycleSpec extends SparkSpec {
       "a tombstoned vector surfaced as a neighbor")
   }
 
+  test("composed lifecycle reuses every persisted artifact on re-run and respects re-insert semantics") {
+    val v1 = "ivf_lc_post_l32r2a2_v1"
+    val out1 = run("sim_ivf_lifecycle").collect()
+    assert(out1.nonEmpty, "lifecycle probe returned nothing")
+    val mts = Seq(v1, v1 + "_compact_m9", v1 + "_v4",
+        "ivf_lc_postings_l32r2a2", "ivf_lc_centroids_l32r2")
+      .map(n => n -> IndexStore.artifactMtime(sf, n)).toMap
+    assert(mts.values.forall(_.nonEmpty), s"missing lifecycle artifacts: $mts")
+    // Second run: every stage must LOAD, not rebuild (the query's own
+    // REQUIREs re-check recall and rebuild parity against the loads).
+    val out2 = run("sim_ivf_lifecycle").collect()
+    assert(out2.toSeq === out1.toSeq, "lifecycle probe unstable across runs")
+    mts.foreach { case (n, mt) =>
+      assert(IndexStore.artifactMtime(sf, n) === mt,
+        s"re-running the lifecycle rebuilt artifact $n")
+    }
+    // Physical claims: the compacted artifact holds no tombstoned
+    // pre-delete vector; the v4 artifact DOES hold post-delete
+    // arrivals with %9=4 (a delete never shadows later inserts).
+    val compact = loadArtifact(v1 + "_compact_m9")
+    assert(compact.filter(col("vec_id") % 9 === 4).count() === 0L,
+      "compacted lifecycle postings still hold tombstoned vectors")
+    val v4 = loadArtifact(v1 + "_v4")
+    assert(v4.filter(col("vec_id") % 9 === 4 && col("vec_id") % 10 === 7).count() > 0L,
+      "post-delete arrivals with the tombstone residue are missing — " +
+        "the delete wrongly shadowed later inserts")
+    assert(v4.filter(col("vec_id") % 9 === 4 && col("vec_id") % 10 =!= 7).count() === 0L,
+      "pre-delete tombstoned vectors leaked into the composed postings")
+  }
+
   test("IVF compaction drops every dead posting, and the legs agree") {
     run("sim_ivf_ann").collect(): Unit
     val full = loadArtifact(ivfPostings)
