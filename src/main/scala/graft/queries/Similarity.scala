@@ -109,6 +109,30 @@ object Similarity extends QueryGroup {
   // 1.00/0.96/0.94; the scan-mass lever that DOES work at scale is
   // list count ∝ √n, not probe narrowing (see SCALING.md).
   private val GRAPH_PROBES = IVF_PROBES
+  // Beam search over the navigable kNN graph (the HNSW/NSW serving
+  // pattern): beam width, fixed hop count, and the deterministic
+  // entry-point sample (vec_id % ENTRY_MOD = 3 → 10% of nodes). Fixed
+  // hops instead of to-convergence keeps the traversal bit-reproducible
+  // and oracle-expressible (one CTE pair per hop, like the MMR
+  // rounds); the beam expands over UNDIRECTED edges (kNN edges +
+  // their reverses — reverse links are what makes a kNN digraph
+  // navigable, the same role HNSW's bidirectional links play).
+  // Measured sweep on these near-orthogonal synthetics (top-5 recall
+  // at sf0.001/0.01/0.1): degree-5 graph, beam 16×3 hops, 5% entries
+  // → 0.64/0.68/0.40 (the beam converges into a local patch); beam
+  // 32×4, 10% entries → 0.84/·/0.64; DEGREE is the effective dial —
+  // the degree-10 graph at beam 32×4 → 1.00/0.96/0.90, and beam 48
+  // buys the sf0.1 margin → 1.00/0.96/0.95 (hop 5 measured 0.90 at
+  // sf0.1: converged, wider-not-deeper is what helps). ≥0.9 pinned in
+  // QueryContractsSpec.
+  private val BEAM_W = 48
+  private val BEAM_HOPS = 4
+  private val ENTRY_MOD = 10L
+  // Out-degree of the navigable graph (deliberately ABOVE the serving
+  // k: denser links are the degree half of HNSW's navigability, and on
+  // these near-orthogonal synthetics degree is the effective recall
+  // dial — see the measured sweep in SCALING.md).
+  private val BEAM_GRAPH_K = 10
   // Embedding dimensionality of the `embeddings` table — used only
   // where SQL needs an explicit per-position range; the Spark side is
   // length-generic.
@@ -900,6 +924,67 @@ object Similarity extends QueryGroup {
         .orderBy(col("vec_id"), col("rank"))
     }),
 
+    // GRAPH-TRAVERSAL ANN (the HNSW/NSW family): beam search over a
+    // persisted navigable kNN graph. Construction is the distributed
+    // graph-ANN build (kNN edges from the IVF index — the
+    // DiskANN/NN-descent shape — persisted once as an artifact, shared
+    // with sim_knn_graph's probe); serving walks the graph: score a
+    // deterministic 5% entry sample, then BEAM_HOPS rounds of
+    // expand-the-beam-over-undirected-edges → exact-score → keep the
+    // best BEAM_W per query, finally exact-rerank the visited set to
+    // top-k. Each hop is one equi-join on the edge source plus a
+    // bounded per-query window — cost ∝ queries × beam × degree ×
+    // hops, INDEPENDENT of collection size, which is why this family
+    // exists at 100 TB (the entry scan is the n-dependent term and
+    // rides the same sampling dial as the entry fraction). Every step
+    // is integer-deterministic (cos-then-id ties), so the DuckDB
+    // oracle replays the identical traversal as one CTE pair per hop
+    // and the result is hash-exact. Recall ≥ 0.9 vs brute force is
+    // pinned in QueryContractsSpec.
+    "sim_graph_beam_ann" -> ((s, dir) => {
+      val all = quantized(s, dir).localCheckpoint(false)
+      val (postings, cent) = ivfIndexCached(s, dir, all)
+      val graphName =
+        s"knn_graph_l${IVF_LISTS}r${IVF_ITERS}a${IVF_ASSIGN_R}p${GRAPH_PROBES}k$BEAM_GRAPH_K"
+      val knn = graft.util.IndexStore.loadOrBuild(s, dir, graphName)(
+        ivfProbe(all, postings, cent, GRAPH_PROBES, BEAM_GRAPH_K)
+          .withColumnRenamed("query_id", "vec_id"))
+      val edges = knn
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+        .unionByName(knn.select(col("neighbor_id").as("src"), col("vec_id").as("dst")))
+        .distinct().localCheckpoint(true)
+      val q = all.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("sq").as("q_sq"))
+      val nodes = all.select(col("vec_id").as("neighbor_id"), col("qv"), col("sq"))
+      def scored(cand: DataFrame): DataFrame = cand
+        .join(nodes, Seq("neighbor_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos_ppm", cosPpm(qdot(col("q_qv"), col("qv")), col("q_sq"), col("sq")))
+        .select(col("query_id"), col("neighbor_id"), col("cos_ppm"))
+      val wB = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_ppm").desc, col("neighbor_id"))
+      var visited = nodes.filter(col("neighbor_id") % ENTRY_MOD === 3)
+        .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos_ppm", cosPpm(qdot(col("q_qv"), col("qv")), col("q_sq"), col("sq")))
+        .select(col("query_id"), col("neighbor_id"), col("cos_ppm"))
+        .localCheckpoint(true)
+      var beam = visited.withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= BEAM_W).select(col("query_id"), col("neighbor_id"))
+      for (_ <- 1 to BEAM_HOPS) {
+        val expand = beam.join(edges, beam("neighbor_id") === edges("src"))
+          .select(col("query_id"), col("dst").as("neighbor_id")).distinct()
+        visited = visited.unionByName(scored(expand)).distinct()
+          .localCheckpoint(true) // bound lineage per hop
+        beam = visited.withColumn("rn", row_number().over(wB))
+          .filter(col("rn") <= BEAM_W).select(col("query_id"), col("neighbor_id"))
+      }
+      visited.withColumn("rank", row_number().over(wB).cast("long"))
+        .filter(col("rank") <= TOP_K)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_ppm"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // BINARY (thresholded-bit) quantization ANN — the third
     // compression point on the memory/recall frontier (floats 256 B →
     // binary 40 B → PQ 8 B): each vector is 5 signature words (one
@@ -1248,9 +1333,70 @@ object Similarity extends QueryGroup {
         SELECT query_id, rank, neighbor_id, cos_ppm FROM r
         WHERE rank <= $TOP_K ORDER BY query_id, rank"""
 
+  /** One beam-search hop as CTEs — mirror of the Spark loop body:
+    * expand the beam over the undirected edges, exact-score the new
+    * frontier, fold into the visited set, re-cut the beam.
+    */
+  private def beamHopSql(t: Int): String =
+    s"""x$t AS (SELECT DISTINCT b.query_id, e.dst AS neighbor_id
+            FROM b${t - 1} b JOIN e ON e.src = b.neighbor_id),
+        s$t AS (SELECT x.query_id, x.neighbor_id,
+            ${cosPpmSql("qq.q_qv", "m.qv", "qq.q_sq", "m.sq")} AS cos_ppm
+          FROM x$t x JOIN n m ON m.vec_id = x.neighbor_id
+            JOIN qq ON qq.query_id = x.query_id
+          WHERE x.neighbor_id <> x.query_id),
+        v$t AS (SELECT DISTINCT query_id, neighbor_id, cos_ppm FROM
+            (SELECT * FROM v${t - 1} UNION ALL SELECT * FROM s$t)),
+        b$t AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_ppm DESC, neighbor_id) AS rn FROM v$t)
+          WHERE rn <= $BEAM_W)"""
+
   val oracles: Map[String, String] = Map(
     "sim_ivf_tombstoned" -> ivfDeleteSql,
     "sim_ivf_compacted" -> ivfDeleteSql,
+    // The graph traversal replayed hop by hop: the kNN graph is the
+    // sim_knn_graph oracle's result, made undirected; entries, the
+    // per-hop expand/score/fold/cut, and the final rerank are the
+    // same integer arithmetic as the Spark loop — hash-exact.
+    "sim_graph_beam_ann" ->
+      s"""WITH $quantSql,
+          $ivfBuildSql,
+          gqp AS (SELECT query_id, q_qv, q_sq, list_id FROM (
+                   SELECT n.vec_id AS query_id, n.qv AS q_qv, n.sq AS q_sq, c.list_id,
+                     ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY ${cosPpmSql("n.qv", "c.cv", "n.sq", "c.c_sq")} DESC, c.list_id) AS p_rn
+                   FROM n, $ivfFinalCent c)
+                 WHERE p_rn <= $GRAPH_PROBES),
+          gcand AS (SELECT DISTINCT gqp.query_id, gqp.q_qv, gqp.q_sq,
+                     nb.vec_id AS neighbor_id, nb.qv, nb.sq
+                   FROM gqp JOIN af nb USING (list_id)
+                   WHERE nb.vec_id <> gqp.query_id),
+          gsc AS (SELECT query_id, neighbor_id,
+                   ${cosPpmSql("q_qv", "qv", "q_sq", "sq")} AS cos_ppm FROM gcand),
+          g AS (SELECT query_id AS src, neighbor_id AS dst FROM (
+                  SELECT query_id, neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos_ppm DESC, neighbor_id) AS rank
+                  FROM gsc) WHERE rank <= $BEAM_GRAPH_K),
+          e AS (SELECT src, dst FROM g UNION SELECT dst AS src, src AS dst FROM g),
+          qq AS (SELECT vec_id AS query_id, qv AS q_qv, sq AS q_sq FROM n
+                 WHERE vec_id % 100 = 0),
+          v0 AS (SELECT qq.query_id, m.vec_id AS neighbor_id,
+                   ${cosPpmSql("qq.q_qv", "m.qv", "qq.q_sq", "m.sq")} AS cos_ppm
+                 FROM qq, n m
+                 WHERE m.vec_id % $ENTRY_MOD = 3 AND m.vec_id <> qq.query_id),
+          b0 AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos_ppm DESC, neighbor_id) AS rn FROM v0)
+                 WHERE rn <= $BEAM_W),
+          ${(1 to BEAM_HOPS).map(beamHopSql).mkString(",\n          ")}
+          SELECT query_id, rank, neighbor_id, cos_ppm FROM (
+            SELECT query_id, neighbor_id, cos_ppm,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_ppm DESC, neighbor_id) AS BIGINT) AS rank
+            FROM v$BEAM_HOPS)
+          WHERE rank <= $TOP_K ORDER BY query_id, rank""",
     // The composed-lifecycle oracle retrains the BASE index (the
     // pre-arrival %10 ∉ {0,7} collection — deletes and inserts never
     // retrain) and assigns the final live set (survivors + the
