@@ -572,6 +572,55 @@ object PipelineParity extends QueryGroup {
         .orderBy(col("range_name"))
     }),
 
+    // The store's WRITE surface through the connector + SQL catalog:
+    // v1 lands via df.write.format("graft-store") (append), v2 is a
+    // batch with planted id-conflicts (stored id, new email),
+    // email-conflicts (new id, stored email) and fresh rows — the
+    // UNIQUE first-wins dedup must drop both conflict classes through
+    // the connector exactly as through the API — and v3 arrives via
+    // SQL INSERT INTO graft_store.`path` SELECT …, with VERSION AS OF
+    // reads pinning every intermediate state. Each write is REQUIREd
+    // to be exactly one staged commit (version advances by one).
+    "pipeline_catalog_write" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+      val base = Ingest.enrich(baseCols(s, dir))
+      val out = withTempDir("graft-catwrite-") { tmp =>
+        val path = s"$tmp/store"
+        base.write.format("graft-store").option("path", path).mode("append").save()
+        val store = new graft.pipeline.CustomerStore(s, path)
+        require(store.currentVersion() == 1L, "v1 write must be one commit")
+        val nV1 = s.sql(s"SELECT count(*) FROM graft_store.`$path`").head().getLong(0)
+        val idConf = base.filter(col("id") % 10 === 3)
+          .withColumn("email", concat(lit("conf"), col("id"), lit("@example.com")))
+        val emailConf = base.filter(col("id") % 5 === 0)
+          .withColumn("id", col("id") + 40000000L)
+        val fresh = base.filter(col("id") % 10 === 0)
+          .withColumn("id", col("id") + 30000000L)
+          .withColumn("email", concat(lit("new"), col("id"), lit("@example.com")))
+        idConf.unionByName(emailConf).unionByName(fresh)
+          .write.format("graft-store").option("path", path).mode("append").save()
+        require(store.currentVersion() == 2L, "v2 write must be one commit")
+        val nAfterV2 = s.sql(s"SELECT count(*) FROM graft_store.`$path`").head().getLong(0)
+        val nAsOf1 = s.sql(s"SELECT count(*) FROM graft_store.`$path` VERSION AS OF 1")
+          .head().getLong(0)
+        require(nAsOf1 == nV1, s"VERSION AS OF 1 read $nAsOf1 != v1 count $nV1")
+        s.sql(
+          s"""INSERT INTO graft_store.`$path`
+              SELECT id + 90000000, first_name, last_name, concat('z', email),
+                phone, uploaded, created_ts, modified_ts
+              FROM graft_store.`$path` VERSION AS OF 1 WHERE id % 97 = 0""")
+        require(store.currentVersion() == 3L, "INSERT INTO must be one commit")
+        val nAfterV3 = s.sql(s"SELECT count(*) FROM graft_store.`$path`").head().getLong(0)
+        // The connector write must be indistinguishable from the API
+        // read side: catalog count ≡ store.all() count at every step.
+        require(nAfterV3 == store.all().count(),
+          "catalog count diverged from the API read after SQL INSERT")
+        (nV1, nAfterV2, nAfterV2 - nV1, nAfterV3 - nAfterV2)
+      }
+      Seq(out).toDF("n_v1", "n_after_v2", "n_inserted_v2", "n_inserted_v3")
+    }),
+
     // Two-table CBO consult: |store ⋈ batch| on the id key estimated
     // from the manifest KMV samples alone (store side: exact re-trim
     // of the per-file bottom-k manifests, no data file opened — the
@@ -1454,6 +1503,18 @@ object PipelineParity extends QueryGroup {
             ABS(est_rows - exact_rows) * 100 <= (SELECT total FROM b) * 15
               AS within_15pct_of_total
           FROM e ORDER BY range_name""",
+    // Writer-path arithmetic: v1 = all custkeys; v2 adds only the
+    // fresh %10 block (both conflict classes drop); v3's SQL INSERT
+    // adds the %97 multiples of the v1 snapshot.
+    "pipeline_catalog_write" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_v1,
+           CAST(COUNT(*) + SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_after_v2,
+           CAST(SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inserted_v2,
+           CAST(SUM(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inserted_v3
+         FROM customer""",
     // The full KMV join estimator re-run in SQL: store ids = custkeys
     // + the merge's +20M fresh block, batch ids = evens + a disjoint
     // +30M block; bottom-k sketches by the md5-word hash, merged

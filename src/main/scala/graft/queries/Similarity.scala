@@ -447,6 +447,25 @@ object Similarity extends QueryGroup {
       (loaded(0), loaded(1))
     }
 
+  /** The persisted degree-[[BEAM_GRAPH_K]] kNN graph over the full
+    * collection — (vec_id, rank, neighbor_id, cos_ppm) edges from the
+    * IVF probe, built once per (session, dir) and loaded by BOTH
+    * sim_knn_graph (top-TOP_K prefix) and the beam-search traversal.
+    * The build is the n^1.5 IVF-graph law (SCALING.md); sharing the
+    * artifact is what keeps it one bill.
+    */
+  private val knnGraphMemo = new graft.util.SessionCache[DataFrame]
+
+  private def knnGraphCached(s: SparkSession, dir: String): DataFrame =
+    knnGraphMemo.getOrCompute(s, dir) {
+      val all = quantized(s, dir)
+      val (postings, cent) = ivfIndexCached(s, dir, all)
+      graft.util.IndexStore.loadOrBuild(s, dir,
+        s"knn_graph_l${IVF_LISTS}r${IVF_ITERS}a${IVF_ASSIGN_R}p${GRAPH_PROBES}k$BEAM_GRAPH_K")(
+        ivfProbe(all, postings, cent, GRAPH_PROBES, BEAM_GRAPH_K)
+          .withColumnRenamed("query_id", "vec_id"))
+    }
+
   /** Exact top-k (query_id, neighbor_id) pairs of `queries` over
     * `coll` — the truth side of the lifecycle recall REQUIREs (same
     * shape as sim_topk_bruteforce).
@@ -480,6 +499,7 @@ object Similarity extends QueryGroup {
     */
   def clearCaches(): Unit = {
     ivfCache.clear(); pqCache.clear(); ivfBaseCache.clear(); ivfLcCache.clear()
+    knnGraphMemo.clear()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -916,13 +936,15 @@ object Similarity extends QueryGroup {
     // ~probes·R·√n, the standard IVF-bounded kNN-graph cost (an
     // NN-descent refinement would cut constants further but is
     // iteration-heavy; the one-pass probe is the right first graph).
-    "sim_knn_graph" -> ((s, dir) => {
-      val all = quantized(s, dir)
-      val (postings, cent) = ivfIndexCached(s, dir, all)
-      ivfProbe(all, postings, cent, GRAPH_PROBES)
-        .withColumnRenamed("query_id", "vec_id")
-        .orderBy(col("vec_id"), col("rank"))
-    }),
+    // Serves the top-TOP_K prefix of the SHARED persisted degree-
+    // BEAM_GRAPH_K graph artifact (rank ≤ k of the same deterministic
+    // ranking — identical rows to a direct k=TOP_K probe), so the
+    // n^1.5 graph build is paid once per session/pass and both this
+    // query and the beam-search traversal load it.
+    "sim_knn_graph" -> ((s, dir) =>
+      knnGraphCached(s, dir)
+        .filter(col("rank") <= TOP_K)
+        .orderBy(col("vec_id"), col("rank"))),
 
     // GRAPH-TRAVERSAL ANN (the HNSW/NSW family): beam search over a
     // persisted navigable kNN graph. Construction is the distributed
@@ -943,12 +965,7 @@ object Similarity extends QueryGroup {
     // pinned in QueryContractsSpec.
     "sim_graph_beam_ann" -> ((s, dir) => {
       val all = quantized(s, dir).localCheckpoint(false)
-      val (postings, cent) = ivfIndexCached(s, dir, all)
-      val graphName =
-        s"knn_graph_l${IVF_LISTS}r${IVF_ITERS}a${IVF_ASSIGN_R}p${GRAPH_PROBES}k$BEAM_GRAPH_K"
-      val knn = graft.util.IndexStore.loadOrBuild(s, dir, graphName)(
-        ivfProbe(all, postings, cent, GRAPH_PROBES, BEAM_GRAPH_K)
-          .withColumnRenamed("query_id", "vec_id"))
+      val knn = knnGraphCached(s, dir)
       val edges = knn
         .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
         .unionByName(knn.select(col("neighbor_id").as("src"), col("vec_id").as("dst")))

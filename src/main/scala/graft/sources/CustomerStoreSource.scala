@@ -2,11 +2,12 @@ package graft.sources
 
 import java.util.{Map => JMap}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -57,8 +58,52 @@ import graft.pipeline.{CustomerSchema, CustomerStore}
   * and the driver-side touched-email set are metadata-scale, not
   * table-scale.
   */
-class CustomerStoreSource extends TableProvider with DataSourceRegister {
+class CustomerStoreSource extends TableProvider with DataSourceRegister
+    with CreatableRelationProvider {
   override def shortName(): String = "graft-store"
+
+  /** The writer-API entry (`df.write.format("graft-store")`):
+    * DataFrameWriter.save routes a V1_BATCH_WRITE table through the
+    * V1 CreatableRelationProvider bridge (its V2 branch requires full
+    * BATCH_WRITE — a per-task writer that could not stage the store's
+    * one atomic multi-file commit), so this delegates to the SAME
+    * [[CustomerStore.insertNew]] the SQL INSERT path uses. Append
+    * inserts with UNIQUE first-wins dedup; ErrorIfExists/Ignore honor
+    * their contracts against "store has any commit"; Overwrite is
+    * rejected — the store is an append/merge/delete commit log.
+    */
+  override def createRelation(ctx: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode, parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val path = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("path") => v
+    }.getOrElse(throw new IllegalArgumentException("graft-store requires a path"))
+    require(!parameters.keys.exists(k => k.equalsIgnoreCase("versionAsOf") ||
+        k.equalsIgnoreCase("timestampAsOf")),
+      "graft-store: a time-travel table is read-only")
+    val store = new CustomerStore(data.sparkSession, path)
+    def doInsert(): Unit = {
+      val cols = CustomerSchema.tableSchema.fieldNames
+      store.insertNew(data.select(cols.head, cols.tail: _*)): Unit
+    }
+    import org.apache.spark.sql.SaveMode._
+    mode match {
+      case Append => doInsert()
+      case ErrorIfExists =>
+        if (store.currentVersion() > 0L)
+          throw new IllegalStateException(s"graft-store at $path already has commits")
+        doInsert()
+      case Ignore => if (store.currentVersion() == 0L) doInsert()
+      case Overwrite =>
+        throw new UnsupportedOperationException(
+          "graft-store: overwrite is not supported — the store is an " +
+            "append/merge/delete commit log (use delete + insert, or RESTORE)")
+    }
+    new BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+      override def schema: StructType = CustomerSchema.tableSchema
+    }
+  }
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     CustomerSchema.tableSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -74,13 +119,98 @@ class CustomerStoreSource extends TableProvider with DataSourceRegister {
 }
 
 class CustomerStoreTable(path: String, versionAsOf: Option[Long],
-    timestampAsOf: Option[Long]) extends Table with SupportsRead {
+    timestampAsOf: Option[Long]) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_store($path)"
   override def schema(): StructType = CustomerSchema.tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CustomerStoreScanBuilder(path, versionAsOf, timestampAsOf)
+
+  /** APPEND through the store's own commit protocol: the write routes
+    * to [[CustomerStore.insertNew]] — UNIQUE(id)/UNIQUE(email)
+    * first-wins dedup, one staged atomic commit, feed + stats
+    * manifests, version + 1 — so `df.write.format("graft-store")` and
+    * SQL `INSERT INTO` are the SAME operation as the API insert, not a
+    * bypass. The V1 write bridge is deliberate: the store's commit is
+    * driver-orchestrated Spark jobs (anti-join dedup, staged rename),
+    * exactly what InsertableRelation hands us; a per-task DataWriter
+    * could not stage one atomic multi-file commit. Overwrite and
+    * writes against a time-travel read are rejected loudly.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(versionAsOf.isEmpty && timestampAsOf.isEmpty,
+      "graft-store: a time-travel table is read-only")
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              require(!overwrite,
+                "graft-store: overwrite is not supported — the store is an " +
+                  "append/merge/delete commit log (use delete + insert, or RESTORE)")
+              val cols = CustomerSchema.tableSchema.fieldNames
+              new CustomerStore(data.sparkSession, path)
+                .insertNew(data.select(cols.head, cols.tail: _*)): Unit
+            }
+          }
+      }
+    }
+  }
+}
+
+/** Catalog plugin: register once per session
+  * (`spark.conf.set("spark.sql.catalog.graft_store",
+  * "graft.sources.GraftStoreCatalog")` — catalogs resolve lazily, so a
+  * runtime conf set suffices) and every store directory is a SQL table
+  * name:
+  *
+  * {{{
+  *   SELECT * FROM graft_store.`/data/customers/store`
+  *   SELECT * FROM graft_store.`…` VERSION AS OF 2
+  *   SELECT * FROM graft_store.`…` TIMESTAMP AS OF '1970-01-01 …'
+  *   INSERT INTO graft_store.`…` SELECT …
+  * }}}
+  *
+  * The identifier's name IS the store path (the `delta.`/path``
+  * convention). `VERSION AS OF` / `TIMESTAMP AS OF` route through the
+  * same reconstruction as the reader options (timestamps arrive in
+  * MICROseconds from Spark and the store's commit registry keeps
+  * millis). DDL (create/alter/drop/rename) is intentionally
+  * unsupported — stores are created by their first commit.
+  */
+class GraftStoreCatalog extends TableCatalog {
+  private var catalogName: String = _
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  private def pathOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString("/")
+
+  override def tableExists(ident: Identifier): Boolean =
+    new java.io.File(pathOf(ident)).isDirectory
+
+  override def loadTable(ident: Identifier): Table =
+    new CustomerStoreTable(pathOf(ident), None, None)
+  override def loadTable(ident: Identifier, version: String): Table =
+    new CustomerStoreTable(pathOf(ident), Some(version.toLong), None)
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    new CustomerStoreTable(pathOf(ident), None, Some(timestampMicros / 1000L))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    throw new UnsupportedOperationException(
+      "graft_store catalog: tables are store paths; listing is not supported")
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft_store catalog: stores are created by their first commit, not DDL")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft_store catalog: ALTER is not supported")
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("graft_store catalog: DROP is not supported")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft_store catalog: RENAME is not supported")
 }
 
 class CustomerStoreScanBuilder(path: String, versionAsOf: Option[Long],

@@ -140,6 +140,61 @@ class CustomerStoreSourceSpec extends SparkSpec {
         key(store.asOfTimestamp(ts)), s"timestampAsOf=$ts diverged")
   }
 
+  test("append via the writer API runs the UNIQUE first-wins insert through the commit protocol") {
+    val path = tmpDir("dsv2-write") + "/store"
+    block(1L, 20L).write.format("graft-store").option("path", path)
+      .mode("append").save()
+    val store = new CustomerStore(spark, path)
+    assert(store.currentVersion() === 1L)
+    assert(store.all().count() === 20L)
+    // 5 id-conflicts (stored ids, new emails), 5 email-conflicts (new
+    // ids, stored emails), 10 fresh — only the fresh may land.
+    val batch = rows(
+      (1 to 5).map(i => (i.toLong, "X", "X", s"nu$i@example.com", "999")) ++
+        (1 to 5).map(i => ((100 + i).toLong, "Y", "Y", s"u${i + 5}@example.com", "999")) ++
+        (41 to 50).map(i => (i.toLong, s"F$i", s"L$i", s"u$i@example.com", s"555-$i")): _*)
+    batch.write.format("graft-store").option("path", path).mode("append").save()
+    assert(store.currentVersion() === 2L, "the write must be one staged commit")
+    assert(store.all().count() === 30L,
+      "UNIQUE(id)/UNIQUE(email) semantics must hold through the connector write")
+    assert(key(cat(path)) === key(store.all()))
+  }
+
+  test("overwrite mode and time-travel writes are rejected") {
+    val path = tmpDir("dsv2-wrej") + "/store"
+    block(1L, 5L).write.format("graft-store").option("path", path)
+      .mode("append").save()
+    intercept[Exception] {
+      block(6L, 9L).write.format("graft-store").option("path", path)
+        .mode("overwrite").save()
+    }
+    intercept[Exception] {
+      block(6L, 9L).write.format("graft-store").option("path", path)
+        .option("versionAsOf", "1").mode("append").save()
+    }
+    assert(new CustomerStore(spark, path).all().count() === 5L,
+      "a rejected write must leave the store untouched")
+  }
+
+  test("SQL catalog: SELECT, VERSION AS OF, and INSERT INTO address the store by path") {
+    spark.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+    val path = tmpDir("dsv2-cat") + "/store"
+    val store = buildStore(path)
+    assert(key(spark.sql(s"SELECT * FROM graft_store.`$path`")) === key(store.all()))
+    assert(key(spark.sql(s"SELECT * FROM graft_store.`$path` VERSION AS OF 2")) ===
+      key(store.asOf(2L)))
+    val before = store.all().count()
+    spark.sql(
+      s"""INSERT INTO graft_store.`$path`
+          SELECT id + 9000, first_name, last_name, concat('z', email), phone,
+            uploaded, created_ts, modified_ts
+          FROM graft_store.`$path` WHERE id BETWEEN 11 AND 15""")
+    assert(store.currentVersion() === 6L, "INSERT INTO must be one commit")
+    assert(store.all().count() === before + 5L)
+    assert(spark.sql(s"SELECT count(*) FROM graft_store.`$path` WHERE id > 9000")
+      .head().getLong(0) === 5L)
+  }
+
   test("filters compose with time travel (applied post-reconstruction)") {
     val path = tmpDir("dsv2-ttf") + "/store"
     val store = buildStore(path)
