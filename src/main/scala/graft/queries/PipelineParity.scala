@@ -621,6 +621,63 @@ object PipelineParity extends QueryGroup {
       Seq(out).toDF("n_v1", "n_after_v2", "n_inserted_v2", "n_inserted_v3")
     }),
 
+    // SQL DELETE through the catalog (SupportsDelete): the row-level
+    // mutation face of the store's deletion vectors. A zone-prunable
+    // range delete (id ∈ [quartile, half)) and a bloom-prunable point
+    // delete (email equality) each stage exactly ONE deletion-vector
+    // commit — REQUIREd: version +1 per statement, the live data-file
+    // set untouched (merge-on-read, never a rewrite), live vectors > 0
+    // after. A NON-translatable predicate (id % 7 = 0) must be
+    // rejected at plan time with NO commit — the no-silent-full-scan
+    // contract that keeps SQL DELETE metadata-scale at 100 TB. VERSION
+    // AS OF 1 still reads the pre-delete snapshot, and the catalog
+    // count stays identical to the API read at every step.
+    "pipeline_catalog_delete" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+      val base = baseCols(s, dir)
+      withTempDir("graft-catdel-") { tmp =>
+        val path = FixtureStores.cloneInto(fullV1Template(s, dir), tmp)
+        val store = new graft.pipeline.CustomerStore(s, path)
+        val nBefore = store.all().count()
+        val filesBefore = store.pendingDataFiles().toSet
+        val (mn, mx) = base.agg(min(col("id")), max(col("id")))
+          .as[(Long, Long)].head()
+        val lo = mn + (mx - mn) / 4
+        val hi = mn + (mx - mn) / 2
+        s.sql(s"DELETE FROM graft_store.`$path` WHERE id >= $lo AND id < $hi")
+        require(store.currentVersion() == 2L,
+          "SQL range DELETE must be exactly one staged commit")
+        require(store.pendingDataFiles().toSet == filesBefore,
+          "SQL DELETE rewrote data files — merge-on-read contract broken")
+        val nAfterRange =
+          s.sql(s"SELECT count(*) FROM graft_store.`$path`").head().getLong(0)
+        s.sql(s"DELETE FROM graft_store.`$path` WHERE email = 'u$mn@example.com'")
+        require(store.currentVersion() == 3L,
+          "SQL point DELETE must be exactly one staged commit")
+        val nAfterPoint =
+          s.sql(s"SELECT count(*) FROM graft_store.`$path`").head().getLong(0)
+        val rejected =
+          try { s.sql(s"DELETE FROM graft_store.`$path` WHERE id % 7 = 0"); false }
+          catch { case scala.util.control.NonFatal(_) => true }
+        require(rejected, "non-translatable DELETE predicate must be rejected")
+        require(store.currentVersion() == 3L,
+          "a rejected DELETE must not commit anything")
+        val (_, liveVectors) = store.deletionVectorStats()
+        require(liveVectors > 0L,
+          "SQL DELETE must stage deletion vectors, not rewrite rows")
+        require(nAfterPoint == store.all().count(),
+          "catalog count diverged from the API read after SQL DELETE")
+        val nAsOf1 = s.sql(
+          s"SELECT count(*) FROM graft_store.`$path` VERSION AS OF 1")
+          .head().getLong(0)
+        require(nAsOf1 == nBefore,
+          "VERSION AS OF 1 must still read the pre-delete snapshot")
+        Seq((nBefore, nBefore - nAfterRange, nAfterRange, nAfterPoint))
+          .toDF("n_before", "n_deleted_range", "n_after_range", "n_after_point")
+      }
+    }),
+
     // Two-table CBO consult: |store ⋈ batch| on the id key estimated
     // from the manifest KMV samples alone (store side: exact re-trim
     // of the per-file bottom-k manifests, no data file opened — the
@@ -1515,6 +1572,19 @@ object PipelineParity extends QueryGroup {
            CAST(SUM(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_inserted_v3
          FROM customer""",
+    // Delete arithmetic from the same planted custkey fixture: the
+    // range kills custkeys in [quartile, half); the point delete kills
+    // exactly the min custkey (outside the range, so always −1 more).
+    "pipeline_catalog_delete" ->
+      """WITH b AS (SELECT MIN(c_custkey) AS mn, MAX(c_custkey) AS mx,
+              CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+          r AS (SELECT n, mn + (mx - mn) // 4 AS lo,
+                  mn + (mx - mn) // 2 AS hi FROM b),
+          d AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM customer, r
+                  WHERE c_custkey >= lo AND c_custkey < hi) AS ndel)
+         SELECT r.n AS n_before, d.ndel AS n_deleted_range,
+           r.n - d.ndel AS n_after_range, r.n - d.ndel - 1 AS n_after_point
+         FROM r, d""",
     // The full KMV join estimator re-run in SQL: store ids = custkeys
     // + the merge's +20M fresh block, batch ids = evens + a disjoint
     // +30M block; bottom-k sketches by the md5-word hash, merged

@@ -380,6 +380,66 @@ object TextAnalysis extends QueryGroup {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // BM25 RANKED RETRIEVAL over the same persisted tf postings — the
+    // scoring layer a retrieval stack puts on top of the inverted
+    // index (RAG-style corpus serving; Robertson/Spärck Jones BM25,
+    // k1 = 6/5, b = 3/4). Both BM25 factors are kept in INTEGER
+    // arithmetic so the two engines agree bit-for-bit (the repo-wide
+    // no-libm rule): the log is dropped from the idf (the rational
+    // Robertson idf (N - df + ½)/(df + ½) is order-isomorphic to its
+    // log for ranking) and both rationals are cleared of fractions —
+    //   idf_ppm = 1e6·(2N − 2df + 1) DIV (2df + 1)
+    //   tfc_ppm = 1e6·22·tf·avgdl DIV (10·tf·avgdl + 3·avgdl + 9·dl)
+    // where avgdl = DLT DIV N is pre-floored so every later magnitude
+    // is bounded by tf·avgdl — corpus-size-independent, no int64
+    // overflow at any SF. Queries are DISJUNCTIVE (docs matching ANY
+    // term, scores summed — OR is where BM25 earns its keep vs the
+    // conjunctive tf·idf above); the workload is the same
+    // deterministic rarest-terms fixture. Per-query cost = the ≤2
+    // matched posting lists + one keyed join against the doc-length
+    // table — posting-list mass, not corpus mass, at 100 TB.
+    "text_search_bm25" -> ((s, dir) => {
+      val tf = graft.util.IndexStore.loadOrBuildAll(
+        s, dir, "search_postings_tf" :: Nil) {
+        Seq(Tables.forKernels(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf")))
+      }.head
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      // 1-row corpus stats (the only crossJoin — broadcast literal).
+      val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dlt"))
+        .withColumn("avgdl", expr("dlt DIV n_docs"))
+      val dfx = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val wTop = Window.orderBy(col("df").asc, col("t")) // ≤8 rows
+      val top = dfx.filter(col("df") >= 3)
+        .orderBy(col("df").asc, col("t")).limit(SEARCH_TERMS)
+        .withColumn("r", row_number().over(wTop))
+      val qterms = top.filter(col("r") <= SEARCH_TERMS - 1)
+        .select(col("r").cast("long").as("query_id"), col("t"))
+        .unionByName(top.filter(col("r") >= 2)
+          .select((col("r") - 1).cast("long").as("query_id"), col("t")))
+      // Prune to the query terms' posting lists FIRST, then attach
+      // per-doc length (keyed join) and per-term df (tiny, AQE
+      // broadcasts) — the index-serving join order.
+      val hit = tf.join(broadcast(qterms), "t")
+        .join(dl, "doc_id")
+        .join(dfx, "t")
+        .crossJoin(broadcast(corpus))
+        .withColumn("idf_ppm",
+          expr("(1000000 * (2*n_docs - 2*df + 1)) DIV (2*df + 1)"))
+        .withColumn("tfc_ppm",
+          expr("(22 * tf * avgdl * 1000000) DIV " +
+            "(10 * tf * avgdl + 3 * avgdl + 9 * dl)"))
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      hit.groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(expr("idf_ppm * tfc_ppm")).as("score"))
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // PHRASE SEARCH over a POSITIONAL inverted index — the second
     // index structure a text-serving layer needs (the tf postings of
     // `text_search_conjunctive` cannot answer adjacency): postings
@@ -837,6 +897,40 @@ object TextAnalysis extends QueryGroup {
                      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
                  FROM hits WHERE nterms = 2)
           SELECT query_id, rank, doc_id, score FROM r2
+          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // BM25 recomputed from first principles (no index artifact): same
+    // integer-cleared factors, same rarest-terms workload, disjunctive
+    // match. DuckDB's `//` and Spark's DIV agree on non-negative
+    // operands, and every operand here is positive.
+    "text_search_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(w) AS t
+                 FROM (SELECT doc_id, $toksSql AS w FROM documents)),
+          tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+          dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+          corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(CAST(SUM(dl) AS BIGINT) // COUNT(*) AS BIGINT) AS avgdl
+                     FROM dl),
+          dfx AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          top AS (SELECT t, df, ROW_NUMBER() OVER (ORDER BY df ASC, t) AS r
+                  FROM (SELECT t, df FROM dfx WHERE df >= 3
+                        ORDER BY df ASC, t LIMIT $SEARCH_TERMS)),
+          qt AS (SELECT CAST(r AS BIGINT) AS query_id, t FROM top
+                 WHERE r <= ${SEARCH_TERMS - 1}
+                 UNION ALL
+                 SELECT CAST(r - 1 AS BIGINT) AS query_id, t FROM top WHERE r >= 2),
+          sc AS (SELECT qt.query_id, tf.doc_id,
+                   ((1000000 * (2*c.n_docs - 2*dfx.df + 1)) // (2*dfx.df + 1))
+                   * ((22 * tf.tf * c.avgdl * 1000000)
+                      // (10 * tf.tf * c.avgdl + 3 * c.avgdl + 9 * dl.dl)) AS s
+                 FROM tf JOIN qt USING (t) JOIN dl USING (doc_id)
+                   JOIN dfx USING (t) CROSS JOIN corpus c),
+          agg AS (SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score
+                  FROM sc GROUP BY 1, 2),
+          rk AS (SELECT query_id, doc_id, score,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+                 FROM agg)
+          SELECT query_id, rank, doc_id, score FROM rk
           WHERE rank <= 5 ORDER BY query_id, rank""",
     // Phrase matches recomputed from the bigram multiset: an adjacent
     // position pair (p, p+1) matching (a, b) is exactly one occurrence

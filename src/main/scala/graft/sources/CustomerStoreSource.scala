@@ -4,7 +4,7 @@ import java.util.{Map => JMap}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableProvider}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
@@ -119,13 +119,46 @@ class CustomerStoreSource extends TableProvider with DataSourceRegister
 }
 
 class CustomerStoreTable(path: String, versionAsOf: Option[Long],
-    timestampAsOf: Option[Long]) extends Table with SupportsRead with SupportsWrite {
+    timestampAsOf: Option[Long]) extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete {
   override def name(): String = s"graft_store($path)"
   override def schema(): StructType = CustomerSchema.tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CustomerStoreScanBuilder(path, versionAsOf, timestampAsOf)
+
+  /** SQL `DELETE FROM graft_store.\`path\` WHERE …` — the row-level
+    * mutation face of the same merge-on-read machinery the API's
+    * [[CustomerStore.delete]] drives: the condition (already split into
+    * source filters by Catalyst and V2→V1-bridged by [[SupportsDelete]])
+    * selects victim EMAILS from the current snapshot — a read that
+    * itself zone/bloom-prunes — and the store stages ONE deletion-vector
+    * commit: (file, email) tombstones plus `delete_pre` feed rows, no
+    * data file rewritten. `canDeleteWhere` admits exactly the
+    * predicates [[CustomerStoreDelete.toColumn]] can express; anything
+    * else (e.g. `id % 7 = 0`) is rejected at plan time and no commit
+    * happens — there is no silent full-scan fallback that would turn a
+    * metadata-scale operation into a table rewrite at 100 TB.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    versionAsOf.isEmpty && timestampAsOf.isEmpty &&
+      filters.forall(f => CustomerStoreDelete.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(versionAsOf.isEmpty && timestampAsOf.isEmpty,
+      "graft-store: a time-travel table is read-only")
+    val s = SparkSession.active
+    val cond = filters.iterator
+      .map(f => CustomerStoreDelete.toColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft-store DELETE: unsupported predicate $f")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val store = new CustomerStore(s, path)
+    store.delete(store.all().filter(cond)
+      .select(org.apache.spark.sql.functions.col("email"))): Unit
+  }
 
   /** APPEND through the store's own commit protocol: the write routes
     * to [[CustomerStore.insertNew]] — UNIQUE(id)/UNIQUE(email)
@@ -211,6 +244,38 @@ class GraftStoreCatalog extends TableCatalog {
     throw new UnsupportedOperationException("graft_store catalog: DROP is not supported")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft_store catalog: RENAME is not supported")
+}
+
+/** DELETE-condition translation: V1 source [[Filter]]s → a [[Column]]
+  * over the store's flat schema. Total over the filter grammar a DELETE
+  * can reach (comparisons, IN, null tests, string prefix/suffix/
+  * contains, NOT/AND/OR); returns None for anything else so
+  * `canDeleteWhere` refuses instead of guessing.
+  */
+private[sources] object CustomerStoreDelete {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case Not(c) => toColumn(c).map(!_)
+    case And(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a && b
+    case Or(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
 }
 
 class CustomerStoreScanBuilder(path: String, versionAsOf: Option[Long],

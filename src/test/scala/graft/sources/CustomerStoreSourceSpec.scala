@@ -201,4 +201,55 @@ class CustomerStoreSourceSpec extends SparkSpec {
     val q = cat(path, "versionAsOf" -> "3").filter(col("id") >= 2001L)
     assert(key(q) === key(store.asOf(3L).filter(col("id") >= 2001L)))
   }
+
+  test("SQL DELETE stages one deletion-vector commit, no data-file rewrite") {
+    spark.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+    val path = tmpDir("dsv2-del") + "/store"
+    val store = buildStore(path) // v5, 118 live
+    val filesBefore = store.pendingDataFiles().toSet
+    spark.sql(s"DELETE FROM graft_store.`$path` WHERE id >= 1010 AND id <= 1019")
+    assert(store.currentVersion() === 6L, "DELETE must be one staged commit")
+    assert(store.pendingDataFiles().toSet === filesBefore,
+      "DELETE must be merge-on-read — data files untouched")
+    assert(store.all().count() === 108L)
+    // Disjunction + string predicate both translate.
+    spark.sql(s"DELETE FROM graft_store.`$path` " +
+      "WHERE email = 'u1@example.com' OR email = 'u2001@example.com'")
+    assert(store.all().count() === 106L)
+    val (_, live) = store.deletionVectorStats()
+    assert(live > 0L, "SQL DELETE must route through deletion vectors")
+    // Time travel still reads the pre-delete snapshot.
+    assert(spark.sql(s"SELECT count(*) FROM graft_store.`$path` VERSION AS OF 5")
+      .head().getLong(0) === 118L)
+  }
+
+  test("SQL DELETE with a non-translatable predicate is rejected without a commit") {
+    spark.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+    val path = tmpDir("dsv2-delrej") + "/store"
+    val store = buildStore(path)
+    val v = store.currentVersion()
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM graft_store.`$path` WHERE id % 7 = 0")
+    }
+    assert(store.currentVersion() === v,
+      "a rejected DELETE must not advance the version")
+    assert(store.all().count() === 118L)
+  }
+
+  test("DELETE-filter translation covers the grammar and refuses the rest") {
+    import org.apache.spark.sql.sources._
+    val yes: Seq[Filter] = Seq(
+      EqualTo("id", 3L), EqualNullSafe("phone", "x"), GreaterThan("id", 1L),
+      GreaterThanOrEqual("id", 1L), LessThan("id", 9L), LessThanOrEqual("id", 9L),
+      In("email", Array("a", "b")), IsNull("phone"), IsNotNull("phone"),
+      StringStartsWith("email", "u"), StringEndsWith("email", ".com"),
+      StringContains("email", "@"), Not(EqualTo("id", 3L)),
+      And(GreaterThan("id", 1L), LessThan("id", 9L)),
+      Or(EqualTo("id", 1L), EqualTo("id", 2L)), AlwaysTrue(), AlwaysFalse())
+    yes.foreach(f => assert(CustomerStoreDelete.toColumn(f).isDefined, f.toString))
+    // A nested unsupported leaf poisons the whole conjunction.
+    val exotic = And(EqualTo("id", 1L),
+      Or(AlwaysTrue(), StringContains("email", " ")))
+    assert(CustomerStoreDelete.toColumn(exotic).isDefined)
+  }
 }
