@@ -87,5 +87,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "char_stats(text) - [n_distinct_chars, top_char_count, collision_mass]"),
       (children: Seq[Expression]) =>
         CharStatsExpr(checkArity("char_stats", children, 1).head)))
+    // SQL MERGE INTO for graft-store tables: the analyzed MergeIntoTable
+    // is rewritten post-hoc into MergeIntoStoreCommand so the statement
+    // runs through the store's own commit protocol (see plans.StoreMerge).
+    ext.injectPostHocResolutionRule(graft.plans.ResolveStoreMerge)
   }
 }

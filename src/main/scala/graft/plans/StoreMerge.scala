@@ -1,0 +1,163 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.CustomerStoreTable
+
+/** SQL `MERGE INTO` for the graft-store catalog — the third row-level
+  * SQL surface beside INSERT INTO (V1 write bridge) and DELETE FROM
+  * (SupportsDelete). Spark's own v2 MERGE rewrite requires a
+  * group-replacement (copy-on-write) `SupportsRowLevelOperations`
+  * writer, which would bypass the store's commit protocol — its change
+  * feed, stats manifests, and UNIQUE salvage live in
+  * [[graft.pipeline.CustomerStoreApi.merge]]. So the engine instead
+  * intercepts the analyzed [[MergeIntoTable]] in a post-hoc resolution
+  * rule (the pre-row-level-ops pattern Delta Lake shipped MERGE with)
+  * and routes the canonical email-keyed upsert shape to the SAME
+  * `merge` the API path uses:
+  *
+  * {{{
+  *   MERGE INTO graft_store.`path` t USING src s
+  *   ON t.email = s.email
+  *   WHEN MATCHED THEN UPDATE SET
+  *     t.first_name = s.first_name, t.last_name = s.last_name,
+  *     t.phone = s.phone
+  *   WHEN NOT MATCHED THEN INSERT (id, first_name, last_name, email, phone)
+  *     VALUES (s.id, s.first_name, s.last_name, s.email, s.phone)
+  * }}}
+  *
+  * Exactly this shape — email equi-key, full payload update, 5-column
+  * insert, no extra/conditional actions, no schema evolution — because
+  * it is exactly the store's merge CONTRACT (update payload + touch
+  * modified_ts keeping id/uploaded/created_ts; identical matches
+  * untouched — the idempotency refinement; unmatched rows insert
+  * unless their id collides, reference UNIQUE-salvage semantics,
+  * csv-crm-upload database/database.go:15-20). Any other MERGE shape
+  * against a graft store fails ANALYSIS loudly rather than silently
+  * bending those semantics. The command returns the same counters as
+  * [[graft.pipeline.MergeResult]].
+  */
+case class MergeIntoStoreCommand(path: String, source: LogicalPlan)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("n_updated", LongType, nullable = false)(),
+    AttributeReference("n_inserted", LongType, nullable = false)(),
+    AttributeReference("n_unchanged", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    // merge() takes a full-schema batch (the INSERT leg lands verbatim):
+    // enrich exactly like the ingest path — uploaded=false, fresh
+    // created_ts/modified_ts; the UPDATE leg keeps the STORED
+    // uploaded/created_ts regardless, per the merge contract.
+    val batch = graft.pipeline.Ingest.enrich(
+      org.apache.spark.sql.graft.PlanDataFrame.ofRows(spark, source)
+        .select("id", "first_name", "last_name", "email", "phone"))
+    val r = new graft.pipeline.CustomerStore(spark, path).merge(batch)
+    Seq(Row(r.nUpdated, r.nInserted, r.nUnchanged))
+  }
+}
+
+/** Post-hoc resolution rule (registered by [[graft.GraftExtensions]]):
+  * rewrites the supported MERGE shape over a graft-store relation into
+  * [[MergeIntoStoreCommand]]. Shape checks match on RESOLVED
+  * attributes (exprId membership in the target/source outputs), so
+  * aliased columns or expressions that merely share a name are
+  * rejected, not misread.
+  */
+case class ResolveStoreMerge(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private val Payload = Set("first_name", "last_name", "phone")
+  private val InsertCols = Set("id", "first_name", "last_name", "email", "phone")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case m: MergeIntoTable if m.resolved && storeOf(m.targetTable).isDefined =>
+      toCommand(m)
+  }
+
+  private def unwrap(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, child) => unwrap(child)
+    case other => other
+  }
+
+  private def storeOf(p: LogicalPlan): Option[CustomerStoreTable] =
+    unwrap(p) match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: CustomerStoreTable => Some(t)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def toCommand(m: MergeIntoTable): LogicalPlan = {
+    val table = storeOf(m.targetTable).get
+    def fail(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        "graft-store MERGE supports exactly the email-keyed upsert shape " +
+          "(ON t.email = s.email; WHEN MATCHED UPDATE SET first_name/" +
+          s"last_name/phone; WHEN NOT MATCHED INSERT the 5 base columns): $what")
+    if (table.versionAsOf.nonEmpty || table.timestampAsOf.nonEmpty)
+      fail("a time-travel table is read-only")
+    if (m.schemaEvolutionEnabled) fail("schema evolution is not supported")
+    if (m.notMatchedBySourceActions.nonEmpty)
+      fail("WHEN NOT MATCHED BY SOURCE is not supported")
+
+    val targetIds = m.targetTable.output.map(_.exprId).toSet
+    val sourceIds = m.sourceTable.output.map(_.exprId).toSet
+    def asTarget(e: Expression): Option[String] = e match {
+      case a: AttributeReference if targetIds.contains(a.exprId) => Some(a.name.toLowerCase)
+      case _ => None
+    }
+    // Assignment alignment wraps source values in value-preserving
+    // shells (AssertNotNull for non-nullable target columns, Alias);
+    // strip those — but NOT Cast, a type change is not a column copy.
+    def strip(e: Expression): Expression = e match {
+      case org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(c, _) =>
+        strip(c)
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => strip(a.child)
+      case other => other
+    }
+    def asSource(e: Expression): Option[String] = strip(e) match {
+      case a: AttributeReference if sourceIds.contains(a.exprId) => Some(a.name.toLowerCase)
+      case _ => None
+    }
+
+    m.mergeCondition match {
+      case EqualTo(l, r)
+        if (asTarget(l).contains("email") && asSource(r).contains("email")) ||
+           (asTarget(r).contains("email") && asSource(l).contains("email")) => ()
+      case other => fail(s"unsupported ON condition $other")
+    }
+
+    // Each assignment must be target-column = same-named source column.
+    def sameNamePairs(as: Seq[org.apache.spark.sql.catalyst.plans.logical.Assignment],
+        expect: Set[String], what: String): Unit = {
+      val names = as.map { a =>
+        (asTarget(a.key), asSource(a.value)) match {
+          case (Some(k), Some(v)) if k == v => k
+          case _ => fail(s"$what assignment ${a.key} = ${a.value} is not " +
+            "a same-named target-from-source column copy")
+        }
+      }
+      if (names.toSet != expect || names.length != expect.size)
+        fail(s"$what must assign exactly ${expect.toSeq.sorted.mkString(", ")}")
+    }
+
+    m.matchedActions match {
+      case Seq(UpdateAction(None, as, _)) => sameNamePairs(as, Payload, "UPDATE")
+      case other => fail(s"unsupported WHEN MATCHED actions $other")
+    }
+    m.notMatchedActions match {
+      case Seq(InsertAction(None, as)) => sameNamePairs(as, InsertCols, "INSERT")
+      case other => fail(s"unsupported WHEN NOT MATCHED actions $other")
+    }
+
+    MergeIntoStoreCommand(table.path, m.sourceTable)
+  }
+}

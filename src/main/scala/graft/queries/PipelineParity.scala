@@ -621,6 +621,63 @@ object PipelineParity extends QueryGroup {
       Seq(out).toDF("n_v1", "n_after_v2", "n_inserted_v2", "n_inserted_v3")
     }),
 
+    // SQL MERGE INTO through the catalog: the analyzed MergeIntoTable is
+    // rewritten post-hoc (plans.ResolveStoreMerge) into the SAME
+    // CustomerStoreApi.merge the API path runs — email-keyed upsert,
+    // payload update + modified_ts touch keeping id/uploaded/created_ts,
+    // identical matches untouched, unmatched inserts salvaged on id
+    // conflict. Planted classes: %3==0 changed-phone updates, %3==1
+    // identical, %10==0 fresh (+30M ids), %10==3 id-conflicts (stored
+    // id, new email — must salvage away). REQUIREs: one staged commit,
+    // a MERGE shape outside the contract (WHEN MATCHED DELETE) rejected
+    // at analysis with NO commit, zero conflict emails in the table.
+    // The statement returns the merge counters; post-state re-derived
+    // from the STORE pins the effect, all oracle-checked.
+    "pipeline_catalog_merge" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+      val base = baseCols(s, dir)
+      withTempDir("graft-catmerge-") { tmp =>
+        val path = FixtureStores.cloneInto(fullV1Template(s, dir), tmp)
+        val store = new graft.pipeline.CustomerStore(s, path)
+        val updates = base.filter(col("id") % 3 === 0)
+          .withColumn("phone", concat(lit("999-"), col("id")))
+        val identical = base.filter(col("id") % 3 === 1)
+        val fresh = base.filter(col("id") % 10 === 0)
+          .withColumn("id", col("id") + 30000000L)
+          .withColumn("email", concat(lit("new"), col("id"), lit("@example.com")))
+        val conf = base.filter(col("id") % 10 === 3)
+          .withColumn("email", concat(lit("conf"), col("id"), lit("@example.com")))
+        updates.unionByName(identical).unionByName(fresh).unionByName(conf)
+          .createOrReplaceTempView("graft_catalog_merge_src")
+        val res = s.sql(
+          s"""MERGE INTO graft_store.`$path` t USING graft_catalog_merge_src s
+              ON t.email = s.email
+              WHEN MATCHED THEN UPDATE SET t.first_name = s.first_name,
+                t.last_name = s.last_name, t.phone = s.phone
+              WHEN NOT MATCHED THEN INSERT (id, first_name, last_name, email, phone)
+                VALUES (s.id, s.first_name, s.last_name, s.email, s.phone)""")
+          .head()
+        require(store.currentVersion() == 2L,
+          "SQL MERGE must be exactly one staged commit")
+        val rejected = try {
+          s.sql(s"""MERGE INTO graft_store.`$path` t USING graft_catalog_merge_src s
+                    ON t.email = s.email WHEN MATCHED THEN DELETE""")
+          false
+        } catch { case scala.util.control.NonFatal(_) => true }
+        require(rejected, "a MERGE shape outside the store contract must be rejected")
+        require(store.currentVersion() == 2L, "a rejected MERGE must not commit")
+        val st = store.all().localCheckpoint(true)
+        val nTotal = st.count()
+        val nPhone = st.filter(col("phone").startsWith("999-")).count()
+        require(st.filter(col("email").startsWith("conf")).count() == 0L,
+          "id-conflict inserts must salvage away")
+        Seq((res.getLong(0), res.getLong(1), res.getLong(2), nTotal, nPhone))
+          .toDF("n_updated", "n_inserted", "n_unchanged",
+            "n_total_after", "n_phone_updated")
+      }
+    }),
+
     // SQL DELETE through the catalog (SupportsDelete): the row-level
     // mutation face of the store's deletion vectors. A zone-prunable
     // range delete (id ∈ [quartile, half)) and a bloom-prunable point
@@ -1571,6 +1628,19 @@ object PipelineParity extends QueryGroup {
              AS n_inserted_v2,
            CAST(SUM(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_inserted_v3
+         FROM customer""",
+    // MERGE arithmetic from the same planted custkey fixture: %3==0
+    // update (and exactly those get 999- phones), %3==1 identical,
+    // %10==0 insert, %10==3 conflicts drop.
+    "pipeline_catalog_merge" ->
+      """SELECT
+           CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+           CAST(SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+           CAST(SUM(CASE WHEN c_custkey % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+           CAST(COUNT(*) + SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_total_after,
+           CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_phone_updated
          FROM customer""",
     // Delete arithmetic from the same planted custkey fixture: the
     // range kills custkeys in [quartile, half); the point delete kills

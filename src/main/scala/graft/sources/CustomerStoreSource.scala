@@ -118,8 +118,8 @@ class CustomerStoreSource extends TableProvider with DataSourceRegister
   }
 }
 
-class CustomerStoreTable(path: String, versionAsOf: Option[Long],
-    timestampAsOf: Option[Long]) extends Table with SupportsRead with SupportsWrite
+class CustomerStoreTable(val path: String, val versionAsOf: Option[Long],
+    val timestampAsOf: Option[Long]) extends Table with SupportsRead with SupportsWrite
     with SupportsDelete {
   override def name(): String = s"graft_store($path)"
   override def schema(): StructType = CustomerSchema.tableSchema

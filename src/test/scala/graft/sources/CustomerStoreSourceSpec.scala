@@ -236,6 +236,67 @@ class CustomerStoreSourceSpec extends SparkSpec {
     assert(store.all().count() === 118L)
   }
 
+  test("SQL MERGE INTO routes the email-keyed upsert through the store's merge") {
+    spark.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+    val path = tmpDir("dsv2-merge") + "/store"
+    val store = new CustomerStore(spark, path)
+    store.insertNew(block(1L, 20L)): Unit // v1
+    // 5 updates (changed phone), 5 identical, 5 fresh, 5 id-conflicts.
+    val src = rows(
+      ((1L to 5L).map(i => (i, s"F$i", s"L$i", s"u$i@example.com", s"999-$i")) ++
+       (6L to 10L).map(i => (i, s"F$i", s"L$i", s"u$i@example.com", s"555-$i")) ++
+       (31L to 35L).map(i => (i, s"F$i", s"L$i", s"new$i@example.com", s"555-$i")) ++
+       (11L to 15L).map(i => (i, s"F$i", s"L$i", s"conf$i@example.com", s"555-$i"))): _*)
+    src.createOrReplaceTempView("merge_src_spec")
+    val res = spark.sql(
+      s"""MERGE INTO graft_store.`$path` t USING merge_src_spec s
+          ON t.email = s.email
+          WHEN MATCHED THEN UPDATE SET t.first_name = s.first_name,
+            t.last_name = s.last_name, t.phone = s.phone
+          WHEN NOT MATCHED THEN INSERT (id, first_name, last_name, email, phone)
+            VALUES (s.id, s.first_name, s.last_name, s.email, s.phone)""")
+      .collect().head
+    assert((res.getLong(0), res.getLong(1), res.getLong(2)) === ((5L, 5L, 5L)),
+      "(n_updated, n_inserted, n_unchanged)")
+    assert(store.currentVersion() === 2L, "MERGE must be one staged commit")
+    val st = store.all()
+    assert(st.count() === 25L) // 20 + 5 fresh (id-conflicts salvaged away)
+    assert(st.filter(col("phone").startsWith("999-")).count() === 5L)
+    assert(st.filter(col("email").startsWith("conf")).count() === 0L)
+  }
+
+  test("SQL MERGE INTO rejects shapes outside the store's merge contract") {
+    spark.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+    val path = tmpDir("dsv2-mrej") + "/store"
+    val store = new CustomerStore(spark, path)
+    store.insertNew(block(1L, 5L)): Unit
+    rows((6L, "F6", "L6", "u6@example.com", "555-6"))
+      .createOrReplaceTempView("merge_src_rej")
+    def mustReject(sql: String): Unit = {
+      intercept[Exception] { spark.sql(sql) }
+      assert(store.currentVersion() === 1L, "a rejected MERGE must not commit")
+    }
+    // Key column rewrite in UPDATE (email is the merge key, not payload).
+    mustReject(
+      s"""MERGE INTO graft_store.`$path` t USING merge_src_rej s
+          ON t.email = s.email
+          WHEN MATCHED THEN UPDATE SET t.email = s.email
+          WHEN NOT MATCHED THEN INSERT (id, first_name, last_name, email, phone)
+            VALUES (s.id, s.first_name, s.last_name, s.email, s.phone)""")
+    // Non-email ON key.
+    mustReject(
+      s"""MERGE INTO graft_store.`$path` t USING merge_src_rej s
+          ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET t.phone = s.phone
+          WHEN NOT MATCHED THEN INSERT (id, first_name, last_name, email, phone)
+            VALUES (s.id, s.first_name, s.last_name, s.email, s.phone)""")
+    // WHEN MATCHED DELETE is not the store's merge contract.
+    mustReject(
+      s"""MERGE INTO graft_store.`$path` t USING merge_src_rej s
+          ON t.email = s.email
+          WHEN MATCHED THEN DELETE""")
+  }
+
   test("DELETE-filter translation covers the grammar and refuses the rest") {
     import org.apache.spark.sql.sources._
     val yes: Seq[Filter] = Seq(
