@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction}
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, InsertAction, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -79,6 +80,47 @@ case class ResolveStoreMerge(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case m: MergeIntoTable if m.resolved && storeOf(m.targetTable).isDefined =>
       toCommand(m)
+    case u: UpdateTable if u.resolved && storeOf(u.table).isDefined =>
+      toUpdateCommand(u)
+  }
+
+  /** SQL `UPDATE graft_store.\`path\` SET … WHERE …` — routed through
+    * the SAME merge: the batch is the current snapshot filtered by the
+    * WHERE clause with the SET expressions applied (arbitrary
+    * expressions over the row are fine — this is a read + merge, not a
+    * metadata delete, so nothing needs to be pushable), and merge's
+    * matched leg updates payload + touches modified_ts. Only the three
+    * payload columns are assignable: the email key, id, uploaded, and
+    * the timestamps are the store's to manage, and an UPDATE that
+    * rewrote the merge key would be a delete+insert in disguise.
+    */
+  private def toUpdateCommand(u: UpdateTable): LogicalPlan = {
+    val table = storeOf(u.table).get
+    def fail(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        "graft-store UPDATE supports SET over first_name/last_name/phone " +
+          s"with an optional WHERE: $what")
+    if (table.versionAsOf.nonEmpty || table.timestampAsOf.nonEmpty)
+      fail("a time-travel table is read-only")
+    val targetIds = u.table.output.map(_.exprId).toSet
+    val byName: Map[String, org.apache.spark.sql.catalyst.expressions.Expression] =
+      u.assignments.map { a =>
+        a.key match {
+          case ar: AttributeReference
+            if targetIds.contains(ar.exprId) &&
+               Payload.contains(ar.name.toLowerCase) =>
+            ar.name.toLowerCase -> a.value
+          case other => fail(s"cannot assign $other")
+        }
+      }.toMap
+    if (byName.isEmpty) fail("no payload assignment")
+    if (byName.size != u.assignments.length) fail("duplicate assignment")
+    val proj = u.table.output.map { a =>
+      byName.get(a.name.toLowerCase)
+        .map(v => Alias(v, a.name)()).getOrElse(a)
+    }
+    val child = u.condition.map(Filter(_, u.table)).getOrElse(u.table)
+    MergeIntoStoreCommand(table.path, Project(proj, child))
   }
 
   private def unwrap(p: LogicalPlan): LogicalPlan = p match {

@@ -678,6 +678,45 @@ object PipelineParity extends QueryGroup {
       }
     }),
 
+    // SQL UPDATE through the catalog: SET over the payload columns with
+    // an arbitrary WHERE, routed through the SAME merge as the API and
+    // MERGE INTO paths (batch = snapshot ⋅ WHERE ⋅ SET expressions, so
+    // nothing needs to be pushable — this is a read + one staged merge
+    // commit, never a rewrite). REQUIREs: one commit, the idempotency
+    // contract (SET phone = phone matches everything, updates nothing,
+    // commits nothing), and key/meta assignments (email) rejected at
+    // analysis with no commit.
+    "pipeline_catalog_update" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+      withTempDir("graft-catupd-") { tmp =>
+        val path = FixtureStores.cloneInto(fullV1Template(s, dir), tmp)
+        val store = new graft.pipeline.CustomerStore(s, path)
+        val res = s.sql(
+          s"""UPDATE graft_store.`$path`
+              SET phone = concat('999-', id) WHERE id % 4 = 1""").head()
+        require(store.currentVersion() == 2L,
+          "SQL UPDATE must be exactly one staged commit")
+        val res2 = s.sql(
+          s"UPDATE graft_store.`$path` SET phone = phone WHERE id % 4 = 1").head()
+        require(res2.getLong(0) == 0L && res2.getLong(1) == 0L,
+          "a value-identical UPDATE must update nothing (merge idempotency)")
+        val vAfterNoop = store.currentVersion()
+        val rejected = try {
+          s.sql(s"UPDATE graft_store.`$path` SET email = 'x@example.com' WHERE id = 1")
+          false
+        } catch { case scala.util.control.NonFatal(_) => true }
+        require(rejected, "assigning the email merge key must be rejected")
+        require(store.currentVersion() == vAfterNoop,
+          "a rejected UPDATE must not commit")
+        val st = store.all().localCheckpoint(true)
+        val nPhone = st.filter(col("phone").startsWith("999-")).count()
+        Seq((res.getLong(0), res.getLong(2), res2.getLong(2), nPhone, st.count()))
+          .toDF("n_updated", "n_unchanged", "n_noop_unchanged",
+            "n_phone_after", "n_total")
+      }
+    }),
+
     // SQL DELETE through the catalog (SupportsDelete): the row-level
     // mutation face of the store's deletion vectors. A zone-prunable
     // range delete (id ∈ [quartile, half)) and a bloom-prunable point
@@ -1641,6 +1680,18 @@ object PipelineParity extends QueryGroup {
              AS n_total_after,
            CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_phone_updated
+         FROM customer""",
+    // Update arithmetic: %4==1 rows get 999- phones; the no-op pass
+    // leaves every matched row unchanged.
+    "pipeline_catalog_update" ->
+      """SELECT
+           CAST(SUM(CASE WHEN c_custkey % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+           CAST(0 AS BIGINT) AS n_unchanged,
+           CAST(SUM(CASE WHEN c_custkey % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_noop_unchanged,
+           CAST(SUM(CASE WHEN c_custkey % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_phone_after,
+           CAST(COUNT(*) AS BIGINT) AS n_total
          FROM customer""",
     // Delete arithmetic from the same planted custkey fixture: the
     // range kills custkeys in [quartile, half); the point delete kills

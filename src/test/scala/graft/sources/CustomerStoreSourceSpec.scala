@@ -297,6 +297,50 @@ class CustomerStoreSourceSpec extends SparkSpec {
           WHEN MATCHED THEN DELETE""")
   }
 
+  test("SQL UPDATE routes through merge: payload set, key/meta columns protected") {
+    spark.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+    val path = tmpDir("dsv2-upd") + "/store"
+    val store = new CustomerStore(spark, path)
+    store.insertNew(block(1L, 20L)): Unit
+    // Expression-valued SET over the row, predicate WHERE.
+    val res = spark.sql(
+      s"""UPDATE graft_store.`$path`
+          SET phone = concat('777-', id), first_name = lower(first_name)
+          WHERE id >= 5 AND id <= 9""").collect().head
+    assert((res.getLong(0), res.getLong(1), res.getLong(2)) === ((5L, 0L, 0L)),
+      "(n_updated, n_inserted, n_unchanged)")
+    assert(store.currentVersion() === 2L, "UPDATE must be one staged commit")
+    val st = new CustomerStore(spark, path).all()
+    assert(st.filter(col("phone").startsWith("777-")).count() === 5L)
+    assert(st.filter(col("first_name") === "f5").count() === 1L)
+    assert(st.filter(col("first_name") === "F4").count() === 1L)
+    // A no-op UPDATE (values already equal) commits nothing new per the
+    // merge idempotency contract: all rows land in n_unchanged.
+    val res2 = spark.sql(
+      s"UPDATE graft_store.`$path` SET phone = phone WHERE id = 1").collect().head
+    assert((res2.getLong(0), res2.getLong(2)) === ((0L, 1L)))
+    // Key/meta columns are not assignable.
+    intercept[Exception] {
+      spark.sql(s"UPDATE graft_store.`$path` SET email = 'x@example.com' WHERE id = 1")
+    }
+    intercept[Exception] {
+      spark.sql(s"UPDATE graft_store.`$path` SET uploaded = true WHERE id = 1")
+    }
+  }
+
+  test("SQL TRUNCATE TABLE tombstones every live row through deletion vectors") {
+    spark.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+    val path = tmpDir("dsv2-trunc") + "/store"
+    val store = buildStore(path) // 118 live at v5
+    val filesBefore = store.pendingDataFiles().toSet
+    spark.sql(s"TRUNCATE TABLE graft_store.`$path`")
+    assert(store.all().count() === 0L)
+    assert(store.pendingDataFiles().toSet === filesBefore,
+      "TRUNCATE must be merge-on-read — data files untouched")
+    assert(spark.sql(s"SELECT count(*) FROM graft_store.`$path` VERSION AS OF 5")
+      .head().getLong(0) === 118L, "time travel must still see pre-truncate rows")
+  }
+
   test("DELETE-filter translation covers the grammar and refuses the rest") {
     import org.apache.spark.sql.sources._
     val yes: Seq[Filter] = Seq(
