@@ -678,6 +678,60 @@ object PipelineParity extends QueryGroup {
       }
     }),
 
+    // DSv2 RUNTIME FILTERING (dynamic file pruning, SPARK-35779): a
+    // broadcast join's build side delivers its join-key VALUES to the
+    // store scan at execution time, and the scan re-plans its file set
+    // through the same zone/bloom manifests as static pushdown — the
+    // dimension's predicate (tag = 'a') is NOT expressible on the fact
+    // side, so every skipped file is the RUNTIME filter's doing, the
+    // case static pushdown can never serve. Store = 3 id-block commits
+    // (zone-disjoint files); dim = a parquet table (file-backed so its
+    // selective Filter survives to the DPP heuristic) whose 'a' rows
+    // are exactly the third block. REQUIREs: Spark delivered runtime
+    // predicates (JVM counter), the executed scan shows the In(id)
+    // runtime filter, and files were actually skipped. At 100 TB this
+    // is the join-driven partition elimination Iceberg/Delta serve.
+    "pipeline_catalog_runtime_prune" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+      val base = baseCols(s, dir)
+      withTempDir("graft-catrtf-") { tmp =>
+        val path = s"$tmp/store"
+        val store = new graft.pipeline.CustomerStore(s, path)
+        val (mn, mx) = base.agg(min(col("id")), max(col("id")))
+          .as[(Long, Long)].head()
+        val t1 = mn + (mx - mn) / 3
+        val t2 = mn + 2 * (mx - mn) / 3
+        store.insertNew(Ingest.enrich(base.filter(col("id") <= t1))): Unit
+        store.insertNew(Ingest.enrich(
+          base.filter(col("id") > t1 && col("id") <= t2))): Unit
+        store.insertNew(Ingest.enrich(base.filter(col("id") > t2))): Unit
+        val dimPath = s"$tmp/dim"
+        base.filter(col("id") > t2).select(col("id").as("k"), lit("a").as("tag"))
+          .unionByName(base.filter(col("id") <= t1)
+            .select(col("id").as("k"), lit("b").as("tag")))
+          .write.mode("overwrite").parquet(dimPath)
+        s.read.parquet(dimPath).createOrReplaceTempView("graft_rtf_dim")
+        val before = graft.sources.CustomerStoreScan.runtimePruneCalls.get()
+        val q = s.sql(
+          s"""SELECT count(*) AS n_matched, sum(t.id) AS id_sum
+              FROM graft_store.`$path` t JOIN graft_rtf_dim d ON t.id = d.k
+              WHERE d.tag = 'a'""")
+        val row = q.collect().head
+        require(graft.sources.CustomerStoreScan.runtimePruneCalls.get() > before,
+          "Spark did not deliver runtime join-key predicates to the store scan")
+        val plan = q.queryExecution.executedPlan.toString()
+        require(plan.contains("RuntimeFilters: [In(id"),
+          "runtime In(id) filter missing from the executed scan")
+        val filesRe = """files=(\d+)/(\d+)""".r
+        val m = filesRe.findFirstMatchIn(plan).getOrElse(
+          throw new IllegalStateException(s"no files=k/n in plan:\n$plan"))
+        require(m.group(1).toInt < m.group(2).toInt,
+          s"runtime prune skipped nothing: ${m.matched}")
+        Seq((row.getLong(0), row.getLong(1))).toDF("n_matched", "id_sum")
+      }
+    }),
+
     // SQL UPDATE through the catalog: SET over the payload columns with
     // an arbitrary WHERE, routed through the SAME merge as the API and
     // MERGE INTO paths (batch = snapshot ⋅ WHERE ⋅ SET expressions, so
@@ -1681,6 +1735,14 @@ object PipelineParity extends QueryGroup {
            CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_phone_updated
          FROM customer""",
+    // Runtime-prune arithmetic: the 'a'-tagged dim rows are exactly the
+    // custkeys above the two-thirds point, all present in the store.
+    "pipeline_catalog_runtime_prune" ->
+      """WITH b AS (SELECT MIN(c_custkey) AS mn, MAX(c_custkey) AS mx FROM customer),
+          t AS (SELECT mn + 2 * (mx - mn) // 3 AS t2 FROM b)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST(SUM(c_custkey) AS BIGINT) AS id_sum
+         FROM customer, t WHERE c_custkey > t2""",
     // Update arithmetic: %4==1 rows get 999- phones; the no-op pass
     // leaves every matched row unchanged.
     "pipeline_catalog_update" ->

@@ -300,6 +300,19 @@ class CustomerStoreScanBuilder(path: String, versionAsOf: Option[Long],
 }
 
 object CustomerStoreScan {
+  /** Above this, a runtime email IN-set skips the per-value bloom
+    * probe (the id zone envelope still prunes) — the probe costs
+    * manifest-rows × set-size on the driver, and a huge set rarely
+    * eliminates a bloom anyway.
+    */
+  val RuntimeBloomProbeMax = 4096
+
+  /** Times Spark delivered runtime join-key predicates to any store
+    * scan this JVM — observability for the runtime-prune REQUIREs
+    * (the scan object itself is not reachable from a SQL query).
+    */
+  val runtimePruneCalls = new java.util.concurrent.atomic.AtomicLong()
+
   /** Predicates the scan prunes/evaluates itself: id comparisons
     * (zone manifest), email equality/IN (bloom manifest), uploaded
     * equality (partition directory), IsNotNull. Everything else stays
@@ -318,7 +331,11 @@ object CustomerStoreScan {
     case _ => false
   }
 
-  /** [lo, hi] implied by the pushed id comparisons (conjunction). */
+  /** [lo, hi] implied by the pushed id comparisons (conjunction). An
+    * id IN-set (the shape a runtime join-key filter arrives in) prunes
+    * by its [min, max] envelope — the sound zone-map treatment of a
+    * set conjunct.
+    */
   def idBounds(filters: Array[Filter]): (Long, Long) =
     filters.foldLeft((Long.MinValue, Long.MaxValue)) { case ((lo, hi), f) =>
       f match {
@@ -328,6 +345,9 @@ object CustomerStoreScan {
         case GreaterThanOrEqual("id", v: java.lang.Long) => (math.max(lo, v.longValue()), hi)
         case LessThan("id", v: java.lang.Long) => (lo, math.min(hi, v.longValue() - 1))
         case LessThanOrEqual("id", v: java.lang.Long) => (lo, math.min(hi, v.longValue()))
+        case In("id", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[java.lang.Long]) =>
+          val ls = vs.map(_.asInstanceOf[java.lang.Long].longValue())
+          (math.max(lo, ls.min), math.min(hi, ls.max))
         case _ => (lo, hi)
       }
     }
@@ -336,11 +356,19 @@ object CustomerStoreScan {
     * (pruning with any one conjunct is sound; the readers re-apply
     * them all exactly).
     */
-  def emailProbe(filters: Array[Filter]): Option[Seq[String]] =
+  def emailProbe(filters: Array[Filter]): Option[Seq[String]] = {
+    // Static pushdown delivers java Strings; the V2 runtime-filter
+    // bridge may carry UTF8String literals.
+    def str(v: Any): String = v match {
+      case s: String => s
+      case u: UTF8String => u.toString
+      case other => other.toString
+    }
     filters.collect {
-      case EqualTo("email", v: String) => Seq(v)
-      case In("email", vs) => vs.toSeq.map(_.asInstanceOf[String])
+      case EqualTo("email", v) => Seq(str(v))
+      case In("email", vs) => vs.toSeq.map(str)
     }.sortBy(_.size).headOption
+  }
 
   def uploadedEq(filters: Array[Filter]): Option[Boolean] =
     filters.collectFirst { case EqualTo("uploaded", v: java.lang.Boolean) =>
@@ -350,36 +378,71 @@ object CustomerStoreScan {
 
 class CustomerStoreScan(path: String, versionAsOf: Option[Long],
     timestampAsOf: Option[Long], required: StructType, filters: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   import CustomerStoreScan._
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  // (partitions, files kept, files total) — resolved once; driver-side
-  // manifest consult, no data file opened.
-  private lazy val planned: (Array[InputPartition], Int, Int) = {
+  // RUNTIME FILTERING (the DSv2 dynamic-pruning contract, SPARK-35779):
+  // at execution time Spark evaluates the small side of an eligible
+  // join and hands this scan the join-key VALUES as IN predicates;
+  // the scan re-plans its file set through the same zone ([min,max]
+  // envelope of the id set) and bloom (per-email probe) manifests it
+  // uses for static pushdown — files a join cannot touch are never
+  // opened. Runtime predicates participate in PRUNING ONLY: they are
+  // semantically redundant with the join itself, so they are NOT
+  // handed to the row readers (exactly Iceberg's treatment). Huge
+  // email IN-sets skip the per-value bloom probe (the zone envelope
+  // still applies); time-travel scans advertise no filter attributes.
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+  @volatile private var cache: Option[(Array[InputPartition], Int, Int)] = None
+
+  // Only columns that SURVIVED pruning may be advertised: Spark
+  // resolves these against the scan's output, and a pruned-away
+  // column would fail resolution at plan time.
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (versionAsOf.isEmpty && timestampAsOf.isEmpty)
+      Array("id", "email").filter(required.fieldNames.contains)
+        .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    else Array.empty
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    runtimeFilters = org.apache.spark.sql.graft.V2FilterBridge.toV1(predicates)
+      .filter(f => f.references.toSet.subsetOf(Set("id", "email")))
+    CustomerStoreScan.runtimePruneCalls.incrementAndGet(): Unit
+    cache = None // re-plan with the runtime conjuncts
+  }
+
+  // (partitions, files kept, files total) — driver-side manifest
+  // consult, no data file opened; recomputed if a runtime filter
+  // arrives after an explain already forced the plan.
+  private def planned: (Array[InputPartition], Int, Int) = cache.getOrElse {
     val spark = SparkSession.active
     val store = new CustomerStore(spark, path)
-    versionAsOf.orElse(timestampAsOf.map(ts =>
+    val p = versionAsOf.orElse(timestampAsOf.map(ts =>
       store.commitTimestamps().filter(_._2 <= ts).map(_._1).maxOption.getOrElse(0L))) match {
       case Some(v) => planTimeTravel(store, v)
       case None => planCurrent(store)
     }
+    cache = Some(p)
+    p
   }
 
   private def planCurrent(store: CustomerStore): (Array[InputPartition], Int, Int) = {
+    val pruning = filters ++ runtimeFilters
     val all = store.liveDataFiles()
-    val partPruned = uploadedEq(filters) match {
+    val partPruned = uploadedEq(pruning) match {
       case Some(u) => all.filter(_._3 == u)
       case None => all
     }
-    val (lo, hi) = idBounds(filters)
+    val (lo, hi) = idBounds(pruning)
     val zonePruned =
       if (lo == Long.MinValue && hi == Long.MaxValue) partPruned
       else store.zoneKeepFiles(partPruned.map(f => (f._1, f)), lo, hi).map(_._2)
-    val bloomPruned = emailProbe(filters) match {
+    val bloomPruned = emailProbe(pruning).filter(_.size <= RuntimeBloomProbeMax) match {
       case Some(emails) =>
         val keep = store.bloomKeepFiles(
           zonePruned.map(f => (f._1, f._2)), emails).toSet
@@ -436,9 +499,11 @@ class CustomerStoreScan(path: String, versionAsOf: Option[Long],
     val (_, kept, total) = planned
     val travel = versionAsOf.map(v => s", versionAsOf=$v")
       .orElse(timestampAsOf.map(ts => s", timestampAsOf=$ts")).getOrElse("")
+    val rt = if (runtimeFilters.isEmpty) ""
+      else s", RuntimeFilters: [${runtimeFilters.mkString(", ")}]"
     s"GraftStore path=$path$travel, files=$kept/$total, " +
       s"ReadSchema: ${required.simpleString}, " +
-      s"PushedFilters: [${filters.mkString(", ")}]"
+      s"PushedFilters: [${filters.mkString(", ")}]$rt"
   }
 }
 

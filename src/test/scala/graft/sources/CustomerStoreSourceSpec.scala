@@ -341,6 +341,63 @@ class CustomerStoreSourceSpec extends SparkSpec {
       .head().getLong(0) === 118L, "time travel must still see pre-truncate rows")
   }
 
+  test("runtime join-key filtering re-plans the file set through the manifests") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    val path = tmpDir("dsv2-rtf") + "/store"
+    buildStore(path)
+    def scan(): CustomerStoreScan =
+      new CustomerStoreScanBuilder(path, None, None).build()
+        .asInstanceOf[CustomerStoreScan]
+    val all = scan().planInputPartitions().length
+    assert(all >= 3, "fixture must span several files")
+    // id IN-set → zone-envelope prune down to the 2001-block's files.
+    val s1 = scan()
+    assert(s1.filterAttributes().map(_.describe()).toSet === Set("id", "email"))
+    s1.filter(Array(new Predicate("IN",
+      (Expressions.column("id") +: (2001L to 2005L).map(v =>
+        Expressions.literal(v): org.apache.spark.sql.connector.expressions.Expression)).toArray)))
+    val keptZone = s1.planInputPartitions().length
+    assert(keptZone < all && keptZone > 0, s"zone runtime prune kept $keptZone of $all")
+    // email equality → bloom prune.
+    val s2 = scan()
+    s2.filter(Array(new Predicate("=",
+      Array[org.apache.spark.sql.connector.expressions.Expression](
+        Expressions.column("email"),
+        org.apache.spark.sql.graft.V2FilterBridge.literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString("u2005@example.com"),
+          org.apache.spark.sql.types.StringType)))))
+    val keptBloom = s2.planInputPartitions().length
+    assert(keptBloom < all && keptBloom > 0, s"bloom runtime prune kept $keptBloom of $all")
+    // Time-travel scans advertise no runtime-filter attributes.
+    assert(new CustomerStoreScanBuilder(path, Some(2L), None).build()
+      .asInstanceOf[CustomerStoreScan].filterAttributes().isEmpty)
+  }
+
+  test("a broadcast join against the store delivers runtime join-key filters") {
+    spark.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+    val path = tmpDir("dsv2-rtj") + "/store"
+    buildStore(path)
+    val before = CustomerStoreScan.runtimePruneCalls.get()
+    import spark.implicits._
+    // The dim must be FILE-backed with a selective WHERE of its own:
+    // DPP requires a surviving Filter node on the build side, and a
+    // LocalRelation constant-folds its filter away at plan time.
+    val dimPath = tmpDir("dsv2-rtj-dim")
+    Seq((2001L, "a"), (2002L, "a"), (7L, "b")).toDF("k", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("rtf_dim")
+    val q = spark.sql(
+      s"""SELECT count(*) FROM graft_store.`$path` t
+          JOIN rtf_dim d ON t.id = d.k WHERE d.tag = 'a'""")
+    assert(q.collect().head.getLong(0) === 2L)
+    assert(CustomerStoreScan.runtimePruneCalls.get() > before,
+      "Spark did not deliver runtime join-key predicates to the scan")
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("RuntimeFilters: [In(id,"),
+      s"runtime In-filter missing from the scan description:\n$plan")
+  }
+
   test("DELETE-filter translation covers the grammar and refuses the rest") {
     import org.apache.spark.sql.sources._
     val yes: Seq[Filter] = Seq(
