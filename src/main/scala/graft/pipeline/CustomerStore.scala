@@ -865,6 +865,37 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     livePendingFiles().map { case (n, p) => (n, p, false) } ++ done
   }
 
+  /** COUNT(*)/MIN(id)/MAX(id) over the live table FROM THE ZONE
+    * MANIFEST ALONE — the aggregate-pushdown consult (no data file
+    * opened). Answers only when the consult is EXACT: no live deletion
+    * vectors (a tombstoned row may hold the min, and zone rows are
+    * may-contain metadata under deletes) and every live file zone-
+    * covered. Returns None when it cannot be exact — the caller falls
+    * back to reading data, never to a wrong answer. An empty table
+    * answers (0, None, None).
+    */
+  def manifestAggregates(): Option[(Long, Option[Long], Option[Long])] = {
+    val live = liveDataFiles()
+    if (live.isEmpty) return Some((0L, None, None))
+    val (_, liveVectors) = deletionVectorStats()
+    if (liveVectors > 0L) return None
+    val names = live.map(_._1).toSet
+    // One zone row per (immutable) file; keep the newest defensively
+    // and demand complete non-null coverage of the live set.
+    val zones = zonesManifest()
+      .select(col("file"), col("n_rows"), col("min_id"), col("max_id"),
+        col("commit_version"))
+      .collect()
+      .filter(r => names(r.getString(0)) &&
+        !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3))
+      .groupBy(_.getString(0)).view
+      .mapValues(_.maxBy(_.getLong(4))).values.toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    if (zones.map(_._1).toSet != names) return None // a live file lacks coverage
+    Some((zones.map(_._2).sum,
+      Some(zones.map(_._3).min), Some(zones.map(_._4).max)))
+  }
+
   /** Absolute paths of the committed deletion-vector parquet files
     * ((file, email) tombstone rows) — empty when the table has none.
     */

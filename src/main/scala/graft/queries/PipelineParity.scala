@@ -714,7 +714,7 @@ object PipelineParity extends QueryGroup {
         s.read.parquet(dimPath).createOrReplaceTempView("graft_rtf_dim")
         val before = graft.sources.CustomerStoreScan.runtimePruneCalls.get()
         val q = s.sql(
-          s"""SELECT count(*) AS n_matched, sum(t.id) AS id_sum
+          s"""SELECT /*+ BROADCAST(d) */ count(*) AS n_matched, sum(t.id) AS id_sum
               FROM graft_store.`$path` t JOIN graft_rtf_dim d ON t.id = d.k
               WHERE d.tag = 'a'""")
         val row = q.collect().head
@@ -729,6 +729,50 @@ object PipelineParity extends QueryGroup {
         require(m.group(1).toInt < m.group(2).toInt,
           s"runtime prune skipped nothing: ${m.matched}")
         Seq((row.getLong(0), row.getLong(1))).toDF("n_matched", "id_sum")
+      }
+    }),
+
+    // AGGREGATE PUSHDOWN through the catalog: unfiltered COUNT(*)/
+    // MIN(id)/MAX(id) answer from the ZONE MANIFEST alone (the
+    // metadata-only-count shape every table format serves). The gate
+    // proves the physical claim the hard way: after the pushdown leg
+    // runs, EVERY data file is truncated to zero bytes and the same
+    // query must return the same row — nothing was opened. A sum(id)
+    // leg (not manifest-derivable) runs BEFORE truncation and REQUIREs
+    // the data path was taken (no PushedAggregates in its plan), so
+    // both sides of the exactness boundary are pinned. At 100 TB this
+    // is the difference between a catalog lookup and a table scan.
+    "pipeline_catalog_agg_pushdown" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+      val base = baseCols(s, dir)
+      withTempDir("graft-catagg-") { tmp =>
+        val path = s"$tmp/store"
+        val store = new graft.pipeline.CustomerStore(s, path)
+        val (mn, mx) = base.agg(min(col("id")), max(col("id")))
+          .as[(Long, Long)].head()
+        val mid = mn + (mx - mn) / 2
+        store.insertNew(Ingest.enrich(base.filter(col("id") <= mid))): Unit
+        store.insertNew(Ingest.enrich(base.filter(col("id") > mid))): Unit
+        val qSum = s.sql(s"SELECT sum(id) AS id_sum FROM graft_store.`$path`")
+        val idSum = qSum.collect().head.getLong(0)
+        require(!qSum.queryExecution.executedPlan.toString().contains("PushedAggregates"),
+          "sum(id) is not manifest-derivable and must take the data path")
+        val q1 = s.sql(s"SELECT count(*) AS n_rows, min(id) AS min_id, " +
+          s"max(id) AS max_id FROM graft_store.`$path`")
+        val r1 = q1.collect().head
+        require(q1.queryExecution.executedPlan.toString().contains("PushedAggregates"),
+          "COUNT/MIN/MAX over the clean store must push to the manifest")
+        // The physical pin: zero-byte every data file, ask again.
+        store.pendingDataFiles().foreach(p =>
+          new java.io.FileOutputStream(p).close())
+        val r2 = s.sql(s"SELECT count(*) AS n_rows, min(id) AS min_id, " +
+          s"max(id) AS max_id FROM graft_store.`$path`").collect().head
+        require(r1 == r2,
+          "manifest-only aggregates changed after data-file truncation — " +
+            "a data file was opened")
+        Seq((r2.getLong(0), r2.getLong(1), r2.getLong(2), idSum))
+          .toDF("n_rows", "min_id", "max_id", "id_sum")
       }
     }),
 
@@ -1734,6 +1778,14 @@ object PipelineParity extends QueryGroup {
              AS n_total_after,
            CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_phone_updated
+         FROM customer""",
+    // Every figure the pushdown gate returns is plain custkey
+    // arithmetic over the full table.
+    "pipeline_catalog_agg_pushdown" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_id,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_id,
+           CAST(SUM(c_custkey) AS BIGINT) AS id_sum
          FROM customer""",
     // Runtime-prune arithmetic: the 'a'-tagged dim rows are exactly the
     // custkeys above the two-thirds point, all present in the store.

@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources._
@@ -280,10 +281,12 @@ private[sources] object CustomerStoreDelete {
 
 class CustomerStoreScanBuilder(path: String, versionAsOf: Option[Long],
     timestampAsOf: Option[Long]) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = CustomerSchema.tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggValues: Option[(Seq[AggregateFunc], Long, Option[Long], Option[Long])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -295,8 +298,97 @@ class CustomerStoreScanBuilder(path: String, versionAsOf: Option[Long],
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new CustomerStoreScan(path, versionAsOf, timestampAsOf, required, pushed)
+  /** AGGREGATE PUSHDOWN: unfiltered, ungrouped COUNT(*) / MIN(id) /
+    * MAX(id) over the current state answer from the ZONE MANIFEST
+    * ALONE — no data file is opened (the Delta/Iceberg
+    * metadata-only-count shape). The consult refuses whenever it
+    * could not be EXACT: any pushed/residual filter, any grouping,
+    * time travel, live deletion vectors (a tombstoned row may hold
+    * the extremum), or a live file without zone coverage — Spark then
+    * plans the ordinary scan + aggregate, a correct answer at data
+    * cost, never a wrong one at manifest cost.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    aggValues.isDefined
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (versionAsOf.nonEmpty || timestampAsOf.nonEmpty) return false
+    if (pushed.nonEmpty) return false
+    if (aggregation.groupByExpressions().nonEmpty) return false
+    val funcs = aggregation.aggregateExpressions().toSeq
+    def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+          nr.fieldNames.toSeq == Seq("id")
+        case _ => false
+      }
+    val ok = funcs.nonEmpty && funcs.forall {
+      case _: CountStar => true
+      case m: Min => isId(m.column())
+      case m: Max => isId(m.column())
+      case _ => false
+    }
+    if (!ok) return false
+    new CustomerStore(SparkSession.active, path).manifestAggregates() match {
+      case Some((n, mn, mx)) => aggValues = Some((funcs, n, mn, mx)); true
+      case None => false
+    }
+  }
+
+  override def build(): Scan = aggValues match {
+    case Some((funcs, n, mn, mx)) =>
+      new CustomerStoreAggScan(path, funcs, n, mn, mx)
+    case None =>
+      new CustomerStoreScan(path, versionAsOf, timestampAsOf, required, pushed)
+  }
+}
+
+/** The one-row scan a completely-pushed aggregation plans to: values
+  * were resolved from the zone manifest at pushdown time; no data file
+  * is opened at any point (pinned by StoreStatsSpec's zero-byte
+  * truncation check).
+  */
+class CustomerStoreAggScan(path: String, funcs: Seq[AggregateFunc],
+    nRows: Long, minId: Option[Long], maxId: Option[Long])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(funcs.map {
+    case _: CountStar => StructField("count_star", LongType, nullable = false)
+    case _: Min => StructField("min_id", LongType, nullable = true)
+    case _: Max => StructField("max_id", LongType, nullable = true)
+    case other => throw new IllegalStateException(s"unexpected pushed agg $other")
+  })
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(StoreAggPartition(funcs.map {
+      case _: CountStar => Some(nRows)
+      case _: Min => minId
+      case _: Max => maxId
+      case other => throw new IllegalStateException(s"unexpected pushed agg $other")
+    }))
+  override def createReaderFactory(): PartitionReaderFactory = StoreAggReaderFactory
+  override def description(): String =
+    s"GraftStore path=$path, PushedAggregates: [${funcs.mkString(", ")}], " +
+      "manifest-only (no data files opened)"
+}
+
+case class StoreAggPartition(values: Seq[Option[Long]]) extends InputPartition
+
+object StoreAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val vals = p.asInstanceOf[StoreAggPartition].values
+      private var served = false
+      override def next(): Boolean = { val r = !served; served = true; r }
+      override def get(): InternalRow = {
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals.length)
+        vals.zipWithIndex.foreach {
+          case (Some(v), i) => row.setLong(i, v)
+          case (None, i) => row.setNullAt(i)
+        }
+        row
+      }
+      override def close(): Unit = ()
+    }
 }
 
 object CustomerStoreScan {
@@ -378,7 +470,8 @@ object CustomerStoreScan {
 
 class CustomerStoreScan(path: String, versionAsOf: Option[Long],
     timestampAsOf: Option[Long], required: StructType, filters: Array[Filter])
-    extends Scan with Batch with SupportsRuntimeV2Filtering {
+    extends Scan with Batch with SupportsRuntimeV2Filtering
+    with SupportsReportStatistics {
 
   import CustomerStoreScan._
 
@@ -491,6 +584,34 @@ class CustomerStoreScan(path: String, versionAsOf: Option[Long],
   }
 
   override def planInputPartitions(): Array[InputPartition] = planned._1
+
+  /** CBO/AQE statistics from the SAME manifest consult as planning:
+    * sizeInBytes = the kept files' on-disk bytes, numRows = their zone
+    * row counts (an upper bound while deletion vectors are live —
+    * statistics are estimates, pruning/filtering stays exact). Time
+    * travel reports unknown.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val kept: Seq[StoreDataPartition] =
+      if (versionAsOf.nonEmpty || timestampAsOf.nonEmpty) Seq.empty
+      else planned._1.toSeq.collect { case p: StoreDataPartition => p }
+    override def sizeInBytes(): java.util.OptionalLong =
+      if (versionAsOf.nonEmpty || timestampAsOf.nonEmpty) java.util.OptionalLong.empty()
+      else java.util.OptionalLong.of(
+        kept.map(p => new java.io.File(p.file).length()).sum)
+    override def numRows(): java.util.OptionalLong =
+      if (versionAsOf.nonEmpty || timestampAsOf.nonEmpty) java.util.OptionalLong.empty()
+      else {
+        val names = kept.map(_.basename).toSet
+        val rows = new CustomerStore(SparkSession.active, path).zonesManifest()
+          .select(org.apache.spark.sql.functions.col("file"),
+            org.apache.spark.sql.functions.col("n_rows"))
+          .collect().filter(r => !r.isNullAt(1) && names(r.getString(0)))
+          .map(r => (r.getString(0), r.getLong(1))).toMap
+        if (rows.keySet == names) java.util.OptionalLong.of(rows.values.sum)
+        else java.util.OptionalLong.empty()
+      }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     StoreReaderFactory(required.fieldNames, filters)

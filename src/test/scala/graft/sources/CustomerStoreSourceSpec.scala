@@ -388,7 +388,7 @@ class CustomerStoreSourceSpec extends SparkSpec {
       .write.mode("overwrite").parquet(dimPath)
     spark.read.parquet(dimPath).createOrReplaceTempView("rtf_dim")
     val q = spark.sql(
-      s"""SELECT count(*) FROM graft_store.`$path` t
+      s"""SELECT /*+ BROADCAST(d) */ count(*) FROM graft_store.`$path` t
           JOIN rtf_dim d ON t.id = d.k WHERE d.tag = 'a'""")
     assert(q.collect().head.getLong(0) === 2L)
     assert(CustomerStoreScan.runtimePruneCalls.get() > before,
@@ -396,6 +396,56 @@ class CustomerStoreSourceSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString()
     assert(plan.contains("RuntimeFilters: [In(id,"),
       s"runtime In-filter missing from the scan description:\n$plan")
+  }
+
+  test("aggregate pushdown answers COUNT/MIN/MAX from the zone manifest alone") {
+    spark.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+    val path = tmpDir("dsv2-agg") + "/store"
+    val store = new CustomerStore(spark, path)
+    store.insertNew(block(1L, 40L)): Unit
+    store.insertNew(block(1001L, 1040L)): Unit
+    val q = spark.sql(
+      s"SELECT count(*), min(id), max(id) FROM graft_store.`$path`")
+    val r = q.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((80L, 1L, 1040L)))
+    assert(q.queryExecution.executedPlan.toString().contains("PushedAggregates"),
+      "aggregation was not pushed to the manifest scan")
+    // Physical pin: truncate every data file to zero bytes — the
+    // manifest-only answer must survive (no data file is opened).
+    store.pendingDataFiles().foreach(p => new java.io.FileOutputStream(p).close())
+    val r2 = spark.sql(
+      s"SELECT count(*), min(id), max(id) FROM graft_store.`$path`").collect().head
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) === ((80L, 1L, 1040L)),
+      "manifest-only aggregates must not touch data files")
+  }
+
+  test("aggregate pushdown refuses whenever it could not be exact") {
+    spark.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+    val path = tmpDir("dsv2-aggrej") + "/store"
+    val store = buildStore(path) // live deletion vectors (118 live rows)
+    def planOf(sql: String) = {
+      val q = spark.sql(sql); (q.collect().head, q.queryExecution.executedPlan.toString())
+    }
+    // Live DVs: a tombstoned row may hold the extremum → data-path agg.
+    val (r1, p1) = planOf(s"SELECT count(*), min(id) FROM graft_store.`$path`")
+    assert(!p1.contains("PushedAggregates"), p1)
+    assert((r1.getLong(0), r1.getLong(1)) === ((118L, 1L)))
+    store.compact() // materialize: vectors drained, pushdown eligible again
+    val (r2, p2) = planOf(s"SELECT count(*) FROM graft_store.`$path`")
+    assert(p2.contains("PushedAggregates"), p2)
+    assert(r2.getLong(0) === 118L)
+    // A filter or an unsupported function keeps the data path.
+    val (r3, p3) = planOf(
+      s"SELECT count(*) FROM graft_store.`$path` WHERE id >= 1001")
+    assert(!p3.contains("PushedAggregates"), p3)
+    assert(r3.getLong(0) === 79L) // 80 in blocks 2+3 minus deleted u2003
+    val (r4, p4) = planOf(s"SELECT sum(id) FROM graft_store.`$path`")
+    assert(!p4.contains("PushedAggregates"), p4)
+    // Time travel reconstructs — never a manifest shortcut.
+    val (r5, p5) = planOf(
+      s"SELECT count(*) FROM graft_store.`$path` VERSION AS OF 3")
+    assert(!p5.contains("PushedAggregates"), p5)
+    assert(r5.getLong(0) === 120L)
   }
 
   test("DELETE-filter translation covers the grammar and refuses the rest") {
