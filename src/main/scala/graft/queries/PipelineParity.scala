@@ -184,6 +184,38 @@ object PipelineParity extends QueryGroup {
         .insertNew(Ingest.enrich(baseCols(s, dir))): Unit
     }
 
+  /** Three id-BLOCK commits (contiguous thirds — zone-DISJOINT files):
+    * the layout runtime file pruning bites on. Read-only consumers
+    * open it in place.
+    */
+  private def blocks3Template(s: SparkSession, dir: String): String =
+    FixtureStores.template(s"blocks3|$dir") { storePath =>
+      val store = new graft.pipeline.CustomerStore(s, storePath)
+      val base = baseCols(s, dir)
+      val (mn, mx) = { val r = base.agg(min(col("id")), max(col("id"))).head()
+        (r.getLong(0), r.getLong(1)) }
+      val t1 = mn + (mx - mn) / 3
+      val t2 = mn + 2 * (mx - mn) / 3
+      store.insertNew(Ingest.enrich(base.filter(col("id") <= t1))): Unit
+      store.insertNew(Ingest.enrich(
+        base.filter(col("id") > t1 && col("id") <= t2))): Unit
+      store.insertNew(Ingest.enrich(base.filter(col("id") > t2))): Unit
+    }
+
+  /** Two id-half commits — the clean (no-deletion-vector) layout the
+    * aggregate-pushdown gate clones (it truncates the clone's files).
+    */
+  private def halves2Template(s: SparkSession, dir: String): String =
+    FixtureStores.template(s"halves2|$dir") { storePath =>
+      val store = new graft.pipeline.CustomerStore(s, storePath)
+      val base = baseCols(s, dir)
+      val (mn, mx) = { val r = base.agg(min(col("id")), max(col("id"))).head()
+        (r.getLong(0), r.getLong(1)) }
+      val mid = mn + (mx - mn) / 2
+      store.insertNew(Ingest.enrich(base.filter(col("id") <= mid))): Unit
+      store.insertNew(Ingest.enrich(base.filter(col("id") > mid))): Unit
+    }
+
   /** Three id-interleaved insert commits (id%3 slices) — the
     * worst-case clustering layout both OPTIMIZE gates start from.
     */
@@ -696,16 +728,11 @@ object PipelineParity extends QueryGroup {
       s.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
       val base = baseCols(s, dir)
       withTempDir("graft-catrtf-") { tmp =>
-        val path = s"$tmp/store"
-        val store = new graft.pipeline.CustomerStore(s, path)
+        val path = blocks3Template(s, dir) // read-only: opened in place
         val (mn, mx) = base.agg(min(col("id")), max(col("id")))
           .as[(Long, Long)].head()
         val t1 = mn + (mx - mn) / 3
         val t2 = mn + 2 * (mx - mn) / 3
-        store.insertNew(Ingest.enrich(base.filter(col("id") <= t1))): Unit
-        store.insertNew(Ingest.enrich(
-          base.filter(col("id") > t1 && col("id") <= t2))): Unit
-        store.insertNew(Ingest.enrich(base.filter(col("id") > t2))): Unit
         val dimPath = s"$tmp/dim"
         base.filter(col("id") > t2).select(col("id").as("k"), lit("a").as("tag"))
           .unionByName(base.filter(col("id") <= t1)
@@ -745,15 +772,10 @@ object PipelineParity extends QueryGroup {
     "pipeline_catalog_agg_pushdown" -> ((s, dir) => {
       import s.implicits._
       s.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
-      val base = baseCols(s, dir)
       withTempDir("graft-catagg-") { tmp =>
-        val path = s"$tmp/store"
+        // Clone: the truncation pin destroys the copy's data files.
+        val path = FixtureStores.cloneInto(halves2Template(s, dir), tmp)
         val store = new graft.pipeline.CustomerStore(s, path)
-        val (mn, mx) = base.agg(min(col("id")), max(col("id")))
-          .as[(Long, Long)].head()
-        val mid = mn + (mx - mn) / 2
-        store.insertNew(Ingest.enrich(base.filter(col("id") <= mid))): Unit
-        store.insertNew(Ingest.enrich(base.filter(col("id") > mid))): Unit
         val qSum = s.sql(s"SELECT sum(id) AS id_sum FROM graft_store.`$path`")
         val idSum = qSum.collect().head.getLong(0)
         require(!qSum.queryExecution.executedPlan.toString().contains("PushedAggregates"),
