@@ -759,6 +759,53 @@ object PipelineParity extends QueryGroup {
       }
     }),
 
+    // SQL STORED PROCEDURES (DSv2 ProcedureCatalog, SPARK-44167): the
+    // store's maintenance verbs as CALL statements, each routing to
+    // the SAME CustomerStore op as the API — compact materializes the
+    // SQL DELETE's vectors (one commit, REQUIREd zero live after),
+    // restore rolls back to v1 across the compact (the feed is
+    // complete, so the composition works), snapshot checkpoints, and
+    // vacuum retires pre-snapshot feed dirs (REQUIREd > 0) without
+    // touching the live read. Version numbers are part of the oracle:
+    // the whole maintenance history is deterministic.
+    "pipeline_catalog_procedures" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+      val base = baseCols(s, dir)
+      withTempDir("graft-catproc-") { tmp =>
+        val path = FixtureStores.cloneInto(fullV1Template(s, dir), tmp)
+        val store = new graft.pipeline.CustomerStore(s, path)
+        val nBefore = store.all().count()
+        val (mn, mx) = base.agg(min(col("id")), max(col("id")))
+          .as[(Long, Long)].head()
+        val lo = mn + (mx - mn) / 4
+        val hi = mn + (mx - mn) / 2
+        s.sql(s"DELETE FROM graft_store.`$path` WHERE id >= $lo AND id < $hi")
+        val nAfterDelete = store.all().count()
+        val c = s.sql(s"CALL graft_store.compact('$path')").collect().head
+        require(c.getLong(1) == 0L,
+          "CALL compact must drive live deletion vectors to zero")
+        val vCompact = c.getLong(0)
+        val nAfterCompact =
+          s.sql(s"SELECT count(*) FROM graft_store.`$path`").head().getLong(0)
+        val vRestore = s.sql(s"CALL graft_store.restore('$path', 1)")
+          .collect().head.getLong(0)
+        val nAfterRestore =
+          s.sql(s"SELECT count(*) FROM graft_store.`$path`").head().getLong(0)
+        val vSnap = s.sql(s"CALL graft_store.snapshot('$path')")
+          .collect().head.getLong(0)
+        require(s.sql(s"CALL graft_store.vacuum('$path')")
+          .collect().head.getLong(0) > 0L,
+          "vacuum after a snapshot must retire feed dirs")
+        require(store.all().count() == nAfterRestore,
+          "maintenance must not change the live data")
+        Seq((nBefore, nAfterDelete, nAfterCompact, nAfterRestore,
+            vCompact, vRestore, vSnap))
+          .toDF("n_before", "n_after_delete", "n_after_compact",
+            "n_after_restore", "v_compact", "v_restore", "snapshot_version")
+      }
+    }),
+
     // AGGREGATE PUSHDOWN through the catalog: unfiltered COUNT(*)/
     // MIN(id)/MAX(id) answer from the ZONE MANIFEST alone (the
     // metadata-only-count shape every table format serves). The gate
@@ -1801,6 +1848,22 @@ object PipelineParity extends QueryGroup {
            CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_phone_updated
          FROM customer""",
+    // Procedure-gate arithmetic: the delete kills the quartile range,
+    // compact keeps the post-delete count, restore(1) brings every
+    // custkey back; the version history is constant (v1 insert,
+    // v2 delete, v3 compact, v4 restore, snapshot at 4).
+    "pipeline_catalog_procedures" ->
+      """WITH b AS (SELECT MIN(c_custkey) AS mn, MAX(c_custkey) AS mx,
+              CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+          r AS (SELECT n, mn + (mx - mn) // 4 AS lo,
+                  mn + (mx - mn) // 2 AS hi FROM b),
+          d AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM customer, r
+                  WHERE c_custkey >= lo AND c_custkey < hi) AS ndel)
+         SELECT r.n AS n_before, r.n - d.ndel AS n_after_delete,
+           r.n - d.ndel AS n_after_compact, r.n AS n_after_restore,
+           CAST(3 AS BIGINT) AS v_compact, CAST(4 AS BIGINT) AS v_restore,
+           CAST(4 AS BIGINT) AS snapshot_version
+         FROM r, d""",
     // Every figure the pushdown gate returns is plain custkey
     // arithmetic over the full table.
     "pipeline_catalog_agg_pushdown" ->

@@ -213,8 +213,18 @@ class CustomerStoreTable(val path: String, val versionAsOf: Option[Long],
   * millis). DDL (create/alter/drop/rename) is intentionally
   * unsupported — stores are created by their first commit.
   */
-class GraftStoreCatalog extends TableCatalog {
+class GraftStoreCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
+
+  /** Maintenance verbs as SQL stored procedures (see
+    * [[StoreProcedures]]): `CALL graft_store.compact('/path')` etc.
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    StoreProcedures.load(ident)
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    StoreProcedures.list()
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name
   override def name(): String = catalogName

@@ -1,0 +1,134 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+
+import graft.pipeline.CustomerStore
+
+/** The store's MAINTENANCE OPERATIONS as SQL stored procedures (the
+  * DSv2 procedure surface, SPARK-44167 — the `CALL` verbs Iceberg and
+  * Delta expose for exactly these lifecycle ops):
+  *
+  * {{{
+  *   CALL graft_store.compact('/path')           -- materialize deletes
+  *   CALL graft_store.vacuum('/path')            -- retire pre-snapshot feed
+  *   CALL graft_store.snapshot('/path')          -- write a checkpoint
+  *   CALL graft_store.restore('/path', 2)        -- roll back to a version
+  *   CALL graft_store.zorder('/path')            -- full 2-D re-cluster
+  *   CALL graft_store.zorder_incremental('/path')-- cluster only the delta
+  * }}}
+  *
+  * Every procedure routes to the SAME `CustomerStore` op the API path
+  * uses (one staged atomic commit each — nothing here bypasses the
+  * commit protocol) and returns a one-row result of BIGINT metrics so
+  * callers can assert the effect (`version` after the commit, rows/
+  * dirs affected). Procedures are non-deterministic by construction
+  * (they mutate) and bind as-is: every parameter is required and
+  * positional-or-named.
+  */
+object StoreProcedures {
+
+  private def p(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  /** One-row, all-BIGINT result scan (a procedure's metrics row).
+    * Spark requires procedure output be a [[LocalScan]] — rows are
+    * produced on the driver, which is exactly where the one metrics
+    * row already lives.
+    */
+  private class ProcResultScan(schema: StructType, values: Seq[Long])
+      extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] =
+      Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        values.map(v => v: Any).toArray))
+    override def description(): String = s"GraftStoreProcedureResult$schema"
+  }
+
+  private abstract class StoreProc(name: String, doc: String,
+      params: Array[ProcedureParameter], outCols: Seq[String])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = name
+    override def description(): String = doc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = new CustomerStore(
+        SparkSession.active, input.getUTF8String(0).toString)
+      val out = run(store, input)
+      java.util.Collections.singletonList(
+        new ProcResultScan(
+          StructType(outCols.map(StructField(_, LongType, nullable = false))),
+          out): Scan).iterator()
+    }
+    def run(store: CustomerStore, input: InternalRow): Seq[Long]
+  }
+
+  private val pathOnly = Array(p("path", StringType))
+
+  private val all: Seq[StoreProc] = Seq(
+    new StoreProc("compact",
+      "materialize deletion vectors and bin-pack the live files (one commit)",
+      pathOnly, Seq("version", "live_vectors")) {
+      override def run(store: CustomerStore, in: InternalRow): Seq[Long] = {
+        store.compact()
+        val (_, live) = store.deletionVectorStats()
+        Seq(store.currentVersion(), live)
+      }
+    },
+    new StoreProc("vacuum",
+      "retire feed commit dirs at or below the newest snapshot",
+      pathOnly, Seq("retired_dirs")) {
+      override def run(store: CustomerStore, in: InternalRow): Seq[Long] =
+        Seq(store.vacuumFeed().toLong)
+    },
+    new StoreProc("snapshot",
+      "write a full snapshot checkpoint of the current version",
+      pathOnly, Seq("version")) {
+      override def run(store: CustomerStore, in: InternalRow): Seq[Long] =
+        Seq(store.writeSnapshot())
+    },
+    new StoreProc("restore",
+      "roll the table back to a version (one feed-complete commit)",
+      Array(p("path", StringType), p("version", LongType)), Seq("version")) {
+      override def run(store: CustomerStore, in: InternalRow): Seq[Long] = {
+        store.restore(in.getLong(1))
+        Seq(store.currentVersion())
+      }
+    },
+    new StoreProc("zorder",
+      "re-cluster the whole table on the (id, hash-shard) 2-D curve",
+      pathOnly, Seq("version")) {
+      override def run(store: CustomerStore, in: InternalRow): Seq[Long] = {
+        store.optimizeZorder()
+        Seq(store.currentVersion())
+      }
+    },
+    new StoreProc("zorder_incremental",
+      "absorb post-clustering commits into the curve without touching the standing layer",
+      pathOnly, Seq("version")) {
+      override def run(store: CustomerStore, in: InternalRow): Seq[Long] = {
+        store.optimizeZorderIncremental()
+        Seq(store.currentVersion())
+      }
+    })
+
+  private val byName: Map[String, StoreProc] = all.map(pr => pr.name() -> pr).toMap
+
+  def load(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().isEmpty,
+      s"graft_store procedures live at the catalog root, got $ident")
+    byName.getOrElse(ident.name().toLowerCase,
+      throw new IllegalArgumentException(
+        s"unknown graft_store procedure ${ident.name()}; " +
+          s"available: ${all.map(_.name()).mkString(", ")}"))
+  }
+
+  def list(): Array[Identifier] =
+    all.map(pr => Identifier.of(Array.empty, pr.name())).toArray
+}

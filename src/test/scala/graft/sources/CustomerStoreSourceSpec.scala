@@ -448,6 +448,34 @@ class CustomerStoreSourceSpec extends SparkSpec {
     assert(r5.getLong(0) === 120L)
   }
 
+  test("CALL procedures run the store's maintenance ops through the catalog") {
+    spark.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+    val path = tmpDir("dsv2-proc") + "/store"
+    val store = buildStore(path) // v5, live deletion vectors
+    val c = spark.sql(s"CALL graft_store.compact('$path')").collect().head
+    assert((c.getLong(0), c.getLong(1)) === ((6L, 0L)),
+      "(version, live_vectors) after CALL compact")
+    assert(store.all().count() === 118L)
+    assert(spark.sql(s"CALL graft_store.snapshot('$path')")
+      .collect().head.getLong(0) === 6L)
+    assert(spark.sql(s"CALL graft_store.vacuum('$path')")
+      .collect().head.getLong(0) >= 1L, "vacuum after a snapshot must retire dirs")
+    assert(store.all().count() === 118L, "maintenance must not change the data")
+    // Restore (fresh store so the full feed is present).
+    val path2 = tmpDir("dsv2-proc2") + "/store"
+    val st2 = new CustomerStore(spark, path2)
+    st2.insertNew(block(1L, 10L)): Unit
+    st2.insertNew(block(21L, 30L)): Unit
+    assert(spark.sql(s"CALL graft_store.restore('$path2', 1)")
+      .collect().head.getLong(0) === 3L)
+    assert(st2.all().count() === 10L)
+    assert(spark.sql(s"CALL graft_store.zorder('$path2')")
+      .collect().head.getLong(0) === 4L)
+    intercept[Exception] {
+      spark.sql(s"CALL graft_store.does_not_exist('$path')")
+    }
+  }
+
   test("DELETE-filter translation covers the grammar and refuses the rest") {
     import org.apache.spark.sql.sources._
     val yes: Seq[Filter] = Seq(
