@@ -36,6 +36,16 @@ object CustomerSchema {
 
   val uploadColumns: Seq[String] =
     Seq("id", "first_name", "last_name", "email", "phone")
+
+  /** The change-data-feed row: every committed mutation as a full row
+    * tagged insert/update/ack (+ `_pre` retractions, `delete_pre`
+    * tombstones), stamped with its commit's version. Shared by the
+    * store's feed readers and the DSv2 CDC scan.
+    */
+  val changeSchema: StructType = StructType(
+    StructField("commit_version", LongType, nullable = false) +:
+    StructField("change_type", StringType, nullable = false) +:
+    tableSchema.fields)
 }
 
 /** Typed row for Dataset-based paths (database/database.go:32-42). */

@@ -263,12 +263,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       .sortBy(_._1)
   }
 
-  private def changeSchema =
-    org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("commit_version",
-        org.apache.spark.sql.types.LongType, nullable = false) +:
-      org.apache.spark.sql.types.StructField("change_type",
-        org.apache.spark.sql.types.StringType, nullable = false) +: tableSchema.fields)
+  private def changeSchema = CustomerSchema.changeSchema
 
   /** The last committed version — 0 for an empty store; each staged
     * commit (insert / merge / ack) advances it by exactly one. The

@@ -759,6 +759,36 @@ object PipelineParity extends QueryGroup {
       }
     }),
 
+    // CHANGE DATA FEED through the connector (the table_changes read):
+    // feedFrom/feedTo options serve the per-commit feed directories in
+    // (from, to] — one input partition per commit, so a consumer's
+    // catch-up read opens exactly its lag. REQUIREd: the full-range
+    // read is row-identical to the API changeFeed() in both
+    // directions, and the (1, 3] slice plans exactly the merge + ack
+    // commits' dirs. The slice's per-type counts re-derive the shared
+    // insert→merge→ack fixture arithmetic WITHOUT the v1 insert bulk —
+    // only the merge's fresh block appears as insert.
+    "pipeline_catalog_changes" -> ((s, dir) => {
+      val path = mergeIMATemplate(s, dir) // read-only 3-commit template
+      val store = new graft.pipeline.CustomerStore(s, path)
+      def cdc(from: Long, to: Option[Long]) = {
+        var r = s.read.format("graft-store").option("path", path)
+          .option("feedFrom", from)
+        to.foreach(t => r = r.option("feedTo", t))
+        r.load()
+      }
+      val full = cdc(0L, None)
+      require(full.exceptAll(store.changeFeed()).isEmpty &&
+          store.changeFeed().exceptAll(full).isEmpty,
+        "connector feed read diverged from the API changeFeed")
+      val slice = cdc(1L, Some(3L))
+      require(slice.rdd.getNumPartitions == 2,
+        "the (1,3] slice must plan exactly the two commits' feed dirs")
+      slice.groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n_changes"), sum(col("id")).as("id_sum"))
+        .orderBy(col("change_type"))
+    }),
+
     // SQL STORED PROCEDURES (DSv2 ProcedureCatalog, SPARK-44167): the
     // store's maintenance verbs as CALL statements, each routing to
     // the SAME CustomerStore op as the API — compact materializes the
@@ -1848,6 +1878,26 @@ object PipelineParity extends QueryGroup {
            CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_phone_updated
          FROM customer""",
+    // The (1,3] slice of the insert→merge→ack feed: the merge's fresh
+    // +20M block is the only insert, %3==0 update pairs, %5==0 ack
+    // pairs (identical matches and id-conflicts emit nothing).
+    "pipeline_catalog_changes" ->
+      """WITH c AS (SELECT c_custkey AS id FROM customer),
+          ack AS (SELECT 'ack' AS change_type, COUNT(*) AS n_changes,
+                    CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 5 = 0),
+          ackp AS (SELECT 'ack_pre' AS change_type, COUNT(*) AS n_changes,
+                    CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 5 = 0),
+          ins AS (SELECT 'insert' AS change_type,
+                    (SELECT COUNT(*) FROM c WHERE id % 10 = 0) AS n_changes,
+                    CAST((SELECT COALESCE(SUM(id + 20000000), 0) FROM c
+                          WHERE id % 10 = 0) AS BIGINT) AS id_sum),
+          upd AS (SELECT 'update' AS change_type, COUNT(*) AS n_changes,
+                    CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 3 = 0),
+          updp AS (SELECT 'update_pre' AS change_type, COUNT(*) AS n_changes,
+                    CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 3 = 0)
+          SELECT * FROM ack UNION ALL SELECT * FROM ackp UNION ALL SELECT * FROM ins
+          UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM updp
+          ORDER BY change_type""",
     // Procedure-gate arithmetic: the delete kills the quartile range,
     // compact keeps the post-delete count, restore(1) brings every
     // custkey back; the version history is constant (v1 insert,

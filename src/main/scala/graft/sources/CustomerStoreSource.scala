@@ -106,7 +106,8 @@ class CustomerStoreSource extends TableProvider with DataSourceRegister
     }
   }
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    CustomerSchema.tableSchema
+    if (options.containsKey("feedFrom")) CustomerSchema.changeSchema
+    else CustomerSchema.tableSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val path = properties.get("path")
@@ -115,8 +116,88 @@ class CustomerStoreSource extends TableProvider with DataSourceRegister
     val timestampAsOf = Option(properties.get("timestampAsOf")).map(_.toLong)
     require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
       "graft-store: versionAsOf and timestampAsOf are mutually exclusive")
-    new CustomerStoreTable(path, versionAsOf, timestampAsOf)
+    val feedFrom = Option(properties.get("feedFrom")).map(_.toLong)
+    val feedTo = Option(properties.get("feedTo")).map(_.toLong)
+    if (feedFrom.isDefined || feedTo.isDefined) {
+      require(feedFrom.isDefined,
+        "graft-store: feedTo requires feedFrom (the exclusive lower version)")
+      require(versionAsOf.isEmpty && timestampAsOf.isEmpty,
+        "graft-store: a change-feed read and time travel are mutually exclusive")
+      new CustomerStoreChangesTable(path, feedFrom.get, feedTo)
+    } else new CustomerStoreTable(path, versionAsOf, timestampAsOf)
   }
+}
+
+/** CHANGE DATA FEED served through the connector (the `table_changes`
+  * read every transactional format exposes):
+  *
+  * {{{
+  *   spark.read.format("graft-store").option("path", dir)
+  *     .option("feedFrom", 1)          // exclusive lower version
+  *     .option("feedTo", 3)            // inclusive upper (default: head)
+  *     .load()                         // commit_version, change_type, <row>
+  * }}}
+  *
+  * Planning lists the per-commit feed directories in `(from, to]` —
+  * one input partition per commit, so a consumer's catch-up read opens
+  * exactly its lag, never the table or the feed's history (the same
+  * manifest-level pruning [[CustomerStore.feedSince]] does). Rows are
+  * the feed verbatim: post-images tagged insert/update/ack, `_pre`
+  * retractions, `delete_pre` tombstones. Read-only by construction.
+  */
+class CustomerStoreChangesTable(path: String, fromExclusive: Long,
+    toInclusive: Option[Long]) extends Table with SupportsRead {
+  override def name(): String = s"graft_store_changes($path)"
+  override def schema(): StructType = CustomerSchema.changeSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = CustomerSchema.changeSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan =
+        new StoreChangesScan(path, fromExclusive, toInclusive, required)
+    }
+}
+
+class StoreChangesScan(path: String, fromExclusive: Long,
+    toInclusive: Option[Long], required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  private lazy val dirs: Seq[(Long, String)] = {
+    val store = new CustomerStore(SparkSession.active, path)
+    store.feedDirsIn(fromExclusive, toInclusive.getOrElse(store.currentVersion()))
+  }
+  override def planInputPartitions(): Array[InputPartition] =
+    dirs.map { case (_, d) => StoreChangesPartition(d): InputPartition }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    StoreChangesReaderFactory(required.fieldNames)
+  override def description(): String =
+    s"GraftStoreChanges path=$path, commits=(${fromExclusive}, " +
+      s"${toInclusive.map(_.toString).getOrElse("head")}], dirs=${dirs.size}, " +
+      s"ReadSchema: ${required.simpleString}"
+}
+
+case class StoreChangesPartition(dir: String) extends InputPartition
+
+case class StoreChangesReaderFactory(required: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val it: Iterator[Array[Any]] =
+        ParquetGroups.parquetFilesIn(
+          partition.asInstanceOf[StoreChangesPartition].dir)
+          .iterator.flatMap(f => ParquetGroups.readAll(f, required.toSeq))
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        current = InternalRow.fromSeq(it.next().toIndexedSeq)
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
 }
 
 class CustomerStoreTable(val path: String, val versionAsOf: Option[Long],

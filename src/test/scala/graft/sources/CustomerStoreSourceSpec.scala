@@ -476,6 +476,34 @@ class CustomerStoreSourceSpec extends SparkSpec {
     }
   }
 
+  test("change-feed reads through the connector match feedSince per commit range") {
+    val path = tmpDir("dsv2-cdc") + "/store"
+    val store = buildStore(path) // 5 commits
+    def cdc(from: Long, to: Option[Long]): DataFrame = {
+      var r = spark.read.format("graft-store").option("path", path)
+        .option("feedFrom", from)
+      to.foreach(t => r = r.option("feedTo", t))
+      r.load()
+    }
+    def keyOf(df: DataFrame): Seq[(Long, String, String)] =
+      df.select(col("commit_version"), col("change_type"), col("email"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSeq.sorted
+    assert(keyOf(cdc(0L, None)) === keyOf(store.changeFeed()),
+      "(0, head] must be the whole feed")
+    assert(keyOf(cdc(2L, Some(4L))) === keyOf(store.feedSince(2L, 4L)))
+    assert(cdc(5L, None).count() === 0L)
+    // One input partition per commit dir in range; column pruning works.
+    val slice = cdc(1L, Some(3L))
+    assert(slice.rdd.getNumPartitions === 2)
+    assert(slice.select(col("change_type")).distinct().count() >= 1L)
+    // CDC composes with nothing else: time travel is rejected.
+    intercept[Exception] {
+      spark.read.format("graft-store").option("path", path)
+        .option("feedFrom", 0).option("versionAsOf", 2).load()
+    }
+  }
+
   test("DELETE-filter translation covers the grammar and refuses the rest") {
     import org.apache.spark.sql.sources._
     val yes: Seq[Filter] = Seq(
