@@ -838,6 +838,13 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     */
   def pendingDataFiles(): Seq[String] = livePendingFiles().map(_._1)
 
+  /** Absolute paths of the live pending data files — for physical pins
+    * that must actually touch the bytes on disk (e.g. truncating every
+    * data file to prove a manifest-only read opened none of them).
+    * Basenames alone would resolve against the CWD and pin nothing.
+    */
+  def pendingDataFilePaths(): Seq[String] = livePendingFiles().map(_._2)
+
   // ---- Table-format metadata API (the DSv2 connector's planner) ------
   //
   // sources.CustomerStoreSource serves this store through

@@ -862,9 +862,16 @@ object PipelineParity extends QueryGroup {
         val r1 = q1.collect().head
         require(q1.queryExecution.executedPlan.toString().contains("PushedAggregates"),
           "COUNT/MIN/MAX over the clean store must push to the manifest")
-        // The physical pin: zero-byte every data file, ask again.
-        store.pendingDataFiles().foreach(p =>
-          new java.io.FileOutputStream(p).close())
+        // The physical pin: zero-byte every data file (ABSOLUTE paths —
+        // basenames would resolve against the CWD and pin nothing),
+        // ask again.
+        val pinned = store.pendingDataFilePaths()
+        require(pinned.nonEmpty &&
+          pinned.forall(p => new java.io.File(p).isAbsolute),
+          "truncation pin needs absolute data-file paths")
+        pinned.foreach(p => new java.io.FileOutputStream(p).close())
+        require(pinned.forall(p => new java.io.File(p).length() == 0L),
+          "truncation pin did not reach the real data files")
         val r2 = s.sql(s"SELECT count(*) AS n_rows, min(id) AS min_id, " +
           s"max(id) AS max_id FROM graft_store.`$path`").collect().head
         require(r1 == r2,

@@ -412,7 +412,11 @@ class CustomerStoreSourceSpec extends SparkSpec {
       "aggregation was not pushed to the manifest scan")
     // Physical pin: truncate every data file to zero bytes — the
     // manifest-only answer must survive (no data file is opened).
-    store.pendingDataFiles().foreach(p => new java.io.FileOutputStream(p).close())
+    val pinned = store.pendingDataFilePaths()
+    assert(pinned.nonEmpty && pinned.forall(p => new java.io.File(p).isAbsolute))
+    pinned.foreach(p => new java.io.FileOutputStream(p).close())
+    assert(pinned.forall(p => new java.io.File(p).length() == 0L),
+      "truncation pin did not reach the real data files")
     val r2 = spark.sql(
       s"SELECT count(*), min(id), max(id) FROM graft_store.`$path`").collect().head
     assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) === ((80L, 1L, 1040L)),
@@ -517,7 +521,7 @@ class CustomerStoreSourceSpec extends SparkSpec {
     yes.foreach(f => assert(CustomerStoreDelete.toColumn(f).isDefined, f.toString))
     // A nested unsupported leaf poisons the whole conjunction.
     val exotic = And(EqualTo("id", 1L),
-      Or(AlwaysTrue(), StringContains("email", " ")))
+      Or(AlwaysTrue(), StringContains("email", "\u0000")))
     assert(CustomerStoreDelete.toColumn(exotic).isDefined)
   }
 }
