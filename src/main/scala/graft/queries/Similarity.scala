@@ -110,24 +110,34 @@ object Similarity extends QueryGroup {
   // list count ∝ √n, not probe narrowing (see SCALING.md).
   private val GRAPH_PROBES = IVF_PROBES
   // Beam search over the navigable kNN graph (the HNSW/NSW serving
-  // pattern): beam width, fixed hop count, and the deterministic
-  // entry-point sample (vec_id % ENTRY_MOD = 3 → 10% of nodes). Fixed
-  // hops instead of to-convergence keeps the traversal bit-reproducible
-  // and oracle-expressible (one CTE pair per hop, like the MMR
-  // rounds); the beam expands over UNDIRECTED edges (kNN edges +
-  // their reverses — reverse links are what makes a kNN digraph
-  // navigable, the same role HNSW's bidirectional links play).
+  // pattern): beam width, fixed hop count, and a HIERARCHICAL entry —
+  // the IVF centroids act as HNSW's upper layer (rank the query's
+  // ENTRY_PROBES nearest of the 32 persisted centroids), and each
+  // list's ENTRY_PER_LIST most-central members (a persisted artifact
+  // derived from the postings, like HNSW's layer assignment) seed the
+  // beam. Entry cost is queries × (centroids + ENTRY_PROBES ×
+  // ENTRY_PER_LIST) — independent of collection size, which the old
+  // `vec_id % 10` entry SAMPLE (a fractional brute force, O(q·n/10))
+  // was not. Fixed hops instead of to-convergence keeps the traversal
+  // bit-reproducible and oracle-expressible (one CTE pair per hop,
+  // like the MMR rounds); the beam expands over UNDIRECTED edges (kNN
+  // edges + their reverses — reverse links are what makes a kNN
+  // digraph navigable, the same role HNSW's bidirectional links play).
   // Measured sweep on these near-orthogonal synthetics (top-5 recall
-  // at sf0.001/0.01/0.1): degree-5 graph, beam 16×3 hops, 5% entries
-  // → 0.64/0.68/0.40 (the beam converges into a local patch); beam
-  // 32×4, 10% entries → 0.84/·/0.64; DEGREE is the effective dial —
-  // the degree-10 graph at beam 32×4 → 1.00/0.96/0.90, and beam 48
-  // buys the sf0.1 margin → 1.00/0.96/0.95 (hop 5 measured 0.90 at
-  // sf0.1: converged, wider-not-deeper is what helps). ≥0.9 pinned in
-  // QueryContractsSpec.
+  // at sf0.001/0.01/0.1): degree-5 graph, beam 16×3 hops, 5% random
+  // entries → 0.64/0.68/0.40 (the beam converges into a local patch);
+  // beam 32×4, 10% → 0.84/·/0.64; DEGREE is the effective dial — the
+  // degree-10 graph at beam 32×4 → 1.00/0.96/0.90, and beam 48 buys
+  // the sf0.1 margin → 1.00/0.96/0.95 (hop 5 measured 0.90 at sf0.1:
+  // converged, wider-not-deeper is what helps). The HIERARCHICAL
+  // entry at 8 probes × 6 per-list seeds measures 1.00/1.00/0.97 —
+  // BETTER than the 10% random sample (entries start in the query's
+  // own lists) while cutting the entry term from n/10 scores per
+  // query to ≤48. ≥0.9 pinned in QueryContractsSpec.
   private val BEAM_W = 48
   private val BEAM_HOPS = 4
-  private val ENTRY_MOD = 10L
+  private val ENTRY_PROBES = 8
+  private val ENTRY_PER_LIST = 6
   // Out-degree of the navigable graph (deliberately ABOVE the serving
   // k: denser links are the degree half of HNSW's navigability, and on
   // these near-orthogonal synthetics degree is the effective recall
@@ -464,6 +474,32 @@ object Similarity extends QueryGroup {
         s"knn_graph_l${IVF_LISTS}r${IVF_ITERS}a${IVF_ASSIGN_R}p${GRAPH_PROBES}k$BEAM_GRAPH_K")(
         ivfProbe(all, postings, cent, GRAPH_PROBES, BEAM_GRAPH_K)
           .withColumnRenamed("query_id", "vec_id"))
+    }
+
+  /** The beam search's HIERARCHICAL ENTRY LAYER (HNSW's upper-layer
+    * role, served by artifacts the index already has): per IVF list,
+    * its [[ENTRY_PER_LIST]] most-central members (cosine to the list
+    * centroid, vec_id tie-break) — one window over the persisted
+    * postings, built once and persisted beside them. Serving seeds a
+    * query's beam from the entries of its [[ENTRY_PROBES]] nearest
+    * centroids: cost ∝ queries × (lists + probes × per-list), never
+    * × collection.
+    */
+  private val beamEntryMemo = new graft.util.SessionCache[DataFrame]
+
+  private def beamEntriesCached(s: SparkSession, dir: String): DataFrame =
+    beamEntryMemo.getOrCompute(s, dir) {
+      val (postings, cent) = ivfIndexCached(s, dir, quantized(s, dir))
+      graft.util.IndexStore.loadOrBuild(s, dir,
+        s"beam_entries_l${IVF_LISTS}r${IVF_ITERS}a${IVF_ASSIGN_R}e$ENTRY_PER_LIST") {
+        val w = Window.partitionBy(col("list_id"))
+          .orderBy(cosPpm(qdot(col("qv"), col("cv")), col("sq"), col("c_sq")).desc,
+            col("vec_id"))
+        postings.join(broadcast(cent), Seq("list_id"))
+          .withColumn("ern", row_number().over(w))
+          .filter(col("ern") <= ENTRY_PER_LIST)
+          .select(col("list_id"), col("vec_id"))
+      }
     }
 
   /** Exact top-k (query_id, neighbor_id) pairs of `queries` over
@@ -950,22 +986,24 @@ object Similarity extends QueryGroup {
     // persisted navigable kNN graph. Construction is the distributed
     // graph-ANN build (kNN edges from the IVF index — the
     // DiskANN/NN-descent shape — persisted once as an artifact, shared
-    // with sim_knn_graph's probe); serving walks the graph: score a
-    // deterministic 5% entry sample, then BEAM_HOPS rounds of
-    // expand-the-beam-over-undirected-edges → exact-score → keep the
-    // best BEAM_W per query, finally exact-rerank the visited set to
-    // top-k. Each hop is one equi-join on the edge source plus a
-    // bounded per-query window — cost ∝ queries × beam × degree ×
-    // hops, INDEPENDENT of collection size, which is why this family
-    // exists at 100 TB (the entry scan is the n-dependent term and
-    // rides the same sampling dial as the entry fraction). Every step
-    // is integer-deterministic (cos-then-id ties), so the DuckDB
-    // oracle replays the identical traversal as one CTE pair per hop
-    // and the result is hash-exact. Recall ≥ 0.9 vs brute force is
-    // pinned in QueryContractsSpec.
+    // with sim_knn_graph's probe); serving walks the graph: descend
+    // the HIERARCHICAL entry (nearest ENTRY_PROBES of the 32 persisted
+    // centroids → their lists' ENTRY_PER_LIST most-central members,
+    // a persisted artifact — HNSW's upper layers), then BEAM_HOPS
+    // rounds of expand-the-beam-over-undirected-edges → exact-score →
+    // keep the best BEAM_W per query, finally exact-rerank the visited
+    // set to top-k. Every serving stage — entry included — is cost ∝
+    // queries × beam × degree × hops, INDEPENDENT of collection size,
+    // which is why this family exists at 100 TB. Every step is
+    // integer-deterministic (cos-then-id ties), so the DuckDB oracle
+    // replays the identical traversal as one CTE pair per hop and the
+    // result is hash-exact. Recall ≥ 0.9 vs brute force is pinned in
+    // QueryContractsSpec.
     "sim_graph_beam_ann" -> ((s, dir) => {
       val all = quantized(s, dir).localCheckpoint(false)
       val knn = knnGraphCached(s, dir)
+      val (_, cent) = ivfIndexCached(s, dir, quantized(s, dir))
+      val entries = beamEntriesCached(s, dir)
       val edges = knn
         .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
         .unionByName(knn.select(col("neighbor_id").as("src"), col("vec_id").as("dst")))
@@ -981,11 +1019,20 @@ object Similarity extends QueryGroup {
         .select(col("query_id"), col("neighbor_id"), col("cos_ppm"))
       val wB = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_ppm").desc, col("neighbor_id"))
-      var visited = nodes.filter(col("neighbor_id") % ENTRY_MOD === 3)
-        .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-        .withColumn("cos_ppm", cosPpm(qdot(col("q_qv"), col("qv")), col("q_sq"), col("sq")))
-        .select(col("query_id"), col("neighbor_id"), col("cos_ppm"))
-        .localCheckpoint(true)
+      // Layer-1 descent: rank the 32 broadcast centroids per query,
+      // keep the ENTRY_PROBES nearest lists (a multi-assigned entry
+      // surfacing from several probed lists dedupes before scoring).
+      val probeW = Window.partitionBy(col("query_id"))
+        .orderBy(col("c_cos").desc, col("list_id"))
+      val qProbes = q.join(broadcast(cent))
+        .withColumn("c_cos",
+          cosPpm(qdot(col("q_qv"), col("cv")), col("q_sq"), col("c_sq")))
+        .withColumn("p_rn", row_number().over(probeW))
+        .filter(col("p_rn") <= ENTRY_PROBES)
+        .select(col("query_id"), col("list_id"))
+      val entryCand = qProbes.join(entries, Seq("list_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id")).distinct()
+      var visited = scored(entryCand).localCheckpoint(true)
       var beam = visited.withColumn("rn", row_number().over(wB))
         .filter(col("rn") <= BEAM_W).select(col("query_id"), col("neighbor_id"))
       for (_ <- 1 to BEAM_HOPS) {
@@ -1399,10 +1446,26 @@ object Similarity extends QueryGroup {
           e AS (SELECT src, dst FROM g UNION SELECT dst AS src, src AS dst FROM g),
           qq AS (SELECT vec_id AS query_id, qv AS q_qv, sq AS q_sq FROM n
                  WHERE vec_id % 100 = 0),
-          v0 AS (SELECT qq.query_id, m.vec_id AS neighbor_id,
+          gent AS (SELECT list_id, vec_id FROM (
+                    SELECT af.list_id, af.vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY af.list_id
+                        ORDER BY ${cosPpmSql("af.qv", "c.cv", "af.sq", "c.c_sq")} DESC,
+                          af.vec_id) AS ern
+                    FROM af JOIN $ivfFinalCent c USING (list_id))
+                  WHERE ern <= $ENTRY_PER_LIST),
+          gqpe AS (SELECT query_id, list_id FROM (
+                    SELECT qq.query_id, c.list_id,
+                      ROW_NUMBER() OVER (PARTITION BY qq.query_id
+                        ORDER BY ${cosPpmSql("qq.q_qv", "c.cv", "qq.q_sq", "c.c_sq")} DESC,
+                          c.list_id) AS p_rn
+                    FROM qq, $ivfFinalCent c)
+                  WHERE p_rn <= $ENTRY_PROBES),
+          v0 AS (SELECT DISTINCT gqpe.query_id, m.vec_id AS neighbor_id,
                    ${cosPpmSql("qq.q_qv", "m.qv", "qq.q_sq", "m.sq")} AS cos_ppm
-                 FROM qq, n m
-                 WHERE m.vec_id % $ENTRY_MOD = 3 AND m.vec_id <> qq.query_id),
+                 FROM gqpe JOIN gent ge USING (list_id)
+                   JOIN n m ON m.vec_id = ge.vec_id
+                   JOIN qq ON qq.query_id = gqpe.query_id
+                 WHERE m.vec_id <> gqpe.query_id),
           b0 AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
                    ROW_NUMBER() OVER (PARTITION BY query_id
                      ORDER BY cos_ppm DESC, neighbor_id) AS rn FROM v0)

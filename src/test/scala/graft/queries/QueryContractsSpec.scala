@@ -72,7 +72,8 @@ class QueryContractsSpec extends SparkSpec {
     val recall = hits.toDouble / brute.size
     assert(recall >= 0.9,
       f"beam-search recall $recall%.2f below floor 0.9 (beam 48 × 4 hops over the " +
-        "undirected 10-NN graph, 10% entry sample; measured 1.00/0.96/0.95)")
+        "undirected 10-NN graph, hierarchical 8×6 centroid-list entry; " +
+        "measured 1.00/1.00/0.97 at sf0.001/0.01/0.1)")
   }
 
   test("pq ann recall vs brute force clears its floor and output is well-formed") {
