@@ -5,10 +5,15 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Outcome of a [[CustomerStoreApi.merge]]: rows whose payload was
-  * rewritten, rows newly inserted, and matched rows left untouched
-  * because their payload was already identical.
+  * rewritten, rows newly inserted, matched rows left untouched because
+  * their payload was already identical, and unmatched rows SALVAGED
+  * AWAY because their id collided with a stored row or an
+  * earlier-batch insert (the reference's UNIQUE-salvage contract) —
+  * surfaced so the silent drop is observable by every caller,
+  * including SQL MERGE.
   */
-case class MergeResult(nUpdated: Long, nInserted: Long, nUnchanged: Long)
+case class MergeResult(nUpdated: Long, nInserted: Long, nUnchanged: Long,
+    nConflicts: Long)
 
 /** The `customers` state-table contract the reference keeps in Postgres
   * (csv-crm-upload database/database.go:16-19): UNIQUE(id),
@@ -156,8 +161,13 @@ trait CustomerStoreApi {
     val nMatched = matched.count()
     val nUpdated = updates.count()
     val nInserted = inserts.count()
+    // One normalized row per email; whoever is neither matched nor
+    // inserted was salvaged away on an id conflict — counted, never
+    // silent.
+    val nEmails = batch.select(col("email")).distinct().count()
     applyMerge(updates, inserts)
-    MergeResult(nUpdated, nInserted, nMatched - nUpdated)
+    MergeResult(nUpdated, nInserted, nMatched - nUpdated,
+      nEmails - nMatched - nInserted)
   }
 
   /** The classification plans behind [[merge]]: (matched, updates,

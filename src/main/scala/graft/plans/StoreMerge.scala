@@ -50,18 +50,37 @@ case class MergeIntoStoreCommand(path: String, source: LogicalPlan)
   override val output: Seq[Attribute] = Seq(
     AttributeReference("n_updated", LongType, nullable = false)(),
     AttributeReference("n_inserted", LongType, nullable = false)(),
-    AttributeReference("n_unchanged", LongType, nullable = false)())
+    AttributeReference("n_unchanged", LongType, nullable = false)(),
+    AttributeReference("n_conflicts", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.{functions => F}
+    val src = org.apache.spark.sql.graft.PlanDataFrame.ofRows(spark, source)
+      .select("id", "first_name", "last_name", "email", "phone")
+    // Standard SQL MERGE (and Delta) raises when multiple source rows
+    // would match one target row with CONFLICTING values — the API
+    // merge's last-_seq-wins normalization would otherwise pick a
+    // nondeterministic winner here, because a SQL source has no ingest
+    // order. Payload-IDENTICAL duplicates are harmless and collapse.
+    val conflicted = src.groupBy(F.col("email"))
+      .agg(F.countDistinct(F.struct(F.col("id"), F.col("first_name"),
+        F.col("last_name"), F.col("phone"))).as("n"))
+      .filter(F.col("n") > 1)
+    if (conflicted.take(1).nonEmpty)
+      throw new IllegalStateException(
+        "graft-store MERGE: the source has multiple rows for the same " +
+          "email with conflicting values — SQL MERGE requires at most one " +
+          "source row per matched target row (deduplicate or pre-aggregate " +
+          "the source)")
     // merge() takes a full-schema batch (the INSERT leg lands verbatim):
     // enrich exactly like the ingest path — uploaded=false, fresh
     // created_ts/modified_ts; the UPDATE leg keeps the STORED
     // uploaded/created_ts regardless, per the merge contract.
-    val batch = graft.pipeline.Ingest.enrich(
-      org.apache.spark.sql.graft.PlanDataFrame.ofRows(spark, source)
-        .select("id", "first_name", "last_name", "email", "phone"))
+    // dropDuplicates is value-deterministic: survivors of the check
+    // above are payload-identical.
+    val batch = graft.pipeline.Ingest.enrich(src.dropDuplicates("email"))
     val r = new graft.pipeline.CustomerStore(spark, path).merge(batch)
-    Seq(Row(r.nUpdated, r.nInserted, r.nUnchanged))
+    Seq(Row(r.nUpdated, r.nInserted, r.nUnchanged, r.nConflicts))
   }
 }
 

@@ -17,9 +17,10 @@ class MergePropertySpec extends SparkSpec {
   private type R = (Long, String, String, String)
 
   /** In-memory reference: returns (final rows, nUpdated, nInserted,
-    * nUnchanged). Stored rows must already satisfy UNIQUE(id,email).
+    * nUnchanged, nConflicts). Stored rows must already satisfy
+    * UNIQUE(id,email).
     */
-  private def model(stored: Seq[R], batch: Seq[R]): (Seq[R], Long, Long, Long) = {
+  private def model(stored: Seq[R], batch: Seq[R]): (Seq[R], Long, Long, Long, Long) = {
     val out = scala.collection.mutable.LinkedHashMap[String, R]()
     stored.foreach(r => out(r._3) = r)
     val storedIds = stored.map(_._1).toSet
@@ -27,7 +28,7 @@ class MergePropertySpec extends SparkSpec {
     val lastIdx = batch.zipWithIndex.groupBy(_._1._3)
       .map { case (_, rs) => rs.map(_._2).max }.toSet
     val latest = batch.zipWithIndex.collect { case (r, i) if lastIdx(i) => r }
-    var nUp = 0L; var nIns = 0L; var nUnch = 0L
+    var nUp = 0L; var nIns = 0L; var nUnch = 0L; var nConf = 0L
     val insertedIds = scala.collection.mutable.Set[Long]()
     latest.foreach { r =>
       out.get(r._3) match {
@@ -37,10 +38,10 @@ class MergePropertySpec extends SparkSpec {
         case None =>
           if (!storedIds.contains(r._1) && !insertedIds.contains(r._1)) {
             insertedIds += r._1; out(r._3) = r; nIns += 1
-          } // else dropped: id taken by the store or an earlier insert
+          } else nConf += 1 // dropped: id taken by the store or an earlier insert
       }
     }
-    (out.values.toSeq, nUp, nIns, nUnch)
+    (out.values.toSeq, nUp, nIns, nUnch, nConf)
   }
 
   private def toBatch(rows: Seq[R]) = {
@@ -62,8 +63,8 @@ class MergePropertySpec extends SparkSpec {
       val store = new CustomerStore(spark, tmpDir("merge-prop") + "/c")
       assert(store.insertNew(toBatch(stored)) === stored.length)
       val got = store.merge(toBatch(batch))
-      val (wantRows, nUp, nIns, nUnch) = model(stored, batch)
-      assert(got === MergeResult(nUp, nIns, nUnch),
+      val (wantRows, nUp, nIns, nUnch, nConf) = model(stored, batch)
+      assert(got === MergeResult(nUp, nIns, nUnch, nConf),
         s"trial $trial stored=$stored batch=$batch")
       val gotRows = store.all().collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(3), r.getString(4)))

@@ -43,8 +43,8 @@ class MergeSpec extends SparkSpec {
         (2L, "Bob", "B", "bob@example.com", "555-2"),  // matched, identical → untouched
         (4L, "Dee", "D", "dee@example.com", "555-4"),  // new → insert
         (3L, "Eve", "E", "eve@example.com", "555-5"))) // new email, stored id → dropped
-      assert(r === MergeResult(nUpdated = 1, nInserted = 1, nUnchanged = 1),
-        s"[$name] wrong merge counts: $r")
+      assert(r === MergeResult(nUpdated = 1, nInserted = 1, nUnchanged = 1,
+        nConflicts = 1), s"[$name] wrong merge counts: $r")
       val all = store.all().collect()
       assert(all.length === 4, s"[$name] conflict row must not land")
       val ann = all.find(_.getString(3) == "ann@example.com").get
@@ -69,8 +69,8 @@ class MergeSpec extends SparkSpec {
         (1L, "Ann3", "A", "ann@example.com", "555-3"),  // …last wins
         (7L, "Gil", "G", "gil@example.com", "555-7"),   // first id-7 insert wins
         (7L, "Hal", "H", "hal@example.com", "555-8")))  // later id-7 insert drops
-      assert(r === MergeResult(nUpdated = 1, nInserted = 1, nUnchanged = 0),
-        s"[$name] wrong counts: $r")
+      assert(r === MergeResult(nUpdated = 1, nInserted = 1, nUnchanged = 0,
+        nConflicts = 1), s"[$name] wrong counts: $r")
       val all = store.all().collect()
       assert(all.find(_.getString(3) == "ann@example.com").get.getString(1) === "Ann3",
         s"[$name] last batch write must be the end state")
@@ -85,7 +85,7 @@ class MergeSpec extends SparkSpec {
     val r = store.merge(rows(
       (1L, "Ann", "A", "ann@example.com", "555-1"),
       (2L, "Bob", "B", "bob@example.com", "555-2")))
-    assert(r === MergeResult(0, 2, 0))
+    assert(r === MergeResult(0, 2, 0, 0))
     assert(store.pending().count() === 2)
   }
 
