@@ -242,6 +242,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     * proportional to the lag, not the lifetime).
     */
   def feedSince(fromExclusive: Long, toInclusive: Long): DataFrame = {
+    requireFeedRange(fromExclusive, toInclusive)
     val dirs = commitDirs()
       .filter { case (v, _) => v > fromExclusive && v <= toInclusive }
       .map(_._2.toString)
@@ -394,7 +395,47 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     val cutoff = snapshotVersions().sorted.lastOption.getOrElse(return 0)
     val retired = commitDirs().filter(_._1 <= cutoff)
     retired.foreach { case (_, d) => deleteRecursively(d) }
+    // Persist the retention horizon (monotonic): range feed reads below
+    // it must fail LOUDLY instead of silently returning partial history
+    // — the Delta/Iceberg CDF contract for an unavailable range. Written
+    // AFTER the dirs are gone (a crash between leaves the watermark
+    // low, which only under-rejects — never claims availability it
+    // cannot serve... the next vacuum re-raises it).
+    val wm = math.max(feedLowWatermark(), cutoff)
+    val tmp = new java.io.File(path, FeedWatermark + ".tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      wm.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    require(tmp.renameTo(new java.io.File(path, FeedWatermark)) ||
+        new java.io.File(path, FeedWatermark).exists(),
+      s"could not promote feed watermark $wm")
     retired.size
+  }
+
+  /** The feed-retention horizon: commits at or below this version were
+    * retired by [[vacuumFeed]] (0 = nothing vacuumed). Range feed reads
+    * ([[feedSince]], [[feedDirsIn]], the connector's `feedFrom`) whose
+    * exclusive lower bound lies below it are rejected — a catch-up
+    * consumer must never silently lose changes. Feed-SILENT commits
+    * (compact) legitimately have no dir, which is why availability is
+    * a watermark check, not dir contiguity.
+    */
+  def feedLowWatermark(): Long = {
+    val f = new java.io.File(path, FeedWatermark)
+    if (f.exists())
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else 0L
+  }
+
+  /** Loud-failure guard for every range feed read: a non-empty range
+    * starting below the retention horizon cannot be served completely.
+    */
+  private def requireFeedRange(fromExclusive: Long, toInclusive: Long): Unit = {
+    val wm = feedLowWatermark()
+    require(toInclusive <= fromExclusive || fromExclusive >= wm,
+      s"change feed ($fromExclusive, $toInclusive] is unavailable: commits at or " +
+        s"below version $wm were vacuumed — read from feedFrom >= $wm, or " +
+        "reconstruct state via a snapshot (asOf)")
   }
 
   /** Small-file maintenance: rewrite both partitions into
@@ -879,9 +920,41 @@ class CustomerStore(protected val spark: SparkSession, path: String,
   def manifestAggregates(): Option[(Long, Option[Long], Option[Long])] = {
     val live = liveDataFiles()
     if (live.isEmpty) return Some((0L, None, None))
+    coveredZoneRows(live.map(_._1).toSet).map { zones =>
+      (zones.map(_._2).sum, Some(zones.map(_._3).min), Some(zones.map(_._4).max))
+    }
+  }
+
+  /** GROUP BY `uploaded` COUNT(*)/MIN(id)/MAX(id) from the zone
+    * manifest alone — the partition-grouped sibling of
+    * [[manifestAggregates]] (per-partition counts are manifest-
+    * derivable because `uploaded` IS the partition directory). Same
+    * exactness refusals; one output row per NON-EMPTY partition (SQL
+    * GROUP BY emits no row for an empty group). None when it cannot
+    * be exact.
+    */
+  def manifestAggregatesGrouped(): Option[Seq[(Boolean, Long, Option[Long], Option[Long])]] = {
+    val live = liveDataFiles()
+    if (live.isEmpty) return Some(Seq.empty)
+    coveredZoneRows(live.map(_._1).toSet).map { zones =>
+      val uploadedOf = live.map(f => f._1 -> f._3).toMap
+      zones.groupBy(z => uploadedOf(z._1)).toSeq.map { case (u, zs) =>
+        (u, zs.map(_._2).sum, Some(zs.map(_._3).min), Some(zs.map(_._4).max))
+      }.sortBy(_._1)
+    }
+  }
+
+  /** The exact-consult core shared by both manifest-aggregate faces:
+    * the newest zone row per live file as (file, n_rows, min_id,
+    * max_id). None whenever the consult could not be EXACT — live
+    * deletion vectors (a tombstoned row may hold the extremum, and
+    * zone rows are may-contain metadata under deletes) or a live file
+    * without complete non-null coverage.
+    */
+  private def coveredZoneRows(names: Set[String])
+      : Option[Seq[(String, Long, Long, Long)]] = {
     val (_, liveVectors) = deletionVectorStats()
     if (liveVectors > 0L) return None
-    val names = live.map(_._1).toSet
     // One zone row per (immutable) file; keep the newest defensively
     // and demand complete non-null coverage of the live set.
     val zones = zonesManifest()
@@ -893,9 +966,8 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       .groupBy(_.getString(0)).view
       .mapValues(_.maxBy(_.getLong(4))).values.toSeq
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    if (zones.map(_._1).toSet != names) return None // a live file lacks coverage
-    Some((zones.map(_._2).sum,
-      Some(zones.map(_._3).min), Some(zones.map(_._4).max)))
+    if (zones.map(_._1).toSet != names) None // a live file lacks coverage
+    else Some(zones)
   }
 
   /** Absolute paths of the committed deletion-vector parquet files
@@ -922,10 +994,12 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     * toInclusive, in version order — the delta a time-travel scan
     * replays on top of its snapshot base.
     */
-  def feedDirsIn(fromExclusive: Long, toInclusive: Long): Seq[(Long, String)] =
+  def feedDirsIn(fromExclusive: Long, toInclusive: Long): Seq[(Long, String)] = {
+    requireFeedRange(fromExclusive, toInclusive)
     commitDirs()
       .filter { case (v, _) => v > fromExclusive && v <= toInclusive }
       .map { case (v, d) => (v, d.getAbsolutePath) }
+  }
 
   /** Zone-manifest file pruning for `id BETWEEN lo AND hi` over an
     * arbitrary live-file list: keep a file iff its latest zone entry
@@ -1239,6 +1313,30 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     v
   }
 
+  /** Drop ZERO-ROW part files from this commit's staged data dirs
+    * (footer-only consult, driver-side, ∝ staged files): Spark writes
+    * an empty part when a write's side is empty — e.g. an ack that
+    * drains a whole file leaves a 0-row pending replacement. Letting
+    * those promote would litter the live set with files that carry no
+    * rows, no zone coverage (stats derive from rows, so an empty file
+    * has none — disabling the manifest-aggregate shortcut until a
+    * compact), and a per-file open cost at every scan. Runs at the
+    * stats choke point, after each stage method's commit-unique
+    * renames and before anything records the staged names.
+    */
+  private def dropEmptyStagedFiles(tmp: java.io.File): Unit =
+    Seq("pending", "done", "pending-append", "done-append",
+        "merge-pending", "merge-done")
+      .map(new java.io.File(tmp, _)).filter(_.isDirectory)
+      .foreach(_.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+            new org.apache.hadoop.conf.Configuration(false)))
+        val empty = try r.getRecordCount == 0L finally r.close()
+        if (empty) require(f.delete(), s"could not drop empty staged part $f")
+      })
+
   /** Stage this commit's SKIPPING STATS — per-file zone maps (row
     * count, min/max id) and the per-file email bloom filter — computed
     * from the staged data files themselves and promoted by the same
@@ -1257,6 +1355,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     * atomic rename to `_staging`.
     */
   private def stageStats(tmp: java.io.File, v: Long): Unit = {
+    dropEmptyStagedFiles(tmp)
     val dataDirs = Seq("pending", "done", "pending-append", "done-append",
         "merge-pending", "merge-done")
       .map(new java.io.File(tmp, _))
@@ -1534,6 +1633,7 @@ object CustomerStore {
   private[pipeline] val Commits = "_commits"
   private[pipeline] val StatsManifest = "_stats"
   private[pipeline] val Deletes = "_deletes"
+  private[pipeline] val FeedWatermark = "_feed_watermark"
 
   /** Per-file bloom geometry for the email point-lookup index: 2^17
     * bits (2 KiB of words per file) holds ~8k keys per file at the

@@ -144,6 +144,40 @@ class TimeTravelSpec extends SparkSpec {
       .map(_.getString(0)).toSet === Set("insert"))
   }
 
+  test("feed low-watermark: vacuumed ranges fail loudly, asOf refuses the silent gap") {
+    val path = tmpDir("tt-wm") + "/store"
+    val store = new CustomerStore(spark, path)
+    store.insertNew(rows((1L, "Ann", "A", "ann@example.com", "555-1"))): Unit // v1
+    assert(store.writeSnapshot() === 1L)
+    store.insertNew(rows((2L, "Bob", "B", "bob@example.com", "555-2"))): Unit // v2
+    store.insertNew(rows((3L, "Cai", "C", "cai@example.com", "555-3"))): Unit // v3
+    assert(store.writeSnapshot() === 3L)
+    assert(store.vacuumFeed() === 3)
+    assert(store.feedLowWatermark() === 3L)
+    // Range reads whose exclusive lower bound predates the horizon are
+    // rejected — a catch-up consumer must never silently lose changes.
+    intercept[IllegalArgumentException] { store.feedSince(1L, 3L) }
+    intercept[IllegalArgumentException] { store.feedDirsIn(0L, 2L) }
+    // The silent-gap case: asOf(2) resolves the OLDER snapshot (v1) as
+    // its base and would replay the vacuumed (1, 2] delta — it must
+    // refuse, not return version-1 state as if it were version 2.
+    intercept[IllegalArgumentException] { store.asOf(2L).count() }
+    // At or above the horizon (and exactly-at-snapshot reads) still work.
+    assert(store.asOf(1L).count() === 1L) // snapshot @1, empty delta
+    assert(store.asOf(3L).count() === 3L)
+    assert(store.feedSince(3L, 3L).count() === 0L)
+    // The connector's CDC options hit the same guard.
+    intercept[Exception] {
+      spark.read.format("graft-store").option("path", path)
+        .option("feedFrom", 1).load().count()
+    }
+    // A later commit extends the feed above the horizon and reads fine.
+    store.insertNew(rows((4L, "Dee", "D", "dee@example.com", "555-4"))): Unit // v4
+    assert(store.feedSince(3L, 4L).count() === 1L)
+    assert(spark.read.format("graft-store").option("path", path)
+      .option("feedFrom", 3).load().count() === 1L)
+  }
+
   test("compact: fewer files, identical content, silent feed, version advances") {
     val path = tmpDir("tt-compact") + "/store"
     val store = new CustomerStore(spark, path)
