@@ -118,13 +118,20 @@ class CustomerStoreSource extends TableProvider with DataSourceRegister
       "graft-store: versionAsOf and timestampAsOf are mutually exclusive")
     val feedFrom = Option(properties.get("feedFrom")).map(_.toLong)
     val feedTo = Option(properties.get("feedTo")).map(_.toLong)
+    val maxCommits = Option(properties.get("maxCommitsPerTrigger")).map(_.toLong)
     if (feedFrom.isDefined || feedTo.isDefined) {
       require(feedFrom.isDefined,
         "graft-store: feedTo requires feedFrom (the exclusive lower version)")
       require(versionAsOf.isEmpty && timestampAsOf.isEmpty,
         "graft-store: a change-feed read and time travel are mutually exclusive")
-      new CustomerStoreChangesTable(path, feedFrom.get, feedTo)
-    } else new CustomerStoreTable(path, versionAsOf, timestampAsOf)
+      require(maxCommits.forall(_ >= 1L),
+        "graft-store: maxCommitsPerTrigger must be >= 1")
+      new CustomerStoreChangesTable(path, feedFrom.get, feedTo, maxCommits)
+    } else {
+      require(maxCommits.isEmpty,
+        "graft-store: maxCommitsPerTrigger applies to change-feed reads (feedFrom)")
+      new CustomerStoreTable(path, versionAsOf, timestampAsOf)
+    }
   }
 }
 
@@ -144,27 +151,51 @@ class CustomerStoreSource extends TableProvider with DataSourceRegister
   * manifest-level pruning [[CustomerStore.feedSince]] does). Rows are
   * the feed verbatim: post-images tagged insert/update/ack, `_pre`
   * retractions, `delete_pre` tombstones. Read-only by construction.
+  * A range starting below the feed low-watermark (vacuumed commits)
+  * fails LOUDLY — never a silent partial feed.
+  *
+  * ALSO a STREAMING source (the Delta-streaming-source analog):
+  * {{{
+  *   spark.readStream.format("graft-store").option("path", dir)
+  *     .option("feedFrom", v)                 // resume point, exclusive
+  *     .option("maxCommitsPerTrigger", 10)    // optional admission control
+  *     .load()
+  * }}}
+  * Offsets ARE commit versions — the checkpointed offset log and the
+  * store's version counter speak the same coordinate, so a consumer
+  * follows commits exactly-once across restarts without knowing the
+  * `_changelog/` layout. Each micro-batch serves whole commits (one
+  * input partition per commit dir); `Trigger.AvailableNow` pins the
+  * head at start and drains up to it in maxCommitsPerTrigger-sized
+  * batches.
   */
 class CustomerStoreChangesTable(path: String, fromExclusive: Long,
-    toInclusive: Option[Long]) extends Table with SupportsRead {
+    toInclusive: Option[Long], maxCommitsPerTrigger: Option[Long] = None)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_store_changes($path)"
   override def schema(): StructType = CustomerSchema.changeSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns {
       private var required: StructType = CustomerSchema.changeSchema
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def build(): Scan =
-        new StoreChangesScan(path, fromExclusive, toInclusive, required)
+        new StoreChangesScan(path, fromExclusive, toInclusive, required,
+          maxCommitsPerTrigger)
     }
 }
 
 class StoreChangesScan(path: String, fromExclusive: Long,
-    toInclusive: Option[Long], required: StructType) extends Scan with Batch {
+    toInclusive: Option[Long], required: StructType,
+    maxCommitsPerTrigger: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new StoreChangesMicroBatchStream(path, fromExclusive, toInclusive,
+      required, maxCommitsPerTrigger)
   private lazy val dirs: Seq[(Long, String)] = {
     val store = new CustomerStore(SparkSession.active, path)
     store.feedDirsIn(fromExclusive, toInclusive.getOrElse(store.currentVersion()))
@@ -177,6 +208,87 @@ class StoreChangesScan(path: String, fromExclusive: Long,
     s"GraftStoreChanges path=$path, commits=(${fromExclusive}, " +
       s"${toInclusive.map(_.toString).getOrElse("head")}], dirs=${dirs.size}, " +
       s"ReadSchema: ${required.simpleString}"
+}
+
+/** Stream offset = the store's commit version (exclusive upper bound of
+  * what has been served) — one coordinate shared by the checkpoint log,
+  * the `feedFrom` option, and [[CustomerStore.currentVersion]].
+  */
+case class StoreFeedOffset(version: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** The change feed as a MICRO-BATCH STREAM: each batch is the commit
+  * range `(start, end]` planned as one input partition per commit dir
+  * (whole commits, never a partial one — the feed's atomicity grain).
+  * Admission control caps a batch at `maxCommitsPerTrigger` commits;
+  * `Trigger.AvailableNow` pins the head version at query start and the
+  * wrapper drains to exactly that point. A restart whose checkpointed
+  * offset predates the feed low-watermark (vacuumed commits) fails
+  * loudly at planning — a streaming consumer must never silently skip
+  * changes it can no longer read.
+  */
+class StoreChangesMicroBatchStream(path: String, fromExclusive: Long,
+    toInclusive: Option[Long], required: StructType,
+    maxCommitsPerTrigger: Option[Long])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit}
+
+  private def store = new CustomerStore(SparkSession.active, path)
+
+  /** Head version this stream may serve up to right now (feedTo-capped). */
+  private def headVersion(): Long = {
+    val head = store.currentVersion()
+    toInclusive.fold(head)(math.min(_, head))
+  }
+
+  // Trigger.AvailableNow: pin the drain target once at query start.
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(headVersion())
+
+  override def initialOffset(): SOffset = StoreFeedOffset(fromExclusive)
+  override def deserializeOffset(json: String): SOffset =
+    StoreFeedOffset(json.trim.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): SOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    val from = start.asInstanceOf[StoreFeedOffset].version
+    val target = availableNowCap.getOrElse(headVersion())
+    StoreFeedOffset(maxCommitsPerTrigger match {
+      case Some(cap) => math.min(target, from + cap)
+      case None => target
+    })
+  }
+
+  override def reportLatestOffset(): SOffset = StoreFeedOffset(headVersion())
+
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[StoreFeedOffset].version
+    val e = end.asInstanceOf[StoreFeedOffset].version
+    // feedDirsIn rejects a range below the low-watermark — the loud
+    // lost-changes failure; feed-silent commits (compact) simply plan
+    // no partition for their version.
+    store.feedDirsIn(s, e)
+      .map { case (_, d) => StoreChangesPartition(d): InputPartition }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    StoreChangesReaderFactory(required.fieldNames)
+
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String =
+    s"GraftStoreChangesStream(path=$path, feedFrom=$fromExclusive, " +
+      s"feedTo=${toInclusive.map(_.toString).getOrElse("head")})"
 }
 
 case class StoreChangesPartition(dir: String) extends InputPartition
@@ -377,7 +489,12 @@ class CustomerStoreScanBuilder(path: String, versionAsOf: Option[Long],
 
   private var required: StructType = CustomerSchema.tableSchema
   private var pushed: Array[Filter] = Array.empty
-  private var aggValues: Option[(Seq[AggregateFunc], Long, Option[Long], Option[Long])] = None
+  private var aggPush: Option[StoreAggPush] = None
+  // supportCompletePushDown is called BEFORE pushAggregation by
+  // V2ScanRelationPushDown, so both evaluate eligibility through the
+  // same resolver; the reference-keyed memo keeps it to one manifest
+  // consult per planned aggregation.
+  private var resolvedMemo: Option[(Aggregation, Option[StoreAggPush])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -389,92 +506,163 @@ class CustomerStoreScanBuilder(path: String, versionAsOf: Option[Long],
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  /** AGGREGATE PUSHDOWN: unfiltered, ungrouped COUNT(*) / MIN(id) /
-    * MAX(id) over the current state answer from the ZONE MANIFEST
-    * ALONE — no data file is opened (the Delta/Iceberg
-    * metadata-only-count shape). The consult refuses whenever it
-    * could not be EXACT: any pushed/residual filter, any grouping,
-    * time travel, live deletion vectors (a tombstoned row may hold
-    * the extremum), or a live file without zone coverage — Spark then
-    * plans the ordinary scan + aggregate, a correct answer at data
-    * cost, never a wrong one at manifest cost.
+  /** AGGREGATE PUSHDOWN: COUNT(*) / MIN(id) / MAX(id) over the current
+    * state — ungrouped or GROUP BY `uploaded`, optionally under a
+    * PARTITION predicate (`WHERE uploaded = v`, the work-queue count) —
+    * answer from the ZONE MANIFEST ALONE; `uploaded` IS the partition
+    * directory, so per-partition manifest sums serve the filtered and
+    * grouped shapes exactly like the global one, and no data file is
+    * opened (the Delta/Iceberg metadata-only-count shape). The consult
+    * refuses whenever it could not be EXACT: any non-partition filter,
+    * any other grouping, time travel, live deletion vectors (a
+    * tombstoned row may hold the extremum), or a live file without
+    * zone coverage — Spark then plans the ordinary scan + aggregate, a
+    * correct answer at data cost, never a wrong one at manifest cost.
+    * Pushdown is COMPLETE (the values are global, not partial), so no
+    * final re-aggregation is planned.
     */
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    aggValues.isDefined
-  override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (versionAsOf.nonEmpty || timestampAsOf.nonEmpty) return false
-    if (pushed.nonEmpty) return false
-    if (aggregation.groupByExpressions().nonEmpty) return false
-    val funcs = aggregation.aggregateExpressions().toSeq
-    def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
-      e match {
-        case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
-          nr.fieldNames.toSeq == Seq("id")
-        case _ => false
-      }
-    val ok = funcs.nonEmpty && funcs.forall {
-      case _: CountStar => true
-      case m: Min => isId(m.column())
-      case m: Max => isId(m.column())
-      case _ => false
-    }
-    if (!ok) return false
-    new CustomerStore(SparkSession.active, path).manifestAggregates() match {
-      case Some((n, mn, mx)) => aggValues = Some((funcs, n, mn, mx)); true
+    resolveAggregation(aggregation).isDefined
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    resolveAggregation(aggregation) match {
+      case Some(p) => aggPush = Some(p); true
       case None => false
+    }
+
+  private def resolveAggregation(aggregation: Aggregation): Option[StoreAggPush] = {
+    resolvedMemo match {
+      case Some((a, r)) if a eq aggregation => r
+      case _ =>
+        val r = doResolve(aggregation)
+        resolvedMemo = Some((aggregation, r))
+        r
     }
   }
 
-  override def build(): Scan = aggValues match {
-    case Some((funcs, n, mn, mx)) =>
-      new CustomerStoreAggScan(path, funcs, n, mn, mx)
+  private def doResolve(aggregation: Aggregation): Option[StoreAggPush] = {
+    if (versionAsOf.nonEmpty || timestampAsOf.nonEmpty) return None
+    // The one pushed-filter shape that stays manifest-exact: the
+    // partition predicate. Anything else refuses to the data path.
+    val partitionOnly = pushed.forall {
+      case EqualTo("uploaded", _: java.lang.Boolean) => true
+      case Not(EqualTo("uploaded", _: java.lang.Boolean)) => true
+      case IsNotNull("uploaded") => true
+      case _ => false
+    }
+    if (!partitionOnly) return None
+    val wantPart: Option[Boolean] = CustomerStoreScan.uploadedEq(pushed)
+    def isCol(e: org.apache.spark.sql.connector.expressions.Expression,
+        name: String): Boolean = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+        nr.fieldNames.toSeq == Seq(name)
+      case _ => false
+    }
+    val grouped = aggregation.groupByExpressions().toSeq match {
+      case Seq() => false
+      case Seq(g) if isCol(g, "uploaded") => true
+      case _ => return None
+    }
+    val funcs = aggregation.aggregateExpressions().toSeq
+    val ok = funcs.nonEmpty && funcs.forall {
+      case _: CountStar => true
+      case m: Min => isCol(m.column(), "id")
+      case m: Max => isCol(m.column(), "id")
+      case _ => false
+    }
+    if (!ok) return None
+    val store = new CustomerStore(SparkSession.active, path)
+    store.manifestAggregatesGrouped().map { all =>
+      val rows = wantPart.fold(all)(w => all.filter(_._1 == w))
+      if (grouped)
+        StoreAggPush(funcs, grouped = true, wantPart,
+          rows.map { case (u, n, mn, mx) => (Some(u), n, mn, mx) })
+      else {
+        // Fold the (≤2) per-partition rows into the one global row; an
+        // empty selection is the honest COUNT=0 / null-extrema row.
+        val mns = rows.flatMap(_._3)
+        val mxs = rows.flatMap(_._4)
+        StoreAggPush(funcs, grouped = false, wantPart,
+          Seq((None, rows.map(_._2).sum, mns.minOption, mxs.maxOption)))
+      }
+    }
+  }
+
+  override def build(): Scan = aggPush match {
+    case Some(p) => new CustomerStoreAggScan(path, p)
     case None =>
       new CustomerStoreScan(path, versionAsOf, timestampAsOf, required, pushed)
   }
 }
 
-/** The one-row scan a completely-pushed aggregation plans to: values
-  * were resolved from the zone manifest at pushdown time; no data file
-  * is opened at any point (pinned by StoreStatsSpec's zero-byte
-  * truncation check).
+/** A completely-pushed manifest aggregation: one (group, COUNT/MIN/MAX
+  * values) row per non-empty partition group (one ungrouped row when
+  * `grouped` is false), optionally under a pushed partition predicate,
+  * resolved at pushdown time.
   */
-class CustomerStoreAggScan(path: String, funcs: Seq[AggregateFunc],
-    nRows: Long, minId: Option[Long], maxId: Option[Long])
+case class StoreAggPush(funcs: Seq[AggregateFunc], grouped: Boolean,
+    partFilter: Option[Boolean],
+    rows: Seq[(Option[Boolean], Long, Option[Long], Option[Long])])
+
+/** The metadata-only scan a completely-pushed aggregation plans to:
+  * values were resolved from the zone manifest at pushdown time; no
+  * data file is opened at any point (pinned by the truncation checks
+  * in CustomerStoreSourceSpec and the driver gates). Grouped output
+  * leads with the `uploaded` group column — the V2 pushdown contract's
+  * positional (groupBy ++ aggregates) schema.
+  */
+class CustomerStoreAggScan(path: String, push: StoreAggPush)
     extends Scan with Batch {
 
-  override def readSchema(): StructType = StructType(funcs.map {
-    case _: CountStar => StructField("count_star", LongType, nullable = false)
-    case _: Min => StructField("min_id", LongType, nullable = true)
-    case _: Max => StructField("max_id", LongType, nullable = true)
-    case other => throw new IllegalStateException(s"unexpected pushed agg $other")
-  })
+  override def readSchema(): StructType = StructType(
+    (if (push.grouped)
+      Seq(StructField("uploaded", BooleanType, nullable = false))
+    else Nil) ++
+      push.funcs.map {
+        case _: CountStar => StructField("count_star", LongType, nullable = false)
+        case _: Min => StructField("min_id", LongType, nullable = true)
+        case _: Max => StructField("max_id", LongType, nullable = true)
+        case other => throw new IllegalStateException(s"unexpected pushed agg $other")
+      })
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(StoreAggPartition(funcs.map {
-      case _: CountStar => Some(nRows)
-      case _: Min => minId
-      case _: Max => maxId
-      case other => throw new IllegalStateException(s"unexpected pushed agg $other")
+    Array(StoreAggPartition(push.rows.map { case (group, n, mn, mx) =>
+      (group, push.funcs.map {
+        case _: CountStar => Some(n)
+        case _: Min => mn
+        case _: Max => mx
+        case other => throw new IllegalStateException(s"unexpected pushed agg $other")
+      })
     }))
   override def createReaderFactory(): PartitionReaderFactory = StoreAggReaderFactory
   override def description(): String =
-    s"GraftStore path=$path, PushedAggregates: [${funcs.mkString(", ")}], " +
-      "manifest-only (no data files opened)"
+    s"GraftStore path=$path, PushedAggregates: [${push.funcs.mkString(", ")}]" +
+      (if (push.grouped) ", PushedGroupBy: [uploaded]" else "") +
+      push.partFilter.map(v => s", PushedFilters: [EqualTo(uploaded,$v)]").getOrElse("") +
+      ", manifest-only (no data files opened)"
 }
 
-case class StoreAggPartition(values: Seq[Option[Long]]) extends InputPartition
+case class StoreAggPartition(
+    rows: Seq[(Option[Boolean], Seq[Option[Long]])]) extends InputPartition
 
 object StoreAggReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val vals = p.asInstanceOf[StoreAggPartition].values
-      private var served = false
-      override def next(): Boolean = { val r = !served; served = true; r }
+      private val it = p.asInstanceOf[StoreAggPartition].rows.iterator
+      private var current: (Option[Boolean], Seq[Option[Long]]) = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        current = it.next()
+        true
+      }
       override def get(): InternalRow = {
-        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals.length)
+        val (group, vals) = current
+        val n = group.size + vals.length
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(n)
+        group.foreach(row.setBoolean(0, _))
+        val off = group.size
         vals.zipWithIndex.foreach {
-          case (Some(v), i) => row.setLong(i, v)
-          case (None, i) => row.setNullAt(i)
+          case (Some(v), i) => row.setLong(off + i, v)
+          case (None, i) => row.setNullAt(off + i)
         }
         row
       }
@@ -510,6 +698,10 @@ object CustomerStoreScan {
     case EqualTo("email", _: String) => true
     case In("email", vs) => vs.forall(_.isInstanceOf[String])
     case EqualTo("uploaded", _: java.lang.Boolean) => true
+    // `uploaded = false` reaches the source as Not(uploaded = true):
+    // Catalyst's BooleanSimplification folds the literal comparison to
+    // a negated attribute before translation.
+    case Not(EqualTo("uploaded", _: java.lang.Boolean)) => true
     case IsNotNull(_) => true
     case _ => false
   }
@@ -554,8 +746,9 @@ object CustomerStoreScan {
   }
 
   def uploadedEq(filters: Array[Filter]): Option[Boolean] =
-    filters.collectFirst { case EqualTo("uploaded", v: java.lang.Boolean) =>
-      v.booleanValue()
+    filters.collectFirst {
+      case EqualTo("uploaded", v: java.lang.Boolean) => v.booleanValue()
+      case Not(EqualTo("uploaded", v: java.lang.Boolean)) => !v.booleanValue()
     }
 }
 
@@ -775,13 +968,21 @@ private[sources] abstract class StoreRowReader(required: Array[String],
     notNullCols.forall(c => get(c) != null)
   }
 
+  /** Values may be VIEWS over a vectorized reader's current batch, so
+    * strings are defensively copied into the emitted row (the batch's
+    * buffers are reused on the next `advance`).
+    */
   protected def project(get: String => Any): InternalRow =
-    InternalRow.fromSeq(required.toIndexedSeq.map(get))
+    InternalRow.fromSeq(required.toIndexedSeq.map(c => get(c) match {
+      case s: UTF8String => s.clone()
+      case v => v
+    }))
 }
 
-/** Streams one current-state data file: projected parquet read →
-  * deletion-vector anti-join (this file's tombstoned emails) → pushed
-  * filters → projected row. `uploaded` is a directory constant.
+/** Streams one current-state data file through the VECTORIZED parquet
+  * reader (pages → columnar batches, rows served as views): projected
+  * read → deletion-vector anti-join (this file's tombstoned emails) →
+  * pushed filters → projected row. `uploaded` is a directory constant.
   */
 class StoreDataReader(p: StoreDataPartition, required: Array[String],
     filters: Array[Filter]) extends StoreRowReader(required, filters) {
@@ -801,32 +1002,30 @@ class StoreDataReader(p: StoreDataPartition, required: Array[String],
     }.toSet
   }
 
-  private val (reader, present) = ParquetGroups.open(p.file, readCols)
-  private val colIdx: Map[String, Int] = present.zipWithIndex.toMap
+  private val cursor = new ParquetGroups.VectorizedFileRows(p.file, readCols)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    var g = reader.read()
-    while (g != null) {
+    while (cursor.advance()) {
       val get: String => Any = {
         case "uploaded" => p.uploaded
-        case c => colIdx.get(c).map(ParquetGroups.value(g, _)).orNull
+        case c => cursor.value(c)
       }
       val email = get("email").asInstanceOf[UTF8String]
       if ((tombstones.isEmpty || !tombstones.contains(email)) && passes(get)) {
         current = project(get)
         return true
       }
-      g = reader.read()
     }
     false
   }
   override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
+  override def close(): Unit = cursor.close()
 }
 
 /** Streams one snapshot file of a time-travel scan (all table columns
-  * physical, `uploaded` included), dropping delta-touched emails.
+  * physical, `uploaded` included) through the vectorized reader,
+  * dropping delta-touched emails.
   */
 class StoreSnapshotReader(p: StoreSnapshotPartition, required: Array[String],
     filters: Array[Filter]) extends StoreRowReader(required, filters) {
@@ -835,26 +1034,22 @@ class StoreSnapshotReader(p: StoreSnapshotPartition, required: Array[String],
     (required ++ filters.flatMap(_.references) ++ Seq("id", "email"))
       .distinct.toSeq
 
-  private val (reader, present) = ParquetGroups.open(p.file, readCols)
-  private val colIdx: Map[String, Int] = present.zipWithIndex.toMap
+  private val cursor = new ParquetGroups.VectorizedFileRows(p.file, readCols)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    var g = reader.read()
-    while (g != null) {
-      val get: String => Any =
-        c => colIdx.get(c).map(ParquetGroups.value(g, _)).orNull
+    while (cursor.advance()) {
+      val get: String => Any = cursor.value
       val email = get("email").asInstanceOf[UTF8String]
       if (!p.skipEmails.contains(email) && passes(get)) {
         current = project(get)
         return true
       }
-      g = reader.read()
     }
     false
   }
   override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
+  override def close(): Unit = cursor.close()
 }
 
 /** Replays the feed delta of a time-travel scan in one task:

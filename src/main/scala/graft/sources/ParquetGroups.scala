@@ -11,26 +11,115 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Row-at-a-time projected parquet reading for the graft-store DSv2
-  * partition readers, via the public parquet-mr example API (no Spark
-  * internals). Each reader opens ONE file with a name-projected
-  * schema, so column pruning reaches the page level — unprojected
-  * columns are never decoded.
+/** Projected parquet reading for the graft-store DSv2 partition
+  * readers. Two decode paths, both opening ONE file with a
+  * name-projected schema so column pruning reaches the page level:
+  *
+  *  - [[VectorizedFileRows]] — Spark's own
+  *    `VectorizedParquetRecordReader` (the in-file decode the
+  *    table-scale data/snapshot readers use): pages decode into
+  *    columnar batches wholesale and rows are served as views over
+  *    the batch. This is the 100 TB decode constant; measured vs the
+  *    Group path in SCALING.md's r14 row.
+  *  - [[readAll]]/[[open]] — the parquet-mr example API's
+  *    Group-per-row decode, kept for the METADATA-scale reads
+  *    (deletion vectors, feed commits, time-travel deltas) where rows
+  *    are few by design and the Group path's zero-setup simplicity
+  *    wins.
   *
   * Decode covers exactly the store's physical types: INT64, BINARY
   * (UTF8), BOOLEAN, and timestamps as either INT96 (Spark's default
   * parquet output) or annotated INT64 (MICROS/MILLIS) — both mapped
   * to Catalyst micros-since-epoch.
-  *
-  * Scale note: the example API materializes a Group per row; Spark's
-  * own scans decode vectorized. The connector keeps its scan
-  * granularity (one partition per MANIFEST-SURVIVING file) and its
-  * pushdown at this layer; swapping the in-file decode for the
-  * vectorized reader is a local change that does not move any
-  * planning logic. At the test SFs decode is not the bottleneck —
-  * pruning the file list is the 100 TB lever.
   */
 object ParquetGroups {
+
+  /** Vectorized projected cursor over one parquet file: `advance()`
+    * steps to the next row (a VIEW over the current columnar batch —
+    * any UTF8String that outlives the row must be `.clone()`d),
+    * `value(col)` returns the Catalyst-internal value for a projected
+    * column (null when absent in this file's layout or null in the
+    * row).
+    */
+  final class VectorizedFileRows(file: String, columns: Seq[String])
+      extends AutoCloseable {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+    import org.apache.spark.sql.types._
+
+    private val full = fileSchema(file)
+    val present: Seq[String] = columns.filter(full.containsField)
+
+    // Catalyst view of the projection, derived from the store's
+    // physical grammar (both timestamp encodings → TimestampType, so
+    // the vectorized reader serves micros Longs either way).
+    private val catalystTypes: Array[DataType] = present.map { n =>
+      val t = full.getType(full.getFieldIndex(n)).asPrimitiveType()
+      t.getPrimitiveTypeName match {
+        case PrimitiveType.PrimitiveTypeName.INT96 => TimestampType
+        case PrimitiveType.PrimitiveTypeName.INT64 =>
+          t.getLogicalTypeAnnotation match {
+            case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              TimestampType
+            case _ => LongType
+          }
+        case PrimitiveType.PrimitiveTypeName.INT32 => IntegerType
+        case PrimitiveType.PrimitiveTypeName.BOOLEAN => BooleanType
+        case PrimitiveType.PrimitiveTypeName.BINARY => StringType
+        case other => throw new UnsupportedOperationException(
+          s"graft-store vectorized reader: unsupported parquet type $other for ${t.getName}")
+      }
+    }.toArray
+
+    private val reader = new VectorizedParquetRecordReader(false, 4096)
+    locally {
+      // The production initialize path (the test-only String/List one
+      // hardcodes int96AsTimestamp=false and cannot read Spark's
+      // default INT96 output): a one-file split + a task context whose
+      // conf carries the requested Catalyst schema and the same
+      // parquet-interpretation flags ParquetFileFormat sets.
+      val requested = StructType(present.zip(catalystTypes).map {
+        case (n, dt) => StructField(n, dt)
+      })
+      val conf = new Configuration(false)
+      conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+        classOf[ParquetReadSupport].getName)
+      conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requested.json)
+      conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+      conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+      conf.setBoolean("spark.sql.caseSensitive", false)
+      conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", false)
+      conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+      val split = new org.apache.hadoop.mapred.FileSplit(
+        new HPath(file), 0, new java.io.File(file).length(), Array.empty[String])
+      val attempt = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+        conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+      reader.initialize(split, attempt)
+    }
+
+    private val extract: Array[(InternalRow, Int) => Any] = catalystTypes.map {
+      case TimestampType | LongType => (r: InternalRow, i: Int) => r.getLong(i)
+      case IntegerType => (r: InternalRow, i: Int) => r.getInt(i).toLong
+      case BooleanType => (r: InternalRow, i: Int) => r.getBoolean(i)
+      case StringType => (r: InternalRow, i: Int) => r.getUTF8String(i)
+      case other => throw new IllegalStateException(s"unreachable type $other")
+    }
+    private val idx: Map[String, Int] = present.zipWithIndex.toMap
+    private var row: InternalRow = _
+
+    def advance(): Boolean = {
+      val has = reader.nextKeyValue()
+      if (has) row = reader.getCurrentValue.asInstanceOf[InternalRow]
+      has
+    }
+
+    def value(col: String): Any = idx.get(col) match {
+      case Some(i) => if (row.isNullAt(i)) null else extract(i)(row, i)
+      case None => null
+    }
+
+    override def close(): Unit = reader.close()
+  }
 
   /** The file's full schema (footer read only). */
   def fileSchema(file: String): MessageType = {

@@ -92,6 +92,13 @@ class CustomerStoreSourceSpec extends SparkSpec {
     val m = filesRe.findFirstMatchIn(plan).get
     assert(m.group(1).toInt < m.group(2).toInt, m.matched)
     assert(q.count() === store.all().filter(col("uploaded")).count())
+    // The negated form arrives as Not(uploaded = true) after Catalyst's
+    // boolean simplification — it must prune the DONE partition too.
+    val qn = cat(path).filter(col("uploaded") === false)
+    val mn = filesRe.findFirstMatchIn(qn.queryExecution.executedPlan.toString()).get
+    assert(mn.group(1).toInt < mn.group(2).toInt,
+      s"uploaded=false did not prune: ${mn.matched}")
+    assert(qn.count() === store.all().filter(!col("uploaded")).count())
   }
 
   test("column pruning serves narrow projections and COUNT(*)") {
@@ -256,8 +263,9 @@ class CustomerStoreSourceSpec extends SparkSpec {
           WHEN NOT MATCHED THEN INSERT (id, first_name, last_name, email, phone)
             VALUES (s.id, s.first_name, s.last_name, s.email, s.phone)""")
       .collect().head
-    assert((res.getLong(0), res.getLong(1), res.getLong(2)) === ((5L, 5L, 5L)),
-      "(n_updated, n_inserted, n_unchanged)")
+    assert((res.getLong(0), res.getLong(1), res.getLong(2), res.getLong(3)) ===
+      ((5L, 5L, 5L, 5L)),
+      "(n_updated, n_inserted, n_unchanged, n_conflicts)")
     assert(store.currentVersion() === 2L, "MERGE must be one staged commit")
     val st = store.all()
     assert(st.count() === 25L) // 20 + 5 fresh (id-conflicts salvaged away)
@@ -295,6 +303,38 @@ class CustomerStoreSourceSpec extends SparkSpec {
       s"""MERGE INTO graft_store.`$path` t USING merge_src_rej s
           ON t.email = s.email
           WHEN MATCHED THEN DELETE""")
+  }
+
+  test("SQL MERGE INTO rejects conflicting duplicate source emails, collapses identical ones") {
+    spark.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+    val path = tmpDir("dsv2-mdup") + "/store"
+    val store = new CustomerStore(spark, path)
+    store.insertNew(block(1L, 5L)): Unit
+    def mergeSql(view: String): String =
+      s"""MERGE INTO graft_store.`$path` t USING $view s
+          ON t.email = s.email
+          WHEN MATCHED THEN UPDATE SET t.first_name = s.first_name,
+            t.last_name = s.last_name, t.phone = s.phone
+          WHEN NOT MATCHED THEN INSERT (id, first_name, last_name, email, phone)
+            VALUES (s.id, s.first_name, s.last_name, s.email, s.phone)"""
+    // Two rows for u1@ with DIFFERENT phones: a SQL source has no
+    // ingest order, so "latest wins" would be a nondeterministic pick —
+    // rejected like standard SQL MERGE / Delta, with no commit.
+    rows((1L, "F1", "L1", "u1@example.com", "999-a"),
+        (1L, "F1", "L1", "u1@example.com", "999-b"))
+      .createOrReplaceTempView("merge_src_dup_conf")
+    intercept[Exception] { spark.sql(mergeSql("merge_src_dup_conf")) }
+    assert(store.currentVersion() === 1L,
+      "a conflicting-duplicate MERGE source must not commit")
+    // Payload-IDENTICAL duplicates are harmless: they collapse to one
+    // row and the statement proceeds deterministically.
+    rows((1L, "F1", "L1", "u1@example.com", "999-x"),
+        (1L, "F1", "L1", "u1@example.com", "999-x"))
+      .createOrReplaceTempView("merge_src_dup_same")
+    val res = spark.sql(mergeSql("merge_src_dup_same")).collect().head
+    assert((res.getLong(0), res.getLong(1), res.getLong(2), res.getLong(3)) ===
+      ((1L, 0L, 0L, 0L)))
+    assert(store.all().filter(col("phone") === "999-x").count() === 1L)
   }
 
   test("SQL UPDATE routes through merge: payload set, key/meta columns protected") {
@@ -452,6 +492,101 @@ class CustomerStoreSourceSpec extends SparkSpec {
     assert(r5.getLong(0) === 120L)
   }
 
+  test("aggregate pushdown is COMPLETE: no re-aggregation above the manifest scan") {
+    spark.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+    val path = tmpDir("dsv2-aggc") + "/store"
+    val store = new CustomerStore(spark, path)
+    store.insertNew(block(1L, 40L)): Unit
+    val q = spark.sql(s"SELECT count(*), min(id), max(id) FROM graft_store.`$path`")
+    assert(q.collect().head.toSeq === Seq(40L, 1L, 40L))
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedAggregates"), plan)
+    // supportCompletePushDown evaluates eligibility itself (Spark calls
+    // it BEFORE pushAggregation), so the single manifest row is served
+    // as-is — a residual HashAggregate would mean only PARTIAL pushdown
+    // engaged.
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"complete pushdown did not engage — a final aggregate remains:\n$plan")
+  }
+
+  test("grouped aggregate pushdown: GROUP BY uploaded answers per-partition from the manifest") {
+    spark.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+    val path = tmpDir("dsv2-agggrp") + "/store"
+    val store = new CustomerStore(spark, path)
+    store.insertNew(block(1L, 40L)): Unit
+    store.insertNew(block(1001L, 1040L)): Unit
+    // Ack a SUBSET of the second block: the ack's file-level merge
+    // rewrites the touched file with its non-acked survivors, so every
+    // live file in both partitions stays non-empty and zone-covered.
+    store.markUploaded((1001L to 1020L).map(i => s"u$i@example.com").toDF("email"))
+    def q() = spark.sql(
+      s"""SELECT uploaded, count(*) AS n, min(id) AS mn, max(id) AS mx
+          FROM graft_store.`$path` GROUP BY uploaded ORDER BY uploaded""")
+    val r1 = q().collect().toSeq
+    assert(r1.map(x => (x.getBoolean(0), x.getLong(1), x.getLong(2), x.getLong(3))) ===
+      Seq((false, 60L, 1L, 1040L), (true, 20L, 1001L, 1020L)))
+    val plan = q().queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedAggregates") &&
+      plan.contains("PushedGroupBy: [uploaded]"), plan)
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"grouped pushdown must be complete:\n$plan")
+    // Refusals (plan-level, checked before the truncation pin): a
+    // non-partition group column and a residual filter both make the
+    // per-group manifest sums inexact.
+    val pEmail = spark.sql(
+      s"SELECT email, count(*) FROM graft_store.`$path` GROUP BY email")
+      .queryExecution.executedPlan.toString()
+    assert(!pEmail.contains("PushedAggregates"), pEmail)
+    val pFiltered = spark.sql(
+      s"""SELECT uploaded, count(*) FROM graft_store.`$path`
+          WHERE id >= 1001 GROUP BY uploaded""")
+      .queryExecution.executedPlan.toString()
+    assert(!pFiltered.contains("PushedAggregates"), pFiltered)
+    // PARTITION-FILTERED pushdown: the work-queue COUNT (WHERE
+    // uploaded = false) is the other manifest-exact shape — the pushed
+    // partition predicate selects the partition's manifest rows.
+    val qPend = spark.sql(
+      s"SELECT count(*) AS n, max(id) AS mx FROM graft_store.`$path` WHERE uploaded = false")
+    val pend = qPend.collect().head
+    assert((pend.getLong(0), pend.getLong(1)) === ((60L, 1040L)))
+    val pPend = qPend.queryExecution.executedPlan.toString()
+    assert(pPend.contains("PushedAggregates") &&
+      pPend.contains("PushedFilters: [EqualTo(uploaded,false)]"), pPend)
+    assert(!pPend.contains("HashAggregate"), pPend)
+    // Filter + group compose: one group row survives the predicate.
+    val qBoth = spark.sql(
+      s"""SELECT uploaded, count(*) AS n FROM graft_store.`$path`
+          WHERE uploaded = true GROUP BY uploaded""")
+    assert(qBoth.collect().map(r => (r.getBoolean(0), r.getLong(1))).toSeq ===
+      Seq((true, 20L)))
+    assert(qBoth.queryExecution.executedPlan.toString().contains("PushedAggregates"))
+    // Physical pin: zero-byte every live data file in BOTH partitions —
+    // the grouped and filtered answers must survive untouched.
+    val pinned = store.liveDataFiles().map(_._2)
+    assert(pinned.nonEmpty && pinned.forall(p => new java.io.File(p).isAbsolute))
+    pinned.foreach(p => new java.io.FileOutputStream(p).close())
+    assert(pinned.forall(p => new java.io.File(p).length() == 0L))
+    assert(q().collect().toSeq === r1,
+      "grouped manifest aggregates must not open data files")
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_store.`$path` WHERE uploaded = false")
+      .head().getLong(0) === 60L,
+      "the filtered manifest aggregate must not open data files")
+  }
+
+  test("grouped aggregate pushdown refuses under live deletion vectors") {
+    spark.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+    val path = tmpDir("dsv2-agggrej") + "/store"
+    val store = buildStore(path) // live deletion vectors
+    val q = spark.sql(
+      s"""SELECT uploaded, count(*) AS n FROM graft_store.`$path`
+          GROUP BY uploaded ORDER BY uploaded""")
+    val rows = q.collect().map(r => (r.getBoolean(0), r.getLong(1))).toSeq
+    assert(rows === Seq((false, 78L), (true, 40L))) // 80 pending − 2 tombstoned
+    assert(!q.queryExecution.executedPlan.toString().contains("PushedAggregates"),
+      "live deletion vectors must force the data path")
+  }
+
   test("CALL procedures run the store's maintenance ops through the catalog") {
     spark.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
     val path = tmpDir("dsv2-proc") + "/store"
@@ -506,6 +641,79 @@ class CustomerStoreSourceSpec extends SparkSpec {
       spark.read.format("graft-store").option("path", path)
         .option("feedFrom", 0).option("versionAsOf", 2).load()
     }
+  }
+
+  test("streaming CDC source: offsets are commit versions, exactly-once across restart") {
+    val path = tmpDir("dsv2-stream") + "/store"
+    val store = new CustomerStore(spark, path)
+    store.insertNew(block(1L, 10L)): Unit // v1
+    store.insertNew(block(21L, 30L)): Unit // v2
+    val sink = tmpDir("dsv2-stream-sink")
+    val ckpt = tmpDir("dsv2-stream-ckpt")
+    def run(): Long = {
+      val q = spark.readStream.format("graft-store").option("path", path)
+        .option("feedFrom", 0).option("maxCommitsPerTrigger", 1).load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.count(_.numInputRows > 0L).toLong
+    }
+    assert(run() === 2L, "AvailableNow must drain one commit per micro-batch")
+    store.markUploaded(
+      (2L to 10L by 2L).map(i => s"u$i@example.com").toDF("email")) // v3
+    assert(run() === 1L, "restart must resume at the checkpointed version")
+    val feedSchema = store.changeFeed().schema
+    val sunk = spark.read.schema(feedSchema).parquet(sink)
+    assert(sunk.count() === store.changeFeed().count(),
+      "exactly-once: nothing lost, nothing duplicated across the restart")
+    assert(sunk.select(col("commit_version")).distinct().count() === 3L)
+    // A feed-silent commit (compact) advances the offset with no rows.
+    store.compact()
+    assert(run() === 0L, "a feed-silent commit must produce no input rows")
+  }
+
+  test("streaming CDC source fails loudly when the checkpoint predates the vacuum horizon") {
+    val path = tmpDir("dsv2-streamwm") + "/store"
+    val store = new CustomerStore(spark, path)
+    store.insertNew(block(1L, 5L)): Unit // v1
+    val sink = tmpDir("dsv2-streamwm-sink")
+    val ckpt = tmpDir("dsv2-streamwm-ckpt")
+    def run(): Unit =
+      spark.readStream.format("graft-store").option("path", path)
+        .option("feedFrom", 0).load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    run() // checkpoint now at version 1
+    store.insertNew(block(11L, 15L)): Unit // v2
+    assert(store.writeSnapshot() === 2L)
+    store.vacuumFeed(): Unit // horizon 2 — the checkpointed offset 1 is below it
+    store.insertNew(block(21L, 25L)): Unit // v3
+    intercept[Exception] { run() } // silently skipping v2 would lose changes
+  }
+
+  test("the catalog's DDL refusal surface is a contract: each verb names its reason") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cat = new GraftStoreCatalog
+    cat.initialize("graft_store",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    assert(cat.name() === "graft_store")
+    val id = Identifier.of(Array.empty[String], "/tmp/nowhere")
+    def msg(f: => Any): String =
+      intercept[UnsupportedOperationException](f).getMessage
+    // Stores are created by their first commit and addressed by path —
+    // DDL is deliberately unsupported, and each verb must SAY so (the
+    // refusal surface is contract, not accident).
+    assert(msg(cat.listTables(Array.empty)).contains("listing is not supported"))
+    assert(msg(cat.createTable(id, new org.apache.spark.sql.types.StructType(),
+      Array.empty, java.util.Collections.emptyMap[String, String]()))
+      .contains("created by their first commit"))
+    assert(msg(cat.alterTable(id)).contains("ALTER is not supported"))
+    assert(msg(cat.dropTable(id)).contains("DROP is not supported"))
+    assert(msg(cat.renameTable(id, id)).contains("RENAME is not supported"))
   }
 
   test("DELETE-filter translation covers the grammar and refuses the rest") {
