@@ -699,13 +699,32 @@ object PipelineParity extends QueryGroup {
         } catch { case scala.util.control.NonFatal(_) => true }
         require(rejected, "a MERGE shape outside the store contract must be rejected")
         require(store.currentVersion() == 2L, "a rejected MERGE must not commit")
+        // Conflicting duplicate source emails (same email, different
+        // payloads — no ingest order to break the tie) must be rejected
+        // like standard SQL MERGE, with no commit.
+        updates.unionByName(updates.withColumn("phone", lit("888-dup")))
+          .createOrReplaceTempView("graft_catalog_merge_dup")
+        val dupRejected = try {
+          s.sql(s"""MERGE INTO graft_store.`$path` t USING graft_catalog_merge_dup s
+                    ON t.email = s.email
+                    WHEN MATCHED THEN UPDATE SET t.first_name = s.first_name,
+                      t.last_name = s.last_name, t.phone = s.phone
+                    WHEN NOT MATCHED THEN INSERT (id, first_name, last_name, email, phone)
+                      VALUES (s.id, s.first_name, s.last_name, s.email, s.phone)""")
+          false
+        } catch { case scala.util.control.NonFatal(_) => true }
+        require(dupRejected,
+          "conflicting duplicate source emails must be rejected (no deterministic winner)")
+        require(store.currentVersion() == 2L,
+          "a rejected duplicate-source MERGE must not commit")
         val st = store.all().localCheckpoint(true)
         val nTotal = st.count()
         val nPhone = st.filter(col("phone").startsWith("999-")).count()
         require(st.filter(col("email").startsWith("conf")).count() == 0L,
           "id-conflict inserts must salvage away")
-        Seq((res.getLong(0), res.getLong(1), res.getLong(2), nTotal, nPhone))
-          .toDF("n_updated", "n_inserted", "n_unchanged",
+        Seq((res.getLong(0), res.getLong(1), res.getLong(2), res.getLong(3),
+            nTotal, nPhone))
+          .toDF("n_updated", "n_inserted", "n_unchanged", "n_conflicts",
             "n_total_after", "n_phone_updated")
       }
     }),
@@ -879,6 +898,72 @@ object PipelineParity extends QueryGroup {
             "a data file was opened")
         Seq((r2.getLong(0), r2.getLong(1), r2.getLong(2), idSum))
           .toDF("n_rows", "min_id", "max_id", "id_sum")
+      }
+    }),
+
+    // PARTITION-GROUPED aggregate pushdown: GROUP BY uploaded COUNT/
+    // MIN/MAX(id) is zone-manifest-derivable PER PARTITION DIRECTORY
+    // (uploaded IS the partition), so the whole aggregation — groups
+    // included — answers from the manifest with no data file opened
+    // and no final re-aggregation (complete pushdown). Store = the
+    // shared 3-commit insert→merge→ack history cloned (both partitions
+    // populated, no deletion vectors). REQUIREs: the plan shows the
+    // pushed group, a filtered grouped aggregate refuses (data path),
+    // and the truncation pin — every LIVE data file zero-byted, same
+    // rows back. The oracle re-derives both groups from the planted
+    // %-of-custkey arithmetic.
+    "pipeline_catalog_agg_grouped" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+      withTempDir("graft-cataggrp-") { tmp =>
+        // Clone: the truncation pin destroys the copy's data files.
+        val path = FixtureStores.cloneInto(mergeIMATemplate(s, dir), tmp)
+        val store = new graft.pipeline.CustomerStore(s, path)
+        def grouped() = s.sql(
+          s"""SELECT uploaded, count(*) AS n_rows, min(id) AS min_id,
+                max(id) AS max_id
+              FROM graft_store.`$path` GROUP BY uploaded ORDER BY uploaded""")
+        val q1 = grouped()
+        val r1 = q1.collect().toSeq
+        val plan = q1.queryExecution.executedPlan.toString()
+        require(plan.contains("PushedAggregates") &&
+            plan.contains("PushedGroupBy: [uploaded]"),
+          s"grouped aggregation was not pushed to the manifest scan:\n$plan")
+        // A NON-PARTITION filter makes per-group manifest sums inexact —
+        // the grouped consult must refuse and take the data path.
+        val qf = s.sql(
+          s"""SELECT uploaded, count(*) AS n FROM graft_store.`$path`
+              WHERE phone LIKE '999%' GROUP BY uploaded""")
+        qf.collect(): Unit
+        require(!qf.queryExecution.executedPlan.toString().contains("PushedAggregates"),
+          "a non-partition-filtered grouped aggregate must refuse the manifest shortcut")
+        // The PARTITION predicate stays manifest-exact: the work-queue
+        // COUNT (WHERE uploaded = false) pushes and must equal the
+        // grouped read's pending row.
+        val qp = s.sql(
+          s"SELECT count(*) AS n FROM graft_store.`$path` WHERE uploaded = false")
+        val nPendPushed = qp.collect().head.getLong(0)
+        val pPlan = qp.queryExecution.executedPlan.toString()
+        require(pPlan.contains("PushedAggregates") &&
+            pPlan.contains("PushedFilters: [EqualTo(uploaded,false)]"),
+          s"the partition-filtered work-queue COUNT must push to the manifest:\n$pPlan")
+        require(nPendPushed == r1.head.getLong(1),
+          "filtered manifest count diverged from the grouped pending row")
+        // The physical pin: zero-byte every LIVE data file (both
+        // partitions), ask again — nothing may be opened.
+        val pinned = store.liveDataFiles().map(_._2)
+        require(pinned.nonEmpty &&
+          pinned.forall(p => new java.io.File(p).isAbsolute),
+          "truncation pin needs absolute data-file paths")
+        pinned.foreach(p => new java.io.FileOutputStream(p).close())
+        require(pinned.forall(p => new java.io.File(p).length() == 0L),
+          "truncation pin did not reach the real data files")
+        require(grouped().collect().toSeq == r1,
+          "grouped manifest aggregates changed after data-file truncation — " +
+            "a data file was opened")
+        r1.map(r => (r.getBoolean(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toDF("uploaded", "n_rows", "min_id", "max_id")
+          .orderBy(col("uploaded"))
       }
     }),
 
@@ -1311,6 +1396,59 @@ object PipelineParity extends QueryGroup {
         store.markUploaded(
           base.filter(col("id") % 5 === 0).select(col("email")))
         consume()
+        s.read.schema(feedSchema).parquet(s"$tmp/sink")
+          .groupBy(col("change_type"))
+          .agg(count(lit(1)).as("n_changes"), sum(col("id")).as("id_sum"))
+          .orderBy(col("change_type"))
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      }
+      out.toDF("change_type", "n_changes", "id_sum")
+        .orderBy(col("change_type"))
+    }),
+
+    // The same incremental-CDC contract through the CONNECTOR's
+    // streaming source (spark.readStream.format("graft-store"),
+    // the Delta-streaming-source analog): offsets ARE commit versions,
+    // so the consumer follows the feed without knowing the _changelog/
+    // layout. Two checkpointed AvailableNow runs straddle the ack
+    // commit with maxCommitsPerTrigger=1 — REQUIREd: run 1 drains the
+    // insert+merge history one commit per micro-batch (exactly 2
+    // batches), run 2 resumes from the checkpointed offset and serves
+    // exactly the ack commit once. The sink aggregate equals the batch
+    // feed aggregate (identical oracle arithmetic to
+    // streaming_cdc_resume) — exactly-once across the restart.
+    "streaming_catalog_cdc_parity" -> ((s, dir) => {
+      import s.implicits._
+      val (base, _) = mergeFixtures(s, dir)
+      val out = withTempDir("graft-cdc-cat-") { tmp =>
+        // Clone of the insert+merge layer: the ack commit must land
+        // while the stream is down, so the gate owns a mutable copy.
+        val store = cloneStore(s, mergeIMTemplate(s, dir), tmp)
+        val feedSchema = store.changeFeed().schema
+        def consume(): Long = {
+          val q = s.readStream.format("graft-store")
+            .option("path", s"$tmp/store")
+            .option("feedFrom", 0)
+            .option("maxCommitsPerTrigger", 1)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/sink")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          q.recentProgress.count(_.numInputRows > 0L).toLong
+        }
+        val batches1 = consume()
+        require(batches1 == 2L,
+          s"run 1 must drain insert+merge as one commit per micro-batch, got $batches1")
+        store.markUploaded(
+          base.filter(col("id") % 5 === 0).select(col("email")))
+        val batches2 = consume()
+        require(batches2 == 1L,
+          s"run 2 must resume at the checkpoint and serve exactly the ack commit, got $batches2")
         s.read.schema(feedSchema).parquet(s"$tmp/sink")
           .groupBy(col("change_type"))
           .agg(count(lit(1)).as("n_changes"), sum(col("id")).as("id_sum"))
@@ -1880,6 +2018,7 @@ object PipelineParity extends QueryGroup {
            CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
            CAST(SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
            CAST(SUM(CASE WHEN c_custkey % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+           CAST(SUM(CASE WHEN c_custkey % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_conflicts,
            CAST(COUNT(*) + SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_total_after,
            CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -1929,6 +2068,21 @@ object PipelineParity extends QueryGroup {
            CAST(MAX(c_custkey) AS BIGINT) AS max_id,
            CAST(SUM(c_custkey) AS BIGINT) AS id_sum
          FROM customer""",
+    // Per-partition arithmetic of the 3-commit fixture: acked = base
+    // %5==0 (uploaded=true); pending = the rest of the base plus the
+    // merge's +20M fresh block.
+    "pipeline_catalog_agg_grouped" ->
+      """WITH c AS (SELECT c_custkey AS id FROM customer),
+          pend AS (SELECT FALSE AS uploaded, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(MIN(id) AS BIGINT) AS min_id,
+                     CAST(MAX(id) AS BIGINT) AS max_id
+                   FROM (SELECT id FROM c WHERE id % 5 <> 0
+                         UNION ALL SELECT id + 20000000 FROM c WHERE id % 10 = 0)),
+          up AS (SELECT TRUE AS uploaded, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(MIN(id) AS BIGINT) AS min_id,
+                   CAST(MAX(id) AS BIGINT) AS max_id
+                 FROM c WHERE id % 5 = 0)
+         SELECT * FROM pend UNION ALL SELECT * FROM up ORDER BY uploaded""",
     // Runtime-prune arithmetic: the 'a'-tagged dim rows are exactly the
     // custkeys above the two-thirds point, all present in the store.
     "pipeline_catalog_runtime_prune" ->
@@ -2085,6 +2239,28 @@ object PipelineParity extends QueryGroup {
            CAST(COUNT(*) + SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_total_after
          FROM customer""",
     "pipeline_merge_changelog" ->
+      """WITH c AS (SELECT c_custkey AS id FROM customer),
+          ack AS (SELECT 'ack' AS change_type, COUNT(*) AS n_changes,
+                    CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 5 = 0),
+          ackp AS (SELECT 'ack_pre' AS change_type, COUNT(*) AS n_changes,
+                    CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 5 = 0),
+          ins AS (SELECT 'insert' AS change_type,
+                    (SELECT COUNT(*) FROM c) +
+                      (SELECT COUNT(*) FROM c WHERE id % 10 = 0) AS n_changes,
+                    CAST((SELECT SUM(id) FROM c) +
+                      (SELECT COALESCE(SUM(id + 20000000), 0) FROM c WHERE id % 10 = 0)
+                      AS BIGINT) AS id_sum),
+          upd AS (SELECT 'update' AS change_type, COUNT(*) AS n_changes,
+                    CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 3 = 0),
+          updp AS (SELECT 'update_pre' AS change_type, COUNT(*) AS n_changes,
+                    CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 3 = 0)
+          SELECT * FROM ack UNION ALL SELECT * FROM ackp UNION ALL SELECT * FROM ins
+          UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM updp
+          ORDER BY change_type""",
+    // Identical arithmetic to streaming_cdc_resume: the connector's
+    // streaming source must deliver exactly the same feed rows across
+    // the checkpointed restart as the file stream over _changelog/.
+    "streaming_catalog_cdc_parity" ->
       """WITH c AS (SELECT c_custkey AS id FROM customer),
           ack AS (SELECT 'ack' AS change_type, COUNT(*) AS n_changes,
                     CAST(SUM(id) AS BIGINT) AS id_sum FROM c WHERE id % 5 = 0),
