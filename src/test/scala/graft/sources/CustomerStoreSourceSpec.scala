@@ -673,6 +673,25 @@ class CustomerStoreSourceSpec extends SparkSpec {
     assert(run() === 0L, "a feed-silent commit must produce no input rows")
   }
 
+  test("streaming CDC source respects feedTo as a bounded drain") {
+    val path = tmpDir("dsv2-streamto") + "/store"
+    val store = new CustomerStore(spark, path)
+    store.insertNew(block(1L, 5L)): Unit // v1
+    store.insertNew(block(11L, 15L)): Unit // v2
+    val sink = tmpDir("dsv2-streamto-sink")
+    spark.readStream.format("graft-store").option("path", path)
+      .option("feedFrom", 0).option("feedTo", 1).load()
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", tmpDir("dsv2-streamto-ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val sunk = spark.read.schema(store.changeFeed().schema).parquet(sink)
+    assert(sunk.count() === 5L, "the bounded stream must drain only (0, 1]")
+    assert(sunk.select(col("commit_version")).distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("streaming CDC source fails loudly when the checkpoint predates the vacuum horizon") {
     val path = tmpDir("dsv2-streamwm") + "/store"
     val store = new CustomerStore(spark, path)
