@@ -93,6 +93,18 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // Fixture-store templates are test scaffolding the parity gates
+    // clone, not operators: build them ALL up front and publish the
+    // cost as a separate "fixture_s" setup figure. Lazily riding the
+    // first gate that touched a template charged whole template builds
+    // to arbitrary alphabetical victims (the round-14 driver artifact
+    // published a 203s pipeline_asof_timestamp that was mostly the
+    // clockIMA build under contention). Counts toward wall/budget —
+    // it is real elapsed time — but never toward a query's number.
+    val tFix = System.nanoTime()
+    try graft.queries.PipelineParity.prebuildTemplates(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] prebuild: $e") }
+    val fixtureS = (System.nanoTime() - tFix) / 1e9
     val best = scala.collection.mutable.Map[String, Double]()
     val failedEver = scala.collection.mutable.Set[String]()
     var passesDone = 0
@@ -180,7 +192,7 @@ object Bench {
     val byCost = done.sortBy(n => (-best(n), n))
     val entries = byCost.map(n => "\"" + n + "\":" + r2(best(n)))
     val coverage =
-      s""""covered":"${done.length}/${names.length}","aborted":$aborted,"passes":$passesDone""" +
+      s""""covered":"${done.length}/${names.length}","aborted":$aborted,"passes":$passesDone,"fixture_s":${r2(fixtureS)}""" +
         (if (failed.isEmpty) ""
          else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
     val prefix =

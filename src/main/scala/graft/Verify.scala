@@ -29,7 +29,10 @@ object Verify {
           .parquet(s"$outDir/$name")
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // e.toString + top frames, not getMessage: an NPE's message is
+        // null and a bare "failed: null" line is undebuggable.
+        System.err.println(s"[verify] $name failed: $e\n  at " +
+          e.getStackTrace.take(6).mkString("\n  at "))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

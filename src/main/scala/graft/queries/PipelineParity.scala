@@ -29,6 +29,35 @@ object PipelineParity extends QueryGroup {
   private def appendLines(dir: java.nio.file.Path, lines: Seq[String]): Unit =
     Fs.appendToPartFile(dir, lines)
 
+  /** Fixture-base cap. The parity gates pin OPERATOR contracts whose
+    * planted %-of-custkey arithmetic is row-count-independent, so the
+    * fixtures need a representative base, not the full SF table — at
+    * sf0.1 the uncapped 15k-row base made every store template and
+    * mutation ~7.5× more expensive for zero extra coverage (round-14
+    * verdict #1: fixture cost, not operator cost, is what outgrew the
+    * bench budget). At sf0.001/0.01 the max custkey (150/1500) is
+    * below the cap, so the correctness sweep is byte-identical with
+    * or without it. Every oracle applies the SAME cap mechanically
+    * via [[capCustomer]], keeping both sides exact at every SF.
+    */
+  private val FixtureCap = 2000L
+
+  /** The capped customer base every pipeline/streaming fixture
+    * derives from (Spark side of the [[FixtureCap]] contract).
+    */
+  private def customerFixture(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").filter(col("c_custkey") <= FixtureCap)
+
+  /** Oracle side of the [[FixtureCap]] contract: rewrite every
+    * `FROM customer` to the capped inline view (same alias, so column
+    * references and comma-join shorthand resolve unchanged). String
+    * rewrite, not a CTE named `customer` — DuckDB rejects a
+    * non-recursive CTE that shadows the table it reads.
+    */
+  private def capCustomer(sql: String): String =
+    sql.replaceAll("FROM customer\\b",
+      s"FROM (SELECT * FROM customer WHERE c_custkey <= $FixtureCap) customer")
+
   /** The S4-S7 cycle against any [[graft.pipeline.CustomerStoreApi]]
     * backend: insert a batch with planted losing conflicts (explicit
     * _seq pins the sequential order, so the survivor set is
@@ -38,7 +67,7 @@ object PipelineParity extends QueryGroup {
   private def workqueueCycle(s: SparkSession, dir: String)(
       mkStore: java.nio.file.Path => graft.pipeline.CustomerStoreApi): DataFrame = {
     import s.implicits._
-    val base = Tables(s, dir, "customer")
+    val base = customerFixture(s, dir)
       .select(col("c_custkey").as("id"),
         concat(lit("f"), col("c_custkey")).as("first_name"),
         concat(lit("l"), col("c_custkey")).as("last_name"),
@@ -80,7 +109,7 @@ object PipelineParity extends QueryGroup {
     * count from the same %-of-c_custkey arithmetic.
     */
   private def mergeFixtures(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val base = Tables(s, dir, "customer")
+    val base = customerFixture(s, dir)
       .select(col("c_custkey").as("id"),
         concat(lit("f"), col("c_custkey")).as("first_name"),
         concat(lit("l"), col("c_custkey")).as("last_name"),
@@ -129,7 +158,7 @@ object PipelineParity extends QueryGroup {
 
   /** The 5 raw customer columns every store fixture starts from. */
   private def baseCols(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "customer")
+    customerFixture(s, dir)
       .select(col("c_custkey").as("id"),
         concat(lit("f"), col("c_custkey")).as("first_name"),
         concat(lit("l"), col("c_custkey")).as("last_name"),
@@ -227,6 +256,72 @@ object PipelineParity extends QueryGroup {
         store.insertNew(Ingest.enrich(base.filter(col("id") % 3 === m))): Unit
     }
 
+  /** Two id-parity commits — the read-only template the ANALYZE
+    * estimate gate consults (the CBO consult never writes).
+    */
+  private def analyze2Template(s: SparkSession, dir: String): String =
+    FixtureStores.template(s"analyze2|$dir") { storePath =>
+      val base = baseCols(s, dir)
+      val st = new graft.pipeline.CustomerStore(s, storePath)
+      for (m <- 0L until 2L)
+        st.insertNew(Ingest.enrich(base.filter(col("id") % 2 === m))): Unit
+    }
+
+  /** Four contiguous id-slice commits with data-driven bloom geometry
+    * — the point-lookup gate clones it (the ack mutates). Returns
+    * (store path, bloom bits): bloomBits only matters at COMMIT time,
+    * but the clone's opener passes the same value for symmetry.
+    */
+  private def bloom4Template(s: SparkSession, dir: String): (String, Long) = {
+    val base = baseCols(s, dir)
+    val mm = base.agg(min("id"), max("id"), count(lit(1))).head()
+    val (mn, mx, n) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+    val bits = math.max(1L << 17, (n / 4) * 16 / 64 * 64)
+    val slice = expr(s"(id - $mn) * 4 DIV ${mx - mn + 1}")
+    val tmpl = FixtureStores.template(s"bloom4|$dir") { storePath =>
+      val st = new graft.pipeline.CustomerStore(s, storePath,
+        bloomBits = bits)
+      for (sl <- 0L until 4L)
+        st.insertNew(Ingest.enrich(base.filter(slice === sl))): Unit
+    }
+    (tmpl, bits)
+  }
+
+  /** The planted-clock insert→merge→ack history (commit v at
+    * v·1000 ms) — read-only for the timestamp-travel probes.
+    */
+  private def clockIMATemplate(s: SparkSession, dir: String): String =
+    FixtureStores.template(s"clockIMA|$dir") { storePath =>
+      val (base, batch) = mergeFixtures(s, dir)
+      val clock = new java.util.concurrent.atomic.AtomicLong(0L)
+      val st = new graft.pipeline.CustomerStore(s, storePath,
+        () => clock.addAndGet(1000L))
+      st.insertNew(base): Unit                                          // ts 1000
+      st.merge(batch): Unit                                             // ts 2000
+      st.markUploaded(
+        base.filter(col("id") % 5 === 0).select(col("email")))          // ts 3000
+    }
+
+  /** Build every fixture-store template for `dir`. The bench calls
+    * this ONCE before pass 1 and publishes the elapsed time as a
+    * separate `fixture_s` setup figure — template construction is
+    * scaffolding, and letting it lazily ride the first gate that
+    * touched it charged a whole template build to whichever query ran
+    * first in name order (round-14: the driver published a 203s
+    * `pipeline_asof_timestamp` that was mostly the clockIMA build
+    * under contention).
+    */
+  def prebuildTemplates(s: SparkSession, dir: String): Unit = {
+    mergeIMATemplate(s, dir): Unit // layers (and therefore builds) mergeIM
+    fullV1Template(s, dir): Unit
+    blocks3Template(s, dir): Unit
+    halves2Template(s, dir): Unit
+    interleaved3Template(s, dir): Unit
+    analyze2Template(s, dir): Unit
+    bloom4Template(s, dir): Unit
+    clockIMATemplate(s, dir): Unit
+  }
+
   private def mergeCycle(s: SparkSession, dir: String)(
       mkStore: java.nio.file.Path => graft.pipeline.CustomerStoreApi): DataFrame = {
     import s.implicits._
@@ -261,7 +356,7 @@ object PipelineParity extends QueryGroup {
     // malformed_csv branch remains for typed/charset read failures.
     "pipeline_ingest_csv" -> ((s, dir) => {
       import s.implicits._
-      val lines = Tables(s, dir, "customer")
+      val lines = customerFixture(s, dir)
         .select(col("c_custkey"),
           concat_ws(",",
             col("c_custkey"),
@@ -305,7 +400,7 @@ object PipelineParity extends QueryGroup {
       def lines(df: DataFrame): DataFrame = df.select(concat_ws(",",
         col("id"), concat(lit("f"), col("id")), concat(lit("l"), col("id")),
         col("email"), concat(lit("555-"), col("id"))).as("line"), col("id"))
-      val base = Tables(s, dir, "customer")
+      val base = customerFixture(s, dir)
         .select(col("c_custkey").as("id"),
           concat(lit("u"), col("c_custkey"), lit("@example.com")).as("email"))
       val idConf = base.filter(col("id") % 100 === 0)
@@ -583,11 +678,7 @@ object PipelineParity extends QueryGroup {
       // The two-commit store is a read-only template: the CBO consult
       // never writes (recover() on a cleanly-committed store is a
       // no-op), so the gate opens it in place.
-      val path = FixtureStores.template(s"analyze2|$dir") { storePath =>
-        val st = new graft.pipeline.CustomerStore(s, storePath)
-        for (m <- 0L until 2L)
-          st.insertNew(Ingest.enrich(base.filter(col("id") % 2 === m))): Unit
-      }
+      val path = analyze2Template(s, dir)
       val store = new graft.pipeline.CustomerStore(s, path)
       val out =
         ranges.map { case (name, lo, hi) =>
@@ -1160,7 +1251,7 @@ object PipelineParity extends QueryGroup {
     // batch (no shuffle); at 100 TB it rides the ingest scan.
     "pipeline_constraints" -> ((s, dir) => {
       val k = col("k")
-      val raw = Tables(s, dir, "customer")
+      val raw = customerFixture(s, dir)
         .select(col("c_custkey").as("k"))
         .select(k,
           when(k % 97 === 0, -k).otherwise(k).as("id"),
@@ -1223,22 +1314,15 @@ object PipelineParity extends QueryGroup {
     "pipeline_bloom_pointread" -> ((s, dir) => {
       import s.implicits._
       val base = baseCols(s, dir)
-      val mm = base.agg(min("id"), max("id"), count(lit(1))).head()
-      val (mn, mx, n) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+      val mm = base.agg(min("id"), max("id")).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
       val ks = Seq(1L, 5L).map(j => mn + (mx - mn) * j / 7)
       val keys = ks.map(k => s"u$k@example.com")
-      val bits = math.max(1L << 17, (n / 4) * 16 / 64 * 64)
-      val slice = expr(s"(id - $mn) * 4 DIV ${mx - mn + 1}")
       // The 4-slice store (its data-driven bloom geometry rides the
       // template key's dir) is a template; the ack mutates a clone.
       // bloomBits only matters at COMMIT time — the probe reads the
       // staged nbits from the manifest.
-      val tmpl = FixtureStores.template(s"bloom4|$dir") { storePath =>
-        val st = new graft.pipeline.CustomerStore(s, storePath,
-          bloomBits = bits)
-        for (sl <- 0L until 4L)
-          st.insertNew(Ingest.enrich(base.filter(slice === sl))): Unit
-      }
+      val (tmpl, bits) = bloom4Template(s, dir)
       val out = withTempDir("graft-bloomread-") { tmp =>
         val store = new graft.pipeline.CustomerStore(s,
           FixtureStores.cloneInto(tmpl, tmp), bloomBits = bits)
@@ -1551,16 +1635,7 @@ object PipelineParity extends QueryGroup {
       // clock only matters at COMMIT time; asOfTimestamp reads the
       // promoted _commits registry), and every probe is read-only —
       // the gate opens the template in place.
-      val path = FixtureStores.template(s"clockIMA|$dir") { storePath =>
-        val (base, batch) = mergeFixtures(s, dir)
-        val clock = new java.util.concurrent.atomic.AtomicLong(0L)
-        val st = new graft.pipeline.CustomerStore(s, storePath,
-          () => clock.addAndGet(1000L))
-        st.insertNew(base): Unit                                          // ts 1000
-        st.merge(batch): Unit                                             // ts 2000
-        st.markUploaded(
-          base.filter(col("id") % 5 === 0).select(col("email")))          // ts 3000
-      }
+      val path = clockIMATemplate(s, dir)
       val store = new graft.pipeline.CustomerStore(s, path)
       require(store.commitTimestamps() == Seq(1L -> 1000L, 2L -> 2000L, 3L -> 3000L),
         s"commit registry mismatch: ${store.commitTimestamps()}")
@@ -1689,7 +1764,7 @@ object PipelineParity extends QueryGroup {
     // excluded) from the customer table.
     "pipeline_dsv2_source" -> ((s, dir) => {
       import s.implicits._
-      val lines = Tables(s, dir, "customer")
+      val lines = customerFixture(s, dir)
         .select(col("c_custkey"),
           concat_ws(",",
             col("c_custkey"),
@@ -1729,7 +1804,7 @@ object PipelineParity extends QueryGroup {
     // merge gates.
     "pipeline_merge_stream" -> ((s, dir) => {
       import s.implicits._
-      val base = Tables(s, dir, "customer")
+      val base = customerFixture(s, dir)
         .select(col("c_custkey").as("id"),
           concat(lit("f"), col("c_custkey")).as("first_name"),
           concat(lit("l"), col("c_custkey")).as("last_name"),
@@ -1875,7 +1950,11 @@ object PipelineParity extends QueryGroup {
       Seq(out).toDF("n_docs", "sum_doc_ids", "sum_chars", "text_checksum")
     }))
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = rawOracles.map {
+    case (k, v) => k -> capCustomer(v)
+  }
+
+  private def rawOracles: Map[String, String] = Map(
     "pipeline_ingest_csv" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_valid,
            CAST(SUM(c_custkey) AS BIGINT) AS sum_valid_ids,
