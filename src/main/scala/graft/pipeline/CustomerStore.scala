@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
   * directory-overwrite for a transactional table format, but the plan
   * shapes (anti-join insert, pruned scan, partition rewrite) carry over
   * unchanged.
+  *
+  * Concurrency: writers stage into writer-unique `_staging.tmp-<id>`
+  * dirs and contend only at the commit point (the atomic rename onto
+  * `_staging`), with Delta-style optimistic retry — a loser finishes
+  * the winner's promotion, validates its staged commit against the
+  * interleaved delta (file-level read-set + email/id key overlap; a
+  * full-table rewrite always conflicts), re-numbers, and retries; a
+  * REAL conflict aborts with [[ConcurrentCommitException]] leaving
+  * only the winner's state. Disjoint inserts/acks therefore both land;
+  * racing writers can never tear the table. Readers are unaffected:
+  * they see the last promoted state (snapshot isolation per scan).
   */
 class CustomerStore(protected val spark: SparkSession, path: String,
     commitClock: () => Long = () => System.currentTimeMillis(),
@@ -27,6 +38,13 @@ class CustomerStore(protected val spark: SparkSession, path: String,
 
   import CustomerSchema._
   import CustomerStore._
+
+  /** JVM-wide per-path monitor serializing promotions (see
+    * [[applyStaged]]); keyed on the canonical path so two instances
+    * over the same table share it.
+    */
+  private val promotionLock: Object =
+    CustomerStore.promotionLockFor(new java.io.File(path).getAbsolutePath)
 
   // Finish (or discard) any commit interrupted by a crash before the
   // store is first read — see markUploaded's commit protocol.
@@ -148,8 +166,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       .localCheckpoint(true)
     val n = hit.count()
     if (n == 0) return 0L
-    val tmp = new java.io.File(path, StagingTmp)
-    deleteRecursively(tmp)
+    val tmp = freshStagingTmp()
     val dvDir = new java.io.File(tmp, "deletes")
     hit.select(col("_file").as("file"), col("email")).write.parquet(dvDir.toString)
     val commitId = java.util.UUID.randomUUID().toString.take(8)
@@ -157,10 +174,9 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       require(f.renameTo(new java.io.File(dvDir, s"del-$commitId-${f.getName}")),
         s"staging rename failed for $f")
     }
-    stageChanges(tmp,
-      changeRows(hit.drop("_file", "_del"), "delete_pre")): Unit
-    val staging = new java.io.File(path, Staging)
-    require(tmp.renameTo(staging), s"commit rename $tmp -> $staging failed")
+    val v = stageChanges(tmp,
+      changeRows(hit.drop("_file", "_del"), "delete_pre"))
+    commitStaged(tmp, v)
     n
   }
 
@@ -186,9 +202,8 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     * file names, appended to the pending partition at promotion) plus
     * their change-feed rows.
     */
-  private def stageAppend(fresh: DataFrame): Unit = {
-    val tmp = new java.io.File(path, StagingTmp)
-    deleteRecursively(tmp)
+  private[pipeline] def stageAppend(fresh: DataFrame): Unit = {
+    val tmp = freshStagingTmp()
     val stage = new java.io.File(tmp, "pending-append")
     fresh.drop("uploaded").write.parquet(stage.toString)
     val commitId = java.util.UUID.randomUUID().toString.take(8)
@@ -198,8 +213,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     }
     val v = stageChanges(tmp, changeRows(fresh, "insert"))
     stageStats(tmp, v)
-    val staging = new java.io.File(path, Staging)
-    require(tmp.renameTo(staging), s"commit rename $tmp -> $staging failed")
+    commitStaged(tmp, v)
   }
 
   /** Change-feed projection: the full row plus the change kind. */
@@ -223,6 +237,13 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     */
   def changeFeed(): DataFrame = {
     val dirs = commitDirs()
+    // "The whole feed" means from genesis: once vacuumFeed has retired
+    // any commit, a full-feed read can no longer be served completely
+    // and must fail as loudly as the equivalent feedSince(0, head)
+    // (round-14 ADVICE: an inconsistent loud-failure surface is a
+    // silent-loss trap for consumers). Readers that want the retained
+    // suffix say so explicitly: feedSince(feedLowWatermark(), head).
+    if (dirs.nonEmpty) requireFeedRange(0L, dirs.map(_._1).max)
     if (dirs.nonEmpty)
       spark.read.schema(changeSchema)
         .option("recursiveFileLookup", "true")
@@ -394,20 +415,28 @@ class CustomerStore(protected val spark: SparkSession, path: String,
   def vacuumFeed(): Int = {
     val cutoff = snapshotVersions().sorted.lastOption.getOrElse(return 0)
     val retired = commitDirs().filter(_._1 <= cutoff)
-    retired.foreach { case (_, d) => deleteRecursively(d) }
-    // Persist the retention horizon (monotonic): range feed reads below
-    // it must fail LOUDLY instead of silently returning partial history
-    // — the Delta/Iceberg CDF contract for an unavailable range. Written
-    // AFTER the dirs are gone (a crash between leaves the watermark
-    // low, which only under-rejects — never claims availability it
-    // cannot serve... the next vacuum re-raises it).
+    // Persist the retention horizon (monotonic) BEFORE deleting the
+    // retired dirs: a crash between the two steps then OVER-rejects —
+    // the range is still physically readable but refused — which is
+    // the safe direction. The previous order (delete, then promote)
+    // left a window where the watermark was low while the dirs were
+    // already gone, so requireFeedRange passed and catch-up reads
+    // silently returned partial history — exactly the loss the
+    // watermark exists to prevent (round-14 ADVICE, medium).
     val wm = math.max(feedLowWatermark(), cutoff)
     val tmp = new java.io.File(path, FeedWatermark + ".tmp")
     java.nio.file.Files.write(tmp.toPath,
       wm.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    require(tmp.renameTo(new java.io.File(path, FeedWatermark)) ||
-        new java.io.File(path, FeedWatermark).exists(),
-      s"could not promote feed watermark $wm")
+    // REPLACE_EXISTING (atomic where the fs supports it): a plain
+    // renameTo onto an existing stale watermark fails on some
+    // filesystems, and the old `|| dst.exists()` fallback could not
+    // tell a successful promotion from that failure — the require
+    // passed with the OLD horizon and the .tmp leaked.
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(path, FeedWatermark).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    require(feedLowWatermark() == wm, s"feed watermark promotion to $wm failed")
+    retired.foreach { case (_, d) => deleteRecursively(d) }
     retired.size
   }
 
@@ -1234,8 +1263,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     */
   private[pipeline] def stageMergeCommit(replacement: DataFrame,
       removeUris: Seq[String], changes: DataFrame): Unit = {
-    val tmp = new java.io.File(path, StagingTmp)
-    deleteRecursively(tmp)
+    val tmp = freshStagingTmp()
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     Seq(("merge-pending", "remove-pending", false),
         ("merge-done", "remove-done", true)).foreach { case (add, rm, up) =>
@@ -1255,8 +1283,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     }
     val v = stageChanges(tmp, changes)
     stageStats(tmp, v)
-    val staging = new java.io.File(path, Staging)
-    require(tmp.renameTo(staging), s"commit rename $tmp -> $staging failed")
+    commitStaged(tmp, v)
   }
 
   /** Stage a FULL-replace commit of both partitions (the merge path),
@@ -1267,8 +1294,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     */
   private[pipeline] def stageFullCommit(pending: DataFrame, done: DataFrame,
       changes: DataFrame, truncateDeletes: Boolean = false): Unit = {
-    val tmp = new java.io.File(path, StagingTmp)
-    deleteRecursively(tmp)
+    val tmp = freshStagingTmp()
     pending.drop("uploaded").write.parquet(new java.io.File(tmp, "pending").toString)
     done.drop("uploaded").write.parquet(new java.io.File(tmp, "done").toString)
     // A full replace materializes every deletion-vector tombstone, so
@@ -1281,8 +1307,9 @@ class CustomerStore(protected val spark: SparkSession, path: String,
         Array.emptyByteArray): Unit
     val v = stageChanges(tmp, changes)
     stageStats(tmp, v)
-    val staging = new java.io.File(path, Staging)
-    require(tmp.renameTo(staging), s"commit rename $tmp -> $staging failed")
+    // Full replace: ANY interleaved commit conflicts (the rewrite was
+    // derived from the whole pre-commit table).
+    commitStaged(tmp, v, fullReplace = true)
   }
 
   /** Stage this commit's change-feed rows next to its data outputs,
@@ -1440,8 +1467,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     */
   private[pipeline] def stageCommit(moved: DataFrame, kept: DataFrame,
       changes: DataFrame): Unit = {
-    val tmp = new java.io.File(path, StagingTmp)
-    deleteRecursively(tmp)
+    val tmp = freshStagingTmp()
     moved.drop("uploaded").write.parquet(new java.io.File(tmp, "done-append").toString)
     kept.drop("uploaded").write.parquet(new java.io.File(tmp, "pending").toString)
     val v = stageChanges(tmp, changes)
@@ -1454,14 +1480,21 @@ class CustomerStore(protected val spark: SparkSession, path: String,
         s"staging rename failed for $f")
     }
     stageStats(tmp, v) // after the renames: stats key on promoted basenames
-    val staging = new java.io.File(path, Staging)
-    require(tmp.renameTo(staging), s"commit rename $tmp -> $staging failed")
+    // The `pending` stage swaps that whole partition — a full replace
+    // of the read set, so any interleaved commit conflicts.
+    commitStaged(tmp, v, fullReplace = true)
   }
 
   /** Promote a committed staging directory into the table. Idempotent:
     * each step checks what a previous (crashed) attempt already did.
+    * Serialized per table path within the JVM: promotion moves files,
+    * and two concurrent promoters of the SAME staged commit would race
+    * each other's renames (loudly — renames are atomic, so the table
+    * could not tear — but spuriously). Cross-process, promotion safety
+    * rests on replay idempotence: a crashed promoter's successor
+    * completes the same steps.
     */
-  private[pipeline] def applyStaged(): Unit = {
+  private[pipeline] def applyStaged(): Unit = promotionLock.synchronized {
     val staging = new java.io.File(path, Staging)
     if (!staging.exists()) return
     val pendingStage = new java.io.File(staging, "pending")
@@ -1613,20 +1646,192 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     deleteRecursively(staging)
   }
 
+  // ---- Optimistic concurrency (the commit point) ---------------------
+
+  /** A writer-unique staging directory (`_staging.tmp-<id>`), so two
+    * concurrent stagers can prepare commits side by side — only the
+    * rename onto `_staging` (the commit point) is contended.
+    */
+  private def freshStagingTmp(): java.io.File = {
+    val f = new java.io.File(path,
+      StagingTmp + "-" + java.util.UUID.randomUUID().toString.take(8))
+    deleteRecursively(f)
+    f
+  }
+
+  /** The commit point, with Delta-style optimistic concurrency.
+    * Renaming `tmp` onto `_staging` is atomic and fails while a rival
+    * writer's committed-but-unpromoted staging occupies it. The loser
+    * then (1) finishes the rival's promotion (the same idempotent
+    * replay recovery runs), (2) validates its own staged commit
+    * against everything that landed since it was staged —
+    * [[checkNoConflict]]: full-table rewrites always conflict;
+    * otherwise every file this commit removes/tombstones must still
+    * exist, and no interleaved commit may have touched the same
+    * email/id keys — and (3) re-numbers the staged commit onto the new
+    * head ([[renumberStaged]]) and retries. A real conflict aborts
+    * with [[ConcurrentCommitException]] and the table keeps ONLY the
+    * rival's state — never a torn mix.
+    */
+  private def commitStaged(tmp: java.io.File, stagedV: Long,
+      fullReplace: Boolean = false): Unit = {
+    val staging = new java.io.File(path, Staging)
+    // The version this commit was DERIVED from — conflict checks always
+    // span (base, head], however many times the commit is re-numbered.
+    val base = stagedV - 1
+    var v = stagedV
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      attempts += 1
+      require(tmp.exists(), s"staged commit $tmp vanished before the commit point")
+      require(attempts <= MaxCommitAttempts,
+        s"commit at $path lost the staging race $attempts times; giving up")
+      // Drain→validate→rename must be ONE atomic step: validating only
+      // after a FAILED rename would let a rival that committed AND
+      // promoted in between hand us an empty commit point — our rename
+      // would then succeed carrying a stale version number and two
+      // commits would share it. In-JVM the promotion monitor makes the
+      // step atomic; cross-process, a writer that slips in between is
+      // caught by the rename failing (the commit point is occupied) and
+      // we loop — see the class scaladoc for the cross-process boundary.
+      promotionLock.synchronized {
+        applyStaged()
+        val head = currentVersion()
+        if (head >= v) {
+          checkNoConflict(tmp, base, head, fullReplace)
+          v = head + 1
+          renumberStaged(tmp, v)
+        }
+        committed = tmp.renameTo(staging)
+      }
+    }
+  }
+
+  /** Abort unless this staged commit is safe to re-apply on top of the
+    * interleaved commits in `(baseV, headV]`. Two independent checks:
+    * physical — every file the commit removes (partition-qualified
+    * `remove-*` lists) or tombstones (deletion-vector basenames, either
+    * partition) must still exist, which catches feed-silent rewrites
+    * like compact/OPTIMIZE; logical — no interleaved change row shares
+    * an email or id with this commit's change rows, which catches
+    * UNIQUE-violating concurrent inserts and lost-update races.
+    */
+  private def checkNoConflict(tmp: java.io.File, baseV: Long, headV: Long,
+      fullReplace: Boolean): Unit = {
+    if (fullReplace)
+      throw new ConcurrentCommitException(
+        s"full-table rewrite staged against version $baseV conflicts with " +
+          s"interleaved commits up to $headV")
+    import scala.jdk.CollectionConverters._
+    def gone(part: String, name: String): Boolean =
+      !new java.io.File(new java.io.File(path, part), name).exists()
+    val missingListed = Seq("remove-pending" -> "uploaded=false",
+        "remove-done" -> "uploaded=true").flatMap { case (rm, part) =>
+      val f = new java.io.File(tmp, rm)
+      if (!f.exists()) Nil
+      else java.nio.file.Files.readAllLines(f.toPath).asScala
+        .filter(_.nonEmpty).filter(gone(part, _)).map(n => s"$part/$n").toSeq
+    }
+    val dvDir = new java.io.File(tmp, "deletes")
+    val missingVectored =
+      if (!dvDir.isDirectory) Nil
+      else spark.read.parquet(dvDir.toString).select("file").distinct()
+        .collect().toSeq.map(_.getString(0))
+        .filter(n => gone("uploaded=false", n) && gone("uploaded=true", n))
+    val missing = missingListed ++ missingVectored
+    if (missing.nonEmpty)
+      throw new ConcurrentCommitException(
+        s"staged commit removes files an interleaved commit already rewrote: " +
+          missing.take(5).mkString(", "))
+    val chg = new java.io.File(tmp, "changelog")
+    if (chg.isDirectory) {
+      val mine = spark.read.schema(changeSchema).parquet(chg.toString)
+        .select(col("id"), col("email")).distinct().localCheckpoint(true)
+      if (mine.limit(1).count() > 0) {
+        val theirs = feedSince(baseV, headV).select(col("id"), col("email")).distinct()
+        val overlap = theirs.join(mine.select("email"), Seq("email"), "left_semi")
+          .unionByName(theirs.join(mine.select("id"), Seq("id"), "left_semi")
+            .select(col("id"), col("email")))
+          .limit(1).count()
+        if (overlap > 0)
+          throw new ConcurrentCommitException(
+            s"staged commit touches emails/ids an interleaved commit " +
+              s"in ($baseV, $headV] also touched")
+      }
+    }
+  }
+
+  /** Re-stamp a staged commit onto a new head version: rewrite the
+    * `commit_version` baked into its staged changelog and stats rows,
+    * then the `version` marker and a fresh `commit_ts` (the commit
+    * lands NOW, not when it was first staged).
+    */
+  private def renumberStaged(tmp: java.io.File, newV: Long): Unit = {
+    Seq("changelog" -> "chg", "stats" -> "sts").foreach { case (name, prefix) =>
+      val dir = new java.io.File(tmp, name)
+      if (dir.isDirectory) {
+        val out = new java.io.File(tmp, name + ".renum")
+        deleteRecursively(out)
+        spark.read.parquet(dir.toString)
+          .withColumn("commit_version", lit(newV))
+          .coalesce(1).write.parquet(out.toString)
+        val commitId = java.util.UUID.randomUUID().toString.take(8)
+        out.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+          require(f.renameTo(new java.io.File(out, s"$prefix-$commitId-${f.getName}")),
+            s"renumber rename failed for $f")
+        }
+        deleteRecursively(dir)
+        require(out.renameTo(dir), s"renumber swap $out -> $dir failed")
+      }
+    }
+    java.nio.file.Files.write(new java.io.File(tmp, "version").toPath,
+      newV.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(new java.io.File(tmp, "commit_ts").toPath,
+      commitClock().toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** Crash recovery, run at open and before each commit: a committed
     * staging directory is applied to completion; an uncommitted
-    * `_staging.tmp` (crash before the commit point) is discarded.
+    * `_staging.tmp` (crash before the commit point) is discarded, and
+    * writer-unique `_staging.tmp-*` directories are swept only once
+    * STALE (15 min) — a young one may belong to a LIVE concurrent
+    * stager that has not reached the commit point yet.
     */
   def recover(): Unit = {
     applyStaged()
     deleteRecursively(new java.io.File(path, StagingTmp))
+    val root = new java.io.File(path)
+    val cutoff = System.currentTimeMillis() - StaleStagingMs
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(StagingTmp + "-") &&
+        f.lastModified() < cutoff)
+      .foreach(f => deleteRecursively(f))
   }
 }
+
+/** An optimistic commit retry found a REAL conflict: an interleaved
+  * commit rewrote files this commit removes, touched the same keys, or
+  * this commit is a full-table rewrite. The table holds only the
+  * rival's committed state; the caller re-reads and re-applies.
+  */
+class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
 object CustomerStore {
   /** Underscore prefix keeps all of these out of Spark/Hadoop data discovery. */
   private[pipeline] val Staging = "_staging"
   private[pipeline] val StagingTmp = "_staging.tmp"
+  /** Commit-point retries before an optimistic committer gives up. */
+  private[pipeline] val MaxCommitAttempts = 5
+  /** Age after which recover() reclaims an abandoned writer-unique
+    * staging dir — younger ones may belong to a live concurrent stager.
+    */
+  private[pipeline] val StaleStagingMs = 15L * 60 * 1000
+
+  private val promotionLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[pipeline] def promotionLockFor(canonicalPath: String): Object =
+    promotionLocks.computeIfAbsent(canonicalPath, _ => new Object)
   private[pipeline] val Changelog = "_changelog"
   private[pipeline] val VersionFile = "_version"
   private[pipeline] val Snapshots = "_snapshots"

@@ -157,21 +157,31 @@ trait CustomerStoreApi {
     * the store side is the big side and stays partitioned.
     */
   def merge(batch: DataFrame): MergeResult = {
-    val (matched, updates, inserts) = classifyMerge(batch)
+    val (latest, matched, updates, inserts) = classifyMergeStages(batch)
     val nMatched = matched.count()
     val nUpdated = updates.count()
     val nInserted = inserts.count()
-    // One normalized row per email; whoever is neither matched nor
-    // inserted was salvaged away on an id conflict — counted, never
-    // silent.
-    val nEmails = batch.select(col("email")).distinct().count()
+    // One normalized row per email — counted from the already-pinned
+    // `latest` stage, NOT a second pass over the raw batch (round-14
+    // ADVICE: batch.select(email).distinct().count() re-ran the whole
+    // upstream plan solely for this figure). Whoever is neither
+    // matched nor inserted was salvaged away on an id conflict —
+    // counted, never silent.
+    val nEmails = latest.count()
     applyMerge(updates, inserts)
     MergeResult(nUpdated, nInserted, nMatched - nUpdated,
       nEmails - nMatched - nInserted)
   }
 
-  /** The classification plans behind [[merge]]: (matched, updates,
-    * inserts). With `materialize` (the merge path) each stage is
+  /** Spec surface: [[classifyMergeStages]] minus the `latest` stage. */
+  private[pipeline] def classifyMerge(batch: DataFrame,
+      materialize: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
+    val (_, matched, updates, inserts) = classifyMergeStages(batch, materialize)
+    (matched, updates, inserts)
+  }
+
+  /** The classification plans behind [[merge]]: (latest, matched,
+    * updates, inserts). With `materialize` (the merge path) each stage is
     * eagerly checkpointed — classification must be pinned BEFORE the
     * backend rewrites storage, and the chain reuses each stage once.
     * `materialize = false` returns the lazy plans so MergeSpec can pin
@@ -179,8 +189,8 @@ trait CustomerStoreApi {
     * lost join key would compile to a cross product and only fail at
     * scale).
     */
-  private[pipeline] def classifyMerge(batch: DataFrame,
-      materialize: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
+  private[pipeline] def classifyMergeStages(batch: DataFrame,
+      materialize: Boolean = true): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     def pin(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint(true) else df
     val seqd =
@@ -208,6 +218,6 @@ trait CustomerStoreApi {
       .withColumn("_rn", row_number().over(byIdFirst))
       .filter(col("_rn") === 1)
       .select(tableSchema.fieldNames.map(col): _*))
-    (matched, updates, inserts)
+    (latest, matched, updates, inserts)
   }
 }
