@@ -119,6 +119,7 @@ class CustomerStoreSource extends TableProvider with DataSourceRegister
     val feedFrom = Option(properties.get("feedFrom")).map(_.toLong)
     val feedTo = Option(properties.get("feedTo")).map(_.toLong)
     val maxCommits = Option(properties.get("maxCommitsPerTrigger")).map(_.toLong)
+    val maxBytes = Option(properties.get("maxBytesPerTrigger")).map(_.toLong)
     if (feedFrom.isDefined || feedTo.isDefined) {
       require(feedFrom.isDefined,
         "graft-store: feedTo requires feedFrom (the exclusive lower version)")
@@ -126,10 +127,14 @@ class CustomerStoreSource extends TableProvider with DataSourceRegister
         "graft-store: a change-feed read and time travel are mutually exclusive")
       require(maxCommits.forall(_ >= 1L),
         "graft-store: maxCommitsPerTrigger must be >= 1")
-      new CustomerStoreChangesTable(path, feedFrom.get, feedTo, maxCommits)
+      require(maxBytes.forall(_ >= 1L),
+        "graft-store: maxBytesPerTrigger must be >= 1")
+      new CustomerStoreChangesTable(path, feedFrom.get, feedTo, maxCommits,
+        maxBytes)
     } else {
-      require(maxCommits.isEmpty,
-        "graft-store: maxCommitsPerTrigger applies to change-feed reads (feedFrom)")
+      require(maxCommits.isEmpty && maxBytes.isEmpty,
+        "graft-store: maxCommitsPerTrigger/maxBytesPerTrigger apply to " +
+          "change-feed reads (feedFrom)")
       new CustomerStoreTable(path, versionAsOf, timestampAsOf)
     }
   }
@@ -170,7 +175,8 @@ class CustomerStoreSource extends TableProvider with DataSourceRegister
   * batches.
   */
 class CustomerStoreChangesTable(path: String, fromExclusive: Long,
-    toInclusive: Option[Long], maxCommitsPerTrigger: Option[Long] = None)
+    toInclusive: Option[Long], maxCommitsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = s"graft_store_changes($path)"
   override def schema(): StructType = CustomerSchema.changeSchema
@@ -183,19 +189,20 @@ class CustomerStoreChangesTable(path: String, fromExclusive: Long,
         required = requiredSchema
       override def build(): Scan =
         new StoreChangesScan(path, fromExclusive, toInclusive, required,
-          maxCommitsPerTrigger)
+          maxCommitsPerTrigger, maxBytesPerTrigger)
     }
 }
 
 class StoreChangesScan(path: String, fromExclusive: Long,
     toInclusive: Option[Long], required: StructType,
-    maxCommitsPerTrigger: Option[Long] = None) extends Scan with Batch {
+    maxCommitsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new StoreChangesMicroBatchStream(path, fromExclusive, toInclusive,
-      required, maxCommitsPerTrigger)
+      required, maxCommitsPerTrigger, maxBytesPerTrigger)
   private lazy val dirs: Seq[(Long, String)] = {
     val store = new CustomerStore(SparkSession.active, path)
     store.feedDirsIn(fromExclusive, toInclusive.getOrElse(store.currentVersion()))
@@ -231,7 +238,8 @@ case class StoreFeedOffset(version: Long)
   */
 class StoreChangesMicroBatchStream(path: String, fromExclusive: Long,
     toInclusive: Option[Long], required: StructType,
-    maxCommitsPerTrigger: Option[Long])
+    maxCommitsPerTrigger: Option[Long],
+    maxBytesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -263,9 +271,29 @@ class StoreChangesMicroBatchStream(path: String, fromExclusive: Long,
   override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
     val from = start.asInstanceOf[StoreFeedOffset].version
     val target = availableNowCap.getOrElse(headVersion())
-    StoreFeedOffset(maxCommitsPerTrigger match {
+    val commitCapped = maxCommitsPerTrigger match {
       case Some(cap) => math.min(target, from + cap)
       case None => target
+    }
+    StoreFeedOffset(maxBytesPerTrigger match {
+      case Some(cap) if commitCapped > from =>
+        // Bytes-grain admission (the Delta-source knob the commits-only
+        // cap lacks): admit WHOLE commits — the feed's atomicity grain —
+        // while the byte budget remains, always at least one, so a bulk
+        // commit larger than the cap ships alone rather than stalling.
+        // Feed-silent commits (compact) have no dir and cost 0 bytes.
+        val sizes = store.feedDirsIn(from, commitCapped).map { case (v, d) =>
+          v -> Option(new java.io.File(d).listFiles())
+            .fold(0L)(_.map(_.length()).sum)
+        }.toMap
+        var v = from
+        var bytes = 0L
+        while (v < commitCapped && (v == from || bytes < cap)) {
+          v += 1
+          bytes += sizes.getOrElse(v, 0L)
+        }
+        v
+      case _ => commitCapped
     })
   }
 

@@ -692,6 +692,47 @@ class CustomerStoreSourceSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("streaming CDC maxBytesPerTrigger: bulk commit ships alone, small ones batch together") {
+    val path = tmpDir("dsv2-streambytes") + "/store"
+    val store = new CustomerStore(spark, path)
+    store.insertNew(block(1L, 200L)): Unit // v1 — the bulk load
+    store.insertNew(block(1001L, 1005L)): Unit // v2 — small
+    store.insertNew(block(2001L, 2005L)): Unit // v3 — small
+    val bulkBytes = new java.io.File(s"$path/_changelog/commit-000000001")
+      .listFiles().map(_.length()).sum
+    def drain(sink: String, ckpt: String, opts: (String, String)*): Seq[Long] = {
+      val r = spark.readStream.format("graft-store").option("path", path)
+        .option("feedFrom", 0)
+      opts.foreach { case (k, v) => r.option(k, v): Unit }
+      val q = r.load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.filter(_.numInputRows > 0L).map(_.numInputRows).toSeq
+    }
+    // Budget = the bulk commit's size: it fills a whole batch by itself
+    // (a commit LARGER than the cap must still ship — whole, alone),
+    // while the two small commits fit one batch together.
+    val sink = tmpDir("dsv2-streambytes-sink")
+    val ckpt = tmpDir("dsv2-streambytes-ckpt")
+    // Leg 1: a bounded drain (feedTo=1) stops MID-STREAM after the bulk.
+    assert(drain(sink, ckpt, "maxBytesPerTrigger" -> bulkBytes.toString,
+      "feedTo" -> "1") === Seq(200L))
+    // Leg 2 (restart mid-drain): resumes at the checkpointed offset and
+    // ships both small commits as ONE byte-budgeted batch.
+    assert(drain(sink, ckpt,
+      "maxBytesPerTrigger" -> bulkBytes.toString) === Seq(10L))
+    // Exactly-once across the restart: sink == feed, no loss, no dupes.
+    val sunk = spark.read.schema(store.changeFeed().schema).parquet(sink)
+    assert(sunk.count() === store.changeFeed().count())
+    assert(sunk.select(col("commit_version")).distinct().count() === 3L)
+    // A 1-byte budget degenerates to one commit per batch (never zero).
+    assert(drain(tmpDir("dsv2-streambytes-sink2"),
+      tmpDir("dsv2-streambytes-ckpt2"),
+      "maxBytesPerTrigger" -> "1") === Seq(200L, 5L, 5L))
+  }
+
   test("streaming CDC source fails loudly when the checkpoint predates the vacuum horizon") {
     val path = tmpDir("dsv2-streamwm") + "/store"
     val store = new CustomerStore(spark, path)
