@@ -484,12 +484,26 @@ object Similarity extends QueryGroup {
 
   /** The beam search's HIERARCHICAL ENTRY LAYER (HNSW's upper-layer
     * role, served by artifacts the index already has): per IVF list,
-    * its [[ENTRY_PER_LIST]] most-central members (cosine to the list
-    * centroid, vec_id tie-break) — one window over the persisted
-    * postings, built once and persisted beside them. Serving seeds a
-    * query's beam from the entries of its [[ENTRY_PROBES]] nearest
-    * centroids: cost ∝ queries × (lists + probes × per-list), never
-    * × collection.
+    * a HYBRID of its [[ENTRY_PER_LIST]]/2 most-central members
+    * (cosine to the list centroid, vec_id tie-break) and the same
+    * count STRATIFIED across the centrality ranking (ranks 1, 1+s,
+    * 1+2s, … with integer stride s = ⌈list size / (k/2)⌉) — one
+    * window over the persisted postings, built once and persisted
+    * beside them. Not most-central alone: on a strongly
+    * CLUSTERED corpus an IVF list spans several natural clusters and
+    * its most-central members can all sit in one of them — the kNN
+    * graph is then disconnected islands and a beam seeded only at the
+    * list's core can NEVER reach the query's island (measured on a
+    * 64-cluster synthetic: most-central entries 0.07 top-5 recall,
+    * and beam 96 × 6 hops moved it only to 0.09 — trapped, not
+    * under-scanned; stratified-only entries 0.30). The central half
+    * keeps fast convergence where the corpus IS navigable (the
+    * near-orthogonal pinned SFs measured 0.92 stratified-only vs
+    * 0.97 most-central at sf0.1); the spread half reaches the list's
+    * periphery. Serving
+    * seeds a query's beam from the entries of its [[ENTRY_PROBES]]
+    * nearest centroids: cost ∝ queries × (lists + probes × per-list),
+    * never × collection.
     */
   private val beamEntryMemo = new graft.util.SessionCache[DataFrame]
 
@@ -497,14 +511,68 @@ object Similarity extends QueryGroup {
     beamEntryMemo.getOrCompute(s, dir) {
       val (postings, cent) = ivfIndexCached(s, dir, quantized(s, dir))
       graft.util.IndexStore.loadOrBuild(s, dir,
-        s"beam_entries_l${IVF_LISTS}r${IVF_ITERS}a${IVF_ASSIGN_R}e$ENTRY_PER_LIST") {
+        s"beam_entries_l${IVF_LISTS}r${IVF_ITERS}a${IVF_ASSIGN_R}e${ENTRY_PER_LIST}hyb") {
         val w = Window.partitionBy(col("list_id"))
           .orderBy(cosPpm(qdot(col("qv"), col("cv")), col("sq"), col("c_sq")).desc,
             col("vec_id"))
+        val half = ENTRY_PER_LIST / 2
         postings.join(broadcast(cent), Seq("list_id"))
           .withColumn("ern", row_number().over(w))
-          .filter(col("ern") <= ENTRY_PER_LIST)
-          .select(col("list_id"), col("vec_id"))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("list_id"))))
+          // integer stride ⌈cnt/(k/2)⌉ — ≤ k/2 spread ranks, engine-exact
+          .withColumn("stride", expr(s"(cnt + ${half - 1}) DIV $half"))
+          // HYBRID: k/2 most-central seeds (fast convergence where the
+          // corpus is navigable) ∪ k/2 stratified seeds (island
+          // coverage where it is not)
+          .filter(col("ern") <= half || (col("ern") - 1) % col("stride") === 0)
+          .select(col("list_id"), col("vec_id")).distinct()
+      }
+    }
+
+  /** NSW-style LONG-RANGE edges: per list, [[LONG_MULTS]].size
+    * deterministic links from each member to a pseudo-random other
+    * member (target centrality rank = (rank × prime) mod list size,
+    * self-loop-rotated) — the bounded-degree long links that make a
+    * list's beam subgraph CONNECTED on strongly clustered corpora.
+    * A pure kNN graph there is disconnected islands (every node's 10
+    * nearest are its own cluster's near-duplicates) and NO entry
+    * policy fixes it: most-central entries measured 0.07 top-5 recall
+    * on a 64-cluster synthetic, stratified 0.30, hybrid 0.19 — while
+    * beam 96 × 6 hops on the island graph moved 0.07 only to 0.09
+    * (trapped, not under-scanned). Long links are HNSW/NSW's actual
+    * answer: degree grows by 2·|LONG_MULTS| (undirected), build is
+    * one window pass over the persisted postings, serving asymptotics
+    * unchanged — still queries × beam × degree × hops, collection-
+    * independent.
+    */
+  private val beamLongMemo = new graft.util.SessionCache[DataFrame]
+  private val LONG_MULTS = Seq(7919L, 104729L)
+
+  private def beamLongEdgesCached(s: SparkSession, dir: String): DataFrame =
+    beamLongMemo.getOrCompute(s, dir) {
+      val (postings, cent) = ivfIndexCached(s, dir, quantized(s, dir))
+      graft.util.IndexStore.loadOrBuild(s, dir,
+        s"beam_long_l${IVF_LISTS}r${IVF_ITERS}a${IVF_ASSIGN_R}m${LONG_MULTS.size}") {
+        val w = Window.partitionBy(col("list_id"))
+          .orderBy(cosPpm(qdot(col("qv"), col("cv")), col("sq"), col("c_sq")).desc,
+            col("vec_id"))
+        val ranked = postings.join(broadcast(cent), Seq("list_id"))
+          .withColumn("ern", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("list_id"))))
+          .select(col("list_id"), col("vec_id"), col("ern"), col("cnt"))
+        val targets = LONG_MULTS.map { p =>
+          ranked
+            .withColumn("t0", (col("ern") * p) % col("cnt") + 1)
+            .withColumn("t", when(col("t0") === col("ern"),
+              col("t0") % col("cnt") + 1).otherwise(col("t0")))
+            .select(col("list_id"), col("vec_id").as("src"), col("t"))
+        }.reduce(_ unionByName _)
+        targets.join(
+            ranked.select(col("list_id"), col("ern").as("t"),
+              col("vec_id").as("dst")),
+            Seq("list_id", "t"))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst")).distinct()
       }
     }
 
@@ -1010,9 +1078,12 @@ object Similarity extends QueryGroup {
       val knn = knnGraphCached(s, dir)
       val (_, cent) = ivfIndexCached(s, dir, quantized(s, dir))
       val entries = beamEntriesCached(s, dir)
+      val longE = beamLongEdgesCached(s, dir)
       val edges = knn
         .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
         .unionByName(knn.select(col("neighbor_id").as("src"), col("vec_id").as("dst")))
+        .unionByName(longE)
+        .unionByName(longE.select(col("dst").as("src"), col("src").as("dst")))
         .distinct().localCheckpoint(true)
       val q = all.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("sq").as("q_sq"))
@@ -1449,16 +1520,33 @@ object Similarity extends QueryGroup {
                     ROW_NUMBER() OVER (PARTITION BY query_id
                       ORDER BY cos_ppm DESC, neighbor_id) AS rank
                   FROM gsc) WHERE rank <= $BEAM_GRAPH_K),
-          e AS (SELECT src, dst FROM g UNION SELECT dst AS src, src AS dst FROM g),
-          qq AS (SELECT vec_id AS query_id, qv AS q_qv, sq AS q_sq FROM n
-                 WHERE vec_id % 100 = 0),
-          gent AS (SELECT list_id, vec_id FROM (
+          lrk AS (SELECT list_id, vec_id, ern,
+                    COUNT(*) OVER (PARTITION BY list_id) AS cnt
+                  FROM (
                     SELECT af.list_id, af.vec_id,
                       ROW_NUMBER() OVER (PARTITION BY af.list_id
                         ORDER BY ${cosPpmSql("af.qv", "c.cv", "af.sq", "c.c_sq")} DESC,
                           af.vec_id) AS ern
-                    FROM af JOIN $ivfFinalCent c USING (list_id))
-                  WHERE ern <= $ENTRY_PER_LIST),
+                    FROM af JOIN $ivfFinalCent c USING (list_id))),
+          lt AS (${LONG_MULTS.map(p =>
+                   s"""SELECT list_id, vec_id AS src,
+                     CASE WHEN (ern * $p) % cnt + 1 = ern
+                          THEN ((ern * $p) % cnt + 1) % cnt + 1
+                          ELSE (ern * $p) % cnt + 1 END AS t
+                   FROM lrk""").mkString("\n                 UNION ALL\n                 ")}),
+          le AS (SELECT DISTINCT lt.src, r2.vec_id AS dst
+                 FROM lt JOIN lrk r2 ON r2.list_id = lt.list_id AND r2.ern = lt.t
+                 WHERE lt.src <> r2.vec_id),
+          e AS (SELECT src, dst FROM g UNION SELECT dst AS src, src AS dst FROM g
+                UNION SELECT src, dst FROM le
+                UNION SELECT dst AS src, src AS dst FROM le),
+          qq AS (SELECT vec_id AS query_id, qv AS q_qv, sq AS q_sq FROM n
+                 WHERE vec_id % 100 = 0),
+          gent AS (SELECT DISTINCT list_id, vec_id FROM (
+                    SELECT list_id, vec_id, ern,
+                      (cnt + ${ENTRY_PER_LIST / 2 - 1}) // ${ENTRY_PER_LIST / 2} AS stride
+                    FROM lrk)
+                  WHERE ern <= ${ENTRY_PER_LIST / 2} OR (ern - 1) % stride = 0),
           gqpe AS (SELECT query_id, list_id FROM (
                     SELECT qq.query_id, c.list_id,
                       ROW_NUMBER() OVER (PARTITION BY qq.query_id
