@@ -285,7 +285,67 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       .sortBy(_._1)
   }
 
-  private def changeSchema = CustomerSchema.changeSchema
+  /** The CURRENT table schema: the fixed base contract plus any
+    * additively-evolved columns recorded by the last promoted
+    * `_schema` manifest (see [[addColumn]]). Every read path — live
+    * scans, snapshots, the feed, `asOf` replay, the DSv2 connector —
+    * presents THIS schema; files and feed rows written before an
+    * evolution lack the column physically and read as typed NULLs
+    * (the Iceberg/Delta additive-evolution read contract).
+    */
+  override def tableSchema: org.apache.spark.sql.types.StructType = {
+    val f = new java.io.File(path, SchemaFile)
+    if (!f.exists()) CustomerSchema.tableSchema
+    else org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
+
+  /** The feed-row schema tracks the evolved table schema (old feed
+    * files null-fill the evolved columns on read).
+    */
+  private def changeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      CustomerSchema.changeSchema.fields.take(2) ++ tableSchema.fields)
+
+  /** ADDITIVE schema evolution: append a nullable payload column as a
+    * feed-silent METADATA commit (the version advances, the `_commits`
+    * registry gains an entry, no data or feed rows). Reads null-fill
+    * pre-evolution files; writes align batches via
+    * [[CustomerStoreApi.aligned]] (a batch lacking the column inserts
+    * NULLs; a merge batch lacking it carries the stored value on
+    * update). Dropping, renaming, or retyping columns is rejected by
+    * construction — additive-only is the evolution every engine
+    * supports first, and the only one whose old files stay readable
+    * without rewrite. Returns the commit version.
+    */
+  def addColumn(name: String,
+      dataType: org.apache.spark.sql.types.DataType): Long = {
+    recover()
+    require(tableExists, s"addColumn: table at $path does not exist")
+    val cur = tableSchema
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"addColumn: column '$name' already exists")
+    val next = org.apache.spark.sql.types.StructType(
+      cur.fields :+ org.apache.spark.sql.types.StructField(
+        name, dataType, nullable = true))
+    val tmp = freshStagingTmp()
+    tmp.mkdirs()
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    java.nio.file.Files.write(new java.io.File(tmp, "schema").toPath,
+      next.json.getBytes(utf8))
+    val v = currentVersion() + 1
+    java.nio.file.Files.write(new java.io.File(tmp, "version").toPath,
+      v.toString.getBytes(utf8))
+    java.nio.file.Files.write(new java.io.File(tmp, "commit_ts").toPath,
+      commitClock().toString.getBytes(utf8))
+    // DDL racing DML is always a conflict (the rarest commit kind pays
+    // the strictest rule).
+    commitStaged(tmp, v, fullReplace = true)
+    applyStaged()
+    v
+  }
 
   /** The last committed version — 0 for an empty store; each staged
     * commit (insert / merge / ack) advances it by exactly one. The
@@ -1574,6 +1634,14 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     // a no-op on replay), and a crash mid-promotion re-runs it.
     if (new java.io.File(staging, "truncate-deletes").exists())
       deleteRecursively(new java.io.File(path, Deletes))
+    // Schema promotion (additive-evolution commits): one atomic move
+    // onto `_schema`; a replay after a crash finds the staged file
+    // gone and skips (the move already landed).
+    val schemaStage = new java.io.File(staging, "schema")
+    if (schemaStage.exists())
+      java.nio.file.Files.move(schemaStage.toPath,
+        new java.io.File(path, SchemaFile).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
     // Change-feed promotion: append this commit's rows (already under
     // commit-unique names, so replay after a crash is a no-op for
     // files a previous attempt landed).
@@ -1821,6 +1889,26 @@ object CustomerStore {
   /** Underscore prefix keeps all of these out of Spark/Hadoop data discovery. */
   private[pipeline] val Staging = "_staging"
   private[pipeline] val StagingTmp = "_staging.tmp"
+  /** The additive-evolution schema manifest (see `addColumn`). */
+  private[pipeline] val SchemaFile = "_schema"
+
+  /** The CURRENT schema of the store at `path` — file IO only, no
+    * session: the DSv2 connector's planning-time consult.
+    */
+  def schemaAt(path: String): org.apache.spark.sql.types.StructType = {
+    if (path == null) return CustomerSchema.tableSchema
+    val f = new java.io.File(path, SchemaFile)
+    if (!f.exists()) CustomerSchema.tableSchema
+    else org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
+
+  /** Feed-row schema of the store at `path` (tracks [[schemaAt]]). */
+  def changeSchemaAt(path: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      CustomerSchema.changeSchema.fields.take(2) ++ schemaAt(path).fields)
   /** Commit-point retries before an optimistic committer gives up. */
   private[pipeline] val MaxCommitAttempts = 5
   /** Age after which recover() reclaims an abandoned writer-unique

@@ -29,9 +29,33 @@ case class MergeResult(nUpdated: Long, nInserted: Long, nUnchanged: Long,
   */
 trait CustomerStoreApi {
 
-  import CustomerSchema._
+  import CustomerSchema.uploadColumns
 
   protected def spark: SparkSession
+
+  /** The table schema this backend serves: the fixed base contract,
+    * plus — parquet store only — any additively-evolved columns
+    * ([[CustomerStore.addColumn]]). The JDBC backend keeps the fixed
+    * schema (its DDL is the reference's, evolution is out of scope).
+    */
+  def tableSchema: org.apache.spark.sql.types.StructType =
+    CustomerSchema.tableSchema
+
+  /** The base-contract payload columns evolution can never touch. */
+  protected def evolvedFields: Seq[org.apache.spark.sql.types.StructField] =
+    tableSchema.fields.drop(CustomerSchema.tableSchema.fields.length).toSeq
+
+  /** Align `df` to the CURRENT table schema: project the schema's
+    * columns in order, filling columns the batch does not carry
+    * (added after the producer was written) with typed NULLs — the
+    * additive-evolution write contract every transactional format
+    * documents.
+    */
+  protected def aligned(df: DataFrame): DataFrame =
+    df.select(tableSchema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
 
   /** Full table scan. */
   def all(): DataFrame
@@ -115,7 +139,7 @@ trait CustomerStoreApi {
       remainingCount = remaining.count()
     }
     if (survivors == null) return 0 // empty batch: reference panics here (SURVEY §2.1 S3)
-    appendRows(survivors.drop("_seq").select(tableSchema.fieldNames.map(col): _*))
+    appendRows(aligned(survivors.drop("_seq")))
   }
 
   /** Apply a classified merge: rewrite the payload of `updates` rows
@@ -200,24 +224,34 @@ trait CustomerStoreApi {
     val latest = pin(seqd.withColumn("_rn", row_number().over(byEmailLast))
       .filter(col("_rn") === 1).drop("_rn"))
     val stored = all()
-    val storedK = stored.select(col("id").as("_sid"), col("email").as("_semail"),
+    // Evolved columns ride the classification with _sx_ aliases so an
+    // UPDATE can carry the stored value when the batch predates the
+    // evolution. Change DETECTION stays on the base payload columns
+    // (documented contract: an evolved-column-only difference does not
+    // mark a row updated); when the batch DOES carry the column, its
+    // value — null included — wins on updated rows.
+    val extras = evolvedFields
+    val storedK = stored.select(Seq(col("id").as("_sid"), col("email").as("_semail"),
       col("first_name").as("_sfn"), col("last_name").as("_sln"),
       col("phone").as("_sph"), col("uploaded").as("_sup"),
-      col("created_ts").as("_sct"))
+      col("created_ts").as("_sct")) ++
+      extras.map(f => col(f.name).as("_sx_" + f.name)): _*)
     val matched = pin(latest.join(storedK, col("email") === col("_semail")))
     val updates = pin(matched
       .filter(!(col("first_name") <=> col("_sfn") &&
         col("last_name") <=> col("_sln") && col("phone") <=> col("_sph")))
-      .select(col("_sid").as("id"), col("first_name"), col("last_name"),
+      .select(Seq(col("_sid").as("id"), col("first_name"), col("last_name"),
         col("email"), col("phone"), col("_sup").as("uploaded"),
-        col("_sct").as("created_ts"), current_timestamp().as("modified_ts")))
+        col("_sct").as("created_ts"), current_timestamp().as("modified_ts")) ++
+        extras.map(f =>
+          (if (seqd.columns.contains(f.name)) col(f.name)
+           else col("_sx_" + f.name).cast(f.dataType)).as(f.name)): _*))
     val byIdFirst = Window.partitionBy(col("id")).orderBy(col("_seq"))
-    val inserts = pin(latest
+    val inserts = pin(aligned(latest
       .join(storedK.select("_semail"), col("email") === col("_semail"), "left_anti")
       .join(stored.select(col("id").as("_eid")), col("id") === col("_eid"), "left_anti")
       .withColumn("_rn", row_number().over(byIdFirst))
-      .filter(col("_rn") === 1)
-      .select(tableSchema.fieldNames.map(col): _*))
+      .filter(col("_rn") === 1)))
     (latest, matched, updates, inserts)
   }
 }

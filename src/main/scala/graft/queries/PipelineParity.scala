@@ -302,6 +302,28 @@ object PipelineParity extends QueryGroup {
         base.filter(col("id") % 5 === 0).select(col("email")))          // ts 3000
     }
 
+  /** The 4-commit ADDITIVE-EVOLUTION history: insert base → addColumn
+    * (feed-silent DDL commit) → snapshot → insert a tier-carrying
+    * fresh block → ack the %7 slice (file-level rewrite of
+    * pre-evolution rows). Read-only for the evolution gate's probes.
+    */
+  private def evolveTemplate(s: SparkSession, dir: String): String =
+    FixtureStores.template(s"evolve|$dir") { storePath =>
+      val base = Ingest.enrich(baseCols(s, dir))
+      val store = new graft.pipeline.CustomerStore(s, storePath)
+      store.insertNew(base): Unit                                     // v1
+      require(store.addColumn("loyalty_tier",
+        org.apache.spark.sql.types.LongType) == 2L, "DDL commit must be v2")
+      require(store.writeSnapshot() == 2L, "snapshot at the DDL commit")
+      val fresh = base.filter(col("id") % 10 === 0)
+        .withColumn("id", col("id") + 30000000L)
+        .withColumn("email", concat(lit("evo"), col("id"), lit("@example.com")))
+        .withColumn("loyalty_tier", col("id") % 3)
+      store.insertNew(fresh): Unit                                    // v3
+      store.markUploaded(
+        base.filter(col("id") % 7 === 0).select(col("email")))        // v4
+    }
+
   /** Build every fixture-store template for `dir`. The bench calls
     * this ONCE before pass 1 and publishes the elapsed time as a
     * separate `fixture_s` setup figure — template construction is
@@ -320,6 +342,7 @@ object PipelineParity extends QueryGroup {
     analyze2Template(s, dir): Unit
     bloom4Template(s, dir): Unit
     clockIMATemplate(s, dir): Unit
+    evolveTemplate(s, dir): Unit
   }
 
   private def mergeCycle(s: SparkSession, dir: String)(
@@ -1893,6 +1916,41 @@ object PipelineParity extends QueryGroup {
       Seq(out).toDF("n_docs", "n_pre_evolution", "n_post_evolution", "sum_chars")
     }),
 
+    // ADDITIVE STORE SCHEMA EVOLUTION end-to-end: insert the base →
+    // addColumn (a feed-silent versioned metadata commit) → snapshot →
+    // insert a fresh block CARRYING the column → ack a slice (file-
+    // level rewrite of pre-evolution rows). REQUIREs pin the contract
+    // surfaces the aggregate can't: asOf BELOW the evolution presents
+    // the CURRENT schema with all-null tiers (resolved through the
+    // pre-evolution snapshot), the DDL commit emitted no feed rows,
+    // and the connector serves the evolved schema. The output is the
+    // final per-tier census (nulls keyed -1), every figure derivable
+    // from the planted %-of-custkey arithmetic.
+    "pipeline_schema_evolution_store" -> ((s, dir) => {
+      import s.implicits._
+      // The 4-commit evolved history is a read-only template (every
+      // probe below is a read); see evolveTemplate.
+      val store = new graft.pipeline.CustomerStore(s, evolveTemplate(s, dir))
+      // DDL is feed-silent; v1 rows read back null-tiered at asOf(1)
+      require(store.feedSince(1L, 2L).isEmpty,
+        "the addColumn commit must emit no feed rows")
+      val v1 = store.asOf(1)
+      require(v1.columns.contains("loyalty_tier"),
+        "asOf below the evolution must present the CURRENT schema")
+      require(v1.filter(col("loyalty_tier").isNotNull).count() == 0L,
+        "pre-evolution rows must read as NULL tiers")
+      require(s.read.format("graft-store").option("path", evolveTemplate(s, dir))
+        .load().columns.contains("loyalty_tier"),
+        "the connector must serve the evolved schema")
+      val out = store.all()
+        .groupBy(coalesce(col("loyalty_tier"), lit(-1L)).as("tier"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("id_sum"),
+          sum(when(col("uploaded"), 1L).otherwise(0L)).as("n_uploaded"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      out.toDF("tier", "n_rows", "id_sum", "n_uploaded").orderBy(col("tier"))
+    }),
+
     // JSONL sink → source round trip with per-line salvage: documents
     // written as JSON lines, two garbage lines appended, read back
     // under the explicit schema. The md5-prefix checksum over the
@@ -2510,6 +2568,24 @@ object PipelineParity extends QueryGroup {
            CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_post_evolution,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM documents""",
+    // Final per-tier census from the planted arithmetic: base rows are
+    // null-tiered (-1) with the %7 slice acked; the fresh +30M block
+    // carries tier = id % 3 (30000000 ≡ 0 mod 3, so tier = c_custkey % 3),
+    // all pending.
+    "pipeline_schema_evolution_store" ->
+      """WITH c AS (SELECT c_custkey AS k FROM customer),
+          b AS (SELECT CAST(-1 AS BIGINT) AS tier,
+                  CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(k) AS BIGINT) AS id_sum,
+                  CAST(SUM(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_uploaded
+                FROM c),
+          f AS (SELECT CAST(k % 3 AS BIGINT) AS tier,
+                  CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(k + 30000000) AS BIGINT) AS id_sum,
+                  CAST(0 AS BIGINT) AS n_uploaded
+                FROM c WHERE k % 10 = 0 GROUP BY 1)
+         SELECT * FROM b UNION ALL SELECT * FROM f ORDER BY tier""",
     "pipeline_jsonl_roundtrip" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
            CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids,

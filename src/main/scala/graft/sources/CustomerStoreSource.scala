@@ -83,10 +83,9 @@ class CustomerStoreSource extends TableProvider with DataSourceRegister
         k.equalsIgnoreCase("timestampAsOf")),
       "graft-store: a time-travel table is read-only")
     val store = new CustomerStore(data.sparkSession, path)
-    def doInsert(): Unit = {
-      val cols = CustomerSchema.tableSchema.fieldNames
-      store.insertNew(data.select(cols.head, cols.tail: _*)): Unit
-    }
+    // insertNew aligns the batch to the store's CURRENT (possibly
+    // evolved) schema — missing evolved columns insert as NULLs.
+    def doInsert(): Unit = store.insertNew(data): Unit
     import org.apache.spark.sql.SaveMode._
     mode match {
       case Append => doInsert()
@@ -102,12 +101,13 @@ class CustomerStoreSource extends TableProvider with DataSourceRegister
     }
     new BaseRelation {
       override def sqlContext: org.apache.spark.sql.SQLContext = ctx
-      override def schema: StructType = CustomerSchema.tableSchema
+      override def schema: StructType = CustomerStore.schemaAt(path)
     }
   }
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (options.containsKey("feedFrom")) CustomerSchema.changeSchema
-    else CustomerSchema.tableSchema
+    if (options.containsKey("feedFrom"))
+      CustomerStore.changeSchemaAt(options.get("path"))
+    else CustomerStore.schemaAt(options.get("path"))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val path = properties.get("path")
@@ -179,12 +179,12 @@ class CustomerStoreChangesTable(path: String, fromExclusive: Long,
     maxBytesPerTrigger: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = s"graft_store_changes($path)"
-  override def schema(): StructType = CustomerSchema.changeSchema
+  override def schema(): StructType = CustomerStore.changeSchemaAt(path)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns {
-      private var required: StructType = CustomerSchema.changeSchema
+      private var required: StructType = CustomerStore.changeSchemaAt(path)
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def build(): Scan =
@@ -344,7 +344,7 @@ class CustomerStoreTable(val path: String, val versionAsOf: Option[Long],
     val timestampAsOf: Option[Long]) extends Table with SupportsRead with SupportsWrite
     with SupportsDelete {
   override def name(): String = s"graft_store($path)"
-  override def schema(): StructType = CustomerSchema.tableSchema
+  override def schema(): StructType = CustomerStore.schemaAt(path)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -404,9 +404,8 @@ class CustomerStoreTable(val path: String, val versionAsOf: Option[Long],
               require(!overwrite,
                 "graft-store: overwrite is not supported — the store is an " +
                   "append/merge/delete commit log (use delete + insert, or RESTORE)")
-              val cols = CustomerSchema.tableSchema.fieldNames
               new CustomerStore(data.sparkSession, path)
-                .insertNew(data.select(cols.head, cols.tail: _*)): Unit
+                .insertNew(data): Unit
             }
           }
       }
@@ -515,7 +514,7 @@ class CustomerStoreScanBuilder(path: String, versionAsOf: Option[Long],
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
 
-  private var required: StructType = CustomerSchema.tableSchema
+  private var required: StructType = CustomerStore.schemaAt(path)
   private var pushed: Array[Filter] = Array.empty
   private var aggPush: Option[StoreAggPush] = None
   // supportCompletePushDown is called BEFORE pushAggregation by
@@ -976,7 +975,11 @@ case class StoreReaderFactory(required: Array[String],
 private[sources] abstract class StoreRowReader(required: Array[String],
     filters: Array[Filter]) extends PartitionReader[InternalRow] {
 
-  protected val TableCols: Array[String] = CustomerSchema.tableSchema.fieldNames
+  // Base columns plus any evolved columns the projection asks for —
+  // the delta-replay reader indexes winner rows by this list, and the
+  // metadata-scale readers null-fill columns an old file lacks.
+  protected val TableCols: Array[String] =
+    (CustomerSchema.tableSchema.fieldNames ++ required).distinct
 
   private val emailEq: Array[Set[UTF8String]] = filters.collect {
     case EqualTo("email", v: String) => Set(UTF8String.fromString(v))
