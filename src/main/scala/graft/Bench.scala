@@ -102,7 +102,11 @@ object Bench {
     // clockIMA build under contention). Counts toward wall/budget —
     // it is real elapsed time — but never toward a query's number.
     val tFix = System.nanoTime()
-    try graft.queries.PipelineParity.prebuildTemplates(spark, sfDir)
+    // Cap setup at 35% of the budget: past the deadline the remaining
+    // templates build lazily inside their gates (pre-round-15
+    // behavior), so a tiny abort-path budget still aborts promptly.
+    val fixDeadline = tFix + (0.35 * budgetS * 1e9).toLong
+    try graft.queries.PipelineParity.prebuildTemplates(spark, sfDir, fixDeadline)
     catch { case e: Throwable => System.err.println(s"[bench] prebuild: $e") }
     val fixtureS = (System.nanoTime() - tFix) / 1e9
     val best = scala.collection.mutable.Map[String, Double]()

@@ -333,16 +333,25 @@ object PipelineParity extends QueryGroup {
     * `pipeline_asof_timestamp` that was mostly the clockIMA build
     * under contention).
     */
-  def prebuildTemplates(s: SparkSession, dir: String): Unit = {
-    mergeIMATemplate(s, dir): Unit // layers (and therefore builds) mergeIM
-    fullV1Template(s, dir): Unit
-    blocks3Template(s, dir): Unit
-    halves2Template(s, dir): Unit
-    interleaved3Template(s, dir): Unit
-    analyze2Template(s, dir): Unit
-    bloom4Template(s, dir): Unit
-    clockIMATemplate(s, dir): Unit
-    evolveTemplate(s, dir): Unit
+  def prebuildTemplates(s: SparkSession, dir: String,
+                        deadlineNanos: Long = Long.MaxValue): Unit = {
+    // Stop STARTING template builds past the deadline (a tiny bench
+    // budget must abort promptly, not sit in setup) — anything not
+    // prebuilt lazily rides the first gate that touches it, exactly
+    // the pre-round-15 behavior, so correctness is unaffected.
+    val builds: Seq[(SparkSession, String) => Any] = Seq(
+      mergeIMATemplate(_, _), // layers (and therefore builds) mergeIM
+      fullV1Template(_, _),
+      blocks3Template(_, _),
+      halves2Template(_, _),
+      interleaved3Template(_, _),
+      analyze2Template(_, _),
+      bloom4Template(_, _),
+      clockIMATemplate(_, _),
+      evolveTemplate(_, _))
+    builds.foreach { b =>
+      if (System.nanoTime() < deadlineNanos) b(s, dir): Unit
+    }
   }
 
   private def mergeCycle(s: SparkSession, dir: String)(
