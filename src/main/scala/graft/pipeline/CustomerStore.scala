@@ -67,8 +67,11 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     */
   private def allWithFile(): DataFrame =
     withVectorsApplied(
-      spark.read.schema(tableSchema).parquet(path)
-        .withColumn("_file", input_file_name()))
+      spark.read.schema(physicalize(tableSchema)).parquet(path)
+        .withColumn("_file", input_file_name())
+        .select(col("_file") +:
+          tableSchema.fields.map(f => col(physName(f)).as(f.name)).toIndexedSeq: _*)
+        .select(tableSchema.fieldNames.map(col) :+ col("_file"): _*))
 
   // ---- Merge-on-read deletion vectors --------------------------------
 
@@ -205,7 +208,8 @@ class CustomerStore(protected val spark: SparkSession, path: String,
   private[pipeline] def stageAppend(fresh: DataFrame): Unit = {
     val tmp = freshStagingTmp()
     val stage = new java.io.File(tmp, "pending-append")
-    fresh.drop("uploaded").write.parquet(stage.toString)
+    toPhysical(fresh.drop("uploaded"), dataLogicalSchema)
+      .write.parquet(stage.toString)
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     stage.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
       require(f.renameTo(new java.io.File(stage, s"ins-$commitId-${f.getName}")),
@@ -245,10 +249,8 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     // suffix say so explicitly: feedSince(feedLowWatermark(), head).
     if (dirs.nonEmpty) requireFeedRange(0L, dirs.map(_._1).max)
     if (dirs.nonEmpty)
-      spark.read.schema(changeSchema)
-        .option("recursiveFileLookup", "true")
-        .parquet(new java.io.File(path, Changelog).toString)
-        .select(changeSchema.fieldNames.map(col): _*)
+      readPhysical(changeSchema,
+        Seq(new java.io.File(path, Changelog).toString), recursive = true)
     else
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], changeSchema)
@@ -271,8 +273,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], changeSchema)
     else
-      spark.read.schema(changeSchema).parquet(dirs: _*)
-        .select(changeSchema.fieldNames.map(col): _*)
+      readPhysical(changeSchema, dirs)
   }
 
   /** (version, dir) for every commit directory present in the log. */
@@ -309,16 +310,73 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     org.apache.spark.sql.types.StructType(
       CustomerSchema.changeSchema.fields.take(2) ++ tableSchema.fields)
 
+  // ---- Column mapping (rename/drop evolution) -------------------------
+  //
+  // Files store PHYSICAL column names; the schema manifest maps each
+  // logical field to its physical name via StructField metadata
+  // ("physical"). A field without the key is physical==logical (every
+  // base column, and columns added before mapping existed). RENAME is
+  // then metadata-only (the physical name never changes, so no file is
+  // rewritten and every historical file/feed row/snapshot stays
+  // readable), and DROP removes the field from the manifest while old
+  // files' dead physical columns are simply never requested. addColumn
+  // stamps a version-unique physical name (`c<v>_<name>`) so a
+  // drop-then-re-add can never resurrect the dropped column's values
+  // from old files — the Delta column-mapping / Iceberg field-id
+  // contract, expressed with names.
+
+  /** Logical→physical name for one field of an evolved schema. */
+  private def physName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains("physical")) f.metadata.getString("physical")
+    else f.name
+
+  /** The schema as stored in data files: physical names, no metadata. */
+  private def physicalize(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.map(f =>
+      org.apache.spark.sql.types.StructField(physName(f), f.dataType, f.nullable)))
+
+  /** Rename a logical-named frame's columns to physical for writing
+    * (columns not in `logical` — none today — would be dropped; the
+    * write choke points all pass exactly the logical column set).
+    */
+  private def toPhysical(df: DataFrame,
+      logical: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(logical.fields.filter(f => df.columns.contains(f.name))
+      .map(f => col(f.name).as(physName(f))).toIndexedSeq: _*)
+
+  /** Read parquet written with physical names, presenting `logical`.
+    * Missing physical columns (files older than an ADD) null-fill;
+    * dead physical columns (a later DROP) are never requested.
+    */
+  private def readPhysical(logical: org.apache.spark.sql.types.StructType,
+      paths: Seq[String], recursive: Boolean = false): DataFrame = {
+    val r0 = spark.read.schema(physicalize(logical))
+    val r = if (recursive) r0.option("recursiveFileLookup", "true") else r0
+    r.parquet(paths: _*)
+      .select(logical.fields.map(f => col(physName(f)).as(f.name)).toIndexedSeq: _*)
+  }
+
+  /** The table's data-file schema: every column but the partition
+    * directory's `uploaded`.
+    */
+  private def dataLogicalSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      tableSchema.filterNot(_.name == "uploaded"))
+
   /** ADDITIVE schema evolution: append a nullable payload column as a
     * feed-silent METADATA commit (the version advances, the `_commits`
     * registry gains an entry, no data or feed rows). Reads null-fill
     * pre-evolution files; writes align batches via
     * [[CustomerStoreApi.aligned]] (a batch lacking the column inserts
     * NULLs; a merge batch lacking it carries the stored value on
-    * update). Dropping, renaming, or retyping columns is rejected by
-    * construction — additive-only is the evolution every engine
-    * supports first, and the only one whose old files stay readable
-    * without rewrite. Returns the commit version.
+    * update). Retyping columns is rejected by construction; rename and
+    * drop are supported as METADATA-ONLY commits via column mapping
+    * (see [[renameColumn]] / [[dropColumn]]). The new column's
+    * PHYSICAL name is stamped `c<v>_<name>` at creation so a later
+    * drop-then-re-add of the same logical name can never resurrect the
+    * dropped column's values from old files. Returns the commit
+    * version.
     */
   def addColumn(name: String,
       dataType: org.apache.spark.sql.types.DataType): Long = {
@@ -327,21 +385,81 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     val cur = tableSchema
     require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"addColumn: column '$name' already exists")
+    val v = currentVersion() + 1
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("physical", s"c${v}_$name").build()
     val next = org.apache.spark.sql.types.StructType(
       cur.fields :+ org.apache.spark.sql.types.StructField(
-        name, dataType, nullable = true))
+        name, dataType, nullable = true, metadata = meta))
+    commitSchema(next, v)
+  }
+
+  /** RENAME a payload column: metadata-only — the column's PHYSICAL
+    * name (what every data file, feed row, and snapshot stores) never
+    * changes, so no file is rewritten and every historical file stays
+    * readable under the new logical name; reads and writes translate
+    * at the file boundary. Structural columns (the merge key, the
+    * partition column, the constraint/touch columns) are rejected:
+    * they are load-bearing contract surface, not payload.
+    */
+  def renameColumn(from: String, to: String): Long = {
+    recover()
+    require(tableExists, s"renameColumn: table at $path does not exist")
+    val cur = tableSchema
+    require(!CustomerStore.StructuralColumns.contains(from.toLowerCase),
+      s"renameColumn: '$from' is structural (merge key / partition / " +
+        "constraint surface) and cannot be renamed")
+    val i = cur.fieldNames.indexWhere(_.equalsIgnoreCase(from))
+    require(i >= 0, s"renameColumn: no column '$from'")
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"renameColumn: column '$to' already exists")
+    val f = cur.fields(i)
+    // Pin the physical name (= the current one) so the rename is
+    // durable even for base/legacy columns that had no mapping entry.
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putString("physical", physName(f)).build()
+    val next = org.apache.spark.sql.types.StructType(
+      cur.fields.updated(i, f.copy(name = to, metadata = meta)))
+    commitSchema(next, currentVersion() + 1)
+  }
+
+  /** DROP a payload column: metadata-only — the field leaves the
+    * schema manifest; old files' dead physical columns are simply
+    * never requested again (no rewrite, exactly Delta column-mapping
+    * DROP). A later [[addColumn]] of the same logical name gets a NEW
+    * version-stamped physical name, so dropped values can never
+    * resurrect. Structural columns are rejected.
+    */
+  def dropColumn(name: String): Long = {
+    recover()
+    require(tableExists, s"dropColumn: table at $path does not exist")
+    val cur = tableSchema
+    require(!CustomerStore.StructuralColumns.contains(name.toLowerCase),
+      s"dropColumn: '$name' is structural (merge key / partition / " +
+        "constraint surface) and cannot be dropped")
+    require(cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"dropColumn: no column '$name'")
+    val next = org.apache.spark.sql.types.StructType(
+      cur.fields.filterNot(_.name.equalsIgnoreCase(name)))
+    commitSchema(next, currentVersion() + 1)
+  }
+
+  /** Stage + promote a schema manifest as a feed-silent versioned
+    * METADATA commit (shared by add/rename/drop). DDL racing DML is
+    * always a conflict (the rarest commit kind pays the strictest
+    * rule).
+    */
+  private def commitSchema(
+      next: org.apache.spark.sql.types.StructType, v: Long): Long = {
     val tmp = freshStagingTmp()
     tmp.mkdirs()
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     java.nio.file.Files.write(new java.io.File(tmp, "schema").toPath,
       next.json.getBytes(utf8))
-    val v = currentVersion() + 1
     java.nio.file.Files.write(new java.io.File(tmp, "version").toPath,
       v.toString.getBytes(utf8))
     java.nio.file.Files.write(new java.io.File(tmp, "commit_ts").toPath,
       commitClock().toString.getBytes(utf8))
-    // DDL racing DML is always a conflict (the rarest commit kind pays
-    // the strictest rule).
     commitStaged(tmp, v, fullReplace = true)
     applyStaged()
     v
@@ -397,7 +515,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
         tableSchema.fieldNames.map(col): _*)
     val merged = base match {
       case Some(v0) =>
-        spark.read.schema(tableSchema).parquet(snapshotDir(v0).toString)
+        readPhysical(tableSchema, Seq(snapshotDir(v0).toString))
           .select(lit(v0).as("commit_version") +: lit("snapshot").as("change_type") +:
             tableSchema.fieldNames.map(col): _*)
           .unionByName(delta)
@@ -457,7 +575,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     if (!dst.exists()) {
       val tmp = new java.io.File(path, s"$Snapshots/.tmp-$v")
       deleteRecursively(tmp)
-      all().write.parquet(tmp.toString)
+      toPhysical(all(), tableSchema).write.parquet(tmp.toString)
       require(tmp.renameTo(dst), s"snapshot rename $tmp -> $dst failed")
     }
     v
@@ -637,10 +755,8 @@ class CustomerStore(protected val spark: SparkSession, path: String,
         .cast("long")))
     val zkey = graft.util.DataSkipping.zorderKey(
       idBucket, CustomerStore.hashBucket(col("id")), 6)
-    val dataSchema = org.apache.spark.sql.types.StructType(
-      tableSchema.filterNot(_.name == "uploaded"))
     val rows = withVectorsApplied(
-        spark.read.schema(dataSchema).parquet(delta.map(_._2): _*)
+        readPhysical(dataLogicalSchema, delta.map(_._2))
           .withColumn("uploaded", lit(false))
           .withColumn("_file", input_file_name()))
       .select(tableSchema.fieldNames.map(col): _*)
@@ -779,15 +895,13 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     val keep = files.filter { case (name, _) =>
       zones.get(name).forall { case (idZ, hbZ) => idKeep(idZ) && hbKeep(hbZ) }
     }
-    val dataSchema = org.apache.spark.sql.types.StructType(
-      tableSchema.filterNot(_.name == "uploaded"))
     val rows =
       if (keep.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
       else
         withVectorsApplied(
-          spark.read.schema(dataSchema).parquet(keep.map(_._2): _*)
+          readPhysical(dataLogicalSchema, keep.map(_._2))
             .filter(exact)
             .withColumn("uploaded", lit(false))
             .withColumn("_file", input_file_name()))
@@ -1167,15 +1281,13 @@ class CustomerStore(protected val spark: SparkSession, path: String,
   def pendingPointLookup(emails: Seq[String]): (DataFrame, Int, Int) = {
     recover()
     val (keep, total) = prunePendingByBloom(emails)
-    val dataSchema = org.apache.spark.sql.types.StructType(
-      tableSchema.filterNot(_.name == "uploaded"))
     val rows =
       if (keep.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
       else
         withVectorsApplied(
-          spark.read.schema(dataSchema).parquet(keep: _*)
+          readPhysical(dataLogicalSchema, keep)
             .filter(col("email").isin(emails: _*))
             .withColumn("uploaded", lit(false))
             .withColumn("_file", input_file_name()))
@@ -1213,8 +1325,6 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     recover()
     val acked = ackedEmails.select(col("email").as("_ack")).distinct()
       .localCheckpoint(true)
-    val dataSchema = org.apache.spark.sql.types.StructType(
-      tableSchema.filterNot(_.name == "uploaded"))
     // Candidate pending rows, tagged with their physical file. The
     // bloom path reads ONLY may-contain files; missing manifest
     // coverage or a batch past the point-lookup gate reads the
@@ -1225,12 +1335,13 @@ class CustomerStore(protected val spark: SparkSession, path: String,
         val (keep, _) = prunePendingByBloom(emails)
         if (keep.isEmpty)
           spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              dataLogicalSchema)
             .withColumn("uploaded", lit(false))
             .withColumn("_file", lit(""))
         else
           withVectorsApplied(
-            spark.read.schema(dataSchema).parquet(keep: _*)
+            readPhysical(dataLogicalSchema, keep)
               .withColumn("uploaded", lit(false))
               .withColumn("_file", input_file_name()))
       } else
@@ -1328,7 +1439,8 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     Seq(("merge-pending", "remove-pending", false),
         ("merge-done", "remove-done", true)).foreach { case (add, rm, up) =>
       val stage = new java.io.File(tmp, add)
-      replacement.filter(col("uploaded") === up).drop("uploaded")
+      toPhysical(replacement.filter(col("uploaded") === up).drop("uploaded"),
+          dataLogicalSchema)
         .write.parquet(stage.toString)
       stage.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
         require(f.renameTo(new java.io.File(stage, s"mrg-$commitId-${f.getName}")),
@@ -1355,8 +1467,10 @@ class CustomerStore(protected val spark: SparkSession, path: String,
   private[pipeline] def stageFullCommit(pending: DataFrame, done: DataFrame,
       changes: DataFrame, truncateDeletes: Boolean = false): Unit = {
     val tmp = freshStagingTmp()
-    pending.drop("uploaded").write.parquet(new java.io.File(tmp, "pending").toString)
-    done.drop("uploaded").write.parquet(new java.io.File(tmp, "done").toString)
+    toPhysical(pending.drop("uploaded"), dataLogicalSchema)
+      .write.parquet(new java.io.File(tmp, "pending").toString)
+    toPhysical(done.drop("uploaded"), dataLogicalSchema)
+      .write.parquet(new java.io.File(tmp, "done").toString)
     // A full replace materializes every deletion-vector tombstone, so
     // the rewrite commits stage a truncation marker and promotion
     // clears `_deletes/` INSIDE the idempotent replay — a crash
@@ -1383,8 +1497,8 @@ class CustomerStore(protected val spark: SparkSession, path: String,
   private def stageChanges(tmp: java.io.File, changes: DataFrame): Long = {
     val v = currentVersion() + 1
     val dir = new java.io.File(tmp, "changelog")
-    changes.withColumn("commit_version", lit(v))
-      .select(changeSchema.fieldNames.map(col): _*)
+    toPhysical(changes.withColumn("commit_version", lit(v))
+        .select(changeSchema.fieldNames.map(col): _*), changeSchema)
       .write.parquet(dir.toString)
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
@@ -1528,8 +1642,10 @@ class CustomerStore(protected val spark: SparkSession, path: String,
   private[pipeline] def stageCommit(moved: DataFrame, kept: DataFrame,
       changes: DataFrame): Unit = {
     val tmp = freshStagingTmp()
-    moved.drop("uploaded").write.parquet(new java.io.File(tmp, "done-append").toString)
-    kept.drop("uploaded").write.parquet(new java.io.File(tmp, "pending").toString)
+    toPhysical(moved.drop("uploaded"), dataLogicalSchema)
+      .write.parquet(new java.io.File(tmp, "done-append").toString)
+    toPhysical(kept.drop("uploaded"), dataLogicalSchema)
+      .write.parquet(new java.io.File(tmp, "pending").toString)
     val v = stageChanges(tmp, changes)
     // Commit-unique file names now, so replay after a crash cannot
     // clobber files a previous commit already promoted.
@@ -1814,7 +1930,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
           missing.take(5).mkString(", "))
     val chg = new java.io.File(tmp, "changelog")
     if (chg.isDirectory) {
-      val mine = spark.read.schema(changeSchema).parquet(chg.toString)
+      val mine = readPhysical(changeSchema, Seq(chg.toString))
         .select(col("id"), col("email")).distinct().localCheckpoint(true)
       if (mine.limit(1).count() > 0) {
         val theirs = feedSince(baseV, headV).select(col("id"), col("email")).distinct()
@@ -1909,6 +2025,26 @@ object CustomerStore {
   def changeSchemaAt(path: String): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(
       CustomerSchema.changeSchema.fields.take(2) ++ schemaAt(path).fields)
+
+  /** Logical→physical column names that DIFFER under column-mapping
+    * evolution (empty for stores that never renamed). Serializable —
+    * shipped inside the connector's reader factories so executors
+    * translate requested columns at the file boundary.
+    */
+  def physicalMapAt(path: String): Map[String, String] =
+    schemaAt(path).fields.iterator
+      .filter(_.metadata.contains("physical"))
+      .map(f => f.name -> f.metadata.getString("physical"))
+      .filter { case (l, p) => l != p }.toMap
+  /** Columns the rename/drop DDL refuses to touch: the merge key
+    * (email), the UNIQUE/zone key (id), the partition column
+    * (uploaded), and the trigger-touch timestamps — each is
+    * load-bearing contract surface (constraints, pruning manifests,
+    * the ack path), not payload.
+    */
+  private[pipeline] val StructuralColumns: Set[String] =
+    Set("id", "email", "uploaded", "created_ts", "modified_ts")
+
   /** Commit-point retries before an optimistic committer gives up. */
   private[pipeline] val MaxCommitAttempts = 5
   /** Age after which recover() reclaims an abandoned writer-unique

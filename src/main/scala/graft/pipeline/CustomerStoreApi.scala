@@ -41,9 +41,43 @@ trait CustomerStoreApi {
   def tableSchema: org.apache.spark.sql.types.StructType =
     CustomerSchema.tableSchema
 
-  /** The base-contract payload columns evolution can never touch. */
+  /** A field's stable PHYSICAL identity under column-mapping
+    * evolution: the original name for base-contract columns (renames
+    * are metadata-only, the physical name never changes), a
+    * version-stamped name for added columns. Identity — not the
+    * current logical name — is what the merge classifier, the work
+    * queue, and the CRM wire format key on, so a rename can never
+    * change external behavior.
+    */
+  protected def physicalNameOf(
+      f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains("physical")) f.metadata.getString("physical")
+    else f.name
+
+  private def basePhysical: Set[String] =
+    CustomerSchema.tableSchema.fieldNames.toSet
+
+  /** Columns beyond the base contract (added via addColumn), under
+    * their CURRENT logical names — identity-keyed so a rename or a
+    * drop of a BASE column cannot shift the boundary.
+    */
   protected def evolvedFields: Seq[org.apache.spark.sql.types.StructField] =
-    tableSchema.fields.drop(CustomerSchema.tableSchema.fields.length).toSeq
+    tableSchema.fields.filterNot(f => basePhysical(physicalNameOf(f))).toSeq
+
+  /** The CURRENT logical name of a base-contract column — None once
+    * dropped. */
+  protected def logicalFor(physical: String): Option[String] =
+    tableSchema.fields.find(f => physicalNameOf(f) == physical).map(_.name)
+
+  /** The reference's wire column (upload JSON key / typed view field)
+    * resolved by physical identity: renamed columns serve their values
+    * under the ORIGINAL key (the CRM API contract does not follow
+    * table renames), dropped ones null-fill.
+    */
+  protected def wireCol(physical: String): org.apache.spark.sql.Column =
+    logicalFor(physical).map(l => col(l).as(physical)).getOrElse(
+      lit(null).cast(CustomerSchema.tableSchema(physical).dataType)
+        .as(physical))
 
   /** Align `df` to the CURRENT table schema: project the schema's
     * columns in order, filling columns the batch does not carry
@@ -78,7 +112,10 @@ trait CustomerStoreApi {
   def typed(): Dataset[Customer] = {
     val s = spark // stable identifier for the implicits import
     import s.implicits._
-    all().as[Customer]
+    // Wire projection by physical identity: the typed contract keeps
+    // the reference's field names whatever the table's logical renames.
+    all().select(CustomerSchema.tableSchema.fieldNames.map(wireCol).toIndexedSeq: _*)
+      .as[Customer]
   }
 
   /** Work-queue scan (S6): the uploaded=false subset projected to the
@@ -87,7 +124,7 @@ trait CustomerStoreApi {
     * upload_idx index.
     */
   def pending(): DataFrame =
-    all().filter(!col("uploaded")).select(uploadColumns.map(col): _*)
+    all().filter(!col("uploaded")).select(uploadColumns.map(wireCol): _*)
 
   /** Batched insert honoring the UNIQUE(id), UNIQUE(email) contract
     * with the reference's exact sequential semantics: row i survives
@@ -224,28 +261,38 @@ trait CustomerStoreApi {
     val latest = pin(seqd.withColumn("_rn", row_number().over(byEmailLast))
       .filter(col("_rn") === 1).drop("_rn"))
     val stored = all()
-    // Evolved columns ride the classification with _sx_ aliases so an
-    // UPDATE can carry the stored value when the batch predates the
-    // evolution. Change DETECTION stays on the base payload columns
-    // (documented contract: an evolved-column-only difference does not
-    // mark a row updated); when the batch DOES carry the column, its
-    // value — null included — wins on updated rows.
-    val extras = evolvedFields
+    // Payload columns (base payload + evolved alike) ride the
+    // classification with _sx_ stored aliases so an UPDATE can carry
+    // the stored value when the batch does not carry the column — a
+    // batch predating an addColumn OR a rename (its old-name column is
+    // ignored like any unknown column, never nulling stored data).
+    // Change DETECTION stays on the base-contract payload identities
+    // (first_name/last_name/phone under their CURRENT logical names,
+    // skipping dropped ones) — the documented contract: an
+    // evolved-column-only difference does not mark a row updated; when
+    // the batch DOES carry a column, its value — null included — wins
+    // on updated rows. Everything here keys on PHYSICAL identity so
+    // logical renames cannot change merge behavior.
+    val payload = tableSchema.fields.filterNot(f =>
+      Set("id", "email", "uploaded", "created_ts",
+        "modified_ts")(physicalNameOf(f))).toSeq
     val storedK = stored.select(Seq(col("id").as("_sid"), col("email").as("_semail"),
-      col("first_name").as("_sfn"), col("last_name").as("_sln"),
-      col("phone").as("_sph"), col("uploaded").as("_sup"),
-      col("created_ts").as("_sct")) ++
-      extras.map(f => col(f.name).as("_sx_" + f.name)): _*)
+      col("uploaded").as("_sup"), col("created_ts").as("_sct")) ++
+      payload.map(f => col(f.name).as("_sx_" + f.name)): _*)
     val matched = pin(latest.join(storedK, col("email") === col("_semail")))
+    val detect = Seq("first_name", "last_name", "phone")
+      .flatMap(logicalFor).filter(seqd.columns.contains)
+    val changed = detect.map(n => !(col(n) <=> col("_sx_" + n)))
+      .reduceOption(_ || _).getOrElse(lit(false))
     val updates = pin(matched
-      .filter(!(col("first_name") <=> col("_sfn") &&
-        col("last_name") <=> col("_sln") && col("phone") <=> col("_sph")))
-      .select(Seq(col("_sid").as("id"), col("first_name"), col("last_name"),
-        col("email"), col("phone"), col("_sup").as("uploaded"),
-        col("_sct").as("created_ts"), current_timestamp().as("modified_ts")) ++
-        extras.map(f =>
+      .filter(changed)
+      .select(Seq(col("_sid").as("id"), col("email"),
+        col("_sup").as("uploaded"), col("_sct").as("created_ts"),
+        current_timestamp().as("modified_ts")) ++
+        payload.map(f =>
           (if (seqd.columns.contains(f.name)) col(f.name)
-           else col("_sx_" + f.name).cast(f.dataType)).as(f.name)): _*))
+           else col("_sx_" + f.name).cast(f.dataType)).as(f.name)): _*)
+      .select(tableSchema.fieldNames.map(col).toIndexedSeq: _*))
     val byIdFirst = Window.partitionBy(col("id")).orderBy(col("_seq"))
     val inserts = pin(aligned(latest
       .join(storedK.select("_semail"), col("email") === col("_semail"), "left_anti")

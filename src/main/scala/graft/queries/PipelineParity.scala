@@ -324,6 +324,39 @@ object PipelineParity extends QueryGroup {
         base.filter(col("id") % 7 === 0).select(col("email")))        // v4
     }
 
+  /** Column-mapping evolution history (8 commits): insert → addColumn
+    * (score) → score-carrying insert → RENAME phone→phone_e164 →
+    * merge THROUGH the renamed column → RENAME score→quality → DROP
+    * last_name → re-ADD last_name (must read all-NULL: the fresh
+    * version-stamped physical name cannot resurrect dropped values).
+    */
+  private def mappingTemplate(s: SparkSession, dir: String): String =
+    FixtureStores.template(s"mapping|$dir") { storePath =>
+      val base = Ingest.enrich(baseCols(s, dir))
+      val store = new graft.pipeline.CustomerStore(s, storePath)
+      store.insertNew(base): Unit                                     // v1
+      require(store.addColumn("score",
+        org.apache.spark.sql.types.LongType) == 2L, "DDL commit must be v2")
+      val fresh = base.filter(col("id") % 10 === 0)
+        .withColumn("id", col("id") + 40000000L)
+        .withColumn("email", concat(lit("map"), col("id"), lit("@example.com")))
+        .withColumn("score", col("id") % 7)
+      store.insertNew(fresh): Unit                                    // v3
+      require(store.renameColumn("phone", "phone_e164") == 4L,
+        "rename must be v4")
+      // merge THROUGH the renamed column: changed phones force updates
+      val upd = base.filter(col("id") % 9 === 0)
+        .withColumn("phone", concat(lit("999-"), col("id")))
+        .withColumnRenamed("phone", "phone_e164")
+      store.merge(upd): Unit                                          // v5
+      require(store.writeSnapshot() == 5L, "snapshot at the merge commit")
+      require(store.renameColumn("score", "quality") == 6L,
+        "evolved-column rename must be v6")
+      require(store.dropColumn("last_name") == 7L, "drop must be v7")
+      require(store.addColumn("last_name",
+        org.apache.spark.sql.types.StringType) == 8L, "re-add must be v8")
+    }
+
   /** Build every fixture-store template for `dir`. The bench calls
     * this ONCE before pass 1 and publishes the elapsed time as a
     * separate `fixture_s` setup figure — template construction is
@@ -348,7 +381,8 @@ object PipelineParity extends QueryGroup {
       analyze2Template(_, _),
       bloom4Template(_, _),
       clockIMATemplate(_, _),
-      evolveTemplate(_, _))
+      evolveTemplate(_, _),
+      mappingTemplate(_, _))
     builds.foreach { b =>
       if (System.nanoTime() < deadlineNanos) b(s, dir): Unit
     }
@@ -1960,6 +1994,53 @@ object PipelineParity extends QueryGroup {
       out.toDF("tier", "n_rows", "id_sum", "n_uploaded").orderBy(col("tier"))
     }),
 
+    // Column-mapping evolution (rename/drop) through the full read
+    // surface: files store PHYSICAL names that never change, so every
+    // DDL here is metadata-only; the aggregate re-derives from the
+    // planted arithmetic in DuckDB, pinning that renamed columns serve
+    // their historical values, merges update THROUGH the renamed name,
+    // and a drop-then-re-add reads all-NULL (no resurrection).
+    "pipeline_schema_mapping_store" -> ((s, dir) => {
+      import s.implicits._
+      val store = new graft.pipeline.CustomerStore(s, mappingTemplate(s, dir))
+      // DDL commits are feed-silent
+      Seq(2L, 4L, 6L, 7L, 8L).foreach { v =>
+        require(store.feedSince(v - 1, v).isEmpty,
+          s"DDL commit v$v must emit no feed rows")
+      }
+      val cols = store.all().columns.toSet
+      require(cols("phone_e164") && !cols("phone") &&
+        cols("quality") && !cols("score") && cols("last_name"),
+        s"mapped schema wrong: $cols")
+      // the re-added last_name must NOT resurrect dropped values
+      require(store.all().filter(col("last_name").isNotNull).count() == 0L,
+        "re-added column resurrected dropped values")
+      // the connector serves the mapped schema and renamed values
+      val cat = s.read.format("graft-store")
+        .option("path", mappingTemplate(s, dir)).load()
+      require(cat.columns.contains("phone_e164") &&
+        !cat.columns.toSet("score"),
+        "connector must serve the mapped schema")
+      // asOf below every rename presents the CURRENT schema over the
+      // pre-rename snapshot/feed bytes
+      require(store.asOf(1).columns.contains("phone_e164"),
+        "asOf must present the current mapped schema")
+      // the work queue keeps the reference's WIRE keys across renames
+      val api: graft.pipeline.CustomerStoreApi = store
+      require(api.pending().columns.toSeq ==
+        Seq("id", "first_name", "last_name", "email", "phone"),
+        "the upload wire format must not follow table renames")
+      val out = store.all()
+        .groupBy(coalesce(col("quality"), lit(-1L)).as("quality"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("id_sum"),
+          sum(when(col("phone_e164").startsWith("999-"), 1L).otherwise(0L))
+            .as("n_updated"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      out.toDF("quality", "n_rows", "id_sum", "n_updated")
+        .orderBy(col("quality"))
+    }),
+
     // JSONL sink → source round trip with per-line salvage: documents
     // written as JSON lines, two garbage lines appended, read back
     // under the explicit schema. The md5-prefix checksum over the
@@ -2595,6 +2676,20 @@ object PipelineParity extends QueryGroup {
                   CAST(0 AS BIGINT) AS n_uploaded
                 FROM c WHERE k % 10 = 0 GROUP BY 1)
          SELECT * FROM b UNION ALL SELECT * FROM f ORDER BY tier""",
+    "pipeline_schema_mapping_store" ->
+      """WITH c AS (SELECT c_custkey AS k FROM customer),
+          b AS (SELECT CAST(-1 AS BIGINT) AS quality,
+                  CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(k) AS BIGINT) AS id_sum,
+                  CAST(SUM(CASE WHEN k % 9 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_updated
+                FROM c),
+          f AS (SELECT CAST((k + 40000000) % 7 AS BIGINT) AS quality,
+                  CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(k + 40000000) AS BIGINT) AS id_sum,
+                  CAST(0 AS BIGINT) AS n_updated
+                FROM c WHERE k % 10 = 0 GROUP BY 1)
+         SELECT * FROM b UNION ALL SELECT * FROM f ORDER BY quality""",
     "pipeline_jsonl_roundtrip" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
            CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids,

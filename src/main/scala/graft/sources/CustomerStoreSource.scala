@@ -210,7 +210,8 @@ class StoreChangesScan(path: String, fromExclusive: Long,
   override def planInputPartitions(): Array[InputPartition] =
     dirs.map { case (_, d) => StoreChangesPartition(d): InputPartition }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    StoreChangesReaderFactory(required.fieldNames)
+    StoreChangesReaderFactory(required.fieldNames,
+      CustomerStore.physicalMapAt(path))
   override def description(): String =
     s"GraftStoreChanges path=$path, commits=(${fromExclusive}, " +
       s"${toInclusive.map(_.toString).getOrElse("head")}], dirs=${dirs.size}, " +
@@ -310,7 +311,8 @@ class StoreChangesMicroBatchStream(path: String, fromExclusive: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    StoreChangesReaderFactory(required.fieldNames)
+    StoreChangesReaderFactory(required.fieldNames,
+      CustomerStore.physicalMapAt(path))
 
   override def commit(end: SOffset): Unit = ()
   override def stop(): Unit = ()
@@ -321,14 +323,19 @@ class StoreChangesMicroBatchStream(path: String, fromExclusive: Long,
 
 case class StoreChangesPartition(dir: String) extends InputPartition
 
-case class StoreChangesReaderFactory(required: Array[String])
+case class StoreChangesReaderFactory(required: Array[String],
+    phys: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
+      // Feed files store PHYSICAL column names (column mapping):
+      // translate the requested logical names at the file boundary;
+      // positions are preserved so the projected row is unchanged.
       private val it: Iterator[Array[Any]] =
         ParquetGroups.parquetFilesIn(
           partition.asInstanceOf[StoreChangesPartition].dir)
-          .iterator.flatMap(f => ParquetGroups.readAll(f, required.toSeq))
+          .iterator.flatMap(f => ParquetGroups.readAll(
+            f, required.toSeq.map(c => phys.getOrElse(c, c))))
       private var current: InternalRow = _
       override def next(): Boolean = {
         if (!it.hasNext) return false
@@ -925,7 +932,8 @@ class CustomerStoreScan(path: String, versionAsOf: Option[Long],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    StoreReaderFactory(required.fieldNames, filters)
+    StoreReaderFactory(required.fieldNames, filters,
+      CustomerStore.physicalMapAt(path))
 
   override def description(): String = {
     val (_, kept, total) = planned
@@ -959,12 +967,13 @@ case class StoreSnapshotPartition(file: String,
 case class StoreDeltaPartition(feedDirs: Seq[String]) extends InputPartition
 
 case class StoreReaderFactory(required: Array[String],
-    filters: Array[Filter]) extends PartitionReaderFactory {
+    filters: Array[Filter],
+    phys: Map[String, String] = Map.empty) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case p: StoreDataPartition => new StoreDataReader(p, required, filters)
-      case p: StoreSnapshotPartition => new StoreSnapshotReader(p, required, filters)
-      case p: StoreDeltaPartition => new StoreDeltaReader(p, required, filters)
+      case p: StoreDataPartition => new StoreDataReader(p, required, filters, phys)
+      case p: StoreSnapshotPartition => new StoreSnapshotReader(p, required, filters, phys)
+      case p: StoreDeltaPartition => new StoreDeltaReader(p, required, filters, phys)
     }
 }
 
@@ -1016,13 +1025,17 @@ private[sources] abstract class StoreRowReader(required: Array[String],
   * pushed filters → projected row. `uploaded` is a directory constant.
   */
 class StoreDataReader(p: StoreDataPartition, required: Array[String],
-    filters: Array[Filter]) extends StoreRowReader(required, filters) {
+    filters: Array[Filter], phys: Map[String, String] = Map.empty)
+    extends StoreRowReader(required, filters) {
 
   // Columns to decode: requested ∪ filter-referenced ∪ email (for the
   // tombstone check); `uploaded` is never physical in data files.
   private val readCols: Seq[String] =
     (required ++ filters.flatMap(_.references) ++ Seq("id", "email"))
       .distinct.filter(_ != "uploaded").toSeq
+  // Files store PHYSICAL names (column mapping) — translate at the
+  // cursor boundary, logical everywhere above.
+  private def pn(c: String): String = phys.getOrElse(c, c)
 
   private val tombstones: Set[UTF8String] = {
     val name = UTF8String.fromString(p.basename)
@@ -1033,14 +1046,15 @@ class StoreDataReader(p: StoreDataPartition, required: Array[String],
     }.toSet
   }
 
-  private val cursor = new ParquetGroups.VectorizedFileRows(p.file, readCols)
+  private val cursor =
+    new ParquetGroups.VectorizedFileRows(p.file, readCols.map(pn))
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     while (cursor.advance()) {
       val get: String => Any = {
         case "uploaded" => p.uploaded
-        case c => cursor.value(c)
+        case c => cursor.value(pn(c))
       }
       val email = get("email").asInstanceOf[UTF8String]
       if ((tombstones.isEmpty || !tombstones.contains(email)) && passes(get)) {
@@ -1059,18 +1073,21 @@ class StoreDataReader(p: StoreDataPartition, required: Array[String],
   * dropping delta-touched emails.
   */
 class StoreSnapshotReader(p: StoreSnapshotPartition, required: Array[String],
-    filters: Array[Filter]) extends StoreRowReader(required, filters) {
+    filters: Array[Filter], phys: Map[String, String] = Map.empty)
+    extends StoreRowReader(required, filters) {
 
   private val readCols: Seq[String] =
     (required ++ filters.flatMap(_.references) ++ Seq("id", "email"))
       .distinct.toSeq
+  private def pn(c: String): String = phys.getOrElse(c, c)
 
-  private val cursor = new ParquetGroups.VectorizedFileRows(p.file, readCols)
+  private val cursor =
+    new ParquetGroups.VectorizedFileRows(p.file, readCols.map(pn))
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     while (cursor.advance()) {
-      val get: String => Any = cursor.value
+      val get: String => Any = c => cursor.value(pn(c))
       val email = get("email").asInstanceOf[UTF8String]
       if (!p.skipEmails.contains(email) && passes(get)) {
         current = project(get)
@@ -1091,7 +1108,10 @@ class StoreSnapshotReader(p: StoreSnapshotPartition, required: Array[String],
   * table-scale.
   */
 class StoreDeltaReader(p: StoreDeltaPartition, required: Array[String],
-    filters: Array[Filter]) extends StoreRowReader(required, filters) {
+    filters: Array[Filter], phys: Map[String, String] = Map.empty)
+    extends StoreRowReader(required, filters) {
+
+  private def pn(c: String): String = phys.getOrElse(c, c)
 
   private val it: Iterator[Map[String, Any]] = {
     val cols = Seq("commit_version", "change_type") ++ TableCols
@@ -1099,7 +1119,7 @@ class StoreDeltaReader(p: StoreDeltaPartition, required: Array[String],
     for {
       dir <- p.feedDirs
       f <- ParquetGroups.parquetFilesIn(dir)
-      row <- ParquetGroups.readAll(f, cols)
+      row <- ParquetGroups.readAll(f, cols.map(pn))
     } {
       val v = row(0).asInstanceOf[Long]
       val ct = row(1).asInstanceOf[UTF8String].toString
