@@ -437,7 +437,9 @@ class CustomerStoreTable(val path: String, val versionAsOf: Option[Long],
   * convention). `VERSION AS OF` / `TIMESTAMP AS OF` route through the
   * same reconstruction as the reader options (timestamps arrive in
   * MICROseconds from Spark and the store's commit registry keeps
-  * millis). DDL (create/alter/drop/rename) is intentionally
+  * millis). `ALTER TABLE ADD/RENAME/DROP COLUMN` routes to the
+  * store's column-mapping evolution (see [[alterTable]]); all other
+  * DDL (create/drop/rename TABLE, retypes) is intentionally
   * unsupported — stores are created by their first commit.
   */
 class GraftStoreCatalog extends TableCatalog
@@ -476,8 +478,47 @@ class GraftStoreCatalog extends TableCatalog
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
     throw new UnsupportedOperationException(
       "graft_store catalog: stores are created by their first commit, not DDL")
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft_store catalog: ALTER is not supported")
+  /** `ALTER TABLE graft_store.\`/path\`` routed to the store's
+    * column-mapping DDL: ADD COLUMN (appended, nullable),
+    * RENAME COLUMN (metadata-only — the physical name in files never
+    * changes), DROP COLUMN (metadata-only, no resurrection on re-add).
+    * Everything else — retypes, NOT NULL adds, positioned adds, nested
+    * fields, comments, properties — is rejected loudly: the store's
+    * evolution surface is exactly what its readers can serve without a
+    * rewrite.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    val store = new graft.pipeline.CustomerStore(
+      SparkSession.active, pathOf(ident))
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "graft_store ALTER: nested fields are not supported (flat schema)")
+        require(a.isNullable,
+          "graft_store ALTER: added columns must be nullable (pre-evolution " +
+            "rows read as NULL; a NOT NULL add would be instantly violated)")
+        require(a.position() == null,
+          "graft_store ALTER: positioned adds are not supported (columns append)")
+        store.addColumn(a.fieldNames()(0), a.dataType()): Unit
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          "graft_store ALTER: nested fields are not supported (flat schema)")
+        store.renameColumn(r.fieldNames()(0), r.newName()): Unit
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          "graft_store ALTER: nested fields are not supported (flat schema)")
+        if (!d.ifExists() ||
+            store.tableSchema.fieldNames.exists(_.equalsIgnoreCase(d.fieldNames()(0))))
+          store.dropColumn(d.fieldNames()(0)): Unit
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft_store catalog: ALTER change ${other.getClass.getSimpleName} " +
+            "is not supported (only ADD/RENAME/DROP COLUMN — anything else " +
+            "would require rewriting committed files)")
+    }
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException("graft_store catalog: DROP is not supported")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =

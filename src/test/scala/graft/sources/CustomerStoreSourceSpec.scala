@@ -209,6 +209,30 @@ class CustomerStoreSourceSpec extends SparkSpec {
     assert(key(q) === key(store.asOf(3L).filter(col("id") >= 2001L)))
   }
 
+  test("SQL ALTER TABLE routes ADD/RENAME/DROP COLUMN through column mapping") {
+    spark.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+    val path = tmpDir("dsv2-alter") + "/store"
+    val store = buildStore(path)
+    val v0 = store.currentVersion()
+    spark.sql(s"ALTER TABLE graft_store.`$path` ADD COLUMN tier BIGINT")
+    assert(store.currentVersion() === v0 + 1, "ADD COLUMN must be one commit")
+    spark.sql(s"ALTER TABLE graft_store.`$path` RENAME COLUMN phone TO phone_e164")
+    spark.sql(s"ALTER TABLE graft_store.`$path` DROP COLUMN tier")
+    val cols = spark.sql(s"SELECT * FROM graft_store.`$path`").columns.toSet
+    assert(cols.contains("phone_e164") && !cols.contains("phone") &&
+      !cols.contains("tier"))
+    // renamed column serves the historical values through SQL
+    assert(spark.sql(s"SELECT count(*) FROM graft_store.`$path` " +
+      "WHERE phone_e164 IS NOT NULL").head().getLong(0) === store.all().count())
+    // structural renames/retypes stay loudly rejected from SQL too
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_store.`$path` RENAME COLUMN email TO em")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_store.`$path` ALTER COLUMN first_name TYPE BIGINT")
+    }
+  }
+
   test("SQL DELETE stages one deletion-vector commit, no data-file rewrite") {
     spark.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
     val path = tmpDir("dsv2-del") + "/store"
@@ -771,7 +795,12 @@ class CustomerStoreSourceSpec extends SparkSpec {
     assert(msg(cat.createTable(id, new org.apache.spark.sql.types.StructType(),
       Array.empty, java.util.Collections.emptyMap[String, String]()))
       .contains("created by their first commit"))
-    assert(msg(cat.alterTable(id)).contains("ALTER is not supported"))
+    // ALTER routes ADD/RENAME/DROP COLUMN to the store's column-mapping
+    // DDL (tested below); any OTHER change kind keeps the loud refusal.
+    assert(msg(cat.alterTable(id,
+      org.apache.spark.sql.connector.catalog.TableChange.updateColumnType(
+        Array("phone"), org.apache.spark.sql.types.LongType)))
+      .contains("is not supported"))
     assert(msg(cat.dropTable(id)).contains("DROP is not supported"))
     assert(msg(cat.renameTable(id, id)).contains("RENAME is not supported"))
   }
