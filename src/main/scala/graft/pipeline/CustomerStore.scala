@@ -459,7 +459,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     java.nio.file.Files.write(new java.io.File(tmp, "version").toPath,
       v.toString.getBytes(utf8))
     java.nio.file.Files.write(new java.io.File(tmp, "commit_ts").toPath,
-      commitClock().toString.getBytes(utf8))
+      nextCommitTs().toString.getBytes(utf8))
     commitStaged(tmp, v, fullReplace = true)
     applyStaged()
     v
@@ -546,6 +546,19 @@ class CustomerStore(protected val spark: SparkSession, path: String,
             java.nio.charset.StandardCharsets.UTF_8).trim.toLong
       }
       .sortBy(_._1)
+  }
+
+  /** The timestamp a commit being staged NOW should carry: the wall
+    * clock, bumped to strictly exceed the newest registry entry — the
+    * commit-timestamp monotonicity every transactional format enforces
+    * (Delta adjusts identically), without which two commits landing in
+    * the same millisecond make timestamp-addressed reads
+    * ([[asOfTimestamp]], the connector's `feedFromTimestamp`)
+    * ambiguous about which versions a timestamp denotes.
+    */
+  private def nextCommitTs(): Long = {
+    val prev = commitTimestamps().lastOption.map(_._2).getOrElse(Long.MinValue)
+    math.max(commitClock(), prev + 1)
   }
 
   /** Timestamp time travel: the table as of wall time `tsMillis` — the
@@ -1510,7 +1523,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     // This commit's promotion timestamp, staged with the data so the
     // _commits registry advances atomically with the commit itself.
     java.nio.file.Files.write(new java.io.File(tmp, "commit_ts").toPath,
-      commitClock().toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      nextCommitTs().toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     v
   }
 
@@ -1972,7 +1985,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     java.nio.file.Files.write(new java.io.File(tmp, "version").toPath,
       newV.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.write(new java.io.File(tmp, "commit_ts").toPath,
-      commitClock().toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      nextCommitTs().toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Crash recovery, run at open and before each commit: a committed

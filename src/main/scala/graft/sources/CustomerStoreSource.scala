@@ -105,7 +105,8 @@ class CustomerStoreSource extends TableProvider with DataSourceRegister
     }
   }
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (options.containsKey("feedFrom"))
+    if (options.containsKey("feedFrom") ||
+        options.containsKey("feedFromTimestamp"))
       CustomerStore.changeSchemaAt(options.get("path"))
     else CustomerStore.schemaAt(options.get("path"))
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -116,13 +117,27 @@ class CustomerStoreSource extends TableProvider with DataSourceRegister
     val timestampAsOf = Option(properties.get("timestampAsOf")).map(_.toLong)
     require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
       "graft-store: versionAsOf and timestampAsOf are mutually exclusive")
-    val feedFrom = Option(properties.get("feedFrom")).map(_.toLong)
+    val feedFromV = Option(properties.get("feedFrom")).map(_.toLong)
+    // Timestamp-addressed feed start (Delta's startingTimestamp): every
+    // commit whose registry timestamp is AT OR AFTER the given millis is
+    // served, resolved ONCE at planning through the `_commits` registry
+    // (which survives vacuum, so the resolution itself never needs the
+    // retired dirs — the downstream low-watermark check still rejects a
+    // range the feed can no longer serve, loudly).
+    val feedFromTs = Option(properties.get("feedFromTimestamp")).map(_.toLong)
+    require(feedFromV.isEmpty || feedFromTs.isEmpty,
+      "graft-store: feedFrom and feedFromTimestamp are mutually exclusive")
+    val feedFrom = feedFromV.orElse(feedFromTs.map { ts =>
+      new graft.pipeline.CustomerStore(SparkSession.active, path)
+        .commitTimestamps().filter(_._2 < ts).map(_._1).maxOption.getOrElse(0L)
+    })
     val feedTo = Option(properties.get("feedTo")).map(_.toLong)
     val maxCommits = Option(properties.get("maxCommitsPerTrigger")).map(_.toLong)
     val maxBytes = Option(properties.get("maxBytesPerTrigger")).map(_.toLong)
     if (feedFrom.isDefined || feedTo.isDefined) {
       require(feedFrom.isDefined,
-        "graft-store: feedTo requires feedFrom (the exclusive lower version)")
+        "graft-store: feedTo requires feedFrom (the exclusive lower version) " +
+          "or feedFromTimestamp")
       require(versionAsOf.isEmpty && timestampAsOf.isEmpty,
         "graft-store: a change-feed read and time travel are mutually exclusive")
       require(maxCommits.forall(_ >= 1L),

@@ -667,6 +667,31 @@ class CustomerStoreSourceSpec extends SparkSpec {
     }
   }
 
+  test("feedFromTimestamp resolves a feed start through the commit registry") {
+    val path = tmpDir("dsv2-cdc-ts") + "/store"
+    val store = buildStore(path) // 5 commits
+    val reg = store.commitTimestamps() // (version, promotion millis)
+    def cdcTs(ts: Long): DataFrame =
+      spark.read.format("graft-store").option("path", path)
+        .option("feedFromTimestamp", ts).load()
+    def keyOf(df: DataFrame): Seq[(Long, String, String)] =
+      df.select(col("commit_version"), col("change_type"), col("email"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSeq.sorted
+    // a timestamp at or before the first commit serves the whole feed
+    assert(keyOf(cdcTs(reg.head._2)) === keyOf(store.changeFeed()))
+    // a timestamp exactly at commit v3's promotion INCLUDES v3 onward
+    val t3 = reg.find(_._1 == 3L).get._2
+    assert(keyOf(cdcTs(t3)) === keyOf(store.feedSince(2L, 5L)))
+    // a timestamp beyond the head serves nothing (forward-only start)
+    assert(cdcTs(reg.last._2 + 60000L).count() === 0L)
+    // version- and timestamp-addressed starts are mutually exclusive
+    intercept[Exception] {
+      spark.read.format("graft-store").option("path", path)
+        .option("feedFrom", 0).option("feedFromTimestamp", t3).load()
+    }
+  }
+
   test("streaming CDC source: offsets are commit versions, exactly-once across restart") {
     val path = tmpDir("dsv2-stream") + "/store"
     val store = new CustomerStore(spark, path)
