@@ -206,6 +206,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     * their change-feed rows.
     */
   private[pipeline] def stageAppend(fresh: DataFrame): Unit = {
+    enforceCheckConstraints(fresh, "insert")
     val tmp = freshStagingTmp()
     val stage = new java.io.File(tmp, "pending-append")
     toPhysical(fresh.drop("uploaded"), dataLogicalSchema)
@@ -413,6 +414,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     require(i >= 0, s"renameColumn: no column '$from'")
     require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
       s"renameColumn: column '$to' already exists")
+    requireUnconstrained(from, "renameColumn")
     val f = cur.fields(i)
     // Pin the physical name (= the current one) so the rename is
     // durable even for base/legacy columns that had no mapping entry.
@@ -439,6 +441,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
         "constraint surface) and cannot be dropped")
     require(cur.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"dropColumn: no column '$name'")
+    requireUnconstrained(name, "dropColumn")
     val next = org.apache.spark.sql.types.StructType(
       cur.fields.filterNot(_.name.equalsIgnoreCase(name)))
     commitSchema(next, currentVersion() + 1)
@@ -450,12 +453,15 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     * rule).
     */
   private def commitSchema(
-      next: org.apache.spark.sql.types.StructType, v: Long): Long = {
+      next: org.apache.spark.sql.types.StructType, v: Long): Long =
+    commitMetadata("schema", next.json, v)
+
+  private def commitMetadata(file: String, body: String, v: Long): Long = {
     val tmp = freshStagingTmp()
     tmp.mkdirs()
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
-    java.nio.file.Files.write(new java.io.File(tmp, "schema").toPath,
-      next.json.getBytes(utf8))
+    java.nio.file.Files.write(new java.io.File(tmp, file).toPath,
+      body.getBytes(utf8))
     java.nio.file.Files.write(new java.io.File(tmp, "version").toPath,
       v.toString.getBytes(utf8))
     java.nio.file.Files.write(new java.io.File(tmp, "commit_ts").toPath,
@@ -463,6 +469,105 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     commitStaged(tmp, v, fullReplace = true)
     applyStaged()
     v
+  }
+
+  // ---- Persisted CHECK constraints ------------------------------------
+
+  /** The table's persisted CHECK constraints, declaration order: the
+    * Delta `ADD CONSTRAINT CHECK` surface made a store artifact (the
+    * per-call [[Constraints.enforce]] split remains for callers that
+    * want quarantine-not-reject semantics). Stored as
+    * `name<TAB>sqlExpr` lines in `_constraints`, promoted by the same
+    * staged DDL protocol as the schema manifest.
+    */
+  def checkConstraints(): Seq[(String, String)] = {
+    val f = new java.io.File(path, ConstraintsFile)
+    if (!f.exists()) Seq.empty
+    else new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty)
+      .map { l => val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1)) }
+  }
+
+  /** Add a persisted CHECK constraint: the expression must resolve
+    * against the CURRENT schema and hold on every EXISTING row (one
+    * scan, Delta's add-constraint contract) — only then does the
+    * versioned, feed-silent metadata commit land. From then on every
+    * insert and merge REJECTS the whole transaction if any committed
+    * row would violate (NULL counts as a violation — unknown is not
+    * clean), and rename/drop of a referenced column is refused.
+    */
+  def addCheckConstraint(name: String, sqlExpr: String): Long = {
+    recover()
+    require(tableExists, s"addCheckConstraint: table at $path does not exist")
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "addCheckConstraint: name must be non-empty, no tabs/newlines")
+    require(!sqlExpr.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "addCheckConstraint: expression must be a single line, no tabs")
+    val cur = checkConstraints()
+    require(!cur.exists(_._1.equalsIgnoreCase(name)),
+      s"addCheckConstraint: constraint '$name' already exists")
+    // Resolution + existing-row validation in one scan: an unknown
+    // column fails analysis loudly; a violated row fails the add.
+    val bad = all().filter(!coalesce(expr(sqlExpr), lit(false))).limit(3)
+      .collect()
+    require(bad.isEmpty,
+      s"addCheckConstraint: $name would be violated by ${bad.length}+ " +
+        s"existing rows, e.g. ${bad.headOption.getOrElse("")}")
+    commitMetadata("constraints",
+      (cur :+ (name, sqlExpr)).map { case (n, e) => s"$n\t$e" }.mkString("\n"),
+      currentVersion() + 1)
+  }
+
+  /** Drop a persisted CHECK constraint (versioned metadata commit). */
+  def dropCheckConstraint(name: String): Long = {
+    recover()
+    val cur = checkConstraints()
+    require(cur.exists(_._1.equalsIgnoreCase(name)),
+      s"dropCheckConstraint: no constraint '$name'")
+    commitMetadata("constraints",
+      cur.filterNot(_._1.equalsIgnoreCase(name))
+        .map { case (n, e) => s"$n\t$e" }.mkString("\n"),
+      currentVersion() + 1)
+  }
+
+  /** Column names a persisted constraint expression references —
+    * parse-level (unresolved) attribute names, enough for the flat
+    * schema's rename/drop guard.
+    */
+  private def constraintRefs(sqlExpr: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(sqlExpr).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name.toLowerCase
+    }.toSet
+
+  /** Refuse rename/drop of a column any persisted constraint checks. */
+  private def requireUnconstrained(column: String, op: String): Unit =
+    checkConstraints().foreach { case (n, e) =>
+      require(!constraintRefs(e).contains(column.toLowerCase),
+        s"$op: column '$column' is referenced by CHECK constraint '$n' — " +
+          "drop the constraint first")
+    }
+
+  /** Transaction-boundary enforcement: called with the NEW/CHANGED
+    * rows a commit is about to stage (inserts, merge updates+inserts).
+    * Any violation rejects the WHOLE transaction — the table can never
+    * be observed with a violating row (Delta's invariant contract).
+    * Rearrangement commits (ack, compact, zorder, restore) move
+    * already-validated rows and skip the scan.
+    */
+  private[pipeline] def enforceCheckConstraints(rows: DataFrame,
+      what: String): Unit = {
+    val cs = checkConstraints()
+    if (cs.isEmpty) return
+    val v = Constraints.violation(
+      cs.map { case (n, e) => CheckConstraint(n, expr(e)) })
+    val bad = rows.withColumn("_violation", v)
+      .filter(col("_violation").isNotNull).limit(3).collect()
+    if (bad.nonEmpty)
+      throw new ConstraintViolationException(
+        s"$what rejected: ${bad.length}+ rows violate CHECK constraints, " +
+          s"e.g. ${bad.head}")
   }
 
   /** The last committed version — 0 for an empty store; each staged
@@ -1414,6 +1519,9 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     */
   protected def applyMerge(updates: DataFrame, inserts: DataFrame): Unit = {
     if (updates.isEmpty && inserts.isEmpty) return
+    // Inserts are re-checked in stageAppend/appendRows on the
+    // table-doesn't-exist path; here one scan covers both legs.
+    enforceCheckConstraints(updates.unionByName(inserts), "merge")
     if (!tableExists) { appendRows(inserts): Unit; return }
     recover()
     val withFile = allWithFile()
@@ -1771,6 +1879,11 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       java.nio.file.Files.move(schemaStage.toPath,
         new java.io.File(path, SchemaFile).toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    val constraintsStage = new java.io.File(staging, "constraints")
+    if (constraintsStage.exists())
+      java.nio.file.Files.move(constraintsStage.toPath,
+        new java.io.File(path, ConstraintsFile).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
     // Change-feed promotion: append this commit's rows (already under
     // commit-unique names, so replay after a crash is a no-op for
     // files a previous attempt landed).
@@ -2014,12 +2127,19 @@ class CustomerStore(protected val spark: SparkSession, path: String,
   */
 class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
+/** A commit was rejected because it would land rows violating a
+  * persisted CHECK constraint (Delta's InvariantViolationException
+  * analog) — the table is untouched.
+  */
+class ConstraintViolationException(msg: String) extends RuntimeException(msg)
+
 object CustomerStore {
   /** Underscore prefix keeps all of these out of Spark/Hadoop data discovery. */
   private[pipeline] val Staging = "_staging"
   private[pipeline] val StagingTmp = "_staging.tmp"
   /** The additive-evolution schema manifest (see `addColumn`). */
   private[pipeline] val SchemaFile = "_schema"
+  private[pipeline] val ConstraintsFile = "_constraints"
 
   /** The CURRENT schema of the store at `path` — file IO only, no
     * session: the DSv2 connector's planning-time consult.

@@ -357,6 +357,33 @@ object PipelineParity extends QueryGroup {
         org.apache.spark.sql.types.StringType) == 8L, "re-add must be v8")
     }
 
+  /** Persisted-CHECK-constraint history (6 commits): insert base →
+    * add id-cap + email-shape constraints (feed-silent DDL) → insert a
+    * block the cap admits → DROP the id cap → insert a block only the
+    * drop re-admits. Final state keeps `chk_email_at`, so the gate's
+    * rejection probe (read-only — enforcement throws before any
+    * staging dir is created) can run against the shared template.
+    */
+  private def constraintsTemplate(s: SparkSession, dir: String): String =
+    FixtureStores.template(s"constr|$dir") { storePath =>
+      val base = Ingest.enrich(baseCols(s, dir))
+      val store = new graft.pipeline.CustomerStore(s, storePath)
+      store.insertNew(base): Unit                                     // v1
+      require(store.addCheckConstraint("chk_id_cap",
+        "id < 20000000") == 2L, "constraint DDL must be v2")
+      require(store.addCheckConstraint("chk_email_at",
+        "email LIKE '%@%'") == 3L, "constraint DDL must be v3")
+      val mid = base.filter(col("id") % 6 === 0)
+        .withColumn("id", col("id") + 10000L)
+        .withColumn("email", concat(lit("c"), col("id"), lit("@example.com")))
+      store.insertNew(mid): Unit                                      // v4
+      require(store.dropCheckConstraint("chk_id_cap") == 5L, "drop must be v5")
+      val big = base.filter(col("id") % 8 === 0)
+        .withColumn("id", col("id") + 60000000L)
+        .withColumn("email", concat(lit("d"), col("id"), lit("@example.com")))
+      store.insertNew(big): Unit                                      // v6
+    }
+
   /** Build every fixture-store template for `dir`. The bench calls
     * this ONCE before pass 1 and publishes the elapsed time as a
     * separate `fixture_s` setup figure — template construction is
@@ -382,7 +409,8 @@ object PipelineParity extends QueryGroup {
       bloom4Template(_, _),
       clockIMATemplate(_, _),
       evolveTemplate(_, _),
-      mappingTemplate(_, _))
+      mappingTemplate(_, _),
+      constraintsTemplate(_, _))
     builds.foreach { b =>
       if (System.nanoTime() < deadlineNanos) b(s, dir): Unit
     }
@@ -1994,6 +2022,41 @@ object PipelineParity extends QueryGroup {
       out.toDF("tier", "n_rows", "id_sum", "n_uploaded").orderBy(col("tier"))
     }),
 
+    // Persisted CHECK constraints at the transaction boundary: DDL
+    // commits are feed-silent and versioned; a violating transaction
+    // is rejected WHOLE (probed read-only against the template); a
+    // dropped constraint re-admits. The aggregate re-derives from the
+    // planted arithmetic (u/c/d email prefixes name the three blocks).
+    "pipeline_constraints_persisted" -> ((s, dir) => {
+      import s.implicits._
+      val store = new graft.pipeline.CustomerStore(s,
+        constraintsTemplate(s, dir))
+      require(store.checkConstraints() ==
+        Seq(("chk_email_at", "email LIKE '%@%'")),
+        "final state must keep exactly the email constraint")
+      // constraint DDL is feed-silent (v2, v3, v5)
+      require(store.feedSince(1L, 3L).isEmpty && store.feedSince(4L, 5L).isEmpty,
+        "constraint DDL commits must emit no feed rows")
+      // a violating transaction rejects WHOLE, leaving no trace
+      val before = store.all().count()
+      val threw =
+        try {
+          store.insertNew(Ingest.enrich(baseCols(s, dir))
+            .filter(col("id") === 1L)
+            .withColumn("id", col("id") + 90000000L)
+            .withColumn("email", lit("no-at-sign"))): Unit
+          false
+        } catch { case _: graft.pipeline.ConstraintViolationException => true }
+      require(threw, "a violating insert must throw")
+      require(store.all().count() == before && store.currentVersion() == 6L,
+        "a rejected transaction must leave the table untouched")
+      val out = store.all()
+        .groupBy(substring(col("email"), 1, 1).as("block"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("id_sum"))
+        .collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      out.toDF("block", "n_rows", "id_sum").orderBy(col("block"))
+    }),
+
     // Column-mapping evolution (rename/drop) through the full read
     // surface: files store PHYSICAL names that never change, so every
     // DDL here is metadata-only; the aggregate re-derives from the
@@ -2676,6 +2739,18 @@ object PipelineParity extends QueryGroup {
                   CAST(0 AS BIGINT) AS n_uploaded
                 FROM c WHERE k % 10 = 0 GROUP BY 1)
          SELECT * FROM b UNION ALL SELECT * FROM f ORDER BY tier""",
+    "pipeline_constraints_persisted" ->
+      """WITH c AS (SELECT c_custkey AS k FROM customer),
+          u AS (SELECT 'u' AS block, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(k) AS BIGINT) AS id_sum FROM c),
+          m AS (SELECT 'c' AS block, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(k + 10000) AS BIGINT) AS id_sum
+                FROM c WHERE k % 6 = 0),
+          d AS (SELECT 'd' AS block, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(k + 60000000) AS BIGINT) AS id_sum
+                FROM c WHERE k % 8 = 0)
+         SELECT * FROM u UNION ALL SELECT * FROM m UNION ALL SELECT * FROM d
+         ORDER BY block""",
     "pipeline_schema_mapping_store" ->
       """WITH c AS (SELECT c_custkey AS k FROM customer),
           b AS (SELECT CAST(-1 AS BIGINT) AS quality,

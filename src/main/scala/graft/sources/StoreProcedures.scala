@@ -116,6 +116,21 @@ object StoreProcedures {
         store.optimizeZorderIncremental()
         Seq(store.currentVersion())
       }
+    },
+    new StoreProc("add_constraint",
+      "persist a CHECK constraint (must hold on all existing rows); " +
+        "inserts/merges violating it are rejected whole",
+      Array(p("path", StringType), p("name", StringType),
+        p("expression", StringType)), Seq("version")) {
+      override def run(store: CustomerStore, in: InternalRow): Seq[Long] =
+        Seq(store.addCheckConstraint(
+          in.getUTF8String(1).toString, in.getUTF8String(2).toString))
+    },
+    new StoreProc("drop_constraint",
+      "drop a persisted CHECK constraint",
+      Array(p("path", StringType), p("name", StringType)), Seq("version")) {
+      override def run(store: CustomerStore, in: InternalRow): Seq[Long] =
+        Seq(store.dropCheckConstraint(in.getUTF8String(1).toString))
     })
 
   private val byName: Map[String, StoreProc] = all.map(pr => pr.name() -> pr).toMap
