@@ -736,6 +736,24 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     retired.size
   }
 
+  /** Retire old snapshot checkpoints, keeping the newest `keepLast`
+    * (≥1 — the newest snapshot is what bounds [[asOf]] replay and
+    * anchors [[vacuumFeed]]'s cutoff, so it is never removable). Time
+    * travel to a version at or above a SURVIVING snapshot still works;
+    * below the oldest survivor it fails through [[asOf]]'s existing
+    * loud genesis check (the feed there is typically vacuumed too) —
+    * the retention boundary every checkpointing format has, made
+    * explicit. Returns the number of snapshot dirs deleted.
+    */
+  def vacuumSnapshots(keepLast: Int = 1): Int = {
+    require(keepLast >= 1, "vacuumSnapshots: keepLast must be >= 1 (the " +
+      "newest snapshot anchors asOf replay and the feed-vacuum cutoff)")
+    val vs = snapshotVersions().sorted
+    val retire = vs.dropRight(keepLast)
+    retire.foreach(v => deleteRecursively(snapshotDir(v)))
+    retire.size
+  }
+
   /** The feed-retention horizon: commits at or below this version were
     * retired by [[vacuumFeed]] (0 = nothing vacuumed). Range feed reads
     * ([[feedSince]], [[feedDirsIn]], the connector's `feedFrom`) whose

@@ -117,6 +117,13 @@ object StoreProcedures {
         Seq(store.currentVersion())
       }
     },
+    new StoreProc("vacuum_snapshots",
+      "retire old snapshot checkpoints, keeping the newest keep_last",
+      Array(p("path", StringType), p("keep_last", LongType)),
+      Seq("retired_snapshots")) {
+      override def run(store: CustomerStore, in: InternalRow): Seq[Long] =
+        Seq(store.vacuumSnapshots(in.getLong(1).toInt).toLong)
+    },
     new StoreProc("add_constraint",
       "persist a CHECK constraint (must hold on all existing rows); " +
         "inserts/merges violating it are rejected whole",

@@ -144,6 +144,30 @@ class TimeTravelSpec extends SparkSpec {
       .map(_.getString(0)).toSet === Set("insert"))
   }
 
+  test("vacuumSnapshots keeps the newest checkpoints; older asOf fails loudly") {
+    val store = new CustomerStore(spark, tmpDir("tt-snapvac") + "/store")
+    store.insertNew(rows((1L, "Ann", "A", "ann@example.com", "555-1"))): Unit
+    assert(store.writeSnapshot() === 1L)
+    store.insertNew(rows((2L, "Bob", "B", "bob@example.com", "555-2"))): Unit
+    assert(store.writeSnapshot() === 2L)
+    store.insertNew(rows((3L, "Cai", "C", "cai@example.com", "555-3"))): Unit
+    assert(store.writeSnapshot() === 3L)
+    // retire the feed behind the newest snapshot FIRST (the usual
+    // lifecycle order), then retire all but the last 2 snapshots
+    assert(store.vacuumFeed() === 3)
+    assert(store.vacuumSnapshots(keepLast = 2) === 1)
+    // versions covered by surviving snapshots still reconstruct
+    assert(store.asOf(2L).count() === 2L)
+    assert(store.asOf(3L).count() === 3L)
+    // below the oldest survivor: the feed is vacuumed and snapshot-1 is
+    // gone, so reconstruction refuses loudly instead of undercounting
+    intercept[IllegalArgumentException] { store.asOf(1L).collect() }
+    // the newest snapshot is never removable
+    intercept[IllegalArgumentException] { store.vacuumSnapshots(0) }
+    assert(store.vacuumSnapshots(1) === 1)
+    assert(store.asOf(3L).count() === 3L)
+  }
+
   test("feed low-watermark: vacuumed ranges fail loudly, asOf refuses the silent gap") {
     val path = tmpDir("tt-wm") + "/store"
     val store = new CustomerStore(spark, path)
