@@ -178,7 +178,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
         s"staging rename failed for $f")
     }
     val v = stageChanges(tmp,
-      changeRows(hit.drop("_file", "_del"), "delete_pre"))
+      changeRows(hit.drop("_file", "_del"), "delete_pre"), "DELETE")
     commitStaged(tmp, v)
     n
   }
@@ -216,7 +216,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       require(f.renameTo(new java.io.File(stage, s"ins-$commitId-${f.getName}")),
         s"staging rename failed for $f")
     }
-    val v = stageChanges(tmp, changeRows(fresh, "insert"))
+    val v = stageChanges(tmp, changeRows(fresh, "insert"), "WRITE")
     stageStats(tmp, v)
     commitStaged(tmp, v)
   }
@@ -392,7 +392,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     val next = org.apache.spark.sql.types.StructType(
       cur.fields :+ org.apache.spark.sql.types.StructField(
         name, dataType, nullable = true, metadata = meta))
-    commitSchema(next, v)
+    commitSchema(next, v, "ADD COLUMN")
   }
 
   /** RENAME a payload column: metadata-only — the column's PHYSICAL
@@ -422,7 +422,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       .withMetadata(f.metadata).putString("physical", physName(f)).build()
     val next = org.apache.spark.sql.types.StructType(
       cur.fields.updated(i, f.copy(name = to, metadata = meta)))
-    commitSchema(next, currentVersion() + 1)
+    commitSchema(next, currentVersion() + 1, "RENAME COLUMN")
   }
 
   /** DROP a payload column: metadata-only — the field leaves the
@@ -444,7 +444,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     requireUnconstrained(name, "dropColumn")
     val next = org.apache.spark.sql.types.StructType(
       cur.fields.filterNot(_.name.equalsIgnoreCase(name)))
-    commitSchema(next, currentVersion() + 1)
+    commitSchema(next, currentVersion() + 1, "DROP COLUMN")
   }
 
   /** Stage + promote a schema manifest as a feed-silent versioned
@@ -453,10 +453,12 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     * rule).
     */
   private def commitSchema(
-      next: org.apache.spark.sql.types.StructType, v: Long): Long =
-    commitMetadata("schema", next.json, v)
+      next: org.apache.spark.sql.types.StructType, v: Long,
+      op: String): Long =
+    commitMetadata("schema", next.json, v, op)
 
-  private def commitMetadata(file: String, body: String, v: Long): Long = {
+  private def commitMetadata(file: String, body: String, v: Long,
+      op: String): Long = {
     val tmp = freshStagingTmp()
     tmp.mkdirs()
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
@@ -466,6 +468,9 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       v.toString.getBytes(utf8))
     java.nio.file.Files.write(new java.io.File(tmp, "commit_ts").toPath,
       nextCommitTs().toString.getBytes(utf8))
+    // Metadata commits are feed-silent by construction: 0 change rows.
+    java.nio.file.Files.write(new java.io.File(tmp, "operation").toPath,
+      s"$op\n0".getBytes(utf8))
     commitStaged(tmp, v, fullReplace = true)
     applyStaged()
     v
@@ -516,7 +521,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
         s"existing rows, e.g. ${bad.headOption.getOrElse("")}")
     commitMetadata("constraints",
       (cur :+ (name, sqlExpr)).map { case (n, e) => s"$n\t$e" }.mkString("\n"),
-      currentVersion() + 1)
+      currentVersion() + 1, "ADD CONSTRAINT")
   }
 
   /** Drop a persisted CHECK constraint (versioned metadata commit). */
@@ -528,7 +533,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     commitMetadata("constraints",
       cur.filterNot(_._1.equalsIgnoreCase(name))
         .map { case (n, e) => s"$n\t$e" }.mkString("\n"),
-      currentVersion() + 1)
+      currentVersion() + 1, "DROP CONSTRAINT")
   }
 
   /** Column names a persisted constraint expression references —
@@ -646,11 +651,73 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     else root.listFiles().toSeq
       .filter(f => f.isFile && f.getName.startsWith("commit-"))
       .map { f =>
+        // Line 1 is the timestamp; later lines (operation label,
+        // change-row count) belong to [[history]].
         f.getName.stripPrefix("commit-").toLong ->
           new String(java.nio.file.Files.readAllBytes(f.toPath),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+            java.nio.charset.StandardCharsets.UTF_8)
+            .linesIterator.next().trim.toLong
       }
       .sortBy(_._1)
+  }
+
+  /** The table's COMMIT HISTORY — the Delta `DESCRIBE HISTORY` shape:
+    * one row per commit, newest first, with the commit's promotion
+    * timestamp, its operation label (WRITE / UPDATE / MERGE / DELETE /
+    * OPTIMIZE / RESTORE / ADD|RENAME|DROP COLUMN / ADD|DROP
+    * CONSTRAINT) and its change-feed row count (0 for feed-silent
+    * layout and DDL commits). Served ENTIRELY from the `_commits`
+    * registry — tiny per-commit metadata files that survive
+    * [[vacuumFeed]], so history keeps describing commits whose feed
+    * dirs are long retired, and the read costs O(commits) driver-side
+    * metadata, never a data or feed scan. Entries written before the
+    * operation label existed surface NULL operation/row count
+    * (may-describe metadata degrades to unknown, never to a wrong
+    * claim).
+    */
+  def history(): DataFrame = {
+    val root = new java.io.File(path, Commits)
+    val rows: Seq[org.apache.spark.sql.Row] =
+      if (!root.exists()) Seq.empty
+      else root.listFiles().toSeq
+        .filter(f => f.isFile && f.getName.startsWith("commit-"))
+        .map { f =>
+          val v = f.getName.stripPrefix("commit-").toLong
+          val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+            .linesIterator.map(_.trim).toArray
+          org.apache.spark.sql.Row(v, lines(0).toLong,
+            if (lines.length > 1) lines(1) else null,
+            if (lines.length > 2) java.lang.Long.valueOf(lines(2).toLong)
+            else null)
+        }
+        .sortBy(-_.getLong(0))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, CustomerStore.historySchema)
+  }
+
+  /** One-row table metadata summary — the Delta `DESCRIBE DETAIL`
+    * shape: current version, live data-file count and byte size,
+    * deletion-vector totals, persisted-constraint count, retained
+    * snapshot count, the feed low-watermark, and the (possibly
+    * evolved) column count. Everything derives from manifests and
+    * registry metadata — no data file is opened.
+    */
+  def detail(): DataFrame = {
+    val live = liveDataFiles()
+    val sizeBytes = live.map(f => new java.io.File(f._2).length()).sum
+    val (dvTotal, dvLive) = deletionVectorStats()
+    val snaps = {
+      val d = new java.io.File(path, Snapshots)
+      if (!d.isDirectory) 0L
+      else d.listFiles().count(f => f.isDirectory && !f.getName.startsWith(".tmp")).toLong
+    }
+    val row = org.apache.spark.sql.Row(
+      currentVersion(), live.size.toLong, sizeBytes, dvTotal, dvLive,
+      checkConstraints().size.toLong, snaps, feedLowWatermark(),
+      tableSchema.size.toLong)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(Seq(row).asJava, CustomerStore.detailSchema)
   }
 
   /** The timestamp a commit being staged NOW should carry: the wall
@@ -901,7 +968,8 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(
           org.apache.spark.sql.types.StructField("change_type",
-            org.apache.spark.sql.types.StringType, nullable = false) +: tableSchema.fields)))
+            org.apache.spark.sql.types.StringType, nullable = false) +: tableSchema.fields)),
+      "OPTIMIZE")
     applyStaged()
   }
 
@@ -925,6 +993,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
         org.apache.spark.sql.types.StructType(
           org.apache.spark.sql.types.StructField("change_type",
             org.apache.spark.sql.types.StringType, nullable = false) +: tableSchema.fields)),
+      "OPTIMIZE",
       truncateDeletes = true)
     applyStaged()
   }
@@ -967,6 +1036,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       target.filter(!col("uploaded")),
       target.filter(col("uploaded")),
       ins.unionByName(del).unionByName(updPre).unionByName(upd),
+      "RESTORE",
       // Full replace: every pre-restore file is gone, so the vectors
       // truncate inside the commit's idempotent promotion.
       truncateDeletes = true)
@@ -1503,7 +1573,8 @@ class CustomerStore(protected val spark: SparkSession, path: String,
         .select(tableSchema.fieldNames.map(col): _*)
     stageMergeCommit(survivors.unionByName(moved), touched.toSeq,
       changeRows(movedPre.drop("_file"), "ack_pre")
-        .unionByName(changeRows(moved, "ack")))
+        .unionByName(changeRows(moved, "ack")),
+      "UPDATE")
     applyStaged()
   }
 
@@ -1562,7 +1633,8 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       touched.toSeq,
       changeRows(updatesPre.drop("_file"), "update_pre")
         .unionByName(changeRows(updates, "update"))
-        .unionByName(changeRows(inserts, "insert")))
+        .unionByName(changeRows(inserts, "insert")),
+      "MERGE")
     applyStaged()
   }
 
@@ -1572,7 +1644,8 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     * point and recovery rules as every staged mutation.
     */
   private[pipeline] def stageMergeCommit(replacement: DataFrame,
-      removeUris: Seq[String], changes: DataFrame): Unit = {
+      removeUris: Seq[String], changes: DataFrame,
+      op: String): Unit = {
     val tmp = freshStagingTmp()
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     Seq(("merge-pending", "remove-pending", false),
@@ -1592,7 +1665,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       java.nio.file.Files.write(new java.io.File(tmp, rm).toPath,
         names.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     }
-    val v = stageChanges(tmp, changes)
+    val v = stageChanges(tmp, changes, op)
     stageStats(tmp, v)
     commitStaged(tmp, v)
   }
@@ -1604,7 +1677,8 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     * (`done-append`).
     */
   private[pipeline] def stageFullCommit(pending: DataFrame, done: DataFrame,
-      changes: DataFrame, truncateDeletes: Boolean = false): Unit = {
+      changes: DataFrame, op: String,
+      truncateDeletes: Boolean = false): Unit = {
     val tmp = freshStagingTmp()
     toPhysical(pending.drop("uploaded"), dataLogicalSchema)
       .write.parquet(new java.io.File(tmp, "pending").toString)
@@ -1618,7 +1692,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     if (truncateDeletes)
       java.nio.file.Files.write(new java.io.File(tmp, "truncate-deletes").toPath,
         Array.emptyByteArray): Unit
-    val v = stageChanges(tmp, changes)
+    val v = stageChanges(tmp, changes, op)
     stageStats(tmp, v)
     // Full replace: ANY interleaved commit conflicts (the rewrite was
     // derived from the whole pre-commit table).
@@ -1632,8 +1706,16 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     * and stages the version marker the promotion advances the counter
     * from — the stamp happens HERE, the single staging choke point,
     * so every mutation path versions identically.
+    *
+    * `op` is the commit's OPERATION label (the DESCRIBE HISTORY verb:
+    * WRITE / UPDATE / MERGE / DELETE / OPTIMIZE / RESTORE / DDL verbs)
+    * — staged with the commit alongside its change-row count (a
+    * footer-only consult of the just-written, page-warm changelog) and
+    * promoted into the vacuum-surviving `_commits` registry, so
+    * [[history]] can describe commits whose feed dirs are long retired.
     */
-  private def stageChanges(tmp: java.io.File, changes: DataFrame): Long = {
+  private def stageChanges(tmp: java.io.File, changes: DataFrame,
+      op: String): Long = {
     val v = currentVersion() + 1
     val dir = new java.io.File(tmp, "changelog")
     toPhysical(changes.withColumn("commit_version", lit(v))
@@ -1650,8 +1732,25 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     // _commits registry advances atomically with the commit itself.
     java.nio.file.Files.write(new java.io.File(tmp, "commit_ts").toPath,
       nextCommitTs().toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(new java.io.File(tmp, "operation").toPath,
+      s"$op\n${parquetRowCount(dir)}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     v
   }
+
+  /** Total row count of the parquet files in `dir` — footer-only,
+    * driver-side, cost ∝ files (the staged files it is used on were
+    * just written and are page-warm).
+    */
+  private def parquetRowCount(dir: java.io.File): Long =
+    if (!dir.isDirectory) 0L
+    else dir.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          new org.apache.hadoop.conf.Configuration(false)))
+      try r.getRecordCount finally r.close()
+    }.sum
 
   /** Drop ZERO-ROW part files from this commit's staged data dirs
     * (footer-only consult, driver-side, ∝ staged files): Spark writes
@@ -1785,7 +1884,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       .write.parquet(new java.io.File(tmp, "done-append").toString)
     toPhysical(kept.drop("uploaded"), dataLogicalSchema)
       .write.parquet(new java.io.File(tmp, "pending").toString)
-    val v = stageChanges(tmp, changes)
+    val v = stageChanges(tmp, changes, "UPDATE")
     // Commit-unique file names now, so replay after a crash cannot
     // clobber files a previous commit already promoted.
     val commitId = java.util.UUID.randomUUID().toString.take(8)
@@ -1954,14 +2053,26 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       // Commit→timestamp registry entry (idempotent: crash replay
       // rewrites the same staged value). Written BEFORE the version
       // counter advances, so a registry entry can lag the counter only
-      // inside an in-flight promotion, never the other way.
+      // inside an in-flight promotion, never the other way. Line 1 is
+      // the promotion timestamp; lines 2-3 (when staged) are the
+      // operation label and change-row count [[history]] serves —
+      // registry entries survive vacuumFeed, so the history of a
+      // retired commit stays describable.
       val tsMarker = new java.io.File(staging, "commit_ts")
       if (tsMarker.exists()) {
         val reg = new java.io.File(path, Commits)
         reg.mkdirs()
-        java.nio.file.Files.copy(tsMarker.toPath,
-          new java.io.File(reg, s"commit-$v").toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val ts = new String(
+          java.nio.file.Files.readAllBytes(tsMarker.toPath), utf8).trim
+        val opMarker = new java.io.File(staging, "operation")
+        val entry =
+          if (opMarker.exists())
+            ts + "\n" + new String(
+              java.nio.file.Files.readAllBytes(opMarker.toPath), utf8).trim
+          else ts
+        java.nio.file.Files.write(
+          new java.io.File(reg, s"commit-$v").toPath, entry.getBytes(utf8)): Unit
       }
       val vTmp = new java.io.File(path, VersionFile + ".tmp")
       java.nio.file.Files.write(vTmp.toPath,
@@ -2214,6 +2325,43 @@ object CustomerStore {
   private[pipeline] val StatsManifest = "_stats"
   private[pipeline] val Deletes = "_deletes"
   private[pipeline] val FeedWatermark = "_feed_watermark"
+
+  /** Schema of [[CustomerStore.history]] (the DESCRIBE HISTORY face).
+    * `operation` / `n_change_rows` are nullable: a registry entry
+    * written before the label existed reads as unknown.
+    */
+  val historySchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("commit_ts",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("operation",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("n_change_rows",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+
+  /** Schema of [[CustomerStore.detail]] (the DESCRIBE DETAIL face). */
+  val detailSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("version",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_files",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("size_bytes",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_dv_rows",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_dv_live",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_constraints",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_snapshots",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("feed_low_watermark",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_columns",
+        org.apache.spark.sql.types.LongType, nullable = false)))
 
   /** Per-file bloom geometry for the email point-lookup index: 2^17
     * bits (2 KiB of words per file) holds ~8k keys per file at the

@@ -2104,6 +2104,39 @@ object PipelineParity extends QueryGroup {
         .orderBy(col("quality"))
     }),
 
+    // Commit HISTORY + table DETAIL (the DESCRIBE HISTORY / DESCRIBE
+    // DETAIL faces): every commit's operation label and change-row
+    // count, recorded at promotion in the vacuum-surviving `_commits`
+    // registry and served from registry metadata alone — probed
+    // read-only on the 6-commit constraints template, whose planted
+    // arithmetic the oracle re-derives (DDL commits are pinned at 0
+    // rows, insert commits at their block's %-of-custkey count).
+    // REQUIREs pin what the aggregate can't: the connector metadata
+    // read equals the API's, registry timestamps are strictly
+    // monotonic, and detail() reports the planted version/constraint
+    // state without opening a data file.
+    "pipeline_history" -> ((s, dir) => {
+      import s.implicits._
+      val store = new graft.pipeline.CustomerStore(s,
+        constraintsTemplate(s, dir))
+      val h = store.history()
+      val viaConn = s.read.format("graft-store")
+        .option("path", constraintsTemplate(s, dir))
+        .option("history", true).load()
+      require(viaConn.orderBy(col("commit_version")).collect().toSeq ==
+        h.orderBy(col("commit_version")).collect().toSeq,
+        "connector history must equal the API's")
+      val ts = store.commitTimestamps().map(_._2)
+      require(ts == ts.sorted && ts.distinct.size == ts.size,
+        "commit timestamps must be strictly monotonic")
+      val d = store.detail().head()
+      require(d.getLong(0) == 6L && d.getLong(5) == 1L,
+        "detail must report version 6 with exactly 1 constraint")
+      h.select(col("commit_version"), col("operation"),
+          col("n_change_rows"))
+        .orderBy(col("commit_version"))
+    }),
+
     // JSONL sink → source round trip with per-line salvage: documents
     // written as JSON lines, two garbage lines appended, read back
     // under the explicit schema. The md5-prefix checksum over the
@@ -2765,6 +2798,19 @@ object PipelineParity extends QueryGroup {
                   CAST(0 AS BIGINT) AS n_updated
                 FROM c WHERE k % 10 = 0 GROUP BY 1)
          SELECT * FROM b UNION ALL SELECT * FROM f ORDER BY quality""",
+    "pipeline_history" ->
+      """WITH c AS (SELECT c_custkey AS k FROM customer)
+         SELECT CAST(v AS BIGINT) AS commit_version, op AS operation,
+                CAST(n AS BIGINT) AS n_change_rows
+         FROM (VALUES
+           (1, 'WRITE', (SELECT COUNT(*) FROM c)),
+           (2, 'ADD CONSTRAINT', 0),
+           (3, 'ADD CONSTRAINT', 0),
+           (4, 'WRITE', (SELECT COUNT(*) FROM c WHERE k % 6 = 0)),
+           (5, 'DROP CONSTRAINT', 0),
+           (6, 'WRITE', (SELECT COUNT(*) FROM c WHERE k % 8 = 0))
+         ) AS t(v, op, n)
+         ORDER BY v""",
     "pipeline_jsonl_roundtrip" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
            CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids,

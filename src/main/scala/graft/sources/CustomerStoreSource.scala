@@ -105,7 +105,9 @@ class CustomerStoreSource extends TableProvider with DataSourceRegister
     }
   }
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (options.containsKey("feedFrom") ||
+    if (options.getBoolean("history", false)) CustomerStore.historySchema
+    else if (options.getBoolean("detail", false)) CustomerStore.detailSchema
+    else if (options.containsKey("feedFrom") ||
         options.containsKey("feedFromTimestamp"))
       CustomerStore.changeSchemaAt(options.get("path"))
     else CustomerStore.schemaAt(options.get("path"))
@@ -117,6 +119,26 @@ class CustomerStoreSource extends TableProvider with DataSourceRegister
     val timestampAsOf = Option(properties.get("timestampAsOf")).map(_.toLong)
     require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
       "graft-store: versionAsOf and timestampAsOf are mutually exclusive")
+    // Metadata tables: DESCRIBE HISTORY / DESCRIBE DETAIL as reads —
+    // `option("history", true)` serves the commit log, `option(
+    // "detail", true)` the one-row table summary. Exclusive with every
+    // data-read option (time travel / CDC / admission control).
+    val wantHistory = java.lang.Boolean.parseBoolean(
+      String.valueOf(properties.getOrDefault("history", "false")))
+    val wantDetail = java.lang.Boolean.parseBoolean(
+      String.valueOf(properties.getOrDefault("detail", "false")))
+    if (wantHistory || wantDetail) {
+      require(!(wantHistory && wantDetail),
+        "graft-store: history and detail are mutually exclusive")
+      require(versionAsOf.isEmpty && timestampAsOf.isEmpty &&
+          properties.get("feedFrom") == null &&
+          properties.get("feedFromTimestamp") == null &&
+          properties.get("feedTo") == null,
+        "graft-store: a metadata read (history/detail) takes no " +
+          "time-travel or change-feed options")
+      return new CustomerStoreMetaTable(path,
+        if (wantHistory) "history" else "detail")
+    }
     val feedFromV = Option(properties.get("feedFrom")).map(_.toLong)
     // Timestamp-addressed feed start (Delta's startingTimestamp): every
     // commit whose registry timestamp is AT OR AFTER the given millis is
@@ -134,6 +156,7 @@ class CustomerStoreSource extends TableProvider with DataSourceRegister
     val feedTo = Option(properties.get("feedTo")).map(_.toLong)
     val maxCommits = Option(properties.get("maxCommitsPerTrigger")).map(_.toLong)
     val maxBytes = Option(properties.get("maxBytesPerTrigger")).map(_.toLong)
+    val maxRows = Option(properties.get("maxRowsPerTrigger")).map(_.toLong)
     if (feedFrom.isDefined || feedTo.isDefined) {
       require(feedFrom.isDefined,
         "graft-store: feedTo requires feedFrom (the exclusive lower version) " +
@@ -144,12 +167,14 @@ class CustomerStoreSource extends TableProvider with DataSourceRegister
         "graft-store: maxCommitsPerTrigger must be >= 1")
       require(maxBytes.forall(_ >= 1L),
         "graft-store: maxBytesPerTrigger must be >= 1")
+      require(maxRows.forall(_ >= 1L),
+        "graft-store: maxRowsPerTrigger must be >= 1")
       new CustomerStoreChangesTable(path, feedFrom.get, feedTo, maxCommits,
-        maxBytes)
+        maxBytes, maxRows)
     } else {
-      require(maxCommits.isEmpty && maxBytes.isEmpty,
-        "graft-store: maxCommitsPerTrigger/maxBytesPerTrigger apply to " +
-          "change-feed reads (feedFrom)")
+      require(maxCommits.isEmpty && maxBytes.isEmpty && maxRows.isEmpty,
+        "graft-store: maxCommitsPerTrigger/maxBytesPerTrigger/" +
+          "maxRowsPerTrigger apply to change-feed reads (feedFrom)")
       new CustomerStoreTable(path, versionAsOf, timestampAsOf)
     }
   }
@@ -191,7 +216,8 @@ class CustomerStoreSource extends TableProvider with DataSourceRegister
   */
 class CustomerStoreChangesTable(path: String, fromExclusive: Long,
     toInclusive: Option[Long], maxCommitsPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = s"graft_store_changes($path)"
   override def schema(): StructType = CustomerStore.changeSchemaAt(path)
@@ -204,20 +230,21 @@ class CustomerStoreChangesTable(path: String, fromExclusive: Long,
         required = requiredSchema
       override def build(): Scan =
         new StoreChangesScan(path, fromExclusive, toInclusive, required,
-          maxCommitsPerTrigger, maxBytesPerTrigger)
+          maxCommitsPerTrigger, maxBytesPerTrigger, maxRowsPerTrigger)
     }
 }
 
 class StoreChangesScan(path: String, fromExclusive: Long,
     toInclusive: Option[Long], required: StructType,
     maxCommitsPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None) extends Scan with Batch {
+    maxBytesPerTrigger: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new StoreChangesMicroBatchStream(path, fromExclusive, toInclusive,
-      required, maxCommitsPerTrigger, maxBytesPerTrigger)
+      required, maxCommitsPerTrigger, maxBytesPerTrigger, maxRowsPerTrigger)
   private lazy val dirs: Seq[(Long, String)] = {
     val store = new CustomerStore(SparkSession.active, path)
     store.feedDirsIn(fromExclusive, toInclusive.getOrElse(store.currentVersion()))
@@ -255,7 +282,8 @@ case class StoreFeedOffset(version: Long)
 class StoreChangesMicroBatchStream(path: String, fromExclusive: Long,
     toInclusive: Option[Long], required: StructType,
     maxCommitsPerTrigger: Option[Long],
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -291,26 +319,44 @@ class StoreChangesMicroBatchStream(path: String, fromExclusive: Long,
       case Some(cap) => math.min(target, from + cap)
       case None => target
     }
-    StoreFeedOffset(maxBytesPerTrigger match {
-      case Some(cap) if commitCapped > from =>
-        // Bytes-grain admission (the Delta-source knob the commits-only
-        // cap lacks): admit WHOLE commits — the feed's atomicity grain —
-        // while the byte budget remains, always at least one, so a bulk
-        // commit larger than the cap ships alone rather than stalling.
-        // Feed-silent commits (compact) have no dir and cost 0 bytes.
-        val sizes = store.feedDirsIn(from, commitCapped).map { case (v, d) =>
-          v -> Option(new java.io.File(d).listFiles())
-            .fold(0L)(_.map(_.length()).sum)
-        }.toMap
+    StoreFeedOffset(
+      if ((maxBytesPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty) ||
+          commitCapped <= from) commitCapped
+      else {
+        // Bytes/rows-grain admission (the Delta-source knobs the
+        // commits-only cap lacks): admit WHOLE commits — the feed's
+        // atomicity grain — while every present budget remains, always
+        // at least one, so a bulk commit larger than a cap ships alone
+        // rather than stalling. Feed-silent commits (compact, DDL)
+        // have no dir and cost 0. Bytes come from file lengths, rows
+        // from parquet footers — both driver-side metadata consults
+        // proportional to the admitted lag, never a data read.
+        val dirs = store.feedDirsIn(from, commitCapped).toMap
+        def files(v: Long): Seq[java.io.File] = dirs.get(v)
+          .flatMap(d => Option(new java.io.File(d).listFiles()))
+          .fold(Seq.empty[java.io.File])(_.toSeq)
+        val sizes = dirs.keys.map(v => v -> files(v).map(_.length()).sum).toMap
+        def rowsOf(v: Long): Long =
+          files(v).filter(_.getName.endsWith(".parquet")).map { f =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+                new org.apache.hadoop.conf.Configuration(false)))
+            try r.getRecordCount finally r.close()
+          }.sum
         var v = from
         var bytes = 0L
-        while (v < commitCapped && (v == from || bytes < cap)) {
+        var rows = 0L
+        while (v < commitCapped &&
+            (v == from ||
+              (maxBytesPerTrigger.forall(bytes < _) &&
+                maxRowsPerTrigger.forall(rows < _)))) {
           v += 1
           bytes += sizes.getOrElse(v, 0L)
+          if (maxRowsPerTrigger.isDefined) rows += rowsOf(v)
         }
         v
-      case _ => commitCapped
-    })
+      })
   }
 
   override def reportLatestOffset(): SOffset = StoreFeedOffset(headVersion())
@@ -355,6 +401,76 @@ case class StoreChangesReaderFactory(required: Array[String],
       override def next(): Boolean = {
         if (!it.hasNext) return false
         current = InternalRow.fromSeq(it.next().toIndexedSeq)
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+}
+
+/** DESCRIBE HISTORY / DESCRIBE DETAIL through the connector: tiny
+  * metadata tables resolved DRIVER-SIDE at scan planning (the history
+  * is O(commits) registry entries, the detail one row — embedding the
+  * resolved rows in the single input partition costs less than any
+  * executor round trip) and never opening a data file beyond the
+  * manifest consults [[CustomerStore.detail]] itself does.
+  *
+  * {{{
+  *   spark.read.format("graft-store").option("path", dir)
+  *     .option("history", true).load()   // commit_version, commit_ts,
+  *                                       // operation, n_change_rows
+  *   spark.read.format("graft-store").option("path", dir)
+  *     .option("detail", true).load()    // one-row table summary
+  * }}}
+  */
+class CustomerStoreMetaTable(path: String, which: String)
+    extends Table with SupportsRead {
+  private def metaSchema: StructType =
+    if (which == "history") CustomerStore.historySchema
+    else CustomerStore.detailSchema
+  override def name(): String = s"graft_store_$which($path)"
+  override def schema(): StructType = metaSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = metaSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = required
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] = {
+          val store = new CustomerStore(SparkSession.active, path)
+          val df = if (which == "history") store.history() else store.detail()
+          val rows = df.collect().toSeq.map { r =>
+            required.fieldNames.toSeq.map(n => r.get(r.fieldIndex(n)))
+          }
+          Array(StoreMetaPartition(rows))
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          StoreMetaReaderFactory
+        override def description(): String =
+          s"GraftStoreMeta($which) path=$path, " +
+            s"ReadSchema: ${required.simpleString}"
+      }
+    }
+}
+
+case class StoreMetaPartition(rows: Seq[Seq[Any]]) extends InputPartition
+
+object StoreMetaReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val it =
+        partition.asInstanceOf[StoreMetaPartition].rows.iterator
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        current = InternalRow.fromSeq(it.next().map {
+          case s: String => UTF8String.fromString(s)
+          case v => v
+        })
         true
       }
       override def get(): InternalRow = current

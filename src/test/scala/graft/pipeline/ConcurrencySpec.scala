@@ -94,12 +94,12 @@ class ConcurrencySpec extends SparkSpec {
     // Rival: a feed-silent data-only rewrite of the victim file
     // (compact/OPTIMIZE shape) — commits, stays unpromoted.
     val rewritten = store.all().limit(0) // replacement may be empty: remove-only
-    store.stageMergeCommit(rewritten, Seq(victim), emptyChanges)
+    store.stageMergeCommit(rewritten, Seq(victim), emptyChanges, "OPTIMIZE")
     // Us: a file-level commit whose remove-list names the same file.
     // Feed-silent rivals leave no key overlap — only the physical
     // read-set check can catch this.
     val e = intercept[ConcurrentCommitException] {
-      store.stageMergeCommit(rewritten, Seq(victim), emptyChanges)
+      store.stageMergeCommit(rewritten, Seq(victim), emptyChanges, "OPTIMIZE")
     }
     assert(e.getMessage.contains(victimName))
     store.recover()
@@ -121,7 +121,7 @@ class ConcurrencySpec extends SparkSpec {
           CustomerSchema.tableSchema.fields))
     intercept[ConcurrentCommitException] {
       store.stageFullCommit(cur.filter(!col("uploaded")),
-        cur.filter(col("uploaded")), emptyChanges)
+        cur.filter(col("uploaded")), emptyChanges, "OPTIMIZE")
     }
     store.recover()
     assert(store.all().count() === 9L) // base + rival's insert, no tear

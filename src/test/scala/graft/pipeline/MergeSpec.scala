@@ -216,7 +216,8 @@ class MergeSpec extends SparkSpec {
     store.stageMergeCommit(
       survivors.unionByName(updated), touched,
       updated.select(lit("update").as("change_type") +:
-        CustomerSchema.tableSchema.fieldNames.map(col): _*))
+        CustomerSchema.tableSchema.fieldNames.map(col): _*),
+      "MERGE")
     // Crash: promotion never ran; the commit point (rename) is passed.
     assert(new File(path, CustomerStore.Staging).exists())
     val reopened = new CustomerStore(spark, path) // constructor recovers
@@ -241,7 +242,8 @@ class MergeSpec extends SparkSpec {
       .select(lit("update").as("change_type") +:
         CustomerSchema.tableSchema.fieldNames.map(col): _*)
     store.stageFullCommit(
-      next.filter(!col("uploaded")), next.filter(col("uploaded")), updated)
+      next.filter(!col("uploaded")), next.filter(col("uploaded")), updated,
+      "MERGE")
     // Crash: promotion never ran; the commit point (rename) is passed.
     assert(new File(path, CustomerStore.Staging).exists())
     val reopened = new CustomerStore(spark, path) // constructor recovers

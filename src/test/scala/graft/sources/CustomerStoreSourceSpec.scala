@@ -782,6 +782,52 @@ class CustomerStoreSourceSpec extends SparkSpec {
       "maxBytesPerTrigger" -> "1") === Seq(200L, 5L, 5L))
   }
 
+  test("streaming CDC maxRowsPerTrigger: rows-grain admission, whole commits, never zero") {
+    val path = tmpDir("dsv2-streamrows") + "/store"
+    val store = new CustomerStore(spark, path)
+    store.insertNew(block(1L, 200L)): Unit // v1 — the bulk load
+    store.insertNew(block(1001L, 1005L)): Unit // v2 — small
+    store.insertNew(block(2001L, 2005L)): Unit // v3 — small
+    def drain(sink: String, ckpt: String, opts: (String, String)*): Seq[Long] = {
+      val r = spark.readStream.format("graft-store").option("path", path)
+        .option("feedFrom", 0)
+      opts.foreach { case (k, v) => r.option(k, v): Unit }
+      val q = r.load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.filter(_.numInputRows > 0L).map(_.numInputRows).toSeq
+    }
+    // A 10-row budget: the 200-row bulk commit still ships — whole,
+    // alone (admission is ≥1 commit, the feed's atomicity grain) —
+    // then the two 5-row commits fill one batch together.
+    val sink = tmpDir("dsv2-streamrows-sink")
+    val ckpt = tmpDir("dsv2-streamrows-ckpt")
+    assert(drain(sink, ckpt, "maxRowsPerTrigger" -> "10",
+      "feedTo" -> "1") === Seq(200L))
+    // Restart mid-drain: resumes at the checkpointed offset.
+    assert(drain(sink, ckpt, "maxRowsPerTrigger" -> "10") === Seq(10L))
+    // Exactly-once across the restart: sink == feed, no loss, no dupes.
+    val sunk = spark.read.schema(store.changeFeed().schema).parquet(sink)
+    assert(sunk.count() === store.changeFeed().count())
+    assert(sunk.select(col("commit_version")).distinct().count() === 3L)
+    // A 5-row budget stops after each small commit: one per batch.
+    assert(drain(tmpDir("dsv2-streamrows-sink2"),
+      tmpDir("dsv2-streamrows-ckpt2"),
+      "maxRowsPerTrigger" -> "5") === Seq(200L, 5L, 5L))
+    // rows+bytes caps compose: the tighter budget wins per batch.
+    assert(drain(tmpDir("dsv2-streamrows-sink3"),
+      tmpDir("dsv2-streamrows-ckpt3"),
+      "maxRowsPerTrigger" -> "10",
+      "maxBytesPerTrigger" -> "1") === Seq(200L, 5L, 5L))
+    // a batch read rejects the streaming admission knob like the others
+    intercept[Exception] {
+      spark.read.format("graft-store").option("path", path)
+        .option("maxRowsPerTrigger", 10).load()
+    }
+  }
+
   test("streaming CDC source fails loudly when the checkpoint predates the vacuum horizon") {
     val path = tmpDir("dsv2-streamwm") + "/store"
     val store = new CustomerStore(spark, path)
