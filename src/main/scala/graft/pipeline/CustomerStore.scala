@@ -383,6 +383,12 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       dataType: org.apache.spark.sql.types.DataType): Long = {
     recover()
     require(tableExists, s"addColumn: table at $path does not exist")
+    // The store's physical decode grammar (scans, snapshots, feed,
+    // connector readers) covers exactly these Catalyst types — an
+    // unsupported add must fail at DDL time, not at first read.
+    require(CustomerStore.SupportedColumnTypes.contains(dataType),
+      s"addColumn: type ${dataType.simpleString} is not supported — " +
+        "evolved columns may be int, bigint, string, boolean, or timestamp")
     val cur = tableSchema
     require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"addColumn: column '$name' already exists")
@@ -393,6 +399,44 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       cur.fields :+ org.apache.spark.sql.types.StructField(
         name, dataType, nullable = true, metadata = meta))
     commitSchema(next, v, "ADD COLUMN")
+  }
+
+  /** TYPE WIDENING (the Delta/Iceberg `ALTER COLUMN TYPE` evolution):
+    * widen a payload column's type WITHOUT rewriting a single file —
+    * a feed-silent versioned metadata commit updates the schema
+    * manifest, and every read path serves the widened type over both
+    * old (narrow) and new (wide) physical files: Spark's parquet
+    * readers promote int32→int64 natively under the requested schema,
+    * and the connector's custom readers request/convert per the
+    * LOGICAL type at the file boundary. Only lossless widenings are
+    * admitted (int → bigint); anything lossy or unsupported is
+    * refused loudly — a narrow-ing would corrupt committed values.
+    * Structural columns (id, email, uploaded, the touch timestamps)
+    * are rejected: their physical layout is load-bearing contract
+    * surface (zones, blooms, the wire format). Returns the commit
+    * version.
+    */
+  def widenColumn(name: String,
+      to: org.apache.spark.sql.types.DataType): Long = {
+    recover()
+    require(tableExists, s"widenColumn: table at $path does not exist")
+    val cur = tableSchema
+    require(!CustomerStore.StructuralColumns.contains(name.toLowerCase),
+      s"widenColumn: '$name' is structural (merge key / partition / " +
+        "pruning-manifest surface) and cannot be retyped")
+    val i = cur.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+    require(i >= 0, s"widenColumn: no column '$name'")
+    val f = cur.fields(i)
+    require(CustomerStore.SupportedWidenings.contains((f.dataType, to)),
+      s"widenColumn: ${f.dataType.simpleString} → ${to.simpleString} is " +
+        "not a supported lossless widening (supported: int → bigint)")
+    // Pin the physical name (= the current one) so the widened field
+    // keeps reading every historical file, like a rename does.
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putString("physical", physName(f)).build()
+    val next = org.apache.spark.sql.types.StructType(
+      cur.fields.updated(i, f.copy(dataType = to, metadata = meta)))
+    commitSchema(next, currentVersion() + 1, "ALTER COLUMN")
   }
 
   /** RENAME a payload column: metadata-only — the column's PHYSICAL
@@ -2306,6 +2350,30 @@ object CustomerStore {
     */
   private[pipeline] val StructuralColumns: Set[String] =
     Set("id", "email", "uploaded", "created_ts", "modified_ts")
+
+  /** Catalyst types the store's physical decode grammar covers (see
+    * [[graft.sources.ParquetGroups]]): int32/int64/bool/binary-UTF8/
+    * timestamp. [[CustomerStore.addColumn]] refuses anything else at
+    * DDL time.
+    */
+  private[graft] val SupportedColumnTypes:
+      Set[org.apache.spark.sql.types.DataType] = Set(
+    org.apache.spark.sql.types.IntegerType,
+    org.apache.spark.sql.types.LongType,
+    org.apache.spark.sql.types.StringType,
+    org.apache.spark.sql.types.BooleanType,
+    org.apache.spark.sql.types.TimestampType)
+
+  /** Lossless (from, to) widenings [[CustomerStore.widenColumn]]
+    * admits — pairs where every committed narrow value is exactly
+    * representable in the wide type and the store's readers can serve
+    * the wide type over narrow files without a rewrite.
+    */
+  private[graft] val SupportedWidenings:
+      Set[(org.apache.spark.sql.types.DataType,
+           org.apache.spark.sql.types.DataType)] = Set(
+    (org.apache.spark.sql.types.IntegerType,
+     org.apache.spark.sql.types.LongType))
 
   /** Commit-point retries before an optimistic committer gives up. */
   private[pipeline] val MaxCommitAttempts = 5

@@ -87,7 +87,12 @@ trait CustomerStoreApi {
     */
   protected def aligned(df: DataFrame): DataFrame =
     df.select(tableSchema.fields.map { f =>
-      if (df.columns.contains(f.name)) col(f.name)
+      // Present columns are cast to the DECLARED type so files always
+      // store the schema's physical type (a Long-valued batch into an
+      // int column must not write int64 pages under an int schema —
+      // the widening read contract depends on files never being WIDER
+      // than their column's declared type at write time).
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toSeq: _*)
 

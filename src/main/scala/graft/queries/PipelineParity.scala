@@ -384,6 +384,39 @@ object PipelineParity extends QueryGroup {
       store.insertNew(big): Unit                                      // v6
     }
 
+  /** Type-widening history (6 commits): insert base → ADD points INT →
+    * insert an int-valued block ('w' emails) → WIDEN points to BIGINT
+    * (feed-silent metadata) → insert a block whose points EXCEED the
+    * int range ('x' emails — representable only because the widen
+    * landed) → merge a slice of the 'w' block THROUGH the widened
+    * column (changed phones force the updates), planting long values
+    * over pre-widening int32 files.
+    */
+  private def widenTemplate(s: SparkSession, dir: String): String =
+    FixtureStores.template(s"widen|$dir") { storePath =>
+      val base = Ingest.enrich(baseCols(s, dir))
+      val store = new graft.pipeline.CustomerStore(s, storePath)
+      store.insertNew(base): Unit                                     // v1
+      require(store.addColumn("points",
+        org.apache.spark.sql.types.IntegerType) == 2L, "DDL must be v2")
+      val wBlock = base.filter(col("id") % 5 === 0)
+        .withColumn("id", col("id") + 30000000L)
+        .withColumn("email", concat(lit("w"), col("id"), lit("@example.com")))
+        .withColumn("points", (col("id") % 30000000L % 1000L).cast("int"))
+      store.insertNew(wBlock): Unit                                   // v3
+      require(store.widenColumn("points",
+        org.apache.spark.sql.types.LongType) == 4L, "widen must be v4")
+      val xBlock = base.filter(col("id") % 7 === 0)
+        .withColumn("id", col("id") + 70000000L)
+        .withColumn("email", concat(lit("x"), col("id"), lit("@example.com")))
+        .withColumn("points", col("id") - 70000000L + 3000000000L)
+      store.insertNew(xBlock): Unit                                   // v5
+      val upd = wBlock.filter((col("id") - 30000000L) % 10 === 0)
+        .withColumn("phone", concat(lit("999-"), col("id")))
+        .withColumn("points", col("id") - 30000000L + 4000000000L)
+      store.merge(upd): Unit                                          // v6
+    }
+
   /** Build every fixture-store template for `dir`. The bench calls
     * this ONCE before pass 1 and publishes the elapsed time as a
     * separate `fixture_s` setup figure — template construction is
@@ -410,7 +443,8 @@ object PipelineParity extends QueryGroup {
       clockIMATemplate(_, _),
       evolveTemplate(_, _),
       mappingTemplate(_, _),
-      constraintsTemplate(_, _))
+      constraintsTemplate(_, _),
+      widenTemplate(_, _))
     builds.foreach { b =>
       if (System.nanoTime() < deadlineNanos) b(s, dir): Unit
     }
@@ -2137,6 +2171,44 @@ object PipelineParity extends QueryGroup {
         .orderBy(col("commit_version"))
     }),
 
+    // TYPE WIDENING end-to-end (int → bigint, the Delta/Iceberg ALTER
+    // COLUMN TYPE evolution): probed read-only on the 6-commit widen
+    // template — an int column added and populated, widened as a
+    // feed-silent metadata commit, then values EXCEEDING the int
+    // range inserted and merged over pre-widening int32 files. The
+    // per-block aggregate (sums above 2^31 only representable post-
+    // widen) re-derives from planted arithmetic in DuckDB. REQUIREs
+    // pin the contract surfaces the aggregate can't: the widen commit
+    // emitted no feed rows and is history-labeled ALTER COLUMN, the
+    // connector serves the widened type, asOf BELOW the widening
+    // presents the CURRENT (widened) schema, and no data file was
+    // rewritten by the widen (zone manifest coverage is unchanged).
+    "pipeline_type_widening" -> ((s, dir) => {
+      import s.implicits._
+      val store = new graft.pipeline.CustomerStore(s, widenTemplate(s, dir))
+      require(store.feedSince(3L, 4L).isEmpty,
+        "the widen commit must emit no feed rows")
+      require(store.history().collect()
+        .find(_.getLong(0) == 4L).get.getString(2) == "ALTER COLUMN",
+        "the widen commit must be history-labeled ALTER COLUMN")
+      val conn = s.read.format("graft-store")
+        .option("path", widenTemplate(s, dir)).load()
+      require(conn.schema("points").dataType ==
+        org.apache.spark.sql.types.LongType,
+        "the connector must serve the widened type")
+      require(store.asOf(3L).schema("points").dataType ==
+        org.apache.spark.sql.types.LongType,
+        "asOf below the widening must present the widened schema")
+      val out = store.all()
+        .groupBy(substring(col("email"), 1, 1).as("block"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("points")).as("points_sum"))
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) null.asInstanceOf[java.lang.Long]
+          else java.lang.Long.valueOf(r.getLong(2))))
+      out.toDF("block", "n_rows", "points_sum").orderBy(col("block"))
+    }),
+
     // JSONL sink → source round trip with per-line salvage: documents
     // written as JSON lines, two garbage lines appended, read back
     // under the explicit schema. The md5-prefix checksum over the
@@ -2811,6 +2883,19 @@ object PipelineParity extends QueryGroup {
            (6, 'WRITE', (SELECT COUNT(*) FROM c WHERE k % 8 = 0))
          ) AS t(v, op, n)
          ORDER BY v""",
+    "pipeline_type_widening" ->
+      """WITH c AS (SELECT c_custkey AS k FROM customer),
+          u AS (SELECT 'u' AS block, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(NULL AS BIGINT) AS points_sum FROM c),
+          w AS (SELECT 'w' AS block, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(CASE WHEN k % 10 = 0 THEN k + 4000000000
+                           ELSE k % 1000 END) AS BIGINT) AS points_sum
+                FROM c WHERE k % 5 = 0),
+          x AS (SELECT 'x' AS block, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(k + 3000000000) AS BIGINT) AS points_sum
+                FROM c WHERE k % 7 = 0)
+         SELECT * FROM u UNION ALL SELECT * FROM w UNION ALL SELECT * FROM x
+         ORDER BY block""",
     "pipeline_jsonl_roundtrip" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
            CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids,

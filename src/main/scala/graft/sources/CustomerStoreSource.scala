@@ -253,7 +253,8 @@ class StoreChangesScan(path: String, fromExclusive: Long,
     dirs.map { case (_, d) => StoreChangesPartition(d): InputPartition }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     StoreChangesReaderFactory(required.fieldNames,
-      CustomerStore.physicalMapAt(path))
+      CustomerStore.physicalMapAt(path),
+      required.fields.map(f => f.name -> f.dataType).toMap)
   override def description(): String =
     s"GraftStoreChanges path=$path, commits=(${fromExclusive}, " +
       s"${toInclusive.map(_.toString).getOrElse("head")}], dirs=${dirs.size}, " +
@@ -373,7 +374,8 @@ class StoreChangesMicroBatchStream(path: String, fromExclusive: Long,
 
   override def createReaderFactory(): PartitionReaderFactory =
     StoreChangesReaderFactory(required.fieldNames,
-      CustomerStore.physicalMapAt(path))
+      CustomerStore.physicalMapAt(path),
+      required.fields.map(f => f.name -> f.dataType).toMap)
 
   override def commit(end: SOffset): Unit = ()
   override def stop(): Unit = ()
@@ -385,18 +387,23 @@ class StoreChangesMicroBatchStream(path: String, fromExclusive: Long,
 case class StoreChangesPartition(dir: String) extends InputPartition
 
 case class StoreChangesReaderFactory(required: Array[String],
-    phys: Map[String, String] = Map.empty)
+    phys: Map[String, String] = Map.empty,
+    types: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       // Feed files store PHYSICAL column names (column mapping):
       // translate the requested logical names at the file boundary;
       // positions are preserved so the projected row is unchanged.
+      // Logical types ride along so an int evolved column decodes to
+      // its exact Int (type-widening twin of the data readers).
       private val it: Iterator[Array[Any]] =
         ParquetGroups.parquetFilesIn(
           partition.asInstanceOf[StoreChangesPartition].dir)
           .iterator.flatMap(f => ParquetGroups.readAll(
-            f, required.toSeq.map(c => phys.getOrElse(c, c))))
+            f, required.toSeq.map(c => phys.getOrElse(c, c)),
+            required.toSeq.flatMap(c =>
+              types.get(c).map(phys.getOrElse(c, c) -> _)).toMap))
       private var current: InternalRow = _
       override def next(): Boolean = {
         if (!it.hasNext) return false
@@ -642,11 +649,18 @@ class GraftStoreCatalog extends TableCatalog
         if (!d.ifExists() ||
             store.tableSchema.fieldNames.exists(_.equalsIgnoreCase(d.fieldNames()(0))))
           store.dropColumn(d.fieldNames()(0)): Unit
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1,
+          "graft_store ALTER: nested fields are not supported (flat schema)")
+        // Lossless type widening only (int → bigint); widenColumn
+        // refuses anything lossy or structural.
+        store.widenColumn(u.fieldNames()(0), u.newDataType()): Unit
       case other =>
         throw new UnsupportedOperationException(
           s"graft_store catalog: ALTER change ${other.getClass.getSimpleName} " +
-            "is not supported (only ADD/RENAME/DROP COLUMN — anything else " +
-            "would require rewriting committed files)")
+            "is not supported (only ADD/RENAME/DROP COLUMN and lossless " +
+            "ALTER COLUMN TYPE widening — anything else would require " +
+            "rewriting committed files)")
     }
     loadTable(ident)
   }
@@ -1105,7 +1119,9 @@ class CustomerStoreScan(path: String, versionAsOf: Option[Long],
 
   override def createReaderFactory(): PartitionReaderFactory =
     StoreReaderFactory(required.fieldNames, filters,
-      CustomerStore.physicalMapAt(path))
+      CustomerStore.physicalMapAt(path),
+      CustomerStore.schemaAt(path).fields
+        .map(f => f.name -> f.dataType).toMap)
 
   override def description(): String = {
     val (_, kept, total) = planned
@@ -1140,12 +1156,17 @@ case class StoreDeltaPartition(feedDirs: Seq[String]) extends InputPartition
 
 case class StoreReaderFactory(required: Array[String],
     filters: Array[Filter],
-    phys: Map[String, String] = Map.empty) extends PartitionReaderFactory {
+    phys: Map[String, String] = Map.empty,
+    types: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case p: StoreDataPartition => new StoreDataReader(p, required, filters, phys)
-      case p: StoreSnapshotPartition => new StoreSnapshotReader(p, required, filters, phys)
-      case p: StoreDeltaPartition => new StoreDeltaReader(p, required, filters, phys)
+      case p: StoreDataPartition =>
+        new StoreDataReader(p, required, filters, phys, types)
+      case p: StoreSnapshotPartition =>
+        new StoreSnapshotReader(p, required, filters, phys, types)
+      case p: StoreDeltaPartition =>
+        new StoreDeltaReader(p, required, filters, phys, types)
     }
 }
 
@@ -1197,7 +1218,8 @@ private[sources] abstract class StoreRowReader(required: Array[String],
   * pushed filters → projected row. `uploaded` is a directory constant.
   */
 class StoreDataReader(p: StoreDataPartition, required: Array[String],
-    filters: Array[Filter], phys: Map[String, String] = Map.empty)
+    filters: Array[Filter], phys: Map[String, String] = Map.empty,
+    types: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
     extends StoreRowReader(required, filters) {
 
   // Columns to decode: requested ∪ filter-referenced ∪ email (for the
@@ -1208,6 +1230,10 @@ class StoreDataReader(p: StoreDataPartition, required: Array[String],
   // Files store PHYSICAL names (column mapping) — translate at the
   // cursor boundary, logical everywhere above.
   private def pn(c: String): String = phys.getOrElse(c, c)
+  // Logical types keyed by PHYSICAL name: the cursor serves the
+  // table's declared type over every file generation (type widening).
+  private val pnTypes = readCols.flatMap(c =>
+    types.get(c).map(pn(c) -> _)).toMap
 
   private val tombstones: Set[UTF8String] = {
     val name = UTF8String.fromString(p.basename)
@@ -1219,7 +1245,7 @@ class StoreDataReader(p: StoreDataPartition, required: Array[String],
   }
 
   private val cursor =
-    new ParquetGroups.VectorizedFileRows(p.file, readCols.map(pn))
+    new ParquetGroups.VectorizedFileRows(p.file, readCols.map(pn), pnTypes)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -1245,16 +1271,19 @@ class StoreDataReader(p: StoreDataPartition, required: Array[String],
   * dropping delta-touched emails.
   */
 class StoreSnapshotReader(p: StoreSnapshotPartition, required: Array[String],
-    filters: Array[Filter], phys: Map[String, String] = Map.empty)
+    filters: Array[Filter], phys: Map[String, String] = Map.empty,
+    types: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
     extends StoreRowReader(required, filters) {
 
   private val readCols: Seq[String] =
     (required ++ filters.flatMap(_.references) ++ Seq("id", "email"))
       .distinct.toSeq
   private def pn(c: String): String = phys.getOrElse(c, c)
+  private val pnTypes = readCols.flatMap(c =>
+    types.get(c).map(pn(c) -> _)).toMap
 
   private val cursor =
-    new ParquetGroups.VectorizedFileRows(p.file, readCols.map(pn))
+    new ParquetGroups.VectorizedFileRows(p.file, readCols.map(pn), pnTypes)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -1280,18 +1309,20 @@ class StoreSnapshotReader(p: StoreSnapshotPartition, required: Array[String],
   * table-scale.
   */
 class StoreDeltaReader(p: StoreDeltaPartition, required: Array[String],
-    filters: Array[Filter], phys: Map[String, String] = Map.empty)
+    filters: Array[Filter], phys: Map[String, String] = Map.empty,
+    types: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
     extends StoreRowReader(required, filters) {
 
   private def pn(c: String): String = phys.getOrElse(c, c)
 
   private val it: Iterator[Map[String, Any]] = {
     val cols = Seq("commit_version", "change_type") ++ TableCols
+    val pnTypes = cols.flatMap(c => types.get(c).map(pn(c) -> _)).toMap
     val winners = new java.util.HashMap[UTF8String, (Long, String, Array[Any])]()
     for {
       dir <- p.feedDirs
       f <- ParquetGroups.parquetFilesIn(dir)
-      row <- ParquetGroups.readAll(f, cols.map(pn))
+      row <- ParquetGroups.readAll(f, cols.map(pn), pnTypes)
     } {
       val v = row(0).asInstanceOf[Long]
       val ct = row(1).asInstanceOf[UTF8String].toString

@@ -41,7 +41,9 @@ object ParquetGroups {
     * column (null when absent in this file's layout or null in the
     * row).
     */
-  final class VectorizedFileRows(file: String, columns: Seq[String])
+  final class VectorizedFileRows(file: String, columns: Seq[String],
+      requestedTypes: Map[String, org.apache.spark.sql.types.DataType] =
+        Map.empty)
       extends AutoCloseable {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
@@ -50,12 +52,19 @@ object ParquetGroups {
     private val full = fileSchema(file)
     val present: Seq[String] = columns.filter(full.containsField)
 
-    // Catalyst view of the projection, derived from the store's
-    // physical grammar (both timestamp encodings → TimestampType, so
-    // the vectorized reader serves micros Longs either way).
+    // Catalyst view of the projection: the caller's LOGICAL type when
+    // given and servable over this file's physical type (equal, or a
+    // lossless widening — Spark's vectorized reader promotes
+    // int32→int64 natively), else derived from the store's physical
+    // grammar (both timestamp encodings → TimestampType, so the
+    // reader serves micros Longs either way). Serving the logical
+    // type at the file boundary is what makes type widening and
+    // narrow (int) evolved columns exact through the connector: an
+    // int32 file under a widened bigint column decodes straight into
+    // a Long vector, and an int column stays an Int.
     private val catalystTypes: Array[DataType] = present.map { n =>
       val t = full.getType(full.getFieldIndex(n)).asPrimitiveType()
-      t.getPrimitiveTypeName match {
+      val fileType: DataType = t.getPrimitiveTypeName match {
         case PrimitiveType.PrimitiveTypeName.INT96 => TimestampType
         case PrimitiveType.PrimitiveTypeName.INT64 =>
           t.getLogicalTypeAnnotation match {
@@ -68,6 +77,11 @@ object ParquetGroups {
         case PrimitiveType.PrimitiveTypeName.BINARY => StringType
         case other => throw new UnsupportedOperationException(
           s"graft-store vectorized reader: unsupported parquet type $other for ${t.getName}")
+      }
+      requestedTypes.get(n) match {
+        case Some(req) if req == fileType => req
+        case Some(LongType) if fileType == IntegerType => LongType
+        case _ => fileType
       }
     }.toArray
 
@@ -99,7 +113,10 @@ object ParquetGroups {
 
     private val extract: Array[(InternalRow, Int) => Any] = catalystTypes.map {
       case TimestampType | LongType => (r: InternalRow, i: Int) => r.getLong(i)
-      case IntegerType => (r: InternalRow, i: Int) => r.getInt(i).toLong
+      // An IntegerType request is exact: the value IS an Int (callers
+      // that want Long over an int32 file request LongType and the
+      // vectorized reader promotes during decode).
+      case IntegerType => (r: InternalRow, i: Int) => r.getInt(i)
       case BooleanType => (r: InternalRow, i: Int) => r.getBoolean(i)
       case StringType => (r: InternalRow, i: Int) => r.getUTF8String(i)
       case other => throw new IllegalStateException(s"unreachable type $other")
@@ -194,10 +211,21 @@ object ParquetGroups {
 
   /** Read an entire small parquet file (metadata-scale: deletion
     * vectors, feed commits) as decoded rows of the requested columns.
+    *
+    * `types` (keyed by the requested column names) declares each
+    * column's LOGICAL Catalyst type; [[value]] decodes int32 to Long
+    * by default, so an IntegerType column narrows back to its exact
+    * Int here — the Group-path twin of the vectorized reader's
+    * logical-type service, needed wherever an int evolved column (or
+    * a pre-widening narrow file) flows through a feed or delta read.
     */
-  def readAll(file: String, columns: Seq[String]): Iterator[Array[Any]] = {
+  def readAll(file: String, columns: Seq[String],
+      types: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
+      : Iterator[Array[Any]] = {
     val (reader, present) = open(file, columns)
     val presentIdx = columns.map(present.indexOf)
+    val narrowToInt: Array[Boolean] = columns.map(c =>
+      types.get(c).contains(org.apache.spark.sql.types.IntegerType)).toArray
     new Iterator[Array[Any]] {
       private var nextGroup: Group = reader.read()
       override def hasNext: Boolean = {
@@ -208,7 +236,14 @@ object ParquetGroups {
         val g = nextGroup
         nextGroup = reader.read()
         if (nextGroup == null) reader.close()
-        presentIdx.map(i => if (i < 0) null else value(g, i)).toArray
+        presentIdx.zipWithIndex.map { case (i, c) =>
+          if (i < 0) null
+          else value(g, i) match {
+            case l: java.lang.Long if narrowToInt(c) =>
+              java.lang.Integer.valueOf(l.intValue())
+            case v => v
+          }
+        }.toArray
       }
     }
   }

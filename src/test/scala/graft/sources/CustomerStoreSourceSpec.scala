@@ -866,12 +866,19 @@ class CustomerStoreSourceSpec extends SparkSpec {
     assert(msg(cat.createTable(id, new org.apache.spark.sql.types.StructType(),
       Array.empty, java.util.Collections.emptyMap[String, String]()))
       .contains("created by their first commit"))
-    // ALTER routes ADD/RENAME/DROP COLUMN to the store's column-mapping
-    // DDL (tested below); any OTHER change kind keeps the loud refusal.
+    // ALTER routes ADD/RENAME/DROP COLUMN and lossless TYPE widening
+    // to the store's DDL (tested below and in TypeWideningSpec); any
+    // OTHER change kind keeps the loud refusal.
     assert(msg(cat.alterTable(id,
+      org.apache.spark.sql.connector.catalog.TableChange.updateColumnComment(
+        Array("phone"), "call me")))
+      .contains("is not supported"))
+    // ... and a non-widenable TYPE change fails through widenColumn's
+    // own loud contract (not the catch-all).
+    assert(intercept[IllegalArgumentException](cat.alterTable(id,
       org.apache.spark.sql.connector.catalog.TableChange.updateColumnType(
         Array("phone"), org.apache.spark.sql.types.LongType)))
-      .contains("is not supported"))
+      .getMessage.contains("does not exist"))
     assert(msg(cat.dropTable(id)).contains("DROP is not supported"))
     assert(msg(cat.renameTable(id, id)).contains("RENAME is not supported"))
   }
