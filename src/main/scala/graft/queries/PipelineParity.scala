@@ -2160,6 +2160,13 @@ object PipelineParity extends QueryGroup {
       require(viaConn.orderBy(col("commit_version")).collect().toSeq ==
         h.orderBy(col("commit_version")).collect().toSeq,
         "connector history must equal the API's")
+      // ... and the SQL procedure face (CALL graft_store.history)
+      s.conf.set("spark.sql.catalog.graft_store",
+        "graft.sources.GraftStoreCatalog")
+      require(s.sql(s"CALL graft_store.history('${constraintsTemplate(s, dir)}')")
+        .orderBy(col("commit_version")).collect().toSeq ==
+        h.orderBy(col("commit_version")).collect().toSeq,
+        "CALL graft_store.history must equal the API's")
       val ts = store.commitTimestamps().map(_._2)
       require(ts == ts.sorted && ts.distinct.size == ts.size,
         "commit timestamps must be strictly monotonic")

@@ -69,9 +69,42 @@ object StoreProcedures {
     def run(store: CustomerStore, input: InternalRow): Seq[Long]
   }
 
+  /** Multi-row metadata-read procedure (`CALL graft_store.history/
+    * detail(path)` — the SQL face of DESCRIBE HISTORY/DETAIL): the
+    * result DataFrame resolves on the driver (registry-metadata
+    * scale, see [[CustomerStore.history]]) and ships as a LocalScan.
+    */
+  private abstract class MetaProc(name: String, doc: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = name
+    override def description(): String = doc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = pathOnly
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val df = run(new CustomerStore(
+        SparkSession.active, input.getUTF8String(0).toString))
+      val resolved: Array[InternalRow] = df.collect().map { r =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          r.toSeq.map {
+            case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+            case v => v: Any
+          }.toArray): InternalRow
+      }
+      val schema = df.schema
+      java.util.Collections.singletonList(new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = resolved
+        override def description(): String =
+          s"GraftStoreProcedureResult$schema"
+      }: Scan).iterator()
+    }
+    def run(store: CustomerStore): org.apache.spark.sql.DataFrame
+  }
+
   private val pathOnly = Array(p("path", StringType))
 
-  private val all: Seq[StoreProc] = Seq(
+  private val all: Seq[UnboundProcedure] = Seq(
     new StoreProc("compact",
       "materialize deletion vectors and bin-pack the live files (one commit)",
       pathOnly, Seq("version", "live_vectors")) {
@@ -138,9 +171,22 @@ object StoreProcedures {
       Array(p("path", StringType), p("name", StringType)), Seq("version")) {
       override def run(store: CustomerStore, in: InternalRow): Seq[Long] =
         Seq(store.dropCheckConstraint(in.getUTF8String(1).toString))
+    },
+    new MetaProc("history",
+      "the commit history (DESCRIBE HISTORY): version, timestamp, " +
+        "operation, change-row count per commit, newest first") {
+      override def run(store: CustomerStore): org.apache.spark.sql.DataFrame =
+        store.history()
+    },
+    new MetaProc("detail",
+      "one-row table summary (DESCRIBE DETAIL): version, files, bytes, " +
+        "deletion vectors, constraints, snapshots, feed low-watermark") {
+      override def run(store: CustomerStore): org.apache.spark.sql.DataFrame =
+        store.detail()
     })
 
-  private val byName: Map[String, StoreProc] = all.map(pr => pr.name() -> pr).toMap
+  private val byName: Map[String, UnboundProcedure] =
+    all.map(pr => pr.name() -> pr).toMap
 
   def load(ident: Identifier): UnboundProcedure = {
     require(ident.namespace().isEmpty,

@@ -123,6 +123,23 @@ class HistorySpec extends SparkSpec {
     assert(d2.getLong(0) === 4L)
   }
 
+  test("CALL graft_store.history/detail serve the metadata from SQL") {
+    spark.conf.set("spark.sql.catalog.graft_store",
+      "graft.sources.GraftStoreCatalog")
+    val (store, path) = freshStore()
+    store.insertNew(Ingest.enrich(rows(1L to 4L)))                      // v1
+    store.delete(Seq("u2@example.com").toDF("email"))                   // v2
+    val h = spark.sql(s"CALL graft_store.history('$path')")
+    assert(h.columns.toSeq ===
+      Seq("commit_version", "commit_ts", "operation", "n_change_rows"))
+    assert(h.orderBy(col("commit_version")).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSeq ===
+      Seq((1L, "WRITE", 4L), (2L, "DELETE", 1L)))
+    val d = spark.sql(s"CALL graft_store.detail('$path')").head()
+    assert(d.getLong(0) === 2L)                  // version
+    assert((d.getLong(3), d.getLong(4)) === ((1L, 1L))) // dv total/live
+  }
+
   test("the connector serves history and detail as metadata reads") {
     val (store, path) = freshStore()
     store.insertNew(Ingest.enrich(rows(1L to 4L)))                      // v1

@@ -828,6 +828,43 @@ class CustomerStoreSourceSpec extends SparkSpec {
     }
   }
 
+  test("streaming CDC across schema evolution: pinned mid-flight, evolved on restart") {
+    val path = tmpDir("dsv2-streamevo") + "/store"
+    val store = new CustomerStore(spark, path)
+    store.insertNew(block(1L, 5L)): Unit // v1
+    val sink = tmpDir("dsv2-streamevo-sink")
+    val ckpt = tmpDir("dsv2-streamevo-ckpt")
+    def drain(): org.apache.spark.sql.types.StructType = {
+      val df = spark.readStream.format("graft-store").option("path", path)
+        .option("feedFrom", 0).load()
+      df.writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      df.schema
+    }
+    // Leg 1: drain v1 under the pre-evolution schema.
+    assert(!drain().fieldNames.contains("tier"))
+    // Evolve, then commit a block CARRYING the new column.
+    store.addColumn("tier", org.apache.spark.sql.types.LongType): Unit // v2
+    store.insertNew(block(11L, 13L)
+      .withColumn("tier", col("id") % 3)): Unit // v3
+    // Leg 2 (restart): resumes at the checkpointed offset and serves
+    // the EVOLVED schema — the new column rides the feed read.
+    val evolved = drain()
+    assert(evolved.fieldNames.contains("tier"),
+      "a restarted stream must serve the evolved schema")
+    // The sink now holds old-schema and new-schema files; reading
+    // under the evolved feed schema null-fills pre-evolution batches
+    // — nothing lost, nothing duplicated, tiers exact.
+    val sunk = spark.read.schema(store.changeFeed().schema).parquet(sink)
+    assert(sunk.count() === store.changeFeed().count())
+    assert(sunk.filter(col("tier").isNotNull).count() === 3L)
+    assert(sunk.filter(col("commit_version") === 1L)
+      .filter(col("tier").isNotNull).count() === 0L,
+      "pre-evolution rows must read as NULL tiers")
+  }
+
   test("streaming CDC source fails loudly when the checkpoint predates the vacuum horizon") {
     val path = tmpDir("dsv2-streamwm") + "/store"
     val store = new CustomerStore(spark, path)
