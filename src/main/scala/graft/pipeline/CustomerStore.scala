@@ -1622,6 +1622,187 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     applyStaged()
   }
 
+  // ---- Idempotent writer transactions (_txns registry) ----------------
+  //
+  // The Delta txnAppId/txnVersion contract: a writer tags a commit with
+  // its OWN (application id, monotonically increasing version); the pair
+  // is staged WITH the commit and promoted into the `_txns/` registry by
+  // the same atomic promotion that lands the data, so "the data landed"
+  // and "the version is recorded" can never diverge — a crash replays
+  // both or neither. A write whose version is at or below the recorded
+  // one is a NO-OP (checked fast-path before any work, and re-checked at
+  // the commit point inside the promotion monitor, so an OCC rival
+  // replaying the same (app, version) cannot double-apply). This is what
+  // makes a foreachBatch store sink exactly-once: use the stream's query
+  // id as appId and the batchId as version — a restart's redelivered
+  // batch skips instead of duplicating.
+
+  /** Latest committed transaction version for `appId` (None if the app
+    * never committed). O(1) registry file read, never a data read.
+    */
+  def latestTxnVersion(appId: String): Option[Long] = {
+    val f = new java.io.File(new java.io.File(path, Txns), txnFile(appId))
+    if (!f.exists()) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+  }
+
+  /** `appId` names a registry file — restrict to filesystem-safe chars
+    * loudly rather than mangling (two apps must never collide).
+    */
+  private def txnFile(appId: String): String = {
+    require(appId.nonEmpty && appId.length <= 128 &&
+      appId.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"txn appId '$appId' must be 1-128 chars of [A-Za-z0-9._-] " +
+        "(it names a registry file)")
+    appId
+  }
+
+  /** [[CustomerStoreApi.insertNew]] under an idempotent transaction:
+    * returns None (and commits NOTHING) if (appId, version) is already
+    * recorded, Some(rowsInserted) once the batch lands. A batch whose
+    * rows all dedup away still RECORDS the version via a feed-silent
+    * TXN commit — a redelivery must skip whatever the batch's effect
+    * was, including no effect.
+    */
+  def txnInsert(appId: String, version: Long, batch: DataFrame): Option[Long] =
+    withTxn(appId, version) { insertNew(batch) }
+
+  /** [[CustomerStoreApi.merge]] under an idempotent transaction — same
+    * skip/record contract as [[txnInsert]].
+    */
+  def txnMerge(appId: String, version: Long, batch: DataFrame): Option[MergeResult] =
+    withTxn(appId, version) { merge(batch) }
+
+  // private[pipeline] so specs can stage a committed-but-unpromoted
+  // rival CARRYING a txn marker (the exact commit-point race window).
+  private[pipeline] val activeTxn = new ThreadLocal[Option[(String, Long)]] {
+    override def initialValue(): Option[(String, Long)] = None
+  }
+  private val txnSkippedAtCommit = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  /** Run `op` (which stages at most one commit through the normal choke
+    * points) with the (appId, version) marker threaded into its staging
+    * dir ([[freshStagingTmp]] writes it; promotion records it). Thread-
+    * local, matching the OCC model: a stager is thread-confined until
+    * the commit point.
+    */
+  private def withTxn[T](appId: String, version: Long)(op: => T): Option[T] = {
+    txnFile(appId): Unit // validate before any work
+    recover()
+    if (latestTxnVersion(appId).exists(_ >= version)) return None
+    activeTxn.set(Some((appId, version)))
+    txnSkippedAtCommit.set(false)
+    try {
+      val v0 = currentVersion()
+      val out = op
+      // The op had no effect (empty batch / all rows deduped away) so
+      // no commit carried the marker: record the version in an
+      // effect-less feed-silent commit — a replay must still skip.
+      if (!txnSkippedAtCommit.get && currentVersion() == v0) commitMarkerOnly("TXN")
+      if (txnSkippedAtCommit.get) None else Some(out)
+    } finally { activeTxn.remove(); txnSkippedAtCommit.remove() }
+  }
+
+  /** An effect-less commit whose only payload is the staged markers
+    * ([[freshStagingTmp]] wrote them from the thread-locals): version +
+    * registry advance, zero data files, zero feed rows. NOT a
+    * full-replace commit — it touches no files and no keys, so it
+    * composes with any interleaved commit.
+    */
+  private def commitMarkerOnly(op: String): Unit = {
+    val tmp = freshStagingTmp()
+    tmp.mkdirs()
+    writeStagedMarkers(tmp)
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val v = currentVersion() + 1
+    java.nio.file.Files.write(new java.io.File(tmp, "version").toPath,
+      v.toString.getBytes(utf8))
+    java.nio.file.Files.write(new java.io.File(tmp, "commit_ts").toPath,
+      nextCommitTs().toString.getBytes(utf8))
+    java.nio.file.Files.write(new java.io.File(tmp, "operation").toPath,
+      s"$op\n0".getBytes(utf8))
+    commitStaged(tmp, v)
+    applyStaged()
+  }
+
+  // ---- Incremental file ingest (_ingested registry) --------------------
+  //
+  // The COPY INTO / Auto Loader contract: a directory ingest loads each
+  // file EXACTLY ONCE, however many times the command is re-run. The
+  // loaded file NAMES are staged with the insert commit and promoted
+  // into the `_ingested/` registry atomically with the data, so a crash
+  // (or a concurrent re-run losing the OCC race) can never double-load
+  // or silently drop a file.
+
+  /** File names this store has already ingested via
+    * [[ingestNewFiles]]. Registry read, cost ∝ ingest commits.
+    */
+  def ingestedFiles(): Set[String] = {
+    val dir = new java.io.File(path, IngestedDir)
+    if (!dir.isDirectory) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      dir.listFiles().iterator.flatMap(f =>
+        java.nio.file.Files.readAllLines(f.toPath).asScala.filter(_.nonEmpty))
+        .toSet
+    }
+  }
+
+  /** Ingest the CSV files under `dirPath` that have NOT been loaded
+    * before: list → subtract the registry → [[Ingest.readCsv]] +
+    * validate + enrich ONLY the new files → one [[insertNew]] commit
+    * carrying their names into the registry. Lexicographic file order
+    * pins the dedup winner ([[Ingest.sequenced]]'s contract). Returns
+    * (new files loaded, clean rows inserted, rows quarantined); (0,0,0)
+    * without a commit when nothing is new. A file whose rows all
+    * quarantine or dedup away is still REGISTERED (via the marker-only
+    * commit) — re-running must not re-read it.
+    */
+  def ingestNewFiles(dirPath: String): (Long, Long, Long) = {
+    recover()
+    val all = Option(new java.io.File(dirPath).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".csv"))
+      .map(_.getName).sorted
+    val fresh = all.filterNot(ingestedFiles())
+    if (fresh.isEmpty) return (0L, 0L, 0L)
+    val paths = fresh.map(n => s"$dirPath/$n").toSeq
+    val (good, bad) = Ingest.validate(Ingest.readCsv(spark, paths, header = true))
+    val nBad = bad.count()
+    activeIngest.set(Some(fresh.toSeq))
+    try {
+      val v0 = currentVersion()
+      val n = insertNew(Ingest.sequenced(Ingest.enrich(good)))
+      if (currentVersion() == v0) commitMarkerOnly("COPY INTO")
+      (fresh.length.toLong, n, nBad)
+    } finally activeIngest.remove()
+  }
+
+  private val activeIngest = new ThreadLocal[Option[Seq[String]]] {
+    override def initialValue(): Option[Seq[String]] = None
+  }
+
+  /** Write any active thread-local markers (idempotent txn, ingested
+    * file names) into a staging dir — called by [[freshStagingTmp]] so
+    * EVERY staging path carries them, and by [[commitMarkerOnly]] for
+    * effect-less commits.
+    */
+  private def writeStagedMarkers(tmp: java.io.File): Unit = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    activeTxn.get.foreach { case (app, ver) =>
+      tmp.mkdirs()
+      java.nio.file.Files.write(new java.io.File(tmp, "txn").toPath,
+        s"$app\n$ver".getBytes(utf8)): Unit
+    }
+    activeIngest.get.foreach { names =>
+      tmp.mkdirs()
+      java.nio.file.Files.write(new java.io.File(tmp, "ingested").toPath,
+        names.mkString("\n").getBytes(utf8)): Unit
+    }
+  }
+
   /** MERGE apply (see [[CustomerStoreApi.merge]]): a FILE-LEVEL merge
     * commit — the transactional-format shape (Delta/Iceberg MERGE)
     * rather than a table rewrite. The matched emails first select the
@@ -2087,6 +2268,47 @@ class CustomerStore(protected val spark: SparkSession, path: String,
         deleteRecursively(st)
       }
     }
+    // Idempotent-txn registry promotion: record the staged (appId,
+    // version) under `_txns/` BEFORE the version counter advances —
+    // monotonic max, so a crash replay rewrites the same value and a
+    // late out-of-order commit can never roll the registry back.
+    val txnStage = new java.io.File(staging, "txn")
+    if (txnStage.exists()) {
+      val lines = java.nio.file.Files.readAllLines(txnStage.toPath)
+      val app = lines.get(0)
+      val ver = lines.get(1).trim.toLong
+      val dir = new java.io.File(path, Txns)
+      dir.mkdirs()
+      val dst = new java.io.File(dir, app)
+      val prev =
+        if (!dst.exists()) Long.MinValue
+        else new String(java.nio.file.Files.readAllBytes(dst.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      if (ver > prev) {
+        val t = new java.io.File(dir, app + ".tmp")
+        java.nio.file.Files.write(t.toPath,
+          ver.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(t.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+    }
+    // Ingest-registry promotion: the commit's loaded file names land in
+    // `_ingested/` under the commit's version (replay rewrites the same
+    // file — idempotent).
+    val ingStage = new java.io.File(staging, "ingested")
+    if (ingStage.exists()) {
+      val vm = new java.io.File(staging, "version")
+      val v =
+        if (vm.exists())
+          new String(java.nio.file.Files.readAllBytes(vm.toPath),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        else currentVersion() + 1
+      val dir = new java.io.File(path, IngestedDir)
+      dir.mkdirs()
+      java.nio.file.Files.copy(ingStage.toPath,
+        new java.io.File(dir, f"commit-$v%09d").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
     // Version promotion: advance the counter to the staged commit's
     // version (atomic tmp+rename; replay after a crash rewrites the
     // same value, so promotion stays idempotent).
@@ -2139,6 +2361,10 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     val f = new java.io.File(path,
       StagingTmp + "-" + java.util.UUID.randomUUID().toString.take(8))
     deleteRecursively(f)
+    // Any active idempotent-txn / ingest-registry markers ride EVERY
+    // staging dir, so whichever stage method the wrapped op uses, the
+    // markers promote atomically with its commit.
+    writeStagedMarkers(f)
     f
   }
 
@@ -2180,13 +2406,30 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       // we loop — see the class scaladoc for the cross-process boundary.
       promotionLock.synchronized {
         applyStaged()
-        val head = currentVersion()
-        if (head >= v) {
-          checkNoConflict(tmp, base, head, fullReplace)
-          v = head + 1
-          renumberStaged(tmp, v)
+        // Idempotent-txn re-check at the commit point: a rival writer
+        // (or a replayed crash recovery) may have recorded this very
+        // (appId, version) since our fast-path check — abandon the
+        // staged commit as the contract's no-op, BEFORE the key-overlap
+        // conflict check (a redelivered batch touches the same keys by
+        // construction; it must skip, not abort).
+        val txnMarker = new java.io.File(tmp, "txn")
+        if (txnMarker.exists()) {
+          val lines = java.nio.file.Files.readAllLines(txnMarker.toPath)
+          if (latestTxnVersion(lines.get(0)).exists(_ >= lines.get(1).trim.toLong)) {
+            deleteRecursively(tmp)
+            txnSkippedAtCommit.set(true)
+            committed = true
+          }
         }
-        committed = tmp.renameTo(staging)
+        if (!committed) {
+          val head = currentVersion()
+          if (head >= v) {
+            checkNoConflict(tmp, base, head, fullReplace)
+            v = head + 1
+            renumberStaged(tmp, v)
+          }
+          committed = tmp.renameTo(staging)
+        }
       }
     }
   }
@@ -2393,6 +2636,14 @@ object CustomerStore {
   private[pipeline] val StatsManifest = "_stats"
   private[pipeline] val Deletes = "_deletes"
   private[pipeline] val FeedWatermark = "_feed_watermark"
+  /** Idempotent-writer transaction registry (Delta txnAppId/txnVersion):
+    * one file per appId holding its latest committed version.
+    */
+  private[pipeline] val Txns = "_txns"
+  /** Incremental-ingest registry (COPY INTO): one file per ingest
+    * commit listing the source file names it loaded.
+    */
+  private[pipeline] val IngestedDir = "_ingested"
 
   /** Schema of [[CustomerStore.history]] (the DESCRIBE HISTORY face).
     * `operation` / `n_change_rows` are nullable: a registry entry

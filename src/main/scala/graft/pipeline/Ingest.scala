@@ -19,12 +19,18 @@ object Ingest {
     * instead of failing the scan (csvreader.go:79-83 log-and-continue).
     */
   def readCsv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
+    readCsv(spark, Seq(path), header)
+
+  /** Multi-file variant (the incremental-ingest path reads exactly the
+    * files the registry has not seen — an explicit list, not a glob).
+    */
+  def readCsv(spark: SparkSession, paths: Seq[String], header: Boolean): DataFrame =
     spark.read
       .schema(CustomerSchema.csvSchema)
       .option("header", header.toString)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .csv(path)
+      .csv(paths: _*)
 
   /** Split into (valid, quarantined). Valid = parses as CSV, id is an
     * integer (P2, csvreader.go:120-124), email non-empty (P3,

@@ -417,6 +417,31 @@ object PipelineParity extends QueryGroup {
       store.merge(upd): Unit                                          // v6
     }
 
+  /** Idempotent-writer-transaction history (3 commits): txnInsert v1
+    * (base) → txnInsert v2 (fresh block) → a REPLAY of v2 pinned to
+    * skip at build time → txnInsert v3 whose rows ALL dedup away (the
+    * feed-silent TXN record commit). Read-only for the sink gate's
+    * probes: replays at or below the recorded version skip before any
+    * work, so probing the shared template cannot mutate it.
+    */
+  private def txn3Template(s: SparkSession, dir: String): String =
+    FixtureStores.template(s"txn3|$dir") { storePath =>
+      val base = Ingest.enrich(baseCols(s, dir))
+      val store = new graft.pipeline.CustomerStore(s, storePath)
+      require(store.txnInsert("loader", 1L, base).isDefined,
+        "txn v1 must land")                                           // v1
+      val fresh = base.filter(col("id") % 4 === 0)
+        .withColumn("id", col("id") + 50000000L)
+        .withColumn("email", concat(lit("t"), col("id"), lit("@example.com")))
+      require(store.txnInsert("loader", 2L, fresh).isDefined,
+        "txn v2 must land")                                           // v2
+      require(store.txnInsert("loader", 2L, fresh).isEmpty,
+        "a redelivered batch must skip, not duplicate")
+      require(store.txnInsert("loader", 3L,
+          base.filter(col("id") % 11 === 0)) == Some(0L),
+        "an all-duplicate batch still records its version")           // v3
+    }
+
   /** Build every fixture-store template for `dir`. The bench calls
     * this ONCE before pass 1 and publishes the elapsed time as a
     * separate `fixture_s` setup figure — template construction is
@@ -444,7 +469,8 @@ object PipelineParity extends QueryGroup {
       evolveTemplate(_, _),
       mappingTemplate(_, _),
       constraintsTemplate(_, _),
-      widenTemplate(_, _))
+      widenTemplate(_, _),
+      txn3Template(_, _))
     builds.foreach { b =>
       if (System.nanoTime() < deadlineNanos) b(s, dir): Unit
     }
@@ -2253,6 +2279,91 @@ object PipelineParity extends QueryGroup {
     // columnar format; the md5-prefix checksum pins value fidelity
     // (including the text column's UTF-8) through the ORC
     // writer/reader pair.
+    // The exactly-once store SINK contract (Delta txnAppId/txnVersion):
+    // a writer tags each commit with its own (app, version); the pair
+    // rides the commit's atomic promotion into the `_txns` registry, so
+    // a redelivered foreachBatch batch — the restart case every
+    // streaming sink must survive — skips instead of duplicating.
+    // Probes are read-only: replays at/below the recorded version skip
+    // before any work ever starts.
+    "pipeline_idempotent_sink" -> ((s, dir) => {
+      import s.implicits._
+      val storePath = txn3Template(s, dir)
+      val store = new graft.pipeline.CustomerStore(s, storePath)
+      require(store.latestTxnVersion("loader") == Some(3L),
+        "registry must hold the newest committed txn version")
+      require(store.currentVersion() == 3L,
+        "replays must not have advanced the version")
+      require(store.feedSince(2L, 3L).isEmpty,
+        "the TXN record commit must be feed-silent")
+      require(store.txnInsert("loader", 1L,
+          Ingest.enrich(baseCols(s, dir))).isEmpty &&
+        store.txnInsert("loader", 3L,
+          Ingest.enrich(baseCols(s, dir))).isEmpty,
+        "replays at or below the recorded version must skip")
+      require(store.currentVersion() == 3L && store.latestTxnVersion("loader")
+        == Some(3L), "a skipped replay must leave no trace")
+      // the SQL face reads the same registry
+      s.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+      val sqlV = s.sql(
+        s"CALL graft_store.last_txn_version('$storePath', 'loader')")
+        .collect().head.getLong(0)
+      require(sqlV == 3L, s"SQL last_txn_version returned $sqlV")
+      val out = store.all()
+        .groupBy(substring(col("email"), 1, 1).as("block"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("id_sum"))
+        .collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      out.toDF("block", "n_rows", "id_sum").orderBy(col("block"))
+    }),
+
+    // COPY INTO / Auto Loader: a directory ingest loads each file
+    // exactly once however many times it re-runs — the loaded names
+    // ride the insert commit's atomic promotion into the `_ingested`
+    // registry, so a crash or re-run can neither double-load nor drop
+    // a file. The second call after new files arrive loads ONLY them.
+    "pipeline_ingest_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val ids = customerFixture(s, dir)
+        .select(col("c_custkey")).orderBy(col("c_custkey"))
+        .as[Long].collect().toSeq
+      def uLine(k: Long) = s"$k,f$k,l$k,u$k@example.com,555-$k"
+      def block(p: String, off: Long)(k: Long) = {
+        val id = k + off; s"$id,f$id,l$id,$p$id@example.com,555-$id"
+      }
+      val out = withTempDir("graft-copyinto-") { tmp =>
+        val in = new java.io.File(tmp.toFile, "in")
+        in.mkdirs()
+        def put(name: String, lines: Seq[String]): Unit =
+          java.nio.file.Files.write(new java.io.File(in, name).toPath,
+            ("id,first_name,last_name,email,phone" +: lines).mkString("\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
+        put("b01.csv", ids.filter(_ % 3 == 0).map(uLine))
+        put("b02.csv", ids.filter(_ % 3 == 1).map(uLine))
+        put("b03.csv", ids.filter(_ % 3 == 2).map(uLine))
+        val first = store.ingestNewFiles(in.toString)
+        require(first == ((3L, ids.size.toLong, 0L)), s"first ingest: $first")
+        require(store.ingestNewFiles(in.toString) == ((0L, 0L, 0L)),
+          "a re-run with nothing new must be a no-op")
+        require(store.currentVersion() == 1L,
+          "the no-op re-run must not commit")
+        put("b04.csv", ids.filter(_ % 5 == 0).map(block("n", 20000000L)))
+        put("b05.csv", ids.filter(_ % 7 == 0).map(block("m", 25000000L)))
+        val second = store.ingestNewFiles(in.toString)
+        require(second._1 == 2L && second._3 == 0L, s"second ingest: $second")
+        require(store.currentVersion() == 2L,
+          "each real ingest is exactly one commit")
+        require(store.ingestedFiles() ==
+          Set("b01.csv", "b02.csv", "b03.csv", "b04.csv", "b05.csv"),
+          "every loaded file must be registered")
+        store.all()
+          .groupBy(substring(col("email"), 1, 1).as("block"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("id_sum"))
+          .collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      }
+      out.toDF("block", "n_rows", "id_sum").orderBy(col("block"))
+    }),
+
     "pipeline_orc_roundtrip" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables(s, dir, "documents")
@@ -2902,6 +3013,26 @@ object PipelineParity extends QueryGroup {
                   CAST(SUM(k + 3000000000) AS BIGINT) AS points_sum
                 FROM c WHERE k % 7 = 0)
          SELECT * FROM u UNION ALL SELECT * FROM w UNION ALL SELECT * FROM x
+         ORDER BY block""",
+    "pipeline_idempotent_sink" ->
+      """WITH c AS (SELECT c_custkey AS k FROM customer),
+          u AS (SELECT 'u' AS block, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(k) AS BIGINT) AS id_sum FROM c),
+          t AS (SELECT 't' AS block, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(k + 50000000) AS BIGINT) AS id_sum
+                FROM c WHERE k % 4 = 0)
+         SELECT * FROM u UNION ALL SELECT * FROM t ORDER BY block""",
+    "pipeline_ingest_incremental" ->
+      """WITH c AS (SELECT c_custkey AS k FROM customer),
+          u AS (SELECT 'u' AS block, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(k) AS BIGINT) AS id_sum FROM c),
+          n AS (SELECT 'n' AS block, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(k + 20000000) AS BIGINT) AS id_sum
+                FROM c WHERE k % 5 = 0),
+          m AS (SELECT 'm' AS block, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(k + 25000000) AS BIGINT) AS id_sum
+                FROM c WHERE k % 7 = 0)
+         SELECT * FROM u UNION ALL SELECT * FROM n UNION ALL SELECT * FROM m
          ORDER BY block""",
     "pipeline_jsonl_roundtrip" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_good,

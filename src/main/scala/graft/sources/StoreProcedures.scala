@@ -172,6 +172,14 @@ object StoreProcedures {
       override def run(store: CustomerStore, in: InternalRow): Seq[Long] =
         Seq(store.dropCheckConstraint(in.getUTF8String(1).toString))
     },
+    new StoreProc("last_txn_version",
+      "latest committed idempotent-writer transaction version for app_id " +
+        "(-1 if the app never committed)",
+      Array(p("path", StringType), p("app_id", StringType)),
+      Seq("txn_version")) {
+      override def run(store: CustomerStore, in: InternalRow): Seq[Long] =
+        Seq(store.latestTxnVersion(in.getUTF8String(1).toString).getOrElse(-1L))
+    },
     new MetaProc("history",
       "the commit history (DESCRIBE HISTORY): version, timestamp, " +
         "operation, change-row count per commit, newest first") {
