@@ -471,9 +471,23 @@ object PipelineParity extends QueryGroup {
       constraintsTemplate(_, _),
       widenTemplate(_, _),
       txn3Template(_, _))
-    builds.foreach { b =>
-      if (System.nanoTime() < deadlineNanos) b(s, dir): Unit
-    }
+    // Build CONCURRENTLY on a small pool: each template is an
+    // independent sequence of tiny staged-commit Spark jobs — pure
+    // driver/commit latency, not CPU — so overlapping builds cuts the
+    // setup wall time ~2-3× without changing what is built. Safe by
+    // construction: FixtureStores.template handles racing builders,
+    // stores live at distinct paths (per-path promotion locks), and
+    // the shared SparkSession schedules jobs from many threads.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = builds.map { b =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            if (System.nanoTime() < deadlineNanos) b(s, dir): Unit
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
   }
 
   private def mergeCycle(s: SparkSession, dir: String)(
@@ -1643,6 +1657,73 @@ object PipelineParity extends QueryGroup {
       }
       out.toDF("change_type", "n_changes", "id_sum")
         .orderBy(col("change_type"))
+    }),
+
+    // The WRITE-side dual of the CDC gates: a Structured Streaming
+    // query lands micro-batches in the store through foreachBatch +
+    // txnInsert(app, batchId) — the Delta idempotent-sink recipe. Two
+    // checkpointed AvailableNow runs straddle a new input file, with a
+    // deliberate REDELIVERY of the last committed batchId in between
+    // (exactly what a crash after the store commit but before the
+    // checkpoint advances produces): the replay must skip, the restart
+    // must process only the new file, and the final table must hold
+    // each input row exactly once.
+    "streaming_store_sink_parity" -> ((s, dir) => {
+      import s.implicits._
+      val base = baseCols(s, dir)
+      val out = withTempDir("graft-sink-stream-") { tmp =>
+        val in = s"$tmp/in"
+        // One FILE per block (single-part writes renamed into the
+        // watched dir): with maxFilesPerTrigger=1 the file stream
+        // yields exactly one micro-batch per block.
+        val b0 = base.filter(col("id") % 3 === 0).coalesce(1)
+        val b1 = base.filter(col("id") % 3 === 1).coalesce(1)
+        val b2 = base.filter(col("id") % 3 === 2).coalesce(1)
+        def land(df: DataFrame, name: String): Unit = {
+          df.write.parquet(s"$tmp/stage/$name")
+          val part = new java.io.File(s"$tmp/stage/$name").listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          new java.io.File(in).mkdirs()
+          require(part.renameTo(new java.io.File(in, s"$name.parquet")),
+            "stage rename failed")
+        }
+        land(b0, "b0"); land(b1, "b1")
+        val store = new graft.pipeline.CustomerStore(s, s"$tmp/store")
+        def consume(): Long = {
+          val q = s.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in)
+            .writeStream
+            .foreachBatch { (df: DataFrame, batchId: Long) =>
+              store.txnInsert("stream-sink", batchId, Ingest.enrich(df)): Unit
+            }
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          q.recentProgress.count(_.numInputRows > 0L).toLong
+        }
+        require(consume() == 2L, "run 1 must land one batch per input file")
+        val countAfter1 = store.all().count()
+        // Crash-redelivery: the checkpoint never advanced past batch 1,
+        // so a restart re-delivers it. The sink must skip — content
+        // does not matter, the recorded version does.
+        require(store.txnInsert("stream-sink", 1L, Ingest.enrich(b1)).isEmpty,
+          "redelivered batch must skip")
+        require(store.all().count() == countAfter1 &&
+          store.latestTxnVersion("stream-sink") == Some(1L),
+          "a skipped redelivery must leave no trace")
+        land(b2, "b2")
+        require(consume() == 1L,
+          "run 2 must resume from the checkpoint and process only the new file")
+        require(store.latestTxnVersion("stream-sink") == Some(2L) &&
+          store.currentVersion() == 3L,
+          "three batches, three commits, newest txn recorded")
+        store.all()
+          .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("id_sum"),
+            countDistinct(col("email")).as("n_emails"))
+          .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+      out.toDF("n_rows", "id_sum", "n_emails")
     }),
 
     // The same incremental-CDC contract through the CONNECTOR's
@@ -3014,6 +3095,11 @@ object PipelineParity extends QueryGroup {
                 FROM c WHERE k % 7 = 0)
          SELECT * FROM u UNION ALL SELECT * FROM w UNION ALL SELECT * FROM x
          ORDER BY block""",
+    "streaming_store_sink_parity" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS id_sum,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_emails
+         FROM customer""",
     "pipeline_idempotent_sink" ->
       """WITH c AS (SELECT c_custkey AS k FROM customer),
           u AS (SELECT 'u' AS block, CAST(COUNT(*) AS BIGINT) AS n_rows,

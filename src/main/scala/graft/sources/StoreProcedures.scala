@@ -172,6 +172,16 @@ object StoreProcedures {
       override def run(store: CustomerStore, in: InternalRow): Seq[Long] =
         Seq(store.dropCheckConstraint(in.getUTF8String(1).toString))
     },
+    new StoreProc("copy_into",
+      "incremental directory ingest: load only CSV files the _ingested " +
+        "registry has not seen (one commit; re-runs are no-ops)",
+      Array(p("path", StringType), p("source_dir", StringType)),
+      Seq("files_loaded", "rows_inserted", "rows_quarantined")) {
+      override def run(store: CustomerStore, in: InternalRow): Seq[Long] = {
+        val (f, r, q) = store.ingestNewFiles(in.getUTF8String(1).toString)
+        Seq(f, r, q)
+      }
+    },
     new StoreProc("last_txn_version",
       "latest committed idempotent-writer transaction version for app_id " +
         "(-1 if the app never committed)",

@@ -211,6 +211,19 @@ class TxnSpec extends SparkSpec {
     assert(store.ingestedFiles() === Set("b01.csv", "b02.csv", "b03.csv"))
   }
 
+  test("SQL procedure copy_into runs the incremental ingest") {
+    spark.conf.set("spark.sql.catalog.graft_store",
+      "graft.sources.GraftStoreCatalog")
+    val (store, path) = freshStore()
+    val in = tmpDir("graft-copyinto-")
+    writeCsv(in, "b01.csv", (1L to 4L).map(line(_)))
+    val r = spark.sql(s"CALL graft_store.copy_into('$path', '$in')").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 4L, 0L)))
+    val again = spark.sql(s"CALL graft_store.copy_into('$path', '$in')").head()
+    assert((again.getLong(0), again.getLong(1), again.getLong(2)) === ((0L, 0L, 0L)))
+    assert(store.all().count() === 4L)
+  }
+
   test("lexicographic file order pins the dedup winner across files") {
     val (store, _) = freshStore()
     val in = tmpDir("graft-copyinto-")
