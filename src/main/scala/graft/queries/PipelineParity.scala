@@ -1660,14 +1660,16 @@ object PipelineParity extends QueryGroup {
     }),
 
     // The WRITE-side dual of the CDC gates: a Structured Streaming
-    // query lands micro-batches in the store through foreachBatch +
-    // txnInsert(app, batchId) — the Delta idempotent-sink recipe. Two
-    // checkpointed AvailableNow runs straddle a new input file, with a
-    // deliberate REDELIVERY of the last committed batchId in between
-    // (exactly what a crash after the store commit but before the
-    // checkpoint advances produces): the replay must skip, the restart
-    // must process only the new file, and the final table must hold
-    // each input row exactly once.
+    // query lands micro-batches in the store through the NATIVE sink
+    // (`writeStream.format("graft-store")`), whose addBatch is one
+    // idempotent transaction txnInsert(app, batchId) — the Delta sink
+    // recipe (foreachBatch + txnInsert is the identical user-land
+    // spelling). Two checkpointed AvailableNow runs straddle a new
+    // input file, with a deliberate REDELIVERY of the last committed
+    // batchId in between (exactly what a crash after the store commit
+    // but before the checkpoint advances produces): the replay must
+    // skip, the restart must process only the new file, and the final
+    // table must hold each input row exactly once.
     "streaming_store_sink_parity" -> ((s, dir) => {
       import s.implicits._
       val base = baseCols(s, dir)
@@ -1692,10 +1694,9 @@ object PipelineParity extends QueryGroup {
         def consume(): Long = {
           val q = s.readStream.schema(base.schema)
             .option("maxFilesPerTrigger", 1).parquet(in)
-            .writeStream
-            .foreachBatch { (df: DataFrame, batchId: Long) =>
-              store.txnInsert("stream-sink", batchId, Ingest.enrich(df)): Unit
-            }
+            .writeStream.format("graft-store")
+            .option("path", s"$tmp/store")
+            .option("txnAppId", "stream-sink")
             .option("checkpointLocation", s"$tmp/ckpt")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()

@@ -60,8 +60,46 @@ import graft.pipeline.{CustomerSchema, CustomerStore}
   * table-scale.
   */
 class CustomerStoreSource extends TableProvider with DataSourceRegister
-    with CreatableRelationProvider {
+    with CreatableRelationProvider with StreamSinkProvider {
   override def shortName(): String = "graft-store"
+
+  /** The STREAMING sink entry (`df.writeStream.format("graft-store")`):
+    * Spark's resolution falls back to this V1 sink because the table
+    * deliberately lacks STREAMING_WRITE (a per-task V2 streaming
+    * writer could not stage the store's one atomic multi-file commit —
+    * the same reason the batch path is a V1 bridge). Each micro-batch
+    * is one idempotent-transaction insert, `txnInsert(appId, batchId)`
+    * — the Delta sink recipe — so a restart's redelivered batch skips
+    * instead of duplicating and the sink is exactly-once end to end.
+    * `appId` comes from option("txnAppId") or, by default, a digest of
+    * the checkpoint location (stable across restarts of the same
+    * query; two queries with different checkpoints never collide).
+    * Append output mode only: aggregate modes would require update
+    * semantics this sink does not claim.
+    */
+  override def createSink(ctx: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-store sink supports Append output mode only, got $outputMode " +
+        "(the sink is an insert commit log; use foreachBatch + txnMerge " +
+        "for update semantics)")
+    val path = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("path") => v
+    }.getOrElse(throw new IllegalArgumentException("graft-store sink requires a path"))
+    val app = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("txnAppId") => v
+    }.getOrElse {
+      val ck = parameters.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("checkpointLocation") => v
+      }.getOrElse(path)
+      "sink-" + java.security.MessageDigest.getInstance("SHA-1")
+        .digest(ck.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.take(16)
+    }
+    new CustomerStoreSink(path, app)
+  }
 
   /** The writer-API entry (`df.write.format("graft-store")`):
     * DataFrameWriter.save routes a V1_BATCH_WRITE table through the
@@ -556,6 +594,31 @@ class CustomerStoreTable(val path: String, val versionAsOf: Option[Long],
       }
     }
   }
+}
+
+/** The streaming micro-batch sink: each addBatch is ONE idempotent
+  * store transaction keyed (appId, batchId), so the engine's
+  * redelivery after a crash between the store commit and the
+  * checkpoint advance is a registry-checked no-op — the exactly-once
+  * contract [[graft.pipeline.CustomerStore.txnInsert]] exists for. A
+  * batch carrying only the ingest columns is enriched (work-queue
+  * flag + timestamps) exactly like the CSV data plane; a batch that
+  * already carries them (e.g. replaying a feed) lands as given.
+  */
+private[sources] class CustomerStoreSink(path: String, appId: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val s = data.sparkSession
+    // De-stream the incremental frame (the ForeachBatchSink shim):
+    // insertNew runs batch operations over it (dedup joins, checkpoint
+    // pins) that the streaming-flagged plan would reject.
+    val pinned = org.apache.spark.sql.graft.MicroBatch.asBatch(data)
+    val batch =
+      if (pinned.columns.contains("uploaded")) pinned
+      else graft.pipeline.Ingest.enrich(pinned)
+    new CustomerStore(s, path).txnInsert(appId, batchId, batch): Unit
+  }
+  override def toString: String = s"CustomerStoreSink($path, $appId)"
 }
 
 /** Catalog plugin: register once per session

@@ -224,6 +224,78 @@ class TxnSpec extends SparkSpec {
     assert(store.all().count() === 4L)
   }
 
+  test("native streaming sink lands each micro-batch once across a restart") {
+    val root = tmpDir("graft-sink-")
+    val in = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def land(name: String, ids: Seq[Long]): Unit = {
+      val stage = s"$root/stage/$name"
+      rows(ids).coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      assert(part.renameTo(new java.io.File(in, s"$name.parquet")))
+    }
+    land("b0", 1L to 5L); land("b1", 6L to 9L)
+    val schema = rows(Seq(1L)).schema
+    def run(): Unit =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(in)
+        .writeStream.format("graft-store")
+        .option("path", s"$root/store")
+        .option("txnAppId", "sinkspec")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    run()
+    val store = new CustomerStore(spark, s"$root/store")
+    assert(store.all().count() === 9L)
+    assert(store.latestTxnVersion("sinkspec") === Some(1L))
+    // the engine's redelivery (crash between store commit and
+    // checkpoint advance) is a registry-checked no-op
+    assert(store.txnInsert("sinkspec", 1L, Ingest.enrich(rows(6L to 9L))) === None)
+    land("b2", Seq(20L, 21L))
+    run()
+    assert(store.all().count() === 11L)
+    assert(store.latestTxnVersion("sinkspec") === Some(2L))
+    assert(store.currentVersion() === 3L)
+    // enrichment applied by the sink: rows land pending with timestamps
+    assert(store.all().filter(col("uploaded")).count() === 0L)
+    assert(store.all().filter(col("created_ts").isNull).count() === 0L)
+  }
+
+  test("native sink: default appId derives from the checkpoint location") {
+    val root = tmpDir("graft-sink-")
+    val in = s"$root/in"
+    rows(1L to 3L).coalesce(1).write.parquet(in)
+    spark.readStream.schema(rows(Seq(1L)).schema).parquet(in)
+      .writeStream.format("graft-store")
+      .option("path", s"$root/store")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val app = "sink-" + java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s"$root/ckpt".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+    val store = new CustomerStore(spark, s"$root/store")
+    assert(store.latestTxnVersion(app) === Some(0L))
+    assert(store.all().count() === 3L)
+  }
+
+  test("native sink rejects non-Append output modes loudly") {
+    val root = tmpDir("graft-sink-")
+    rows(1L to 2L).coalesce(1).write.parquet(s"$root/in")
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.schema(rows(Seq(1L)).schema).parquet(s"$root/in")
+        .writeStream.format("graft-store")
+        .option("path", s"$root/store")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    assert(e.getMessage.contains("Append"))
+  }
+
   test("lexicographic file order pins the dedup winner across files") {
     val (store, _) = freshStore()
     val in = tmpDir("graft-copyinto-")
