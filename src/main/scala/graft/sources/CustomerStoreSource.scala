@@ -98,7 +98,14 @@ class CustomerStoreSource extends TableProvider with DataSourceRegister
         .digest(ck.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .map("%02x".format(_)).mkString.take(16)
     }
-    new CustomerStoreSink(path, app)
+    // option("merge", true): each micro-batch UPSERTS on the email key
+    // (txnMerge) instead of insert-only — the streaming MERGE sink
+    // Delta offers only through foreachBatch. Still Append output mode
+    // (the merge key is in the DATA, not in engine update semantics).
+    val merge = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("merge") => v.toBoolean
+    }.getOrElse(false)
+    new CustomerStoreSink(path, app, merge)
   }
 
   /** The writer-API entry (`df.write.format("graft-store")`):
@@ -605,7 +612,8 @@ class CustomerStoreTable(val path: String, val versionAsOf: Option[Long],
   * flag + timestamps) exactly like the CSV data plane; a batch that
   * already carries them (e.g. replaying a feed) lands as given.
   */
-private[sources] class CustomerStoreSink(path: String, appId: String)
+private[sources] class CustomerStoreSink(path: String, appId: String,
+    merge: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val s = data.sparkSession
@@ -616,9 +624,12 @@ private[sources] class CustomerStoreSink(path: String, appId: String)
     val batch =
       if (pinned.columns.contains("uploaded")) pinned
       else graft.pipeline.Ingest.enrich(pinned)
-    new CustomerStore(s, path).txnInsert(appId, batchId, batch): Unit
+    val store = new CustomerStore(s, path)
+    if (merge) store.txnMerge(appId, batchId, batch): Unit
+    else store.txnInsert(appId, batchId, batch): Unit
   }
-  override def toString: String = s"CustomerStoreSink($path, $appId)"
+  override def toString: String =
+    s"CustomerStoreSink($path, $appId, merge=$merge)"
 }
 
 /** Catalog plugin: register once per session

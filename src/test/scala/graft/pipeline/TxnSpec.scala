@@ -281,6 +281,38 @@ class TxnSpec extends SparkSpec {
     assert(store.all().count() === 3L)
   }
 
+  test("native sink merge mode: micro-batches upsert on the email key") {
+    val root = tmpDir("graft-sink-")
+    val in = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def land(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val stage = s"$root/stage/$name"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      assert(part.renameTo(new java.io.File(in, s"$name.parquet")))
+    }
+    land("b0", rows(1L to 6L))
+    // b1 updates ids 1-3's phone and inserts 10-11 — the upsert batch
+    land("b1", rows(1L to 3L).withColumn("phone", concat(lit("999-"), col("id")))
+      .unionByName(rows(Seq(10L, 11L))))
+    spark.readStream.schema(rows(Seq(1L)).schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream.format("graft-store")
+      .option("path", s"$root/store")
+      .option("txnAppId", "upsert")
+      .option("merge", true)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val store = new CustomerStore(spark, s"$root/store")
+    assert(store.all().count() === 8L)
+    assert(store.all().filter(col("phone").startsWith("999-")).count() === 3L)
+    assert(store.latestTxnVersion("upsert") === Some(1L))
+    // redelivery of the upsert batch is still a no-op
+    assert(store.txnMerge("upsert", 1L, Ingest.enrich(rows(1L to 3L))) === None)
+  }
+
   test("native sink rejects non-Append output modes loudly") {
     val root = tmpDir("graft-sink-")
     rows(1L to 2L).coalesce(1).write.parquet(s"$root/in")
