@@ -1727,6 +1727,61 @@ object PipelineParity extends QueryGroup {
       out.toDF("n_rows", "id_sum", "n_emails")
     }),
 
+    // CDC REPLICATION — the round's read and write sides composed into
+    // the lakehouse table-replication recipe: stream the source store's
+    // change feed (offsets = commit versions, one commit per
+    // micro-batch) through the NATIVE merge-mode sink into a replica
+    // store. Entity post-images (insert/update) apply as idempotent
+    // upserts in commit order; the ack commit's entity delta filters to
+    // EMPTY and the empty micro-batch still records its txn version (a
+    // restart never re-reads it). REQUIREd: one replica commit per
+    // source commit, and the replica's entity state equals the
+    // source's row-for-row — including the absence of the salvaged
+    // id-conflict rows, which never produced feed rows.
+    "pipeline_replication" -> ((s, dir) => {
+      import s.implicits._
+      val srcPath = mergeIMATemplate(s, dir)
+      val out = withTempDir("graft-repl-") { tmp =>
+        val dstPath = s"$tmp/replica"
+        s.readStream.format("graft-store")
+          .option("path", srcPath)
+          .option("feedFrom", 0)
+          .option("maxCommitsPerTrigger", 1)
+          .load()
+          .filter(col("change_type").isin("insert", "update"))
+          .select(graft.pipeline.CustomerSchema.tableSchema.fieldNames
+            .map(col).toSeq: _*)
+          .writeStream.format("graft-store")
+          .option("path", dstPath)
+          .option("txnAppId", "repl")
+          .option("merge", true)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+        val replica = new graft.pipeline.CustomerStore(s, dstPath)
+        val src = new graft.pipeline.CustomerStore(s, srcPath)
+        require(replica.currentVersion() == 3L &&
+          replica.latestTxnVersion("repl") == Some(2L),
+          "one replica commit per source commit, newest txn recorded " +
+            s"(got v${replica.currentVersion()}, " +
+            s"txn ${replica.latestTxnVersion("repl")})")
+        val ent = Seq("id", "email", "first_name", "last_name", "phone")
+        val a = src.all().select(ent.map(col): _*)
+        val b = replica.all().select(ent.map(col): _*)
+        require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          "replica entity state must equal the source row-for-row")
+        replica.all()
+          .groupBy(substring(col("email"), 1, 1).as("block"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("id_sum"),
+            sum(when(col("phone").startsWith("999-"), 1L).otherwise(0L))
+              .as("n_updated"))
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+      out.toDF("block", "n_rows", "id_sum", "n_updated")
+        .orderBy(col("block"))
+    }),
+
     // The same incremental-CDC contract through the CONNECTOR's
     // streaming source (spark.readStream.format("graft-store"),
     // the Delta-streaming-source analog): offsets ARE commit versions,
@@ -3096,6 +3151,18 @@ object PipelineParity extends QueryGroup {
                 FROM c WHERE k % 7 = 0)
          SELECT * FROM u UNION ALL SELECT * FROM w UNION ALL SELECT * FROM x
          ORDER BY block""",
+    "pipeline_replication" ->
+      """WITH c AS (SELECT c_custkey AS k FROM customer),
+          u AS (SELECT 'u' AS block, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(k) AS BIGINT) AS id_sum,
+                  CAST(SUM(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_updated
+                FROM c),
+          n AS (SELECT 'n' AS block, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(k + 20000000) AS BIGINT) AS id_sum,
+                  CAST(0 AS BIGINT) AS n_updated
+                FROM c WHERE k % 10 = 0)
+         SELECT * FROM u UNION ALL SELECT * FROM n ORDER BY block""",
     "streaming_store_sink_parity" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(c_custkey) AS BIGINT) AS id_sum,
