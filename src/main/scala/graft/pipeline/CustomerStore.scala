@@ -401,6 +401,31 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     commitSchema(next, v, "ADD COLUMN")
   }
 
+  /** MERGE with AUTOMATIC additive evolution — the API twin of SQL
+    * `MERGE WITH SCHEMA EVOLUTION` (Delta's schema.autoMerge): every
+    * batch column beyond the current table schema (the `_seq` ingest
+    * pin excepted) is first ADDed as a nullable evolved column — one
+    * feed-silent schema commit per new column, the exact [[addColumn]]
+    * path `ALTER TABLE ADD COLUMN` routes through — and the batch then
+    * merges with those columns carried: values land on both legs,
+    * an evolved-only difference marks its row updated, pre-evolution
+    * rows read NULL. All new columns are type-validated BEFORE the
+    * first schema commit, so an unsupported type fails loudly with the
+    * table unchanged rather than half-evolved.
+    */
+  def mergeEvolve(batch: DataFrame): MergeResult = {
+    val unknown = batch.schema.fields.filterNot(f =>
+      f.name == "_seq" ||
+        tableSchema.fieldNames.exists(_.equalsIgnoreCase(f.name))).toSeq
+    unknown.foreach(f => require(
+      CustomerStore.SupportedColumnTypes.contains(f.dataType),
+      s"mergeEvolve: new column '${f.name}' has unsupported type " +
+        s"${f.dataType.simpleString} — evolved columns may be int, " +
+        "bigint, string, boolean, or timestamp; no schema commit was made"))
+    unknown.foreach(f => addColumn(f.name, f.dataType): Unit)
+    merge(batch)
+  }
+
   /** TYPE WIDENING (the Delta/Iceberg `ALTER COLUMN TYPE` evolution):
     * widen a payload column's type WITHOUT rewriting a single file —
     * a feed-silent versioned metadata commit updates the schema

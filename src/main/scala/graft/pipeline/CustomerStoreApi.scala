@@ -271,13 +271,16 @@ trait CustomerStoreApi {
     // the stored value when the batch does not carry the column — a
     // batch predating an addColumn OR a rename (its old-name column is
     // ignored like any unknown column, never nulling stored data).
-    // Change DETECTION stays on the base-contract payload identities
-    // (first_name/last_name/phone under their CURRENT logical names,
-    // skipping dropped ones) — the documented contract: an
-    // evolved-column-only difference does not mark a row updated; when
-    // the batch DOES carry a column, its value — null included — wins
-    // on updated rows. Everything here keys on PHYSICAL identity so
-    // logical renames cannot change merge behavior.
+    // Change DETECTION covers every payload column THE BATCH CARRIES —
+    // base contract and evolved alike, under their CURRENT logical
+    // names: a batch-carried difference in any assignable column (null
+    // included) marks the row updated and its value wins; a column the
+    // batch does not carry can neither trigger an update nor lose
+    // stored data. (Until round 15 evolved columns were excluded from
+    // detection; with SQL MERGE WITH SCHEMA EVOLUTION assigning them,
+    // an evolved-only difference must land, or the merge silently
+    // drops assigned values.) Everything here keys on PHYSICAL
+    // identity so logical renames cannot change merge behavior.
     val payload = tableSchema.fields.filterNot(f =>
       Set("id", "email", "uploaded", "created_ts",
         "modified_ts")(physicalNameOf(f))).toSeq
@@ -285,8 +288,7 @@ trait CustomerStoreApi {
       col("uploaded").as("_sup"), col("created_ts").as("_sct")) ++
       payload.map(f => col(f.name).as("_sx_" + f.name)): _*)
     val matched = pin(latest.join(storedK, col("email") === col("_semail")))
-    val detect = Seq("first_name", "last_name", "phone")
-      .flatMap(logicalFor).filter(seqd.columns.contains)
+    val detect = payload.map(_.name).filter(seqd.columns.contains)
     val changed = detect.map(n => !(col(n) <=> col("_sx_" + n)))
       .reduceOption(_ || _).getOrElse(lit(false))
     val updates = pin(matched

@@ -34,17 +34,27 @@ import graft.sources.CustomerStoreTable
   * }}}
   *
   * Exactly this shape — email equi-key, full payload update, 5-column
-  * insert, no extra/conditional actions, no schema evolution — because
-  * it is exactly the store's merge CONTRACT (update payload + touch
-  * modified_ts keeping id/uploaded/created_ts; identical matches
-  * untouched — the idempotency refinement; unmatched rows insert
-  * unless their id collides, reference UNIQUE-salvage semantics,
-  * csv-crm-upload database/database.go:15-20). Any other MERGE shape
-  * against a graft store fails ANALYSIS loudly rather than silently
-  * bending those semantics. The command returns the same counters as
-  * [[graft.pipeline.MergeResult]].
+  * insert, no extra/conditional actions — because it is exactly the
+  * store's merge CONTRACT (update payload + touch modified_ts keeping
+  * id/uploaded/created_ts; identical matches untouched — the
+  * idempotency refinement; unmatched rows insert unless their id
+  * collides, reference UNIQUE-salvage semantics, csv-crm-upload
+  * database/database.go:15-20), EXTENDED by the store's additive
+  * schema evolution: both legs may additionally assign same-named
+  * source copies of EVOLVED columns (the same set on both legs — a
+  * per-leg difference is inexpressible through the store's one-batch
+  * merge and is rejected rather than silently unified). With Spark's
+  * `MERGE WITH SCHEMA EVOLUTION` keyword, the analyzer's own
+  * ResolveMergeIntoSchemaEvolution first ADDs the missing source
+  * columns through this catalog's `alterTable` (one schema commit,
+  * the same path as `ALTER TABLE ADD COLUMN`), re-resolves, and the
+  * merge then lands values into the just-evolved column. Any other
+  * MERGE shape against a graft store fails ANALYSIS loudly rather
+  * than silently bending those semantics. The command returns the
+  * same counters as [[graft.pipeline.MergeResult]].
   */
-case class MergeIntoStoreCommand(path: String, source: LogicalPlan)
+case class MergeIntoStoreCommand(path: String, source: LogicalPlan,
+    evolvedCols: Seq[String] = Nil)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -55,16 +65,19 @@ case class MergeIntoStoreCommand(path: String, source: LogicalPlan)
 
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.{functions => F}
+    val cols = Seq("id", "first_name", "last_name", "email", "phone") ++
+      evolvedCols
     val src = org.apache.spark.sql.graft.PlanDataFrame.ofRows(spark, source)
-      .select("id", "first_name", "last_name", "email", "phone")
+      .select(cols.map(F.col): _*)
     // Standard SQL MERGE (and Delta) raises when multiple source rows
     // would match one target row with CONFLICTING values — the API
     // merge's last-_seq-wins normalization would otherwise pick a
     // nondeterministic winner here, because a SQL source has no ingest
-    // order. Payload-IDENTICAL duplicates are harmless and collapse.
+    // order. Payload-IDENTICAL duplicates are harmless and collapse —
+    // identity includes any assigned evolved columns.
     val conflicted = src.groupBy(F.col("email"))
-      .agg(F.countDistinct(F.struct(F.col("id"), F.col("first_name"),
-        F.col("last_name"), F.col("phone"))).as("n"))
+      .agg(F.countDistinct(F.struct(
+        cols.filterNot(_ == "email").map(F.col): _*)).as("n"))
       .filter(F.col("n") > 1)
     if (conflicted.take(1).nonEmpty)
       throw new IllegalStateException(
@@ -162,12 +175,25 @@ case class ResolveStoreMerge(session: SparkSession) extends Rule[LogicalPlan] {
       throw new UnsupportedOperationException(
         "graft-store MERGE supports exactly the email-keyed upsert shape " +
           "(ON t.email = s.email; WHEN MATCHED UPDATE SET first_name/" +
-          s"last_name/phone; WHEN NOT MATCHED INSERT the 5 base columns): $what")
+          "last_name/phone; WHEN NOT MATCHED INSERT the 5 base columns; " +
+          "both legs may additionally assign the SAME set of evolved " +
+          s"columns as same-named source copies): $what")
     if (table.versionAsOf.nonEmpty || table.timestampAsOf.nonEmpty)
       fail("a time-travel table is read-only")
-    if (m.schemaEvolutionEnabled) fail("schema evolution is not supported")
+    // m.schemaEvolutionEnabled needs no handling here: by post-hoc
+    // resolution time the analyzer's ResolveMergeIntoSchemaEvolution
+    // has already ADDed the missing source columns through the
+    // catalog's alterTable and re-resolved the merge against the
+    // evolved target — the assignments below simply see the new
+    // columns as (resolved) evolved-column copies.
     if (m.notMatchedBySourceActions.nonEmpty)
       fail("WHEN NOT MATCHED BY SOURCE is not supported")
+    // Columns beyond the base contract (additive evolution), by their
+    // CURRENT logical names — assignable on both legs.
+    val baseCols = Set("id", "email", "first_name", "last_name", "phone",
+      "uploaded", "created_ts", "modified_ts")
+    val evolved = m.targetTable.output.map(_.name.toLowerCase)
+      .filterNot(baseCols).toSet
 
     val targetIds = m.targetTable.output.map(_.exprId).toSet
     val sourceIds = m.sourceTable.output.map(_.exprId).toSet
@@ -196,9 +222,12 @@ case class ResolveStoreMerge(session: SparkSession) extends Rule[LogicalPlan] {
       case other => fail(s"unsupported ON condition $other")
     }
 
-    // Each assignment must be target-column = same-named source column.
+    // Each assignment must be target-column = same-named source column;
+    // the required base set must be covered exactly, and anything
+    // beyond it must be an evolved column. Returns the evolved names
+    // the leg assigns.
     def sameNamePairs(as: Seq[org.apache.spark.sql.catalyst.plans.logical.Assignment],
-        expect: Set[String], what: String): Unit = {
+        expect: Set[String], what: String): Set[String] = {
       val names = as.map { a =>
         (asTarget(a.key), asSource(a.value)) match {
           case (Some(k), Some(v)) if k == v => k
@@ -206,19 +235,30 @@ case class ResolveStoreMerge(session: SparkSession) extends Rule[LogicalPlan] {
             "a same-named target-from-source column copy")
         }
       }
-      if (names.toSet != expect || names.length != expect.size)
-        fail(s"$what must assign exactly ${expect.toSeq.sorted.mkString(", ")}")
+      if (names.length != names.toSet.size) fail(s"$what assigns a column twice")
+      val extra = names.toSet -- expect
+      if (!expect.subsetOf(names.toSet) || !extra.subsetOf(evolved))
+        fail(s"$what must assign exactly ${expect.toSeq.sorted.mkString(", ")}" +
+          (if (evolved.nonEmpty)
+             s" plus optionally evolved columns ${evolved.toSeq.sorted.mkString(", ")}"
+           else ""))
+      extra
     }
 
-    m.matchedActions match {
+    val updExtra = m.matchedActions match {
       case Seq(UpdateAction(None, as, _)) => sameNamePairs(as, Payload, "UPDATE")
       case other => fail(s"unsupported WHEN MATCHED actions $other")
     }
-    m.notMatchedActions match {
+    val insExtra = m.notMatchedActions match {
       case Seq(InsertAction(None, as)) => sameNamePairs(as, InsertCols, "INSERT")
       case other => fail(s"unsupported WHEN NOT MATCHED actions $other")
     }
+    if (updExtra != insExtra)
+      fail("the evolved columns assigned by UPDATE and INSERT must be the " +
+        s"same set (UPDATE: ${updExtra.toSeq.sorted.mkString(", ")}; " +
+        s"INSERT: ${insExtra.toSeq.sorted.mkString(", ")}) — the store's " +
+        "one-batch merge applies a carried column to both legs")
 
-    MergeIntoStoreCommand(table.path, m.sourceTable)
+    MergeIntoStoreCommand(table.path, m.sourceTable, updExtra.toSeq.sorted)
   }
 }

@@ -988,6 +988,70 @@ object PipelineParity extends QueryGroup {
       }
     }),
 
+    // SQL MERGE WITH SCHEMA EVOLUTION: the statement's missing source
+    // column rides Spark's own ResolveMergeIntoSchemaEvolution into
+    // this catalog's alterTable (gated by the store table's
+    // AUTOMATIC_SCHEMA_EVOLUTION capability — the keyword alone does
+    // nothing without it), so ONE statement = one ADD COLUMN schema
+    // commit + one merge commit. Planted classes: %3==0 changed-phone
+    // + tier, %3==1 TIER-ONLY difference (must count updated — the
+    // round-15 detection extension: a batch-carried evolved diff
+    // lands rather than silently dropping), %10==0 fresh (+30M ids,
+    // even → all tier t0) with tier, %10==3 id-conflicts salvage
+    // away. REQUIREs: the keyword-less statement fails analysis with
+    // NO commit; versions pin v2=ADD v3=MERGE; tier is the appended
+    // nullable string; pre-evolution untouched rows read NULL.
+    "pipeline_catalog_merge_evolution" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+      val base = baseCols(s, dir)
+      withTempDir("graft-catmevo-") { tmp =>
+        val path = FixtureStores.cloneInto(fullV1Template(s, dir), tmp)
+        val store = new graft.pipeline.CustomerStore(s, path)
+        val changed = base.filter(col("id") % 3 === 0)
+          .withColumn("phone", concat(lit("999-"), col("id")))
+        val tierOnly = base.filter(col("id") % 3 === 1)
+        val fresh = base.filter(col("id") % 10 === 0)
+          .withColumn("id", col("id") + 30000000L)
+          .withColumn("email", concat(lit("new"), col("id"), lit("@example.com")))
+        val conf = base.filter(col("id") % 10 === 3)
+          .withColumn("email", concat(lit("conf"), col("id"), lit("@example.com")))
+        changed.unionByName(tierOnly).unionByName(fresh).unionByName(conf)
+          .withColumn("tier", concat(lit("t"), col("id") % 2))
+          .createOrReplaceTempView("graft_catalog_mevo_src")
+        // NB: the evolving UPDATE key is UNQUALIFIED (`tier`, not
+        // `t.tier`) — Spark treats an assignment as a new-column copy
+        // only when the key's name path EQUALS the source field path.
+        def stmt(kw: String) =
+          s"""MERGE $kw INTO graft_store.`$path` t USING graft_catalog_mevo_src s
+              ON t.email = s.email
+              WHEN MATCHED THEN UPDATE SET t.first_name = s.first_name,
+                t.last_name = s.last_name, t.phone = s.phone, tier = s.tier
+              WHEN NOT MATCHED THEN INSERT (id, first_name, last_name, email, phone, tier)
+                VALUES (s.id, s.first_name, s.last_name, s.email, s.phone, s.tier)"""
+        val rejected = try { s.sql(stmt("")); false }
+          catch { case scala.util.control.NonFatal(_) => true }
+        require(rejected && store.currentVersion() == 1L,
+          "without the keyword an unknown column must fail analysis with no commit")
+        val res = s.sql(stmt("WITH SCHEMA EVOLUTION")).head()
+        require(store.currentVersion() == 3L,
+          "evolution must be one ADD COLUMN commit + one merge commit")
+        val tierField = store.tableSchema.fields.last
+        require(tierField.name == "tier" && tierField.nullable &&
+          tierField.dataType == org.apache.spark.sql.types.StringType,
+          "tier must be the appended nullable string column")
+        val st = store.all().localCheckpoint(true)
+        require(st.filter(col("email").startsWith("conf")).count() == 0L,
+          "id-conflict inserts must salvage away")
+        Seq((res.getLong(0), res.getLong(1), res.getLong(2), res.getLong(3),
+            st.count(), st.filter(col("tier") === "t0").count(),
+            st.filter(col("tier") === "t1").count(),
+            st.filter(col("tier").isNull).count()))
+          .toDF("n_updated", "n_inserted", "n_unchanged", "n_conflicts",
+            "n_total_after", "n_tier0", "n_tier1", "n_null_tier")
+      }
+    }),
+
     // DSv2 RUNTIME FILTERING (dynamic file pruning, SPARK-35779): a
     // broadcast join's build side delivers its join-key VALUES to the
     // store scan at execution time, and the scan re-plans its file set
@@ -2673,6 +2737,30 @@ object PipelineParity extends QueryGroup {
              AS n_total_after,
            CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_phone_updated
+         FROM customer""",
+    // Evolution-merge arithmetic: %3 IN (0,1) update (tier-only diffs
+    // count — the detection extension), %10==0 insert (even ids → all
+    // t0), %10==3 conflicts drop; tier parity follows c_custkey parity.
+    "pipeline_catalog_merge_evolution" ->
+      """SELECT
+           CAST(SUM(CASE WHEN c_custkey % 3 IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_updated,
+           CAST(SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inserted,
+           CAST(0 AS BIGINT) AS n_unchanged,
+           CAST(SUM(CASE WHEN c_custkey % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_conflicts,
+           CAST(COUNT(*) + SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_total_after,
+           CAST(SUM(CASE WHEN c_custkey % 3 IN (0, 1) AND c_custkey % 2 = 0
+                         THEN 1 ELSE 0 END)
+              + SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tier0,
+           CAST(SUM(CASE WHEN c_custkey % 3 IN (0, 1) AND c_custkey % 2 = 1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tier1,
+           CAST(SUM(CASE WHEN c_custkey % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_tier
          FROM customer""",
     // The (1,3] slice of the insert→merge→ack feed: the merge's fresh
     // +20M block is the only insert, %3==0 update pairs, %5==0 ack

@@ -535,8 +535,15 @@ class CustomerStoreTable(val path: String, val versionAsOf: Option[Long],
     with SupportsDelete {
   override def name(): String = s"graft_store($path)"
   override def schema(): StructType = CustomerStore.schemaAt(path)
+  // AUTOMATIC_SCHEMA_EVOLUTION gates `MERGE WITH SCHEMA EVOLUTION`:
+  // Spark's MergeIntoTable.schemaEvolutionEnabled is the AND of the
+  // statement keyword and this capability (keyword alone does nothing,
+  // capability alone never evolves a plain MERGE). The analyzer's
+  // ResolveMergeIntoSchemaEvolution then routes the missing-column ADDs
+  // through GraftStoreCatalog.alterTable — the store's addColumn path.
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CustomerStoreScanBuilder(path, versionAsOf, timestampAsOf)
 

@@ -112,6 +112,37 @@ class SchemaEvolutionSpec extends SparkSpec {
       .select("loyalty_tier").head().getLong(0) === 9L)
   }
 
+  test("mergeEvolve auto-adds unknown batch columns, lands values, and rejects bad types pre-commit") {
+    val (store, _) = freshStore()
+    store.insertNew(Ingest.enrich(rows(1L to 6L)))                        // v1
+    // batch: ids 1-2 differ ONLY in the new column; 21 is fresh.
+    val batch = Ingest.enrich(rows(Seq(1L, 2L, 21L)))
+      .withColumn("tier", col("id") % 2)
+    val r = store.mergeEvolve(batch)                                      // v2 ADD + v3 merge
+    assert((r.nUpdated, r.nInserted, r.nUnchanged) === ((2L, 1L, 0L)),
+      "an evolved-only difference must mark its row updated")
+    assert(store.currentVersion() === 3L)
+    assert(store.tableSchema("tier").dataType === LongType)
+    assert(store.all().filter(col("tier").isNotNull).count() === 3L)
+    assert(store.all().filter(col("tier").isNull).count() === 4L)
+    // idempotent: the same batch is now all-identical, no new column
+    val r2 = store.mergeEvolve(batch)
+    assert((r2.nUpdated, r2.nUnchanged) === ((0L, 3L)))
+    assert(store.currentVersion() === 3L,
+      "an all-unchanged mergeEvolve must not commit data or schema")
+    // an unsupported type fails BEFORE any schema commit — even when a
+    // second, valid column rides the same batch
+    val vBefore = store.currentVersion()
+    intercept[IllegalArgumentException] {
+      store.mergeEvolve(batch
+        .withColumn("ok_col", lit("x"))
+        .withColumn("bad_col", array(lit(1))))
+    }
+    assert(store.currentVersion() === vBefore &&
+      !store.tableSchema.fieldNames.contains("ok_col"),
+      "a rejected mergeEvolve must leave the schema fully unevolved")
+  }
+
   test("evolved rows survive the ack's file-level rewrite and compaction") {
     val (store, _) = freshStore()
     store.insertNew(Ingest.enrich(rows(1L to 10L)))

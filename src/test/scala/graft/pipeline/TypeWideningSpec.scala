@@ -102,9 +102,10 @@ class TypeWideningSpec extends SparkSpec {
     assert(feed.schema("points").dataType === LongType)
     assert(feed.select(col("points")).filter(col("points").isNotNull)
       .collect().map(_.getLong(0)).sorted === Array(30L, 33L, 140L))
-    // merge THROUGH the widened column over a pre-widening file (a
-    // changed phone forces the update — evolved-column-only diffs
-    // deliberately don't, per the evolution merge contract)
+    // merge THROUGH the widened column over a pre-widening file (the
+    // batch-carried points diff alone would also mark the row updated
+    // since round 15's detection extension; the changed phone keeps
+    // this pin independent of that contract)
     store.merge(Ingest.enrich(rows(Seq(10L)))
       .withColumn("phone", lit("999-10"))
       .withColumn("points", lit(999L)))                                  // v6

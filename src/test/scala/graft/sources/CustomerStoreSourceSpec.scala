@@ -329,6 +329,69 @@ class CustomerStoreSourceSpec extends SparkSpec {
           WHEN MATCHED THEN DELETE""")
   }
 
+  test("SQL MERGE WITH SCHEMA EVOLUTION adds source columns and lands their values") {
+    spark.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+    val path = tmpDir("dsv2-mevo") + "/store"
+    val store = new CustomerStore(spark, path)
+    store.insertNew(block(1L, 10L)): Unit // v1
+    // 3 matched rows whose ONLY difference is the new column, 2 fresh.
+    val src = rows(
+      ((1L to 3L).map(i => (i, s"F$i", s"L$i", s"u$i@example.com", s"555-$i")) ++
+       (21L to 22L).map(i => (i, s"F$i", s"L$i", s"new$i@example.com", s"555-$i"))): _*)
+      .withColumn("tier", concat(lit("t"), col("id") % 2))
+    src.createOrReplaceTempView("merge_src_evo")
+    // NB: the evolving UPDATE key is UNQUALIFIED (`tier`, not `t.tier`) —
+    // Spark's ResolveMergeIntoSchemaEvolution treats an assignment as a
+    // new-column copy only when the key's name path EQUALS the source
+    // field path (MergeIntoTable.isEqual), and `t.tier` is ["t","tier"].
+    def mergeTierSql(evolution: String): String =
+      s"""MERGE $evolution INTO graft_store.`$path` t USING merge_src_evo s
+          ON t.email = s.email
+          WHEN MATCHED THEN UPDATE SET t.first_name = s.first_name,
+            t.last_name = s.last_name, t.phone = s.phone, tier = s.tier
+          WHEN NOT MATCHED THEN INSERT (id, first_name, last_name, email, phone, tier)
+            VALUES (s.id, s.first_name, s.last_name, s.email, s.phone, s.tier)"""
+    // Without the keyword the unknown target column fails ANALYSIS —
+    // no schema commit, no data commit.
+    intercept[Exception] { spark.sql(mergeTierSql("")) }
+    assert(store.currentVersion() === 1L,
+      "a rejected unknown-column MERGE must not commit")
+    val res = spark.sql(mergeTierSql("WITH SCHEMA EVOLUTION")).collect().head
+    assert((res.getLong(0), res.getLong(1), res.getLong(2), res.getLong(3)) ===
+      ((3L, 2L, 0L, 0L)),
+      "an evolved-only difference must mark its row updated (values land)")
+    assert(store.currentVersion() === 3L,
+      "exactly one ADD COLUMN schema commit + one merge commit")
+    assert(store.tableSchema.fieldNames.last === "tier" &&
+      store.tableSchema("tier").nullable)
+    val st = store.all().localCheckpoint(true)
+    // id%2 plants: tier t1 on ids 1,3,21; t0 on 2,22; NULL on untouched 4-10.
+    assert(st.filter(col("tier") === "t1").count() === 3L)
+    assert(st.filter(col("tier") === "t0").count() === 2L)
+    assert(st.filter(col("tier").isNull).count() === 7L)
+    // Idempotency through the evolved column: re-running the SAME
+    // statement finds no schema change and every match identical.
+    val res2 = spark.sql(mergeTierSql("WITH SCHEMA EVOLUTION")).collect().head
+    assert((res2.getLong(0), res2.getLong(1), res2.getLong(2)) === ((0L, 0L, 5L)))
+    // A PLAIN merge may assign the (now-existing) evolved column — the
+    // keyword only gates the automatic ADD, not evolved assignment.
+    val res3 = spark.sql(mergeTierSql("")).collect().head
+    assert(res3.getLong(2) === 5L, "plain MERGE over an evolved store")
+    // Per-leg evolved sets must agree: UPDATE-only tier is rejected.
+    val vBefore = store.currentVersion()
+    intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft_store.`$path` t USING merge_src_evo s
+            ON t.email = s.email
+            WHEN MATCHED THEN UPDATE SET t.first_name = s.first_name,
+              t.last_name = s.last_name, t.phone = s.phone, t.tier = s.tier
+            WHEN NOT MATCHED THEN INSERT (id, first_name, last_name, email, phone)
+              VALUES (s.id, s.first_name, s.last_name, s.email, s.phone)""")
+    }
+    assert(store.currentVersion() === vBefore,
+      "an inconsistent-evolved-set MERGE must not commit")
+  }
+
   test("SQL MERGE INTO rejects conflicting duplicate source emails, collapses identical ones") {
     spark.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
     val path = tmpDir("dsv2-mdup") + "/store"
