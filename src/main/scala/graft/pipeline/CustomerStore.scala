@@ -382,7 +382,12 @@ class CustomerStore(protected val spark: SparkSession, path: String,
   def addColumn(name: String,
       dataType: org.apache.spark.sql.types.DataType): Long = {
     recover()
-    require(tableExists, s"addColumn: table at $path does not exist")
+    // Deliberately NOT gated on tableExists: a schema commit may
+    // precede any data (v1 = ADD COLUMN on a fresh store), so the
+    // streaming sink's mergeSchema option can evolve on its very first
+    // micro-batch and the subsequent insert carries the column. The
+    // metadata-commit machinery (staging dirs, version registry,
+    // recovery) is data-independent — pinned by SchemaEvolutionSpec.
     // The store's physical decode grammar (scans, snapshots, feed,
     // connector readers) covers exactly these Catalyst types — an
     // unsupported add must fail at DDL time, not at first read.
@@ -414,16 +419,28 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     * table unchanged rather than half-evolved.
     */
   def mergeEvolve(batch: DataFrame): MergeResult = {
+    evolveToInclude(batch): Unit
+    merge(batch)
+  }
+
+  /** ADD every batch column beyond the current table schema (the
+    * `_seq` ingest pin excepted) as a nullable evolved column — the
+    * shared auto-evolution step of [[mergeEvolve]] and the streaming
+    * sink's `mergeSchema` option. All new columns are type-validated
+    * BEFORE the first schema commit (fail loudly, table unchanged, not
+    * half-evolved). Returns the added names; idempotent — a batch
+    * whose columns all exist adds nothing.
+    */
+  def evolveToInclude(batch: DataFrame): Seq[String] = {
     val unknown = batch.schema.fields.filterNot(f =>
       f.name == "_seq" ||
         tableSchema.fieldNames.exists(_.equalsIgnoreCase(f.name))).toSeq
     unknown.foreach(f => require(
       CustomerStore.SupportedColumnTypes.contains(f.dataType),
-      s"mergeEvolve: new column '${f.name}' has unsupported type " +
+      s"schema evolution: new column '${f.name}' has unsupported type " +
         s"${f.dataType.simpleString} — evolved columns may be int, " +
         "bigint, string, boolean, or timestamp; no schema commit was made"))
-    unknown.foreach(f => addColumn(f.name, f.dataType): Unit)
-    merge(batch)
+    unknown.map { f => addColumn(f.name, f.dataType): Unit; f.name }
   }
 
   /** TYPE WIDENING (the Delta/Iceberg `ALTER COLUMN TYPE` evolution):

@@ -105,7 +105,16 @@ class CustomerStoreSource extends TableProvider with DataSourceRegister
     val merge = parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("merge") => v.toBoolean
     }.getOrElse(false)
-    new CustomerStoreSink(path, app, merge)
+    // option("mergeSchema", true): Delta's sink option — batch columns
+    // beyond the store schema auto-ADD (nullable, the addColumn path)
+    // before the batch lands, for insert and merge modes alike. The
+    // evolution step is guarded by the same txn fast-path as the data:
+    // a restart's REPLAYED batch skips both, so redelivery can never
+    // re-evolve or double-commit.
+    val mergeSchema = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("mergeSchema") => v.toBoolean
+    }.getOrElse(false)
+    new CustomerStoreSink(path, app, merge, mergeSchema)
   }
 
   /** The writer-API entry (`df.write.format("graft-store")`):
@@ -620,7 +629,7 @@ class CustomerStoreTable(val path: String, val versionAsOf: Option[Long],
   * already carries them (e.g. replaying a feed) lands as given.
   */
 private[sources] class CustomerStoreSink(path: String, appId: String,
-    merge: Boolean = false)
+    merge: Boolean = false, mergeSchema: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val s = data.sparkSession
@@ -632,11 +641,16 @@ private[sources] class CustomerStoreSink(path: String, appId: String,
       if (pinned.columns.contains("uploaded")) pinned
       else graft.pipeline.Ingest.enrich(pinned)
     val store = new CustomerStore(s, path)
+    // Auto-evolution rides the txn fast-path guard: a replayed batch
+    // (latest recorded txn at or past this batchId) must skip the
+    // schema commits exactly like it skips the data commit.
+    if (mergeSchema && !store.latestTxnVersion(appId).exists(_ >= batchId))
+      store.evolveToInclude(batch): Unit
     if (merge) store.txnMerge(appId, batchId, batch): Unit
     else store.txnInsert(appId, batchId, batch): Unit
   }
   override def toString: String =
-    s"CustomerStoreSink($path, $appId, merge=$merge)"
+    s"CustomerStoreSink($path, $appId, merge=$merge, mergeSchema=$mergeSchema)"
 }
 
 /** Catalog plugin: register once per session

@@ -112,6 +112,22 @@ class SchemaEvolutionSpec extends SparkSpec {
       .select("loyalty_tier").head().getLong(0) === 9L)
   }
 
+  test("addColumn on a fresh store: schema commit precedes data, first insert carries the column") {
+    val (store, path) = freshStore()
+    assert(store.addColumn("tier", LongType) === 1L,
+      "a fresh store's first commit may be the schema commit")
+    assert(store.currentVersion() === 1L)
+    assert(store.all().count() === 0L &&
+      store.all().columns.contains("tier"))
+    store.insertNew(Ingest.enrich(rows(1L to 3L)).withColumn("tier", col("id")))
+    assert(store.currentVersion() === 2L)
+    assert(store.all().filter(col("tier") === col("id")).count() === 3L,
+      "the first data commit must carry the pre-data evolved column")
+    // connector read agrees
+    val conn = spark.read.format("graft-store").option("path", path).load()
+    assert(conn.filter(col("tier").isNotNull).count() === 3L)
+  }
+
   test("mergeEvolve auto-adds unknown batch columns, lands values, and rejects bad types pre-commit") {
     val (store, _) = freshStore()
     store.insertNew(Ingest.enrich(rows(1L to 6L)))                        // v1

@@ -313,6 +313,56 @@ class TxnSpec extends SparkSpec {
     assert(store.txnMerge("upsert", 1L, Ingest.enrich(rows(1L to 3L))) === None)
   }
 
+  test("native sink mergeSchema: batch columns evolve the store, replay-safe from batch 0") {
+    val root = tmpDir("graft-sink-")
+    val in = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def land(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val stage = s"$root/stage/$name"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      assert(part.renameTo(new java.io.File(in, s"$name.parquet")))
+    }
+    // the stream's declared schema carries tier from the start; b0's
+    // file itself has it (the store does NOT exist yet — evolution
+    // must work on the very first micro-batch)
+    land("b0", rows(1L to 4L).withColumn("tier", col("id") % 2))
+    def run(): Unit =
+      spark.readStream.schema(rows(Seq(1L)).schema
+          .add("tier", org.apache.spark.sql.types.LongType))
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream.format("graft-store")
+        .option("path", s"$root/store")
+        .option("txnAppId", "evo")
+        .option("merge", true)
+        .option("mergeSchema", true)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    run()
+    val store = new CustomerStore(spark, s"$root/store")
+    assert(store.tableSchema.fieldNames.contains("tier"))
+    assert(store.all().filter(col("tier") === col("id") % 2).count() === 4L,
+      "batch-0 evolution must land the first batch's column values")
+    val vAfterB0 = store.currentVersion() // v1 ADD + v2 merge
+    assert(vAfterB0 === 2L)
+    // b1: tier-only change on 1-2 (b0 set id%2, now 7) + fresh 10
+    land("b1", rows(1L to 2L).withColumn("tier", lit(7L))
+      .unionByName(rows(Seq(10L)).withColumn("tier", lit(7L))))
+    run()
+    assert(store.all().filter(col("tier") === 7L).count() === 3L,
+      "a tier-only difference must land through the merge sink")
+    assert(store.currentVersion() === 3L,
+      "an already-evolved column must not re-commit schema")
+    assert(store.latestTxnVersion("evo") === Some(1L))
+    // redelivery of b1 is a registry-checked no-op — including its
+    // evolution step (no new schema commits, no data commits)
+    assert(store.txnMerge("evo", 1L,
+      Ingest.enrich(rows(Seq(10L))).withColumn("tier", lit(9L))) === None)
+    assert(store.currentVersion() === 3L)
+  }
+
   test("native sink rejects non-Append output modes loudly") {
     val root = tmpDir("graft-sink-")
     rows(1L to 2L).coalesce(1).write.parquet(s"$root/in")
