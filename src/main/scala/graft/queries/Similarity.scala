@@ -54,6 +54,12 @@ object Similarity extends QueryGroup {
   private val IVF_PROBES = 12
   private val IVF_ASSIGN_R = 2
   private val IVF_ITERS = 2
+  // FILTERED ANN over-fetch: a same-label predicate keeps ~1/10 of
+  // candidates (10 labels, uniform), so the filtered probe fans out
+  // to more lists than the unfiltered one to hold the recall floor —
+  // the over-fetch dial every hybrid-search engine exposes. 20/32
+  // measured ≥0.9 at every pinned SF (QueryContractsSpec floor).
+  private val FILTER_PROBES = 20
   // Product quantization: the memory-compression leg of ANN (IVF prunes
   // WHICH vectors to score, PQ shrinks WHAT is stored/scored). 64 dims
   // split into PQ_M subspaces of PQ_SUB dims; each subspace learns
@@ -319,24 +325,35 @@ object Similarity extends QueryGroup {
     * `sim_ivf_incremental`: rank the query's IVF_PROBES nearest lists
     * against the broadcast centroids, equi-join the postings on
     * list_id, dedupe multi-assignment duplicates, exact re-rank to
-    * TOP_K.
+    * TOP_K. With `sameLabel` the probe is FILTERED ANN (hybrid
+    * search): candidates must share the query's label — the predicate
+    * applies INSIDE the probe, before scoring, not as a post-filter of
+    * an unfiltered top-k (which loses recall whenever the unfiltered
+    * top-k is dominated by other labels).
     */
   private def ivfProbe(queries: DataFrame, postings: DataFrame,
-      cent: DataFrame, probes: Int = IVF_PROBES, k: Int = TOP_K): DataFrame = {
+      cent: DataFrame, probes: Int = IVF_PROBES, k: Int = TOP_K,
+      sameLabel: Boolean = false): DataFrame = {
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("c_cos").desc, col("list_id"))
+    val qLab = if (sameLabel) Seq(col("label").as("q_label")) else Nil
     val qProbes = queries
-      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("sq").as("q_sq"))
+      .select(Seq(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("sq").as("q_sq")) ++ qLab: _*)
       .join(broadcast(cent))
       .withColumn("c_cos", cosPpm(qdot(col("q_qv"), col("cv")), col("q_sq"), col("c_sq")))
       .withColumn("p_rn", row_number().over(probeW))
       .filter(col("p_rn") <= probes)
-      .select(col("query_id"), col("q_qv"), col("q_sq"), col("list_id"))
+      .select(Seq(col("query_id"), col("q_qv"), col("q_sq"), col("list_id")) ++
+        (if (sameLabel) Seq(col("q_label")) else Nil): _*)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_ppm").desc, col("neighbor_id"))
-    postings.select(col("vec_id").as("neighbor_id"), col("qv"), col("sq"), col("list_id"))
+    postings.select(Seq(col("vec_id").as("neighbor_id"), col("qv"), col("sq"),
+        col("list_id")) ++
+        (if (sameLabel) Seq(col("label")) else Nil): _*)
       .join(qProbes, Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .filter(if (sameLabel) col("label") === col("q_label") else lit(true))
       // A multi-assigned neighbor can surface from several probed
       // lists; score FIRST, then dedupe on the 24-byte
       // (query, neighbor, score) triple — cos_ppm is a pure function
@@ -352,6 +369,27 @@ object Similarity extends QueryGroup {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_ppm"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Exact label-FILTERED top-k (brute force over same-label pairs) —
+    * the recall truth side for `sim_filtered_ann`, used only by
+    * QueryContractsSpec (the unfiltered brute force cannot serve: a
+    * query's unfiltered top-5 may be dominated by other labels).
+    */
+  private[queries] def filteredBruteTruth(s: SparkSession, dir: String): DataFrame = {
+    val all = quantized(s, dir)
+    val q = all.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("qv").as("q_qv"), col("sq").as("q_sq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_ppm").desc, col("neighbor_id"))
+    all.select(col("vec_id").as("neighbor_id"), col("label"), col("qv"), col("sq"))
+      .join(q, col("label") === col("q_label") &&
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_ppm", cosPpm(qdot(col("q_qv"), col("qv")), col("q_sq"), col("sq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOP_K)
+      .select(col("query_id"), col("neighbor_id"))
   }
 
   /** Dims per PQ subspace. */
@@ -713,6 +751,27 @@ object Similarity extends QueryGroup {
       val all = quantized(s, dir)
       val (postings, cent) = ivfIndexCached(s, dir, all)
       ivfProbe(all.filter(col("vec_id") % 100 === 0), postings, cent)
+    }),
+
+    // FILTERED ANN (hybrid search) — the most common real serving
+    // shape: nearest neighbors AMONG rows satisfying a metadata
+    // predicate (here: the query's own label class). The predicate
+    // applies INSIDE the probe, before scoring — post-filtering an
+    // unfiltered top-k loses recall whenever that top-k is dominated
+    // by other labels — and the probe over-fetches (FILTER_PROBES=20
+    // lists vs 12 unfiltered) because the filter keeps ~1/10 of each
+    // list. Same persisted postings artifact as sim_ivf_ann (labels
+    // ride the postings; no second index), same equi-join plan; at
+    // 100 TB a selective filter would instead route to a
+    // label-partitioned postings layout — the same query over a
+    // different physical key, not a different operator. Recall ≥0.9
+    // vs the exact FILTERED brute force pinned in QueryContractsSpec
+    // (measured 1.00/1.00/0.97 at sf0.001/0.01/0.1).
+    "sim_filtered_ann" -> ((s, dir) => {
+      val all = quantized(s, dir)
+      val (postings, cent) = ivfIndexCached(s, dir, all)
+      ivfProbe(all.filter(col("vec_id") % 100 === 0), postings, cent,
+        FILTER_PROBES, TOP_K, sameLabel = true)
     }),
 
     // IVF INDEX LIFECYCLE UNDER DELETION, merge-on-read leg — the
@@ -1645,6 +1704,32 @@ object Similarity extends QueryGroup {
                      nb.vec_id AS neighbor_id, nb.qv, nb.sq
                    FROM qp JOIN af nb USING (list_id)
                    WHERE nb.vec_id <> qp.query_id),
+          sc AS (SELECT query_id, neighbor_id,
+                   ${cosPpmSql("q_qv", "qv", "q_sq", "sq")} AS cos_ppm FROM cand),
+          r AS (SELECT query_id, neighbor_id, cos_ppm,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_ppm DESC, neighbor_id) AS BIGINT) AS rank
+                FROM sc)
+          SELECT query_id, rank, neighbor_id, cos_ppm FROM r
+          WHERE rank <= $TOP_K ORDER BY query_id, rank""",
+    // The filtered-ANN oracle is the sim_ivf_ann oracle with the
+    // query's label carried through the probe and the candidate join
+    // restricted to same-label postings, at the over-fetch probe
+    // count — the retrained index is identical.
+    "sim_filtered_ann" ->
+      s"""WITH $quantSql,
+          $ivfBuildSql,
+          qp AS (SELECT query_id, q_label, q_qv, q_sq, list_id FROM (
+                   SELECT n.vec_id AS query_id, n.label AS q_label,
+                     n.qv AS q_qv, n.sq AS q_sq, c.list_id,
+                     ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY ${cosPpmSql("n.qv", "c.cv", "n.sq", "c.c_sq")} DESC, c.list_id) AS p_rn
+                   FROM n, $ivfFinalCent c WHERE n.vec_id % 100 = 0)
+                 WHERE p_rn <= $FILTER_PROBES),
+          cand AS (SELECT DISTINCT qp.query_id, qp.q_qv, qp.q_sq,
+                     nb.vec_id AS neighbor_id, nb.qv, nb.sq
+                   FROM qp JOIN af nb USING (list_id)
+                   WHERE nb.vec_id <> qp.query_id AND nb.label = qp.q_label),
           sc AS (SELECT query_id, neighbor_id,
                    ${cosPpmSql("q_qv", "qv", "q_sq", "sq")} AS cos_ppm FROM cand),
           r AS (SELECT query_id, neighbor_id, cos_ppm,

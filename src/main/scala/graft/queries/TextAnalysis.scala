@@ -550,6 +550,33 @@ object TextAnalysis extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // RAG-STYLE DOCUMENT CHUNKING: overlapping fixed-character windows
+    // with stable (doc_id, chunk_idx) identity, exact offsets, and a
+    // content fingerprint per chunk — the retrieval-corpus preparation
+    // step between curation and embedding. Window 200 chars, stride
+    // 150 (50-char overlap): starts step by stride while start <
+    // length, the tail chunk is the remainder, and a doc shorter than
+    // one window yields exactly one chunk. Plan: sequence() + explode
+    // — a map-side LINEAR projection, zero shuffles beyond the output
+    // ordering; at 100 TB chunking is embarrassingly parallel and the
+    // chunk identity is (doc_id, chunk_idx), never a global counter
+    // (monotonically_increasing_id would tie ids to partition layout).
+    "text_chunk_rag" -> ((s, dir) => {
+      val W = 200
+      val St = 150
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+        .withColumn("start_pos",
+          explode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(St))))
+        .select(
+          col("doc_id"),
+          (col("start_pos") / St).cast("long").as("chunk_idx"),
+          col("start_pos").cast("long").as("start_pos"),
+          least(lit(W), col("n") - col("start_pos")).cast("long").as("chunk_len"),
+          md5(substr(col("text"), col("start_pos") + 1, lit(W))).as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Deterministic hash-based train/eval split (7/8 vs 1/8: first hex
     // digit of the content md5 outside {e,f} → train, 14 of 16 digits)
     // — the standard splitter that is stable across runs,
@@ -863,6 +890,19 @@ object TextAnalysis extends QueryGroup {
           ORDER BY doc_id""",
     "text_fingerprint" ->
       s"SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id",
+    // Chunk arithmetic mirrors the Spark side exactly: starts 0, 150,
+    // 300… while start < length; tail = remainder; md5 of the raw
+    // 200-char substring (1-based, both engines truncate past end).
+    "text_chunk_rag" ->
+      """SELECT d.doc_id,
+           CAST(gs.s / 150 AS BIGINT) AS chunk_idx,
+           CAST(gs.s AS BIGINT) AS start_pos,
+           CAST(LEAST(200, length(d.text) - gs.s) AS BIGINT) AS chunk_len,
+           md5(substr(d.text, gs.s + 1, 200)) AS chunk_fp
+         FROM documents d,
+           LATERAL (SELECT unnest(generate_series(0,
+             GREATEST(length(d.text) - 1, 0), 150)) AS s) gs
+         ORDER BY doc_id, chunk_idx""",
     "text_keywords" ->
       s"""WITH toks AS (SELECT doc_id, unnest(w) AS t
                  FROM (SELECT doc_id, $toksSql AS w FROM documents)),

@@ -57,6 +57,32 @@ class QueryContractsSpec extends SparkSpec {
         "measured 1.00/0.96/0.94 at sf0.001/0.01/0.1)")
   }
 
+  test("filtered ann recall vs FILTERED brute force clears its floor; every hit shares the label") {
+    val truth = Similarity.filteredBruteTruth(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SparkEntry.queries("sim_filtered_ann")(spark, sf)
+      .select("query_id", "rank", "neighbor_id").collect()
+    assert(ann.nonEmpty, "filtered ANN returned no candidates")
+    ann.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (1L to rows.length).toSeq,
+        s"ragged ranks for query $q")
+    }
+    // The predicate is structural, not statistical: every returned
+    // neighbor must share its query's label exactly.
+    val labels = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ann.foreach { r =>
+      assert(labels(r.getLong(0)) === labels(r.getLong(2)),
+        s"query ${r.getLong(0)} got a neighbor outside its label class")
+    }
+    val hits = ann.count(r => truth.contains((r.getLong(0), r.getLong(2))))
+    val recall = hits.toDouble / truth.size
+    assert(recall >= 0.9,
+      f"filtered-ANN recall $recall%.2f below floor 0.9 (20/32 over-fetch probes " +
+        "against the same-label predicate)")
+  }
+
   test("graph beam-search recall vs brute force clears its floor and output is well-formed") {
     val brute = SparkEntry.queries("sim_topk_bruteforce")(spark, sf)
       .select("query_id", "neighbor_id").collect()
