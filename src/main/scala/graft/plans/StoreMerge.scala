@@ -121,26 +121,32 @@ case class ResolveStoreMerge(session: SparkSession) extends Rule[LogicalPlan] {
     * WHERE clause with the SET expressions applied (arbitrary
     * expressions over the row are fine — this is a read + merge, not a
     * metadata delete, so nothing needs to be pushable), and merge's
-    * matched leg updates payload + touches modified_ts. Only the three
-    * payload columns are assignable: the email key, id, uploaded, and
-    * the timestamps are the store's to manage, and an UPDATE that
-    * rewrote the merge key would be a delete+insert in disguise.
+    * matched leg updates payload + touches modified_ts. The three base
+    * payload columns and any EVOLVED columns are assignable: the email
+    * key, id, uploaded, and the timestamps are the store's to manage,
+    * and an UPDATE that rewrote the merge key would be a delete+insert
+    * in disguise.
     */
   private def toUpdateCommand(u: UpdateTable): LogicalPlan = {
     val table = storeOf(u.table).get
     def fail(what: String): Nothing =
       throw new UnsupportedOperationException(
         "graft-store UPDATE supports SET over first_name/last_name/phone " +
-          s"with an optional WHERE: $what")
+          s"and evolved columns, with an optional WHERE: $what")
     if (table.versionAsOf.nonEmpty || table.timestampAsOf.nonEmpty)
       fail("a time-travel table is read-only")
+    val baseCols = Set("id", "email", "first_name", "last_name", "phone",
+      "uploaded", "created_ts", "modified_ts")
+    val evolved = u.table.output.map(_.name.toLowerCase)
+      .filterNot(baseCols).toSet
     val targetIds = u.table.output.map(_.exprId).toSet
     val byName: Map[String, org.apache.spark.sql.catalyst.expressions.Expression] =
       u.assignments.map { a =>
         a.key match {
           case ar: AttributeReference
             if targetIds.contains(ar.exprId) &&
-               Payload.contains(ar.name.toLowerCase) =>
+               (Payload.contains(ar.name.toLowerCase) ||
+                 evolved.contains(ar.name.toLowerCase)) =>
             ar.name.toLowerCase -> a.value
           case other => fail(s"cannot assign $other")
         }
@@ -152,7 +158,11 @@ case class ResolveStoreMerge(session: SparkSession) extends Rule[LogicalPlan] {
         .map(v => Alias(v, a.name)()).getOrElse(a)
     }
     val child = u.condition.map(Filter(_, u.table)).getOrElse(u.table)
-    MergeIntoStoreCommand(table.path, Project(proj, child))
+    // Only ASSIGNED evolved columns ride the merge batch: an
+    // unassigned evolved column is then batch-absent, so the merge
+    // carries its stored value (never nulls it out).
+    MergeIntoStoreCommand(table.path, Project(proj, child),
+      (byName.keySet & evolved).toSeq.sorted)
   }
 
   private def unwrap(p: LogicalPlan): LogicalPlan = p match {

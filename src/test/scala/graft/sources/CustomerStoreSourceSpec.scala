@@ -453,6 +453,22 @@ class CustomerStoreSourceSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql(s"UPDATE graft_store.`$path` SET uploaded = true WHERE id = 1")
     }
+    // EVOLVED columns are assignable; an unassigned evolved column
+    // keeps its stored value through an unrelated UPDATE.
+    store.addColumn("tier", org.apache.spark.sql.types.StringType): Unit
+    val res3 = spark.sql(
+      s"UPDATE graft_store.`$path` SET tier = concat('t', id % 2) WHERE id <= 4")
+      .collect().head
+    assert(res3.getLong(0) === 4L, "an evolved-only SET must mark rows updated")
+    val st2 = new CustomerStore(spark, path).all()
+    assert(st2.filter(col("tier").isNotNull).count() === 4L)
+    val res4 = spark.sql(
+      s"UPDATE graft_store.`$path` SET phone = concat('888-', id) WHERE id <= 2")
+      .collect().head
+    assert(res4.getLong(0) === 2L, "the phone rewrite must really update")
+    assert(new CustomerStore(spark, path).all()
+      .filter(col("tier").isNotNull).count() === 4L,
+      "an UPDATE not assigning tier must carry stored tier values")
   }
 
   test("SQL TRUNCATE TABLE tombstones every live row through deletion vectors") {
