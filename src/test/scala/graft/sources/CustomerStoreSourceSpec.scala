@@ -944,6 +944,56 @@ class CustomerStoreSourceSpec extends SparkSpec {
       "pre-evolution rows must read as NULL tiers")
   }
 
+  test("CDC replication follows additive schema evolution end to end") {
+    // The composition of the round's pieces: an evolving SOURCE store
+    // replicated through the streaming CDC source into a REPLICA via
+    // the native sink in merge+mergeSchema mode — the replica's schema
+    // and values follow the source across stream restarts with no
+    // replica-side DDL.
+    val srcPath = tmpDir("dsv2-replevo") + "/src"
+    val dstPath = tmpDir("dsv2-replevo") + "/dst"
+    val ckpt = tmpDir("dsv2-replevo") + "/ckpt"
+    val src = new CustomerStore(spark, srcPath)
+    src.insertNew(block(1L, 5L)): Unit // v1
+    def replicate(): Unit = {
+      val dataCols = src.tableSchema.fieldNames.toSeq
+      spark.readStream.format("graft-store").option("path", srcPath)
+        .option("feedFrom", 0).load()
+        .filter(col("change_type").isin("insert", "update"))
+        .select(dataCols.map(col): _*)
+        .writeStream.format("graft-store")
+        .option("path", dstPath)
+        .option("txnAppId", "replevo")
+        .option("merge", true)
+        .option("mergeSchema", true)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    replicate()
+    val dst = new CustomerStore(spark, dstPath)
+    assert(dst.all().count() === 5L)
+    assert(!dst.tableSchema.fieldNames.contains("tier"))
+    // Source evolves and lands tier values through its own merge.
+    src.mergeEvolve(Ingest.enrich( // v2 ADD + v3 merge
+      ((1L to 2L).map(i => (i, s"F$i", s"L$i", s"u$i@example.com", s"999-$i")) :+
+        ((21L, "F21", "L21", "u21@example.com", "555-21")))
+        .toDF("id", "first_name", "last_name", "email", "phone"))
+      .withColumn("tier", col("id") % 3)): Unit
+    // Restarted replication serves the evolved feed; the sink evolves
+    // the replica and lands the values — no replica-side DDL anywhere.
+    replicate()
+    val dstEvolved = new CustomerStore(spark, dstPath)
+    assert(dstEvolved.tableSchema.fieldNames.contains("tier"),
+      "the replica schema must follow the source")
+    val ent = Seq("id", "email", "first_name", "last_name", "phone", "tier")
+    val a = src.all().select(ent.map(col): _*)
+    val b = dstEvolved.all().select(ent.map(col): _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "replica entity state incl. the evolved column must equal the source")
+    assert(dstEvolved.all().filter(col("tier").isNotNull).count() === 3L)
+  }
+
   test("streaming CDC source fails loudly when the checkpoint predates the vacuum horizon") {
     val path = tmpDir("dsv2-streamwm") + "/store"
     val store = new CustomerStore(spark, path)
