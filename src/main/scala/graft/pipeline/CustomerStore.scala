@@ -1237,6 +1237,17 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("s_id",
       org.apache.spark.sql.types.LongType),
+    // kind='e' rows (round 15): per-file min/max of an EVOLVED numeric
+    // column, keyed by its PHYSICAL name (stable under renames).
+    // Nullable by construction — stats files written before the fields
+    // existed read as NULL under this declared schema, which pruning
+    // treats as no coverage (the file is read, never skipped).
+    org.apache.spark.sql.types.StructField("ecol",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("min_v",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("max_v",
+      org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("commit_version",
       org.apache.spark.sql.types.LongType, nullable = false)))
 
@@ -1278,6 +1289,38 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     statsManifest().filter(col("kind") === "z")
       .select(col("file"), col("n_rows"), col("min_id"), col("max_id"),
         col("min_hb"), col("max_hb"), col("commit_version"))
+
+  /** The EVOLVED-column zone manifest (kind='e'): per-file min/max of
+    * each evolved numeric column under its PHYSICAL name — stats
+    * follow the schema, so data skipping works on columns that did not
+    * exist at table creation. Files committed before a column's
+    * evolution (or stats rows written before this manifest generation)
+    * simply have no row for it — pruning keeps such files.
+    */
+  def evolvedZonesManifest(): DataFrame =
+    statsManifest().filter(col("kind") === "e")
+      .select(col("file"), col("ecol"), col("min_v"), col("max_v"),
+        col("commit_version"))
+
+  /** Zone-map pruning on an EVOLVED numeric column (physical name):
+    * keep files whose [min_v, max_v] intersects [lo, hi]; a file with
+    * no coverage for the column — pre-evolution commits, pre-'e'-stats
+    * generations, or an all-NULL column in that file — is kept
+    * (missing stats degrade to a read, never a wrong answer).
+    */
+  def evolvedZoneKeepFiles[A](files: Seq[(String, A)], physCol: String,
+      lo: Long, hi: Long): Seq[(String, A)] = {
+    val zones = evolvedZonesManifest()
+      .filter(col("ecol") === physCol)
+      .select(col("file"), col("min_v"), col("max_v"))
+      .collect().flatMap { r =>
+        if (r.isNullAt(1) || r.isNullAt(2)) None
+        else Some(r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      }.toMap
+    files.filter { case (name, _) =>
+      zones.get(name).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+  }
 
   /** The per-file KMV sample manifest (kind='s'): each live file's
     * bottom-[[CustomerStore.SampleK]] (md5-word hash, id) pairs,
@@ -2068,15 +2111,29 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       .filter(d => d.isDirectory &&
         d.listFiles().exists(_.getName.endsWith(".parquet")))
     if (dataDirs.isEmpty) return
-    val keySchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("id",
+    // Evolved NUMERIC columns get per-file zone stats beside the base
+    // id zones (kind='e', keyed by PHYSICAL name so renames can't
+    // detach a file's stats): every staged data file aligns to the
+    // current schema at write time, so the columns are always present
+    // in staged files. Non-numeric evolved columns are skipped —
+    // min/max zones only help range/equality pruning on ordered types.
+    val evoNum: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      evolvedFields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.LongType ||
+            f.dataType == org.apache.spark.sql.types.IntegerType =>
+          (physicalNameOf(f), f.dataType)
+      }
+    val keySchema = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("id",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("email",
-        org.apache.spark.sql.types.StringType)))
+        org.apache.spark.sql.types.StringType)) ++
+      evoNum.map { case (p, t) =>
+        org.apache.spark.sql.types.StructField(p, t) })
     val staged = spark.read.schema(keySchema)
       .parquet(dataDirs.map(_.toString): _*)
-      .select(element_at(split(input_file_name(), "/"), -1).as("file"),
-        col("id"), col("email"))
+      .select(Seq(element_at(split(input_file_name(), "/"), -1).as("file"),
+        col("id"), col("email")) ++ evoNum.map { case (p, _) => col(p) }: _*)
       .cache()
     try {
       // Both stats grains in ONE staged write (zone rows kind='z',
@@ -2088,15 +2145,20 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       // md5-word hashes — map-side bounded partials, no extra shuffle
       // stage per commit), then unnests into kind='s' rows.
       val bottomK = udaf(new graft.functions.TopKAggregator(SampleK))
+      // Evolved-column min/max ride the SAME per-file aggregate as the
+      // zones — still one stats job per commit whatever the schema.
+      val evoAggs = evoNum.flatMap { case (p, _) => Seq(
+        min(col(p).cast("long")).as(s"_emin_$p"),
+        max(col(p).cast("long")).as(s"_emax_$p")) }
       val zonesAgg = staged
         .withColumn("neg_h",
           -conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10).cast("long"))
         .groupBy(col("file"))
         .agg(count(lit(1)).as("n_rows"),
-          min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+          Seq(min(col("id")).as("min_id"), max(col("id")).as("max_id"),
           min(CustomerStore.hashBucket(col("id"))).as("min_hb"),
           max(CustomerStore.hashBucket(col("id"))).as("max_hb"),
-          bottomK(col("neg_h"), col("id")).as("sample"))
+          bottomK(col("neg_h"), col("id")).as("sample")) ++ evoAggs: _*)
       // zones and sample are two projections of the SAME per-file
       // aggregate; both evaluate inside the single union write below,
       // each from the cached staged keys — commit overhead stays one
@@ -2126,8 +2188,19 @@ class CustomerStore(protected val spark: SparkSession, path: String,
           lit(null).cast("long").as("min_id"), lit(null).cast("long").as("max_id"),
           lit(null).cast("long").as("min_hb"), lit(null).cast("long").as("max_hb"),
           lit(null).cast("long").as("s_h"), lit(null).cast("long").as("s_id"))
+      // kind='e' rows: one per (file, evolved numeric column), from
+      // the same cached aggregate. An all-NULL column (a commit whose
+      // batch never carried it) yields NULL min/max — pruning treats
+      // that as no coverage for the file.
+      val evoRows = evoNum.map { case (p, _) =>
+        zonesAgg.select(col("file"), lit("e").as("kind"),
+          lit(p).as("ecol"),
+          col(s"_emin_$p").as("min_v"), col(s"_emax_$p").as("max_v"))
+      }.reduceOption(_ unionByName _)
       val dir = new java.io.File(tmp, "stats")
-      zones.unionByName(sample).unionByName(bloom)
+      val baseRows = zones.unionByName(sample).unionByName(bloom)
+      evoRows.fold(baseRows)(e =>
+          baseRows.unionByName(e, allowMissingColumns = true))
         .withColumn("commit_version", lit(v))
         .coalesce(1).write.parquet(dir.toString)
       val commitId = java.util.UUID.randomUUID().toString.take(8)

@@ -814,8 +814,20 @@ class CustomerStoreScanBuilder(path: String, versionAsOf: Option[Long],
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // Evolved numeric columns (the "physical" metadata marks evolution)
+  // accept pushed comparisons too: kind='e' zone pruning + exact
+  // reader-side re-evaluation.
+  private val evoNumCols: Set[String] =
+    CustomerStore.schemaAt(path).fields.collect {
+      case f if f.metadata.contains("physical") &&
+          (f.dataType == org.apache.spark.sql.types.LongType ||
+           f.dataType == org.apache.spark.sql.types.IntegerType) => f.name
+    }.toSet
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (sup, rest) = filters.partition(CustomerStoreScan.supported)
+    val (sup, rest) = filters.partition(f =>
+      CustomerStoreScan.supported(f) ||
+        CustomerStoreScan.evolvedSupported(evoNumCols, f))
     pushed = sup
     rest
   }
@@ -1065,6 +1077,53 @@ object CustomerStoreScan {
       case EqualTo("uploaded", v: java.lang.Boolean) => v.booleanValue()
       case Not(EqualTo("uploaded", v: java.lang.Boolean)) => !v.booleanValue()
     }
+
+  /** A pushed literal as a Long when it is an integral numeric. */
+  def numVal(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(l.longValue())
+    case i: java.lang.Integer => Some(i.longValue())
+    case s: java.lang.Short => Some(s.longValue())
+    case _ => None
+  }
+
+  /** Comparisons on an EVOLVED numeric column (schema-dependent, so
+    * the ScanBuilder supplies the eligible logical names): pruned via
+    * the kind='e' zone manifest, re-evaluated exactly by every row
+    * reader ([[StoreRowReader.passes]]).
+    */
+  def evolvedSupported(evoCols: Set[String], f: Filter): Boolean = f match {
+    case EqualTo(c, v) => evoCols(c) && numVal(v).isDefined
+    case GreaterThan(c, v) => evoCols(c) && numVal(v).isDefined
+    case GreaterThanOrEqual(c, v) => evoCols(c) && numVal(v).isDefined
+    case LessThan(c, v) => evoCols(c) && numVal(v).isDefined
+    case LessThanOrEqual(c, v) => evoCols(c) && numVal(v).isDefined
+    case In(c, vs) => evoCols(c) && vs.nonEmpty && vs.forall(numVal(_).isDefined)
+    case _ => false
+  }
+
+  /** [lo, hi] implied by the pushed comparisons on numeric column `c`
+    * (conjunction; IN prunes by its envelope — sound for zone maps,
+    * the readers evaluate the set exactly).
+    */
+  def colBounds(filters: Array[Filter], c: String): (Long, Long) =
+    filters.foldLeft((Long.MinValue, Long.MaxValue)) { case ((lo, hi), f) =>
+      f match {
+        case EqualTo(`c`, v) if numVal(v).isDefined =>
+          val x = numVal(v).get; (math.max(lo, x), math.min(hi, x))
+        case GreaterThan(`c`, v) if numVal(v).isDefined =>
+          (math.max(lo, numVal(v).get + 1), hi)
+        case GreaterThanOrEqual(`c`, v) if numVal(v).isDefined =>
+          (math.max(lo, numVal(v).get), hi)
+        case LessThan(`c`, v) if numVal(v).isDefined =>
+          (lo, math.min(hi, numVal(v).get - 1))
+        case LessThanOrEqual(`c`, v) if numVal(v).isDefined =>
+          (lo, math.min(hi, numVal(v).get))
+        case In(`c`, vs) if vs.nonEmpty && vs.forall(numVal(_).isDefined) =>
+          val ls = vs.map(numVal(_).get)
+          (math.max(lo, ls.min), math.min(hi, ls.max))
+        case _ => (lo, hi)
+      }
+    }
 }
 
 class CustomerStoreScan(path: String, versionAsOf: Option[Long],
@@ -1134,12 +1193,25 @@ class CustomerStoreScan(path: String, versionAsOf: Option[Long],
     val zonePruned =
       if (lo == Long.MinValue && hi == Long.MaxValue) partPruned
       else store.zoneKeepFiles(partPruned.map(f => (f._1, f)), lo, hi).map(_._2)
+    // EVOLVED-column zone pruning (kind='e' manifest, physical-name
+    // keyed): one consult per filtered evolved column; files without
+    // coverage for the column are kept.
+    val phys = CustomerStore.physicalMapAt(path)
+    val evoFiltered = pruning.flatMap(_.references)
+      .filter(c => c != "id" && c != "email" && c != "uploaded")
+      .distinct.filter(phys.contains)
+    val evoPruned = evoFiltered.foldLeft(zonePruned) { (fs, c) =>
+      val (elo, ehi) = colBounds(pruning, c)
+      if (elo == Long.MinValue && ehi == Long.MaxValue) fs
+      else store.evolvedZoneKeepFiles(fs.map(f => (f._1, f)), phys(c), elo, ehi)
+        .map(_._2)
+    }
     val bloomPruned = emailProbe(pruning).filter(_.size <= RuntimeBloomProbeMax) match {
       case Some(emails) =>
         val keep = store.bloomKeepFiles(
-          zonePruned.map(f => (f._1, f._2)), emails).toSet
-        zonePruned.filter(f => keep(f._2))
-      case None => zonePruned
+          evoPruned.map(f => (f._1, f._2)), emails).toSet
+        evoPruned.filter(f => keep(f._2))
+      case None => evoPruned
     }
     val dv = store.deletionVectorFiles()
     val parts = bloomPruned.map { case (name, p, uploaded) =>
@@ -1272,11 +1344,14 @@ case class StoreReaderFactory(required: Array[String],
 private[sources] abstract class StoreRowReader(required: Array[String],
     filters: Array[Filter]) extends PartitionReader[InternalRow] {
 
-  // Base columns plus any evolved columns the projection asks for —
-  // the delta-replay reader indexes winner rows by this list, and the
+  // Base columns plus any evolved columns the projection OR the pushed
+  // filters ask for (a pushed evolved predicate may reference a column
+  // the projection pruned away — COUNT(*) with a tier filter) — the
+  // delta-replay reader indexes winner rows by this list, and the
   // metadata-scale readers null-fill columns an old file lacks.
   protected val TableCols: Array[String] =
-    (CustomerSchema.tableSchema.fieldNames ++ required).distinct
+    (CustomerSchema.tableSchema.fieldNames ++ required ++
+      filters.flatMap(_.references)).distinct
 
   private val emailEq: Array[Set[UTF8String]] = filters.collect {
     case EqualTo("email", v: String) => Set(UTF8String.fromString(v))
@@ -1286,6 +1361,29 @@ private[sources] abstract class StoreRowReader(required: Array[String],
   private val uploadedWant = CustomerStoreScan.uploadedEq(filters)
   private val notNullCols = filters.collect { case IsNotNull(c) => c }
 
+  // Pushed comparisons on EVOLVED numeric columns, evaluated EXACTLY
+  // per row (a NULL value fails every comparison — SQL semantics;
+  // pre-evolution files null-fill, so their rows drop under such a
+  // filter exactly as the post-scan predicate would drop them).
+  private val evoPreds: Array[(String, Long => Boolean)] = {
+    import CustomerStoreScan.numVal
+    def other(c: String) = c != "id" && c != "email" && c != "uploaded"
+    filters.collect {
+      case EqualTo(c, v) if other(c) && numVal(v).isDefined =>
+        val x = numVal(v).get; (c, (l: Long) => l == x)
+      case GreaterThan(c, v) if other(c) && numVal(v).isDefined =>
+        val x = numVal(v).get; (c, (l: Long) => l > x)
+      case GreaterThanOrEqual(c, v) if other(c) && numVal(v).isDefined =>
+        val x = numVal(v).get; (c, (l: Long) => l >= x)
+      case LessThan(c, v) if other(c) && numVal(v).isDefined =>
+        val x = numVal(v).get; (c, (l: Long) => l < x)
+      case LessThanOrEqual(c, v) if other(c) && numVal(v).isDefined =>
+        val x = numVal(v).get; (c, (l: Long) => l <= x)
+      case In(c, vs) if other(c) && vs.nonEmpty && vs.forall(numVal(_).isDefined) =>
+        val s = vs.map(numVal(_).get).toSet; (c, (l: Long) => s.contains(l))
+    }
+  }
+
   /** `get(col)` returns the row's Catalyst value for a table column. */
   protected def passes(get: String => Any): Boolean = {
     val id = get("id").asInstanceOf[Long]
@@ -1293,6 +1391,14 @@ private[sources] abstract class StoreRowReader(required: Array[String],
     val email = get("email").asInstanceOf[UTF8String]
     if (!emailEq.forall(_.contains(email))) return false
     if (!uploadedWant.forall(_ == get("uploaded").asInstanceOf[Boolean])) return false
+    if (!evoPreds.forall { case (c, p) =>
+      get(c) match {
+        case null => false
+        case l: java.lang.Long => p(l.longValue())
+        case i: java.lang.Integer => p(i.longValue())
+        case _ => false
+      }
+    }) return false
     notNullCols.forall(c => get(c) != null)
   }
 

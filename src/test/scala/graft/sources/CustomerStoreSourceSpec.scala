@@ -83,6 +83,52 @@ class CustomerStoreSourceSpec extends SparkSpec {
     assert(q.select(col("id")).collect().map(_.getLong(0)).toSeq === Seq(2005L))
   }
 
+  test("evolved-column zone stats prune files; a truncated pruned file is never opened") {
+    val path = tmpDir("dsv2-evozone") + "/store"
+    val store = new CustomerStore(spark, path)
+    store.insertNew(block(1L, 40L)): Unit // v1 — PRE-evolution, no tier coverage
+    store.addColumn("tier", org.apache.spark.sql.types.LongType): Unit // v2
+    store.insertNew(block(1001L, 1040L)
+      .withColumn("tier", col("id") - 900L)): Unit // v3: tier 101-140
+    store.insertNew(block(2001L, 2040L)
+      .withColumn("tier", col("id") - 1800L)): Unit // v4: tier 201-240
+    val q = cat(path).filter(col("tier").between(201L, 240L))
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("GreaterThanOrEqual(tier,201)"), plan)
+    val filesRe = """files=(\d+)/(\d+)""".r
+    val m = filesRe.findFirstMatchIn(plan).get
+    assert(m.group(1).toInt < m.group(2).toInt,
+      s"evolved zones skipped nothing: ${m.matched}")
+    assert(q.select("id").collect().map(_.getLong(0)).sorted ===
+      (2001L to 2040L).toArray)
+    // Stats key on the PHYSICAL name (rename-stable).
+    val physTier = graft.pipeline.CustomerStore.physicalMapAt(path)("tier")
+    val live = store.liveDataFiles()
+    val kept = store.evolvedZoneKeepFiles(
+      live.map(f => (f._1, f._2)), physTier, 201L, 240L).map(_._2).toSet
+    val prunedFiles = live.map(_._2).filter(p => !kept(p)).toSet
+    // ONLY the v3 tier-101-140 files may be pruned: the pre-evolution
+    // v1 files have NO tier coverage and must be KEPT (their rows drop
+    // at the reader — NULL fails every comparison).
+    val prunedRows = spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+      .parquet(prunedFiles.toSeq: _*).collect().map(_.getLong(0))
+    assert(prunedRows.nonEmpty && prunedRows.forall(id => id >= 1001L && id <= 1040L),
+      s"only the v3 block may be pruned, got ids ${prunedRows.sorted.take(5).toSeq}…")
+    // TRUNCATION PIN: zero every pruned file — the filtered read is
+    // unchanged because pruned files are never opened.
+    prunedFiles.foreach(p => new java.io.FileOutputStream(p).close())
+    assert(cat(path).filter(col("tier").between(201L, 240L))
+      .select("id").collect().map(_.getLong(0)).sorted ===
+      (2001L to 2040L).toArray)
+    // An evolved-column filter over a TIME-TRAVEL read stays correct
+    // (no pruning there; readers evaluate, pre-evolution rows null-drop).
+    assert(cat(path, "versionAsOf" -> "4")
+      .filter(col("tier") >= 201L).count() === 40L)
+  }
+
   test("uploaded filter prunes the other partition directory") {
     val path = tmpDir("dsv2-part") + "/store"
     val store = buildStore(path)
