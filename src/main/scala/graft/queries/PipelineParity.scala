@@ -324,6 +324,26 @@ object PipelineParity extends QueryGroup {
         base.filter(col("id") % 7 === 0).select(col("email")))        // v4
     }
 
+  /** Three id-block commits with block 1 PRE-evolution and blocks 2/3
+    * carrying disjoint planted tier ranges (id+10M / id+20M) — the
+    * evolved-column data-skipping fixture (mutating consumers clone).
+    */
+  private def evoSkipTemplate(s: SparkSession, dir: String): String =
+    FixtureStores.template(s"evoskip|$dir") { storePath =>
+      val base = baseCols(s, dir)
+      val store = new graft.pipeline.CustomerStore(s, storePath)
+      val (mn, mx) = { val r = base.agg(min(col("id")), max(col("id"))).head()
+        (r.getLong(0), r.getLong(1)) }
+      val t1 = mn + (mx - mn) / 3
+      val t2 = mn + 2 * (mx - mn) / 3
+      store.insertNew(Ingest.enrich(base.filter(col("id") <= t1))): Unit // v1
+      store.addColumn("tier", org.apache.spark.sql.types.LongType): Unit // v2
+      store.insertNew(Ingest.enrich(base.filter(col("id") > t1 && col("id") <= t2))
+        .withColumn("tier", col("id") + 10000000L)): Unit // v3
+      store.insertNew(Ingest.enrich(base.filter(col("id") > t2))
+        .withColumn("tier", col("id") + 20000000L)): Unit // v4
+    }
+
   /** Column-mapping evolution history (8 commits): insert → addColumn
     * (score) → score-carrying insert → RENAME phone→phone_e164 →
     * merge THROUGH the renamed column → RENAME score→quality → DROP
@@ -467,6 +487,7 @@ object PipelineParity extends QueryGroup {
       bloom4Template(_, _),
       clockIMATemplate(_, _),
       evolveTemplate(_, _),
+      evoSkipTemplate(_, _),
       mappingTemplate(_, _),
       constraintsTemplate(_, _),
       widenTemplate(_, _),
@@ -985,6 +1006,41 @@ object PipelineParity extends QueryGroup {
             nTotal, nPhone))
           .toDF("n_updated", "n_inserted", "n_unchanged", "n_conflicts",
             "n_total_after", "n_phone_updated")
+      }
+    }),
+
+    // DATA SKIPPING ON AN EVOLVED COLUMN: stats follow the schema.
+    // Three id-block commits — block 1 BEFORE the column exists, blocks
+    // 2/3 after, with disjoint planted tier ranges (id+10M / id+20M) —
+    // then a connector read filtered to block 3's tier range. REQUIREs:
+    // the kind='e' zone manifest prunes block 2's files while keeping
+    // the no-coverage pre-evolution block (missing stats degrade to a
+    // read, never a wrong answer), and the pruned files TRUNCATED TO
+    // ZERO BYTES leave the result byte-identical — pruned files are
+    // never opened. The filtered aggregate is oracle-pinned.
+    "pipeline_evolved_skipping" -> ((s, dir) => {
+      import s.implicits._
+      withTempDir("graft-evoskip-") { tmp =>
+        // The gate truncates files, so it owns a clone of the template.
+        val path = FixtureStores.cloneInto(evoSkipTemplate(s, dir), tmp)
+        val store = new graft.pipeline.CustomerStore(s, path)
+        val live = store.liveDataFiles()
+        val physTier = graft.pipeline.CustomerStore.physicalMapAt(path)("tier")
+        val kept = store.evolvedZoneKeepFiles(
+          live.map(f => (f._1, f._2)), physTier, 20000000L, Long.MaxValue)
+          .map(_._2).toSet
+        require(kept.nonEmpty && kept.size < live.size,
+          s"evolved zones must skip files (kept ${kept.size}/${live.size})")
+        val pruned = live.map(_._2).filterNot(kept)
+        require(pruned.nonEmpty, "block 2's files must be prunable")
+        pruned.foreach(p => new java.io.FileOutputStream(p).close())
+        val r = s.read.format("graft-store").option("path", path).load()
+          .filter(col("tier") >= 20000000L)
+          .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("id_sum"),
+            min(col("tier")).as("min_tier"), max(col("tier")).as("max_tier"))
+          .head()
+        Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toDF("n_rows", "id_sum", "min_tier", "max_tier")
       }
     }),
 
@@ -2738,6 +2794,17 @@ object PipelineParity extends QueryGroup {
            CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_phone_updated
          FROM customer""",
+    // Block-3 arithmetic over the capped base: ids above the second
+    // third, tiers planted as id+20M.
+    "pipeline_evolved_skipping" ->
+      """WITH b AS (SELECT MIN(c_custkey) AS mn, MAX(c_custkey) AS mx
+              FROM customer)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS id_sum,
+           CAST(MIN(c_custkey) + 20000000 AS BIGINT) AS min_tier,
+           CAST(MAX(c_custkey) + 20000000 AS BIGINT) AS max_tier
+         FROM customer, b
+         WHERE c_custkey > b.mn + 2 * (b.mx - b.mn) // 3""",
     // Evolution-merge arithmetic: %3 IN (0,1) update (tier-only diffs
     // count — the detection extension), %10==0 insert (even ids → all
     // t0), %10==3 conflicts drop; tier parity follows c_custkey parity.
