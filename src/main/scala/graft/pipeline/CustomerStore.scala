@@ -1482,6 +1482,38 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     }
   }
 
+  /** Per-partition MIN/MAX of an EVOLVED numeric column from the
+    * kind='e' manifest alone — the evolved-column face of
+    * [[manifestAggregatesGrouped]]. Exactness rules: refuses (None)
+    * under live deletion vectors or when any live file lacks an 'e'
+    * row for the column; an 'e' row with NULL min/max is an ALL-NULL
+    * column in that file and contributes nothing (exactly MIN/MAX's
+    * null-skipping semantics), so a group whose files are all-null
+    * serves the honest NULL extrema.
+    */
+  def manifestEvolvedExtremaGrouped(physCol: String)
+      : Option[Seq[(Boolean, Option[Long], Option[Long])]] = {
+    val live = liveDataFiles()
+    if (live.isEmpty) return Some(Seq.empty)
+    val (_, liveVectors) = deletionVectorStats()
+    if (liveVectors > 0L) return None
+    val names = live.map(_._1).toSet
+    val rows = evolvedZonesManifest()
+      .filter(col("ecol") === physCol)
+      .select(col("file"), col("min_v"), col("max_v"), col("commit_version"))
+      .collect()
+      .filter(r => names(r.getString(0)))
+      .groupBy(_.getString(0)).view
+      .mapValues(_.maxBy(_.getLong(3))).values.toSeq
+    if (rows.map(_.getString(0)).toSet != names) return None
+    val uploadedOf = live.map(f => f._1 -> f._3).toMap
+    Some(rows.groupBy(r => uploadedOf(r.getString(0))).toSeq.map { case (u, rs) =>
+      val mns = rs.filter(!_.isNullAt(1)).map(_.getLong(1))
+      val mxs = rs.filter(!_.isNullAt(2)).map(_.getLong(2))
+      (u, mns.minOption, mxs.maxOption)
+    }.sortBy(_._1))
+  }
+
   /** The exact-consult core shared by both manifest-aggregate faces:
     * the newest zone row per live file as (file, n_rows, min_id,
     * max_id). None whenever the consult could not be EXACT — live

@@ -889,28 +889,70 @@ class CustomerStoreScanBuilder(path: String, versionAsOf: Option[Long],
       case Seq(g) if isCol(g, "uploaded") => true
       case _ => return None
     }
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+        if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
     val funcs = aggregation.aggregateExpressions().toSeq
+    // MIN/MAX are manifest-servable on `id` (the zone manifest) and on
+    // EVOLVED numeric columns (the kind='e' manifest — statistics
+    // follow the schema); anything else refuses to the data path.
     val ok = funcs.nonEmpty && funcs.forall {
       case _: CountStar => true
-      case m: Min => isCol(m.column(), "id")
-      case m: Max => isCol(m.column(), "id")
+      case m: Min => m.column() match {
+        case c if isCol(c, "id") => true
+        case c => colName(c).exists(evoNumCols)
+      }
+      case m: Max => m.column() match {
+        case c if isCol(c, "id") => true
+        case c => colName(c).exists(evoNumCols)
+      }
       case _ => false
     }
     if (!ok) return None
     val store = new CustomerStore(SparkSession.active, path)
-    store.manifestAggregatesGrouped().map { all =>
-      val rows = wantPart.fold(all)(w => all.filter(_._1 == w))
-      if (grouped)
-        StoreAggPush(funcs, grouped = true, wantPart,
-          rows.map { case (u, n, mn, mx) => (Some(u), n, mn, mx) })
-      else {
-        // Fold the (≤2) per-partition rows into the one global row; an
-        // empty selection is the honest COUNT=0 / null-extrema row.
-        val mns = rows.flatMap(_._3)
-        val mxs = rows.flatMap(_._4)
-        StoreAggPush(funcs, grouped = false, wantPart,
-          Seq((None, rows.map(_._2).sum, mns.minOption, mxs.maxOption)))
+    val phys = CustomerStore.physicalMapAt(path)
+    // Resolve every consult ONCE per referenced surface.
+    val idAggs = store.manifestAggregatesGrouped().getOrElse(return None)
+    val evoCols: Seq[String] = funcs.flatMap {
+      case m: Min => colName(m.column()).filter(evoNumCols)
+      case m: Max => colName(m.column()).filter(evoNumCols)
+      case _ => None
+    }.distinct
+    val evoExtrema: Map[String, Seq[(Boolean, Option[Long], Option[Long])]] =
+      evoCols.map { c =>
+        c -> store.manifestEvolvedExtremaGrouped(phys(c)).getOrElse(return None)
+      }.toMap
+    val groups: Seq[Boolean] = {
+      val gs = idAggs.map(_._1)
+      wantPart.fold(gs)(w => gs.filter(_ == w))
+    }
+    def funcVal(f: AggregateFunc, u: Boolean): Option[Long] = f match {
+      case _: CountStar => idAggs.find(_._1 == u).map(_._2)
+      case m: Min if isCol(m.column(), "id") => idAggs.find(_._1 == u).flatMap(_._3)
+      case m: Max if isCol(m.column(), "id") => idAggs.find(_._1 == u).flatMap(_._4)
+      case m: Min => evoExtrema(colName(m.column()).get).find(_._1 == u).flatMap(_._2)
+      case m: Max => evoExtrema(colName(m.column()).get).find(_._1 == u).flatMap(_._3)
+      case other => throw new IllegalStateException(s"unexpected pushed agg $other")
+    }
+    if (grouped)
+      Some(StoreAggPush(funcs, grouped = true, wantPart,
+        groups.map(u => (Some(u): Option[Boolean], funcs.map(funcVal(_, u))))))
+    else {
+      // Fold the (≤2) per-partition rows into the one global row; an
+      // empty selection is the honest COUNT=0 / null-extrema row.
+      val folded = funcs.map { f =>
+        val vs = groups.flatMap(u => funcVal(f, u))
+        f match {
+          case _: CountStar => Some(vs.sum)
+          case _: Min => vs.minOption
+          case _: Max => vs.maxOption
+          case other => throw new IllegalStateException(s"unexpected pushed agg $other")
+        }
       }
+      Some(StoreAggPush(funcs, grouped = false, wantPart, Seq((None, folded))))
     }
   }
 
@@ -921,14 +963,15 @@ class CustomerStoreScanBuilder(path: String, versionAsOf: Option[Long],
   }
 }
 
-/** A completely-pushed manifest aggregation: one (group, COUNT/MIN/MAX
+/** A completely-pushed manifest aggregation: one (group, per-func
   * values) row per non-empty partition group (one ungrouped row when
   * `grouped` is false), optionally under a pushed partition predicate,
-  * resolved at pushdown time.
+  * fully resolved at pushdown time — values align with `funcs` by
+  * position.
   */
 case class StoreAggPush(funcs: Seq[AggregateFunc], grouped: Boolean,
     partFilter: Option[Boolean],
-    rows: Seq[(Option[Boolean], Long, Option[Long], Option[Long])])
+    rows: Seq[(Option[Boolean], Seq[Option[Long]])])
 
 /** The metadata-only scan a completely-pushed aggregation plans to:
   * values were resolved from the zone manifest at pushdown time; no
@@ -940,26 +983,28 @@ case class StoreAggPush(funcs: Seq[AggregateFunc], grouped: Boolean,
 class CustomerStoreAggScan(path: String, push: StoreAggPush)
     extends Scan with Batch {
 
+  private def aggColName(
+      e: org.apache.spark.sql.connector.expressions.Expression): String =
+    e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+        nr.fieldNames().mkString("_")
+      case other => other.toString
+    }
   override def readSchema(): StructType = StructType(
     (if (push.grouped)
       Seq(StructField("uploaded", BooleanType, nullable = false))
     else Nil) ++
       push.funcs.map {
         case _: CountStar => StructField("count_star", LongType, nullable = false)
-        case _: Min => StructField("min_id", LongType, nullable = true)
-        case _: Max => StructField("max_id", LongType, nullable = true)
+        case m: Min =>
+          StructField(s"min_${aggColName(m.column())}", LongType, nullable = true)
+        case m: Max =>
+          StructField(s"max_${aggColName(m.column())}", LongType, nullable = true)
         case other => throw new IllegalStateException(s"unexpected pushed agg $other")
       })
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(StoreAggPartition(push.rows.map { case (group, n, mn, mx) =>
-      (group, push.funcs.map {
-        case _: CountStar => Some(n)
-        case _: Min => mn
-        case _: Max => mx
-        case other => throw new IllegalStateException(s"unexpected pushed agg $other")
-      })
-    }))
+    Array(StoreAggPartition(push.rows))
   override def createReaderFactory(): PartitionReaderFactory = StoreAggReaderFactory
   override def description(): String =
     s"GraftStore path=$path, PushedAggregates: [${push.funcs.mkString(", ")}]" +

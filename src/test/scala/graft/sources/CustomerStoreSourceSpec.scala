@@ -612,6 +612,50 @@ class CustomerStoreSourceSpec extends SparkSpec {
       "manifest-only aggregates must not touch data files")
   }
 
+  test("aggregate pushdown serves MIN/MAX of an evolved column from the kind='e' manifest") {
+    spark.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
+    val path = tmpDir("dsv2-aggevo") + "/store"
+    val store = new CustomerStore(spark, path)
+    // Evolve BEFORE any data: every live file then has 'e' coverage.
+    store.addColumn("tier", org.apache.spark.sql.types.LongType): Unit // v1
+    store.insertNew(block(1L, 40L)
+      .withColumn("tier", col("id") + 100L)): Unit // v2: tier 101-140
+    // A tier-LESS batch null-fills: its 'e' row has NULL extrema and
+    // contributes nothing to MIN/MAX — exactly null-skipping semantics.
+    store.insertNew(block(1001L, 1040L)): Unit // v3: tier all NULL
+    val q = spark.sql(
+      s"SELECT count(*), min(tier), max(tier), max(id) FROM graft_store.`$path`")
+    val r = q.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((80L, 101L, 140L, 1040L)))
+    assert(q.queryExecution.executedPlan.toString().contains("PushedAggregates"),
+      "evolved-column aggregation was not pushed to the manifest scan")
+    // Truncation pin: the manifest-only answer survives zero-byte files.
+    store.pendingDataFilePaths().foreach(p =>
+      new java.io.FileOutputStream(p).close())
+    val r2 = spark.sql(
+      s"SELECT count(*), min(tier), max(tier) FROM graft_store.`$path`")
+      .collect().head
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) === ((80L, 101L, 140L)),
+      "manifest-only evolved aggregates must not touch data files")
+    // A store whose PRE-evolution files lack 'e' coverage refuses the
+    // evolved-column pushdown (data path — correct, never fast-wrong)
+    // while still pushing the id-only shape.
+    val path2 = tmpDir("dsv2-aggevo2") + "/store"
+    val store2 = new CustomerStore(spark, path2)
+    store2.insertNew(block(1L, 5L)): Unit // v1 pre-evolution
+    store2.addColumn("tier", org.apache.spark.sql.types.LongType): Unit
+    store2.insertNew(block(11L, 15L)
+      .withColumn("tier", col("id") + 100L)): Unit
+    val q2 = spark.sql(s"SELECT min(tier) FROM graft_store.`$path2`")
+    assert(!q2.queryExecution.executedPlan.toString().contains("PushedAggregates"),
+      "a live file without 'e' coverage must refuse evolved-agg pushdown")
+    assert(q2.collect().head.getLong(0) === 111L)
+    assert(spark.sql(s"SELECT max(id) FROM graft_store.`$path2`")
+      .queryExecution.executedPlan.toString().contains("PushedAggregates"),
+      "the id shape must stay pushed on the same store")
+  }
+
   test("aggregate pushdown refuses whenever it could not be exact") {
     spark.conf.set("spark.sql.catalog.graft_store", "graft.sources.GraftStoreCatalog")
     val path = tmpDir("dsv2-aggrej") + "/store"
