@@ -104,6 +104,25 @@ case class MergeIntoStoreCommand(path: String, source: LogicalPlan,
   * aliased columns or expressions that merely share a name are
   * rejected, not misread.
   */
+object ResolveStoreMerge {
+  private val BaseCols = Set("id", "email", "first_name", "last_name", "phone",
+    "uploaded", "created_ts", "modified_ts")
+
+  /** EVOLVED column names (lowercased) among a store relation's output:
+    * beyond the base contract by PHYSICAL identity — a RENAMED base
+    * column carries its original base name in the `physical` metadata
+    * and is NOT evolved (assigning it rides the base-shape checks, or
+    * fails them, exactly as before evolution existed).
+    */
+  private[plans] def evolvedColsOf(
+      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]): Set[String] =
+    output.filter { a =>
+      !BaseCols(a.name.toLowerCase) &&
+        (!a.metadata.contains("physical") ||
+          !BaseCols(a.metadata.getString("physical")))
+    }.map(_.name.toLowerCase).toSet
+}
+
 case class ResolveStoreMerge(session: SparkSession) extends Rule[LogicalPlan] {
 
   private val Payload = Set("first_name", "last_name", "phone")
@@ -135,10 +154,7 @@ case class ResolveStoreMerge(session: SparkSession) extends Rule[LogicalPlan] {
           s"and evolved columns, with an optional WHERE: $what")
     if (table.versionAsOf.nonEmpty || table.timestampAsOf.nonEmpty)
       fail("a time-travel table is read-only")
-    val baseCols = Set("id", "email", "first_name", "last_name", "phone",
-      "uploaded", "created_ts", "modified_ts")
-    val evolved = u.table.output.map(_.name.toLowerCase)
-      .filterNot(baseCols).toSet
+    val evolved = ResolveStoreMerge.evolvedColsOf(u.table.output)
     val targetIds = u.table.output.map(_.exprId).toSet
     val byName: Map[String, org.apache.spark.sql.catalyst.expressions.Expression] =
       u.assignments.map { a =>
@@ -200,10 +216,7 @@ case class ResolveStoreMerge(session: SparkSession) extends Rule[LogicalPlan] {
       fail("WHEN NOT MATCHED BY SOURCE is not supported")
     // Columns beyond the base contract (additive evolution), by their
     // CURRENT logical names — assignable on both legs.
-    val baseCols = Set("id", "email", "first_name", "last_name", "phone",
-      "uploaded", "created_ts", "modified_ts")
-    val evolved = m.targetTable.output.map(_.name.toLowerCase)
-      .filterNot(baseCols).toSet
+    val evolved = ResolveStoreMerge.evolvedColsOf(m.targetTable.output)
 
     val targetIds = m.targetTable.output.map(_.exprId).toSet
     val sourceIds = m.sourceTable.output.map(_.exprId).toSet

@@ -1568,12 +1568,16 @@ object Similarity extends QueryGroup {
                        ORDER BY ${cosPpmSql("n.qv", "c.cv", "n.sq", "c.c_sq")} DESC, c.list_id) AS p_rn
                    FROM n, $ivfFinalCent c)
                  WHERE p_rn <= $GRAPH_PROBES),
-          gcand AS (SELECT DISTINCT gqp.query_id, gqp.q_qv, gqp.q_sq,
-                     nb.vec_id AS neighbor_id, nb.qv, nb.sq
-                   FROM gqp JOIN af nb USING (list_id)
-                   WHERE nb.vec_id <> gqp.query_id),
-          gsc AS (SELECT query_id, neighbor_id,
-                   ${cosPpmSql("q_qv", "qv", "q_sq", "sq")} AS cos_ppm FROM gcand),
+          -- Score FIRST, then dedupe the 24-byte (query, neighbor,
+          -- score) triple — cos_ppm is a pure function of the pair, so
+          -- this equals dedupe-then-score, and the DISTINCT no longer
+          -- materializes two 64-element vectors per candidate row (the
+          -- un-projected form spilled >80 GB at sf0.1 in DuckDB —
+          -- the same width argument as the Spark probe's comment).
+          gsc AS (SELECT DISTINCT gqp.query_id, nb.vec_id AS neighbor_id,
+                   ${cosPpmSql("gqp.q_qv", "nb.qv", "gqp.q_sq", "nb.sq")} AS cos_ppm
+                 FROM gqp JOIN af nb USING (list_id)
+                 WHERE nb.vec_id <> gqp.query_id),
           g AS (SELECT query_id AS src, neighbor_id AS dst FROM (
                   SELECT query_id, neighbor_id,
                     ROW_NUMBER() OVER (PARTITION BY query_id

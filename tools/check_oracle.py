@@ -94,8 +94,15 @@ def close(a, b):
     return False
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
+    # Bound DuckDB's memory and give it a spill directory: the heavy
+    # graph/MMR CTE retrains at sf0.1 can otherwise balloon past the
+    # box (round 15 observed the beam-search oracle exhausting 100 GiB
+    # and poisoning every later query in the process) — with a limit +
+    # temp dir they spill and finish.
+    con.execute("SET memory_limit='40GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
@@ -103,6 +110,8 @@ def main(sf_dir, out_dir):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    if only:
+        names = [n for n in names if n in only]
     fp = data_fingerprint(sf_dir)
     n_exact = n_tol = n_fail = n_rowsonly = n_hit = 0
     for name in names:
@@ -152,4 +161,7 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # Optional 3rd+ args: restrict to these query names (a straggler
+    # re-check after an OOM'd sweep should not re-pay the whole run).
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3:]) if len(sys.argv) > 3 else None))
