@@ -1520,12 +1520,10 @@ object Similarity extends QueryGroup {
                      ORDER BY ${cosPpmSql("n.qv", "c.cv", "n.sq", "c.c_sq")} DESC, c.list_id) AS p_rn
                  FROM n, $ivfFinalCent c WHERE n.vec_id % 100 = 0)
                WHERE p_rn <= $IVF_PROBES),
-        cand AS (SELECT DISTINCT qp.query_id, qp.q_qv, qp.q_sq,
-                   nb.vec_id AS neighbor_id, nb.qv, nb.sq
-                 FROM qp JOIN af nb USING (list_id)
-                 WHERE nb.vec_id <> qp.query_id AND nb.vec_id % 9 <> 4),
-        sc AS (SELECT query_id, neighbor_id,
-                 ${cosPpmSql("q_qv", "qv", "q_sq", "sq")} AS cos_ppm FROM cand),
+        sc AS (SELECT DISTINCT qp.query_id, nb.vec_id AS neighbor_id,
+                 ${cosPpmSql("qp.q_qv", "nb.qv", "qp.q_sq", "nb.sq")} AS cos_ppm
+               FROM qp JOIN af nb USING (list_id)
+               WHERE nb.vec_id <> qp.query_id AND nb.vec_id % 9 <> 4),
         r AS (SELECT query_id, neighbor_id, cos_ppm,
                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                   ORDER BY cos_ppm DESC, neighbor_id) AS BIGINT) AS rank
@@ -1652,12 +1650,10 @@ object Similarity extends QueryGroup {
                        ORDER BY ${cosPpmSql("n.qv", "c.cv", "n.sq", "c.c_sq")} DESC, c.list_id) AS p_rn
                    FROM n, $ivfFinalCent c WHERE n.vec_id % 100 = 1 AND n.vec_id % 9 <> 4)
                  WHERE p_rn <= $IVF_INC_PROBES),
-          cand AS (SELECT DISTINCT qp.query_id, qp.q_qv, qp.q_sq,
-                     nb.vec_id AS neighbor_id, nb.qv, nb.sq
-                   FROM qp JOIN lf nb USING (list_id)
-                   WHERE nb.vec_id <> qp.query_id),
-          sc AS (SELECT query_id, neighbor_id,
-                   ${cosPpmSql("q_qv", "qv", "q_sq", "sq")} AS cos_ppm FROM cand),
+          sc AS (SELECT DISTINCT qp.query_id, nb.vec_id AS neighbor_id,
+                   ${cosPpmSql("qp.q_qv", "nb.qv", "qp.q_sq", "nb.sq")} AS cos_ppm
+                 FROM qp JOIN lf nb USING (list_id)
+                 WHERE nb.vec_id <> qp.query_id),
           r AS (SELECT query_id, neighbor_id, cos_ppm,
                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY cos_ppm DESC, neighbor_id) AS BIGINT) AS rank
@@ -1704,12 +1700,10 @@ object Similarity extends QueryGroup {
                        ORDER BY ${cosPpmSql("n.qv", "c.cv", "n.sq", "c.c_sq")} DESC, c.list_id) AS p_rn
                    FROM n, $ivfFinalCent c WHERE n.vec_id % 100 = 0)
                  WHERE p_rn <= $IVF_PROBES),
-          cand AS (SELECT DISTINCT qp.query_id, qp.q_qv, qp.q_sq,
-                     nb.vec_id AS neighbor_id, nb.qv, nb.sq
-                   FROM qp JOIN af nb USING (list_id)
-                   WHERE nb.vec_id <> qp.query_id),
-          sc AS (SELECT query_id, neighbor_id,
-                   ${cosPpmSql("q_qv", "qv", "q_sq", "sq")} AS cos_ppm FROM cand),
+          sc AS (SELECT DISTINCT qp.query_id, nb.vec_id AS neighbor_id,
+                   ${cosPpmSql("qp.q_qv", "nb.qv", "qp.q_sq", "nb.sq")} AS cos_ppm
+                 FROM qp JOIN af nb USING (list_id)
+                 WHERE nb.vec_id <> qp.query_id),
           r AS (SELECT query_id, neighbor_id, cos_ppm,
                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY cos_ppm DESC, neighbor_id) AS BIGINT) AS rank
@@ -1730,12 +1724,10 @@ object Similarity extends QueryGroup {
                        ORDER BY ${cosPpmSql("n.qv", "c.cv", "n.sq", "c.c_sq")} DESC, c.list_id) AS p_rn
                    FROM n, $ivfFinalCent c WHERE n.vec_id % 100 = 0)
                  WHERE p_rn <= $FILTER_PROBES),
-          cand AS (SELECT DISTINCT qp.query_id, qp.q_qv, qp.q_sq,
-                     nb.vec_id AS neighbor_id, nb.qv, nb.sq
-                   FROM qp JOIN af nb USING (list_id)
-                   WHERE nb.vec_id <> qp.query_id AND nb.label = qp.q_label),
-          sc AS (SELECT query_id, neighbor_id,
-                   ${cosPpmSql("q_qv", "qv", "q_sq", "sq")} AS cos_ppm FROM cand),
+          sc AS (SELECT DISTINCT qp.query_id, nb.vec_id AS neighbor_id,
+                   ${cosPpmSql("qp.q_qv", "nb.qv", "qp.q_sq", "nb.sq")} AS cos_ppm
+                 FROM qp JOIN af nb USING (list_id)
+                 WHERE nb.vec_id <> qp.query_id AND nb.label = qp.q_label),
           r AS (SELECT query_id, neighbor_id, cos_ppm,
                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY cos_ppm DESC, neighbor_id) AS BIGINT) AS rank
@@ -1754,12 +1746,10 @@ object Similarity extends QueryGroup {
                        ORDER BY ${cosPpmSql("n.qv", "c.cv", "n.sq", "c.c_sq")} DESC, c.list_id) AS p_rn
                    FROM n, $ivfFinalCent c)
                  WHERE p_rn <= $GRAPH_PROBES),
-          cand AS (SELECT DISTINCT qp.query_id, qp.q_qv, qp.q_sq,
-                     nb.vec_id AS neighbor_id, nb.qv, nb.sq
-                   FROM qp JOIN af nb USING (list_id)
-                   WHERE nb.vec_id <> qp.query_id),
-          sc AS (SELECT query_id, neighbor_id,
-                   ${cosPpmSql("q_qv", "qv", "q_sq", "sq")} AS cos_ppm FROM cand),
+          sc AS (SELECT DISTINCT qp.query_id, nb.vec_id AS neighbor_id,
+                   ${cosPpmSql("qp.q_qv", "nb.qv", "qp.q_sq", "nb.sq")} AS cos_ppm
+                 FROM qp JOIN af nb USING (list_id)
+                 WHERE nb.vec_id <> qp.query_id),
           r AS (SELECT query_id, neighbor_id, cos_ppm,
                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY cos_ppm DESC, neighbor_id) AS BIGINT) AS rank
@@ -1903,12 +1893,10 @@ object Similarity extends QueryGroup {
                        ORDER BY ${cosPpmSql("n.qv", "c.cv", "n.sq", "c.c_sq")} DESC, c.list_id) AS p_rn
                    FROM n, $ivfFinalCent c WHERE n.vec_id % 100 = 0)
                  WHERE p_rn <= $IVF_PROBES),
-          cand AS (SELECT DISTINCT qp.query_id, qp.q_qv, qp.q_sq,
-                     nb.vec_id AS neighbor_id, nb.qv, nb.sq
-                   FROM qp JOIN af nb USING (list_id)
-                   WHERE nb.vec_id <> qp.query_id),
-          sc AS (SELECT query_id, neighbor_id,
-                   ${cosPpmSql("q_qv", "qv", "q_sq", "sq")} AS cos_ppm FROM cand)
+          sc AS (SELECT DISTINCT qp.query_id, nb.vec_id AS neighbor_id,
+                   ${cosPpmSql("qp.q_qv", "nb.qv", "qp.q_sq", "nb.sq")} AS cos_ppm
+                 FROM qp JOIN af nb USING (list_id)
+                 WHERE nb.vec_id <> qp.query_id)
           SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_in_radius,
             CAST(MAX(cos_ppm) AS BIGINT) AS best_cos_ppm
           FROM sc WHERE cos_ppm >= $RANGE_T
@@ -1931,12 +1919,10 @@ object Similarity extends QueryGroup {
                        ORDER BY ${cosPpmSql("n.qv", "c.cv", "n.sq", "c.c_sq")} DESC, c.list_id) AS p_rn
                    FROM n, $ivfFinalCent c WHERE n.vec_id % 100 = 0)
                  WHERE p_rn <= $IVF_INC_PROBES),
-          cand AS (SELECT DISTINCT qp.query_id, qp.q_qv, qp.q_sq,
-                     nb2.vec_id AS neighbor_id, nb2.qv, nb2.sq
-                   FROM qp JOIN post nb2 USING (list_id)
-                   WHERE nb2.vec_id <> qp.query_id),
-          sc AS (SELECT query_id, neighbor_id,
-                   ${cosPpmSql("q_qv", "qv", "q_sq", "sq")} AS cos_ppm FROM cand),
+          sc AS (SELECT DISTINCT qp.query_id, nb2.vec_id AS neighbor_id,
+                   ${cosPpmSql("qp.q_qv", "nb2.qv", "qp.q_sq", "nb2.sq")} AS cos_ppm
+                 FROM qp JOIN post nb2 USING (list_id)
+                 WHERE nb2.vec_id <> qp.query_id),
           r AS (SELECT query_id, neighbor_id, cos_ppm,
                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY cos_ppm DESC, neighbor_id) AS BIGINT) AS rank
