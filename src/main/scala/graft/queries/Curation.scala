@@ -42,6 +42,13 @@ object Curation extends QueryGroup {
 
   private val CAP_K = 15
   private val SHARDS = 8
+
+  /** Sequence-packing geometry: the training sequence length in tokens
+    * and the shard fan-out of the pack. Both sides of the oracle are
+    * generated from these constants.
+    */
+  private val PACK_B = 512
+  private val PACK_SHARDS = 8
   private val LM_TOPK = 20
 
   /** Posting-list df cap for the containment join: grams seen in more
@@ -391,6 +398,41 @@ object Curation extends QueryGroup {
           countDistinct(col("source")).as("n_sources"),
           min(col("fp")).as("min_fp"))
         .orderBy(col("shard"))
+    }),
+
+    // Sequence packing — the LLM-training "concat and chunk" step:
+    // docs are routed to deterministic shards (md5 of the doc id, so
+    // assignment is stable across engines and input layouts),
+    // concatenated in doc_id order within the shard, and the token
+    // stream is cut every PACK_B tokens. Emits per-shard pack stats:
+    // sequences produced, docs straddling a cut, and the id-sum of
+    // docs landing exactly on a sequence boundary (pins the full
+    // token-offset assignment, not just totals). Scale: the only
+    // shuffle is the per-shard running sum — shards are independent,
+    // so at 100 TB you raise PACK_SHARDS until a shard fits one task
+    // and the pack stays embarrassingly parallel ACROSS shards while
+    // the within-shard doc_id order keeps it reproducible/resumable.
+    "corpus_sequence_packing" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+            .cast("long"), lit(PACK_SHARDS)).as("shard"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+      val cum = sum(col("n_tok")).over(
+        Window.partitionBy(col("shard")).orderBy(col("doc_id")))
+      d.withColumn("cum", cum)
+        .withColumn("st", col("cum") - col("n_tok"))
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          (floor((max(col("cum")) - 1) / PACK_B) + 1).as("n_seqs"),
+          sum(when(col("n_tok") > 0 &&
+              floor((col("cum") - 1) / PACK_B) > floor(col("st") / PACK_B), 1L)
+            .otherwise(0L)).as("n_straddlers"),
+          sum(when(col("n_tok") > 0 && col("st") % PACK_B === 0, col("doc_id"))
+            .otherwise(0L)).as("boundary_doc_idsum"))
+        .orderBy(col("shard"))
     }))
 
   /** The "dataset card" summary row a curation pipeline publishes with
@@ -448,6 +490,29 @@ object Curation extends QueryGroup {
               ELSE CAST(length(regexp_replace(norm, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(norm) END)""")
 
   val oracles: Map[String, String] = Map(
+    // Mirror of the pack: same md5-byte shard, same doc_id-ordered
+    // running token sum, same PACK_B cut arithmetic (integer // is
+    // exact on the non-negative offsets both sides compute).
+    "corpus_sequence_packing" ->
+      s"""WITH d AS (SELECT doc_id,
+              CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT)
+                % $PACK_SHARDS AS BIGINT) AS shard,
+              CAST(len($toksSql) AS BIGINT) AS n_tok
+            FROM documents),
+          p AS (SELECT shard, doc_id, n_tok,
+              SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM d)
+          SELECT shard,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+            CAST((MAX(cum) - 1) // $PACK_B + 1 AS BIGINT) AS n_seqs,
+            CAST(SUM(CASE WHEN n_tok > 0
+                AND (cum - 1) // $PACK_B > (cum - n_tok) // $PACK_B
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+            CAST(SUM(CASE WHEN n_tok > 0 AND (cum - n_tok) % $PACK_B = 0
+                THEN doc_id ELSE 0 END) AS BIGINT) AS boundary_doc_idsum
+          FROM p GROUP BY shard ORDER BY shard""",
     "text_pii_scrub" ->
       s"""WITH r AS (SELECT source, $rawSql AS raw FROM documents),
           s AS (SELECT source, raw,

@@ -1738,6 +1738,44 @@ object PipelineParity extends QueryGroup {
         .orderBy(col("change_type"))
     }),
 
+    // SCD TYPE 2 dimension derived from the change feed — the classic
+    // warehouse consumption of CDC: each post-image (insert / update /
+    // ack) opens a validity interval at its commit version; the next
+    // change to the same email closes it (lead over the key's feed
+    // history). Emits current/closed row counts, identity sums, and
+    // closed-interval spans per change kind, all re-derivable from the
+    // planted %-of-custkey arithmetic of the shared insert→merge→ack
+    // fixture. Scale: ONE window shuffle partitioned by the natural
+    // key over the FEED (the retained change mass), never a table
+    // rescan — at 100 TB the dimension build cost tracks the churn,
+    // and an incremental rebuild would feed feedSince() through the
+    // same window.
+    "pipeline_scd2_history" -> ((s, dir) => {
+      import s.implicits._
+      val store = sharedMergeStore(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("email")).orderBy(col("valid_from"))
+      val out = store.changeFeed()
+        .filter(!col("change_type").endsWith("_pre"))
+        .select(col("email"), col("id"), col("change_type"),
+          col("commit_version").as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .groupBy(
+          when(col("valid_to").isNull, lit("current"))
+            .otherwise(lit("closed")).as("state"),
+          col("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("id")).as("id_sum"),
+          sum(coalesce(col("valid_to") - col("valid_from"), lit(0L)))
+            .as("span_sum"))
+        .orderBy(col("state"), col("change_type"))
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      out.toDF("state", "change_type", "n_rows", "id_sum", "span_sum")
+        .orderBy(col("state"), col("change_type"))
+    }),
+
     // The incremental CDC consumer: the change-feed directory consumed
     // AS A STREAM (file source over _changelog, raw passthrough to a
     // parquet sink) in TWO checkpointed AvailableNow runs — the first
@@ -3062,6 +3100,44 @@ object PipelineParity extends QueryGroup {
           SELECT * FROM ack UNION ALL SELECT * FROM ackp UNION ALL SELECT * FROM ins
           UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM updp
           ORDER BY change_type""",
+    // SCD2 over the v1-insert → v2-merge → v3-ack history. Current
+    // row per key: ack if %5, else update if %3, else insert (fresh
+    // %10 keys are insert-current, never touched again). Closed rows:
+    // every %3 insert closes at v2 (span 1), every non-%3 %5 insert
+    // closes at v3 (span 2), and the %15 updates close at v3 (span 1).
+    "pipeline_scd2_history" ->
+      """WITH c AS (SELECT c_custkey AS id FROM customer),
+          cur AS (
+            SELECT 'current' AS state, 'ack' AS change_type,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(id) AS BIGINT) AS id_sum,
+              CAST(0 AS BIGINT) AS span_sum
+            FROM c WHERE id % 5 = 0
+            UNION ALL
+            SELECT 'current', 'insert',
+              CAST((SELECT COUNT(*) FROM c WHERE id % 3 <> 0 AND id % 5 <> 0)
+                 + (SELECT COUNT(*) FROM c WHERE id % 10 = 0) AS BIGINT),
+              CAST((SELECT SUM(id) FROM c WHERE id % 3 <> 0 AND id % 5 <> 0)
+                 + (SELECT COALESCE(SUM(id + 20000000), 0) FROM c
+                    WHERE id % 10 = 0) AS BIGINT),
+              CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT 'current', 'update', CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(id) AS BIGINT), CAST(0 AS BIGINT)
+            FROM c WHERE id % 3 = 0 AND id % 5 <> 0),
+          cls AS (
+            SELECT 'closed' AS state, 'insert' AS change_type,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(id) AS BIGINT) AS id_sum,
+              CAST(SUM(CASE WHEN id % 3 = 0 THEN 1 ELSE 2 END) AS BIGINT)
+                AS span_sum
+            FROM c WHERE id % 3 = 0 OR id % 5 = 0
+            UNION ALL
+            SELECT 'closed', 'update', CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(id) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+            FROM c WHERE id % 3 = 0 AND id % 5 = 0)
+          SELECT * FROM cls UNION ALL SELECT * FROM cur
+          ORDER BY state, change_type""",
     // Identical arithmetic to streaming_cdc_resume: the connector's
     // streaming source must deliver exactly the same feed rows across
     // the checkpointed restart as the file stream over _changelog/.
