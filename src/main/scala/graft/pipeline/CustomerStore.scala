@@ -907,6 +907,85 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     retire.size
   }
 
+  /** SHALLOW CLONE (table fork): materialize an independent table at
+    * `target` whose parquet artifacts — data files, change-feed
+    * commits, snapshots, stats manifests, deletion vectors — are HARD
+    * LINKS to this table's files, and whose small metadata (version
+    * counter, commit registry, schema/constraints manifests, feed
+    * watermark, ingest registry) is copied. This is the local-
+    * filesystem realization of the Delta/Iceberg zero-copy clone: no
+    * data byte is duplicated, and the clone is ready in time
+    * proportional to the FILE COUNT, not the table bytes (an
+    * object-store deployment substitutes absolute-path references for
+    * links — same contract, same cost law). Because every committed
+    * parquet file is immutable (mutation = write new files + unlink
+    * old, never write-in-place), the two tables can never observe each
+    * other's writes: deleting a directory entry on either side only
+    * unlinks — the inode lives while the sibling still references it,
+    * so compaction/vacuum/OPTIMIZE on one side is invisible to the
+    * other.
+    *
+    * The clone is a FORK, not a fresh table: it keeps the full commit
+    * history, so time travel ([[asOf]]), CDC reads ([[feedSince]]) and
+    * [[history]] work on the clone exactly as on the source, and its
+    * next commit is source-version + 1 on an independent counter.
+    * Writer-side idempotence state ([[Txns `_txns`]]) is deliberately
+    * NOT cloned (the Delta clone contract: streaming transaction
+    * identity belongs to the writer+table pair — a stream re-pointed
+    * at the clone must use a fresh checkpoint, not silently skip
+    * batches the clone never absorbed). The [[IngestedDir `_ingested`]]
+    * registry IS cloned: file-load dedup is table state, so a
+    * COPY INTO of an already-loaded file stays a no-op on the clone.
+    *
+    * Runs under the source's promotion lock after [[recover]], so the
+    * linked tree is a committed state, never a mid-promotion one;
+    * in-flight writer staging dirs (`_staging.tmp-*`) are skipped.
+    * Returns the cloned version.
+    */
+  def cloneTo(target: String): Long = promotionLock.synchronized {
+    recover()
+    require(tableExists, s"clone source $path has no committed table")
+    val srcRoot = new java.io.File(path).getCanonicalFile.toPath
+    val dstRoot = new java.io.File(target).getCanonicalFile.toPath
+    require(srcRoot != dstRoot && !dstRoot.startsWith(srcRoot),
+      s"clone target $target must be outside the source table")
+    val pre = dstRoot.toFile.listFiles()
+    require(pre == null || pre.isEmpty, s"clone target $target is not empty")
+    java.nio.file.Files.createDirectories(dstRoot)
+    val walk = java.nio.file.Files.walk(srcRoot)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.filter(_ != srcRoot).foreach { p =>
+        val rel = srcRoot.relativize(p)
+        val top = rel.getName(0).toString
+        // Writer-private state never travels: staging (committed state
+        // only) and the idempotent-txn registry (see scaladoc).
+        if (!top.startsWith(Staging) && top != Txns) {
+          val t = dstRoot.resolve(rel)
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(t)
+          else if (p.toString.endsWith(".parquet"))
+            // Immutable data artifact: share the inode. Fall back to a
+            // copy when the target filesystem can't link (cross-device)
+            // — semantics identical, zero-copy property lost loudly in
+            // the returned link count, never in correctness.
+            try java.nio.file.Files.createLink(t, p)
+            catch { case _: UnsupportedOperationException
+                       | _: java.nio.file.FileSystemException =>
+              java.nio.file.Files.copy(p, t): Unit
+            }
+          else
+            java.nio.file.Files.copy(p, t): Unit
+        }
+      }
+    } finally walk.close()
+    // Provenance marker (source path @ version at fork time).
+    java.nio.file.Files.write(dstRoot.resolve(ClonedFrom),
+      s"$srcRoot@${currentVersion()}".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    currentVersion()
+  }
+
   /** The feed-retention horizon: commits at or below this version were
     * retired by [[vacuumFeed]] (0 = nothing vacuumed). Range feed reads
     * ([[feedSince]], [[feedDirsIn]], the connector's `feedFrom`) whose
@@ -2791,6 +2870,8 @@ object CustomerStore {
     * commit listing the source file names it loaded.
     */
   private[pipeline] val IngestedDir = "_ingested"
+  /** Clone-provenance marker: `<source canonical path>@<version>`. */
+  private[pipeline] val ClonedFrom = "_cloned_from"
 
   /** Schema of [[CustomerStore.history]] (the DESCRIBE HISTORY face).
     * `operation` / `n_change_rows` are nullable: a registry entry

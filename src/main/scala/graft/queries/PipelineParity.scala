@@ -1776,6 +1776,53 @@ object PipelineParity extends QueryGroup {
         .orderBy(col("state"), col("change_type"))
     }),
 
+    // SHALLOW CLONE (zero-copy table fork), driver-gated end to end:
+    // fork the 3-commit fixture, REQUIRE every forked parquet is a
+    // hard link (no data byte copied — the Delta/Iceberg clone cost
+    // law, realized as inode sharing on a local filesystem), prove the
+    // fork carries the full lineage (asOf v1 + the complete feed),
+    // then mutate BOTH sides with disjoint ack slices — the outputs
+    // only match the oracle if neither side's commit leaked across
+    // the fork. At 100 TB the clone costs O(file count) metadata
+    // writes; experimentation on a production table becomes free.
+    "pipeline_clone_divergence" -> ((s, dir) => {
+      import s.implicits._
+      val (base, _) = mergeFixtures(s, dir)
+      val out = withTempDir("graft-clone-gate-") { tmp =>
+        val src = cloneStore(s, mergeIMATemplate(s, dir), tmp)
+        val forked = s"$tmp/fork"
+        val vAtFork = src.cloneTo(forked)
+        val cl = new graft.pipeline.CustomerStore(s, forked)
+        // Zero-copy pinned: every forked parquet shares its inode.
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(forked))
+        val linked =
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+          } finally walk.close()
+        require(linked.nonEmpty && linked.forall(p =>
+            java.nio.file.Files.getAttribute(p, "unix:nlink")
+              .asInstanceOf[Number].intValue >= 2),
+          "clone gate: a forked parquet was copied, not hard-linked")
+        val nAsOf1 = cl.asOf(1L).count()
+        val feedAtFork = cl.changeFeed().count()
+        // Disjoint divergence: %7 ack on the clone, %11 ack on the
+        // source (both minus the already-acked %5 slice).
+        cl.markUploaded(base.filter(col("id") % 7 === 0 && col("id") % 5 =!= 0)
+          .select(col("email")))
+        src.markUploaded(base.filter(col("id") % 11 === 0 && col("id") % 5 =!= 0)
+          .select(col("email")))
+        (vAtFork, nAsOf1, feedAtFork,
+          src.all().filter(col("uploaded")).count(),
+          cl.all().filter(col("uploaded")).count(),
+          src.all().count(), cl.all().count(),
+          src.currentVersion(), cl.currentVersion())
+      }
+      Seq(out).toDF("v_at_fork", "n_asof1_clone", "feed_rows_at_fork",
+        "n_uploaded_src", "n_uploaded_clone", "n_total_src",
+        "n_total_clone", "v_src_after", "v_clone_after")
+    }),
+
     // The incremental CDC consumer: the change-feed directory consumed
     // AS A STREAM (file source over _changelog, raw passthrough to a
     // parquet sink) in TWO checkpointed AvailableNow runs — the first
@@ -3138,6 +3185,31 @@ object PipelineParity extends QueryGroup {
             FROM c WHERE id % 3 = 0 AND id % 5 = 0)
           SELECT * FROM cls UNION ALL SELECT * FROM cur
           ORDER BY state, change_type""",
+    // Fork at v3 of the insert→merge→ack history. Feed mass at the
+    // fork = inserts (base + %10 fresh) + update/update_pre (%3) +
+    // ack/ack_pre (%5). Divergent acks: %7\%5 on the clone, %11\%5 on
+    // the source — the sides only match if no commit crossed the fork.
+    "pipeline_clone_divergence" ->
+      """WITH c AS (SELECT c_custkey AS id FROM customer),
+          b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f,
+              CAST(SUM(CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS u3,
+              CAST(SUM(CASE WHEN id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a5,
+              CAST(SUM(CASE WHEN id % 7 = 0 AND id % 5 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS a7,
+              CAST(SUM(CASE WHEN id % 11 = 0 AND id % 5 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS a11
+            FROM c)
+         SELECT CAST(3 AS BIGINT) AS v_at_fork,
+           n AS n_asof1_clone,
+           n + f + 2 * u3 + 2 * a5 AS feed_rows_at_fork,
+           a5 + a11 AS n_uploaded_src,
+           a5 + a7 AS n_uploaded_clone,
+           n + f AS n_total_src,
+           n + f AS n_total_clone,
+           CAST(4 AS BIGINT) AS v_src_after,
+           CAST(4 AS BIGINT) AS v_clone_after
+         FROM b""",
     // Identical arithmetic to streaming_cdc_resume: the connector's
     // streaming source must deliver exactly the same feed rows across
     // the checkpointed restart as the file stream over _changelog/.

@@ -182,6 +182,16 @@ object StoreProcedures {
         Seq(f, r, q)
       }
     },
+    new StoreProc("clone",
+      "shallow-clone (fork) the table to an empty target directory: " +
+        "parquet artifacts hard-linked (zero data copy), metadata " +
+        "copied, full history/time-travel/CDC preserved; _txns not " +
+        "cloned (Delta clone contract)",
+      Array(p("path", StringType), p("target", StringType)),
+      Seq("cloned_version")) {
+      override def run(store: CustomerStore, in: InternalRow): Seq[Long] =
+        Seq(store.cloneTo(in.getUTF8String(1).toString))
+    },
     new StoreProc("last_txn_version",
       "latest committed idempotent-writer transaction version for app_id " +
         "(-1 if the app never committed)",
