@@ -2040,6 +2040,96 @@ object PipelineParity extends QueryGroup {
         .orderBy(col("change_type"))
     }),
 
+    // STREAMING SCD2: the warehouse dimension maintained INCREMENTALLY
+    // by keyed state (flatMapGroupsWithState over the connector's CDC
+    // stream) instead of the batch lead-window rescan — state = one
+    // open interval per key, cost per trigger ∝ arriving changes. The
+    // ack commit lands while the stream is DOWN; run 2 must recover
+    // the open-interval state from the checkpoint and close exactly
+    // the %5 intervals. The final dimension is REQUIREd equal to the
+    // batch twin recomputed from the same store, and the aggregate is
+    // pinned by pipeline_scd2_history's oracle verbatim.
+    "streaming_scd2_parity" -> ((s, dir) => {
+      import s.implicits._
+      val (base, _) = mergeFixtures(s, dir)
+      val out = withTempDir("graft-scd2-stream-") { tmp =>
+        val store = cloneStore(s, mergeIMTemplate(s, dir), tmp)
+        def consume(): Long = {
+          val changes = s.readStream.format("graft-store")
+            .option("path", s"$tmp/store")
+            .option("feedFrom", 0)
+            .option("maxCommitsPerTrigger", 1)
+            .load()
+          val q = graft.streaming.Scd2Stream.scd2(changes)
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/sink")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          q.recentProgress.count(_.numInputRows > 0L).toLong
+        }
+        val batches1 = consume()
+        require(batches1 == 2L,
+          s"run 1 must fold insert+merge one commit per micro-batch, got $batches1")
+        store.markUploaded(
+          base.filter(col("id") % 5 === 0).select(col("email")))
+        val batches2 = consume()
+        require(batches2 == 1L,
+          s"run 2 must resume open-interval state and fold the ack, got $batches2")
+        val sinkSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("email",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("change_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("valid_from",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("valid_to",
+            org.apache.spark.sql.types.LongType)))
+        val sink = s.read.schema(sinkSchema).parquet(s"$tmp/sink")
+          .localCheckpoint(true)
+        val closed = sink.filter(col("valid_to").isNotNull)
+        // A candidate superseded later appears as a closed row with
+        // the same (email, valid_from); the survivors are current.
+        val current = sink.filter(col("valid_to").isNull)
+          .join(closed.select(col("email").as("c_email"),
+              col("valid_from").as("c_vf")),
+            col("email") === col("c_email") &&
+              col("valid_from") === col("c_vf"), "left_anti")
+          .select(sink.columns.map(col).toIndexedSeq: _*)
+        val dim = closed.unionByName(current)
+        // Twin check: the batch lead-window derivation over the SAME
+        // final feed must produce the identical interval set.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("email")).orderBy(col("valid_from"))
+        val batchDim = store.changeFeed()
+          .filter(!col("change_type").endsWith("_pre"))
+          .select(col("email"), col("id"), col("change_type"),
+            col("commit_version").as("valid_from"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        require(dim.exceptAll(batchDim).isEmpty &&
+            batchDim.exceptAll(dim).isEmpty,
+          "streaming SCD2 dimension diverged from the batch lead-window twin")
+        dim.groupBy(
+            when(col("valid_to").isNull, lit("current"))
+              .otherwise(lit("closed")).as("state"),
+            col("change_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("id")).as("id_sum"),
+            sum(coalesce(col("valid_to") - col("valid_from"), lit(0L)))
+              .as("span_sum"))
+          .orderBy(col("state"), col("change_type"))
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+      }
+      out.toDF("state", "change_type", "n_rows", "id_sum", "span_sum")
+        .orderBy(col("state"), col("change_type"))
+    }),
+
     // TIME TRAVEL over the commit-versioned change feed: run the full
     // mutation history (insert base = v1, merge the planted traffic =
     // v2, ack the id%5 slice = v3) and reconstruct the table AS OF
@@ -2726,8 +2816,14 @@ object PipelineParity extends QueryGroup {
       Seq(out).toDF("n_docs", "sum_doc_ids", "sum_chars", "text_checksum")
     }))
 
-  val oracles: Map[String, String] = rawOracles.map {
-    case (k, v) => k -> capCustomer(v)
+  val oracles: Map[String, String] = {
+    val raw = rawOracles
+    // The streaming SCD2 twin folds the IDENTICAL commit history
+    // (insert → merge → ack) into the identical dimension — one oracle
+    // pins both faces.
+    (raw + ("streaming_scd2_parity" -> raw("pipeline_scd2_history"))).map {
+      case (k, v) => k -> capCustomer(v)
+    }
   }
 
   private def rawOracles: Map[String, String] = Map(
