@@ -49,6 +49,9 @@ object Curation extends QueryGroup {
     */
   private val PACK_B = 512
   private val PACK_SHARDS = 8
+  private val SHUF_EPOCHS = 3
+  private val SHUF_SHARDS = 8
+  private val SHUF_SEED = "graft"
   private val LM_TOPK = 20
 
   /** Posting-list df cap for the containment join: grams seen in more
@@ -433,6 +436,37 @@ object Curation extends QueryGroup {
           sum(when(col("n_tok") > 0 && col("st") % PACK_B === 0, col("doc_id"))
             .otherwise(0L)).as("boundary_doc_idsum"))
         .orderBy(col("shard"))
+    }),
+
+    // Deterministic EPOCH SHUFFLE — the training-data ordering step:
+    // each epoch reshuffles the corpus into a fresh seeded permutation
+    // (md5 of seed:epoch:doc_id), routed to shards by the same key, so
+    // the order is fully reproducible from (seed, epoch) alone —
+    // resumable mid-epoch, identical across engines and input
+    // layouts, and different between epochs. The per-shard
+    // position-weighted checksum (SUM(position × doc_id), positions
+    // assigned in key order) pins the ENTIRE permutation, not just
+    // membership. Scale: no global sort — shard assignment is a hash,
+    // and each shard orders independently (raise SHUF_SHARDS until a
+    // shard fits one task); epochs are embarrassingly parallel.
+    "corpus_epoch_shuffle" -> ((s, dir) => {
+      val epochs = s.range(0, SHUF_EPOCHS).select(col("id").as("epoch"))
+      val keyed = Tables(s, dir, "documents").select(col("doc_id"))
+        .crossJoin(epochs)
+        .withColumn("k",
+          conv(substring(md5(concat_ws(":", lit(SHUF_SEED), col("epoch"),
+            col("doc_id"))), 1, 8), 16, 10).cast("long"))
+        .withColumn("shard", pmod(col("k"), lit(SHUF_SHARDS.toLong)))
+      // 32-bit keys can collide at corpus scale: doc_id tiebreak keeps
+      // the permutation deterministic on BOTH engines.
+      val w = Window.partitionBy(col("epoch"), col("shard"))
+        .orderBy(col("k"), col("doc_id"))
+      keyed.withColumn("pos", row_number().over(w).cast("long"))
+        .groupBy(col("epoch"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("pos") * col("doc_id")).as("perm_checksum"))
+        .orderBy(col("epoch"), col("shard"))
     }))
 
   /** The "dataset card" summary row a curation pipeline publishes with
@@ -513,6 +547,24 @@ object Curation extends QueryGroup {
             CAST(SUM(CASE WHEN n_tok > 0 AND (cum - n_tok) % $PACK_B = 0
                 THEN doc_id ELSE 0 END) AS BIGINT) AS boundary_doc_idsum
           FROM p GROUP BY shard ORDER BY shard""",
+    // Mirror of the epoch shuffle: same md5-word permutation key,
+    // same shard hash, same (key, doc_id) position order.
+    "corpus_epoch_shuffle" ->
+      s"""WITH e AS (SELECT CAST(range AS BIGINT) AS epoch
+              FROM range(0, $SHUF_EPOCHS)),
+          k AS (SELECT d.doc_id, e.epoch,
+              CAST('0x' || substr(md5('$SHUF_SEED:' || e.epoch || ':' || d.doc_id),
+                1, 8) AS BIGINT) AS k
+            FROM documents d CROSS JOIN e),
+          p AS (SELECT epoch, doc_id, k % $SHUF_SHARDS AS shard,
+              ROW_NUMBER() OVER (PARTITION BY epoch, k % $SHUF_SHARDS
+                ORDER BY k, doc_id) AS pos
+            FROM k)
+          SELECT epoch, CAST(shard AS BIGINT) AS shard,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+            CAST(SUM(pos * doc_id) AS BIGINT) AS perm_checksum
+          FROM p GROUP BY epoch, shard ORDER BY epoch, shard""",
     "text_pii_scrub" ->
       s"""WITH r AS (SELECT source, $rawSql AS raw FROM documents),
           s AS (SELECT source, raw,
