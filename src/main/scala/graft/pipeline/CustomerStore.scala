@@ -986,6 +986,159 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     currentVersion()
   }
 
+  /** PURGE — right-to-be-forgotten erasure of natural keys from EVERY
+    * artifact of this table: live data files, the retained change-feed
+    * commits, snapshots, and deletion vectors. This goes beyond what a
+    * vacuum-based table format offers (Delta/Iceberg can delete +
+    * vacuum the CURRENT data, but excising a key from retained CDC
+    * history and checkpoints means dropping that history wholesale);
+    * here each history artifact is REWRITTEN without the key's rows
+    * and atomically swapped under its original name — a new inode
+    * replaces the directory entry, so concurrent readers see the old
+    * or the new file, never a torn one, and a hard-linked clone keeps
+    * its own data (erasure must be run per fork, as with any fork).
+    * Skipping stats are untouched: they hold only xxhash bloom words
+    * and md5-word samples — non-invertible, no raw key material.
+    *
+    * Ordering is chosen so a crash can only leave LESS of the key,
+    * never resurrect it, and a re-run completes the job (the whole
+    * operation is idempotent):
+    *   1. feed + snapshot surgery (no effect on live reads);
+    *   2. the live-data excision as a feed-SILENT file-level "PURGE"
+    *      commit — erasure must not re-emit the keys' rows into the
+    *      feed as delete_pre retractions; touched files are found on
+    *      the PHYSICAL rows (deletion vectors NOT applied), so a row
+    *      the key had merely tombstoned is rewritten away too and the
+    *      key's vector rows all become inert BEFORE step 3 removes
+    *      them (excising a still-live vector row first would
+    *      resurrect the row it tombstones);
+    *   3. deletion-vector excision (all inert for the key by now).
+    * The commit lands only when steps 1-2 excised something, so
+    * re-running a completed purge is version-stable. History row
+    * counts in the `_commits` registry keep their ORIGINAL values —
+    * the registry is an audit record of what each commit did, not of
+    * what later erasure removed.
+    *
+    * Scale: one metadata-light probe scan per artifact family finds
+    * the touched files (at 100 TB the live-data probe rides the same
+    * bloom/zone manifests as any point read); rewrite cost ∝ files
+    * actually containing the keys. Returns (physical live rows
+    * excised, feed rows excised, snapshot rows excised, deletion-
+    * vector rows excised).
+    */
+  def purgeEmails(emails: Seq[String]): (Long, Long, Long, Long) =
+    promotionLock.synchronized {
+      recover()
+      require(tableExists, s"purge: table at $path does not exist")
+      val keys = emails.map(_.trim).filter(_.nonEmpty).distinct
+      require(keys.nonEmpty, "purge: no keys given")
+      require(keys.size <= 1000,
+        s"purge is a point operation (got ${keys.size} keys); run batches of <= 1000")
+      val emailPhys = physName(tableSchema("email"))
+
+      // 1. Retained feed commits, then snapshots.
+      val feedFiles = commitDirs().flatMap { case (_, d) =>
+        Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.endsWith(".parquet"))
+      }
+      val nFeed = exciseParquet(feedFiles, emailPhys, keys)
+      val snapFiles = snapshotVersions().flatMap { v =>
+        Option(snapshotDir(v).listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.endsWith(".parquet"))
+      }
+      val nSnap = exciseParquet(snapFiles, emailPhys, keys)
+
+      // 2. Live data: physical probe (vectors NOT applied), file-level
+      // feed-silent PURGE commit rewriting exactly the touched files.
+      val phys = spark.read.schema(physicalize(tableSchema)).parquet(path)
+        .withColumn("_file", input_file_name())
+        .select(col("_file") +:
+          tableSchema.fields.map(f => col(physName(f)).as(f.name)).toIndexedSeq: _*)
+      val hit = phys.filter(col("email").isInCollection(keys))
+        .localCheckpoint(true)
+      val nLive = hit.count()
+      if (nLive > 0) {
+        val touched = hit.select(col("_file")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        // Survivors: the touched files' rows with OTHER keys' vectors
+        // applied (the replacement files make those vectors inert too),
+        // minus the purged keys.
+        val survivors = withVectorsApplied(
+            phys.filter(col("_file").isInCollection(touched)))
+          .filter(!col("email").isInCollection(keys))
+          .select(tableSchema.fieldNames.map(col).toIndexedSeq: _*)
+        val noChanges = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(
+            org.apache.spark.sql.types.StructField("change_type",
+              org.apache.spark.sql.types.StringType, nullable = false) +:
+              tableSchema.fields))
+        stageMergeCommit(survivors, touched, noChanges, "PURGE")
+        applyStaged()
+      }
+
+      // 3. Deletion vectors (plain `email` column; all the purged
+      // keys' rows are inert now).
+      val dvFiles = Option(new java.io.File(path, Deletes).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet")).toSeq
+      val nDv = exciseParquet(dvFiles, "email", keys)
+      (nLive, nFeed, nSnap, nDv)
+    }
+
+  /** Rewrite every file in `files` that contains a purged key, without
+    * those rows, atomically swapped under the ORIGINAL name (readers
+    * see old-or-new, never torn; a fully-excised file is removed —
+    * every artifact reader handles a missing part). One probe scan
+    * over the whole family finds the touched files; rewrites are
+    * per-file so each file's own (possibly evolved) schema is
+    * preserved verbatim. Returns rows excised.
+    */
+  private def exciseParquet(files: Seq[java.io.File], emailCol: String,
+      keys: Seq[String]): Long = {
+    if (files.isEmpty) return 0L
+    val probe = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(emailCol,
+        org.apache.spark.sql.types.StringType)))
+    val touched = spark.read.schema(probe)
+      .parquet(files.map(_.getAbsolutePath).toIndexedSeq: _*)
+      .withColumn("_f", input_file_name())
+      .filter(col(emailCol).isInCollection(keys))
+      .select(col("_f")).distinct().collect()
+      .map(r => new java.io.File(new java.net.URI(r.getString(0)).getPath))
+    touched.map { f =>
+      // Hadoop's LocalFileSystem keeps a `.<name>.crc` sidecar; a swap
+      // must retire it with the bytes it checksums or readers fail
+      // with ChecksumException against the replacement.
+      val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+      val df = spark.read.parquet(f.getAbsolutePath)
+      val hits = df.filter(col(emailCol).isInCollection(keys)).count()
+      val keep = df.filter(!col(emailCol).isInCollection(keys))
+      if (keep.isEmpty) {
+        require(f.delete(), s"purge: could not remove fully-excised $f")
+        if (crc.exists()) crc.delete(): Unit
+      } else {
+        // Dot-prefixed sibling dir: invisible to Spark's globs, same
+        // filesystem as the target so the final move is an atomic
+        // rename; stale leftovers from a crashed attempt are swept.
+        val tmp = new java.io.File(f.getParentFile, s".purge-${f.getName}")
+        deleteRecursively(tmp)
+        keep.coalesce(1).write.parquet(tmp.toString)
+        val parts = tmp.listFiles().filter(_.getName.endsWith(".parquet"))
+        require(parts.length == 1, s"purge: expected one part under $tmp")
+        val newCrc = new java.io.File(tmp, s".${parts(0).getName}.crc")
+        java.nio.file.Files.move(parts(0).toPath, f.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        if (newCrc.exists())
+          java.nio.file.Files.move(newCrc.toPath, crc.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        else if (crc.exists()) crc.delete(): Unit
+        deleteRecursively(tmp)
+      }
+      hits
+    }.sum
+  }
+
   /** The feed-retention horizon: commits at or below this version were
     * retired by [[vacuumFeed]] (0 = nothing vacuumed). Range feed reads
     * ([[feedSince]], [[feedDirsIn]], the connector's `feedFrom`) whose

@@ -1823,6 +1823,38 @@ object PipelineParity extends QueryGroup {
         "n_total_clone", "v_src_after", "v_clone_after")
     }),
 
+    // PURGE (right-to-be-forgotten), driver-gated end to end: erase
+    // the %13 key slice from the 3-commit store — live data via a
+    // feed-SILENT file-level PURGE commit, every retained feed commit
+    // rewritten in place — then prove NO read path can see the keys
+    // again: the live table, the full feed, and BOTH time-travel
+    // replays are re-derived by the oracle with the slice subtracted
+    // from the planted arithmetic. A feed row that survived excision,
+    // a resurrected live row, or a purge that leaked into the feed
+    // all hash-fail. At 100 TB the rewrite cost is ∝ files actually
+    // containing the keys (probe scan per artifact family).
+    "pipeline_purge_erasure" -> ((s, dir) => {
+      import s.implicits._
+      val (base, _) = mergeFixtures(s, dir)
+      val out = withTempDir("graft-purge-gate-") { tmp =>
+        val store = cloneStore(s, mergeIMATemplate(s, dir), tmp)
+        val keys = base.filter(col("id") % 13 === 0)
+          .select(col("email")).collect().map(_.getString(0)).toSeq
+        val (nLive, nFeed, nSnap, nDv) = store.purgeEmails(keys)
+        require(nSnap == 0L && nDv == 0L,
+          "template has no snapshots or vectors — purge reported some")
+        val live = store.all().localCheckpoint(true)
+        (nLive, nFeed, store.currentVersion(),
+          live.count(), live.agg(sum(col("id"))).head().getLong(0),
+          live.filter(col("uploaded")).count(),
+          store.changeFeed().count(),
+          store.asOf(1L).count(), store.asOf(2L).count())
+      }
+      Seq(out).toDF("n_live_excised", "n_feed_excised", "v_after",
+        "n_rows", "id_sum", "n_uploaded", "n_feed_rows",
+        "n_asof1", "n_asof2")
+    }),
+
     // The incremental CDC consumer: the change-feed directory consumed
     // AS A STREAM (file source over _changelog, raw passthrough to a
     // parquet sink) in TWO checkpointed AvailableNow runs — the first
@@ -3305,6 +3337,36 @@ object PipelineParity extends QueryGroup {
            n + f AS n_total_clone,
            CAST(4 AS BIGINT) AS v_src_after,
            CAST(4 AS BIGINT) AS v_clone_after
+         FROM b""",
+    // Erase the %13 slice from the insert→merge→ack history: live
+    // state loses the slice, the feed loses its inserts plus the
+    // %3/%5 update/ack pairs, and both time-travel replays lose the
+    // slice (no feed rows left to replay).
+    "pipeline_purge_erasure" ->
+      """WITH c AS (SELECT c_custkey AS id FROM customer),
+          b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(id) AS BIGINT) AS sid,
+              CAST(SUM(CASE WHEN id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f,
+              CAST(SUM(CASE WHEN id % 10 = 0 THEN id + 20000000 ELSE 0 END)
+                AS BIGINT) AS fsid,
+              CAST(SUM(CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS u3,
+              CAST(SUM(CASE WHEN id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a5,
+              CAST(SUM(CASE WHEN id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS k,
+              CAST(SUM(CASE WHEN id % 13 = 0 THEN id ELSE 0 END) AS BIGINT) AS ksid,
+              CAST(SUM(CASE WHEN id % 13 = 0 AND id % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS k3,
+              CAST(SUM(CASE WHEN id % 13 = 0 AND id % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS k5
+            FROM c)
+         SELECT k AS n_live_excised,
+           k + 2 * k3 + 2 * k5 AS n_feed_excised,
+           CAST(4 AS BIGINT) AS v_after,
+           n + f - k AS n_rows,
+           sid + fsid - ksid AS id_sum,
+           a5 - k5 AS n_uploaded,
+           (n + f + 2 * u3 + 2 * a5) - (k + 2 * k3 + 2 * k5) AS n_feed_rows,
+           n - k AS n_asof1,
+           n + f - k AS n_asof2
          FROM b""",
     // Identical arithmetic to streaming_cdc_resume: the connector's
     // streaming source must deliver exactly the same feed rows across

@@ -192,6 +192,19 @@ object StoreProcedures {
       override def run(store: CustomerStore, in: InternalRow): Seq[Long] =
         Seq(store.cloneTo(in.getUTF8String(1).toString))
     },
+    new StoreProc("purge",
+      "right-to-be-forgotten erasure: excise the comma-separated keys " +
+        "from live data (feed-silent PURGE commit), retained feed " +
+        "commits, snapshots, and deletion vectors; history artifacts " +
+        "are rewritten in place (per-fork — clones keep their data)",
+      Array(p("path", StringType), p("emails", StringType)),
+      Seq("n_live", "n_feed", "n_snapshot", "n_dv")) {
+      override def run(store: CustomerStore, in: InternalRow): Seq[Long] = {
+        val (a, b, c, d) = store.purgeEmails(
+          in.getUTF8String(1).toString.split(',').toSeq)
+        Seq(a, b, c, d)
+      }
+    },
     new StoreProc("last_txn_version",
       "latest committed idempotent-writer transaction version for app_id " +
         "(-1 if the app never committed)",
