@@ -406,6 +406,74 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     commitSchema(next, v, "ADD COLUMN")
   }
 
+  /** ADD a GENERATED column (Delta's `GENERATED ALWAYS AS (expr)`
+    * evolution): a nullable evolved column whose value the STORE
+    * computes from the row's other columns at every write. The
+    * generation expression is a single-line Spark SQL expression over
+    * EXISTING non-generated columns; its value is computed at the
+    * alignment choke point when a batch does not carry the column (or
+    * carries NULL), and RECOMPUTED from the post-image on every merge
+    * update whose batch does not carry it — so a changed input can
+    * never leave a stale generated value behind (SQL UPDATE/MERGE ride
+    * the same legs). A batch that DOES carry an explicit non-NULL
+    * value is admitted only if it equals the computed value: the add
+    * also lands an AUTO CHECK CONSTRAINT
+    * `<name> IS NULL OR <name> <=> (expr)` through the persisted-
+    * constraints machinery, so a wrong explicit value rejects the
+    * whole transaction at the same boundary as any constraint. The
+    * NULL escape is what admits PRE-EVOLUTION rows (old files read
+    * NULL — generation computes at write, it never backfills, exactly
+    * Delta's contract). Rename/drop of an input column is refused by
+    * the constraint's reference guard until the generated column is
+    * dropped; [[dropColumn]] of the generated column drops its auto-
+    * constraint with it. Costs TWO feed-silent metadata commits
+    * (schema, then constraint); returns the constraint commit version.
+    *
+    * Numeric generated columns get per-file zone stats like any
+    * evolved column, so a partition-style derived key (e.g.
+    * `id % 64`) immediately participates in data skipping.
+    */
+  def addGeneratedColumn(name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      genExpr: String): Long = {
+    recover()
+    require(tableExists,
+      s"addGeneratedColumn: table at $path does not exist (the auto-" +
+        "constraint must validate existing rows)")
+    require(CustomerStore.SupportedColumnTypes.contains(dataType),
+      s"addGeneratedColumn: type ${dataType.simpleString} is not supported — " +
+        "evolved columns may be int, bigint, string, boolean, or timestamp")
+    require(!genExpr.exists(c => c == '\t' || c == '\n' || c == '\r') &&
+        genExpr.trim.nonEmpty,
+      "addGeneratedColumn: expression must be a single non-empty line")
+    val cur = tableSchema
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"addGeneratedColumn: column '$name' already exists")
+    val refs = constraintRefs(genExpr)
+    require(refs.nonEmpty,
+      "addGeneratedColumn: expression must reference at least one column")
+    refs.foreach { r =>
+      val f = cur.fields.find(_.name.toLowerCase == r)
+      require(f.isDefined,
+        s"addGeneratedColumn: expression references unknown column '$r'")
+      require(!f.get.metadata.contains(CustomerStore.GeneratedKey),
+        s"addGeneratedColumn: expression may not reference generated column '$r'")
+    }
+    val auto = CustomerStore.genConstraintName(name)
+    require(!checkConstraints().exists(_._1.equalsIgnoreCase(auto)),
+      s"addGeneratedColumn: constraint name '$auto' is taken")
+    val v = currentVersion() + 1
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("physical", s"c${v}_$name")
+      .putString(CustomerStore.GeneratedKey, genExpr).build()
+    val next = org.apache.spark.sql.types.StructType(
+      cur.fields :+ org.apache.spark.sql.types.StructField(
+        name, dataType, nullable = true, metadata = meta))
+    commitSchema(next, v, "ADD COLUMN"): Unit
+    addCheckConstraint(auto,
+      s"$name IS NULL OR $name <=> CAST(($genExpr) AS ${dataType.sql})")
+  }
+
   /** MERGE with AUTOMATIC additive evolution — the API twin of SQL
     * `MERGE WITH SCHEMA EVOLUTION` (Delta's schema.autoMerge): every
     * batch column beyond the current table schema (the `_seq` ingest
@@ -469,6 +537,9 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     val i = cur.fieldNames.indexWhere(_.equalsIgnoreCase(name))
     require(i >= 0, s"widenColumn: no column '$name'")
     val f = cur.fields(i)
+    require(!f.metadata.contains(CustomerStore.GeneratedKey),
+      s"widenColumn: '$name' is generated — its type is pinned by the " +
+        "generation expression; drop and re-add the column instead")
     require(CustomerStore.SupportedWidenings.contains((f.dataType, to)),
       s"widenColumn: ${f.dataType.simpleString} → ${to.simpleString} is " +
         "not a supported lossless widening (supported: int → bigint)")
@@ -527,6 +598,16 @@ class CustomerStore(protected val spark: SparkSession, path: String,
         "constraint surface) and cannot be dropped")
     require(cur.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"dropColumn: no column '$name'")
+    // A generated column's auto-constraint leaves WITH the column (its
+    // own commit, then the schema commit) — without this, the
+    // reference guard below would deadlock the drop on the constraint
+    // the add created.
+    val fld = cur.fields.find(_.name.equalsIgnoreCase(name)).get
+    if (fld.metadata.contains(CustomerStore.GeneratedKey)) {
+      val auto = CustomerStore.genConstraintName(fld.name)
+      if (checkConstraints().exists(_._1.equalsIgnoreCase(auto)))
+        dropCheckConstraint(auto): Unit
+    }
     requireUnconstrained(name, "dropColumn")
     val next = org.apache.spark.sql.types.StructType(
       cur.fields.filterNot(_.name.equalsIgnoreCase(name)))
@@ -3025,6 +3106,16 @@ object CustomerStore {
   private[pipeline] val IngestedDir = "_ingested"
   /** Clone-provenance marker: `<source canonical path>@<version>`. */
   private[pipeline] val ClonedFrom = "_cloned_from"
+  /** Schema-field metadata key holding a generated column's
+    * generation expression (single-line Spark SQL over non-generated
+    * columns). Round-trips through the schema manifest via StructType
+    * JSON like the `physical` mapping key.
+    */
+  private[pipeline] val GeneratedKey = "generated"
+  /** The auto CHECK constraint enforcing declared = computed values
+    * for generated column `name` (see [[CustomerStore.addGeneratedColumn]]).
+    */
+  private[pipeline] def genConstraintName(name: String): String = s"gen_$name"
 
   /** Schema of [[CustomerStore.history]] (the DESCRIBE HISTORY face).
     * `operation` / `n_change_rows` are nullable: a registry entry

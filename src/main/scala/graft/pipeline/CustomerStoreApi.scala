@@ -83,10 +83,14 @@ trait CustomerStoreApi {
     * columns in order, filling columns the batch does not carry
     * (added after the producer was written) with typed NULLs — the
     * additive-evolution write contract every transactional format
-    * documents.
+    * documents. GENERATED columns are then COMPUTED over the aligned
+    * row wherever the batch left them NULL (absent column or explicit
+    * NULL); an explicit non-NULL value survives here and is checked
+    * against the computed value by the column's auto CHECK constraint
+    * at the transaction boundary.
     */
   protected def aligned(df: DataFrame): DataFrame =
-    df.select(tableSchema.fields.map { f =>
+    withGenerated(df.select(tableSchema.fields.map { f =>
       // Present columns are cast to the DECLARED type so files always
       // store the schema's physical type (a Long-valued batch into an
       // int column must not write int64 pages under an int schema —
@@ -94,7 +98,17 @@ trait CustomerStoreApi {
       // than their column's declared type at write time).
       if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
-    }.toSeq: _*)
+    }.toSeq: _*))
+
+  /** Fill each generated column's NULLs with its generation expression
+    * evaluated over `df` (which carries the full table column set).
+    */
+  protected def withGenerated(df: DataFrame): DataFrame =
+    tableSchema.fields.filter(_.metadata.contains("generated"))
+      .foldLeft(df) { (d, f) =>
+        d.withColumn(f.name, coalesce(col(f.name),
+          expr(f.metadata.getString("generated")).cast(f.dataType)))
+      }
 
   /** Full table scan. */
   def all(): DataFrame
@@ -291,15 +305,23 @@ trait CustomerStoreApi {
     val detect = payload.map(_.name).filter(seqd.columns.contains)
     val changed = detect.map(n => !(col(n) <=> col("_sx_" + n)))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val updates = pin(matched
+    // GENERATED columns the batch does not carry are NOT carried from
+    // the stored row: a detected change may have altered a generation
+    // INPUT (that is what triggered the update), so the stored value
+    // could be stale — they null out here and withGenerated RECOMPUTES
+    // them from the post-image. A batch-carried generated value rides
+    // like any payload value and answers to its auto constraint.
+    val updates = pin(withGenerated(matched
       .filter(changed)
       .select(Seq(col("_sid").as("id"), col("email"),
         col("_sup").as("uploaded"), col("_sct").as("created_ts"),
         current_timestamp().as("modified_ts")) ++
         payload.map(f =>
           (if (seqd.columns.contains(f.name)) col(f.name)
+           else if (f.metadata.contains("generated"))
+             lit(null).cast(f.dataType)
            else col("_sx_" + f.name).cast(f.dataType)).as(f.name)): _*)
-      .select(tableSchema.fieldNames.map(col).toIndexedSeq: _*))
+      .select(tableSchema.fieldNames.map(col).toIndexedSeq: _*)))
     val byIdFirst = Window.partitionBy(col("id")).orderBy(col("_seq"))
     val inserts = pin(aligned(latest
       .join(storedK.select("_semail"), col("email") === col("_semail"), "left_anti")

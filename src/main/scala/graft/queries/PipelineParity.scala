@@ -437,6 +437,30 @@ object PipelineParity extends QueryGroup {
       store.merge(upd): Unit                                          // v6
     }
 
+  /** Generated-column history (5 commits): insert base → ADD GENERATED
+    * band = id%7 + ascii(first phone char) (schema v2 + auto
+    * constraint v3) → fresh %10 insert (band computed at write) →
+    * merge flipping the %3 slice's phone prefix 555→999 (the update
+    * leg must RECOMPUTE band: ascii 53 → 57). Base rows outside %3
+    * stay pre-evolution NULL (generation never backfills).
+    */
+  private def genIMATemplate(s: SparkSession, dir: String): String =
+    FixtureStores.template(s"genIMA|$dir") { storePath =>
+      val base = Ingest.enrich(baseCols(s, dir))
+      val store = new graft.pipeline.CustomerStore(s, storePath)
+      store.insertNew(base): Unit                                     // v1
+      require(store.addGeneratedColumn("band",
+        org.apache.spark.sql.types.LongType,
+        "id % 7 + CAST(ascii(substring(phone, 1, 1)) AS BIGINT)") == 3L,
+        "generated DDL must be v2 (schema) + v3 (auto constraint)")
+      val fresh = base.filter(col("id") % 10 === 0)
+        .withColumn("id", col("id") + 40000000L)
+        .withColumn("email", concat(lit("gen"), col("id"), lit("@example.com")))
+      store.insertNew(fresh): Unit                                    // v4
+      store.merge(base.filter(col("id") % 3 === 0)
+        .withColumn("phone", concat(lit("999-"), col("id")))): Unit   // v5
+    }
+
   /** Idempotent-writer-transaction history (3 commits): txnInsert v1
     * (base) → txnInsert v2 (fresh block) → a REPLAY of v2 pinned to
     * skip at build time → txnInsert v3 whose rows ALL dedup away (the
@@ -491,7 +515,8 @@ object PipelineParity extends QueryGroup {
       mappingTemplate(_, _),
       constraintsTemplate(_, _),
       widenTemplate(_, _),
-      txn3Template(_, _))
+      txn3Template(_, _),
+      genIMATemplate(_, _))
     // Build CONCURRENTLY on a small pool: each template is an
     // independent sequence of tiny staged-commit Spark jobs — pure
     // driver/commit latency, not CPU — so overlapping builds cuts the
@@ -1853,6 +1878,35 @@ object PipelineParity extends QueryGroup {
       Seq(out).toDF("n_live_excised", "n_feed_excised", "v_after",
         "n_rows", "id_sum", "n_uploaded", "n_feed_rows",
         "n_asof1", "n_asof2")
+    }),
+
+    // GENERATED columns end to end: band = id%7 + ascii(first phone
+    // char) is COMPUTED by the store at every write — the fresh block
+    // lands it without carrying the column, and the %3 merge flips the
+    // phone prefix 555→999 so the update leg must RECOMPUTE (53→57)
+    // while untouched base rows stay pre-evolution NULL (no backfill,
+    // Delta's contract). Live table AND the CDC post-/pre-images are
+    // banded against the oracle's re-derivation — a stale band, a
+    // backfilled row, or a feed image with the wrong generation all
+    // hash-fail. Skipping: numeric generated columns ride the evolved
+    // zone stats, so a derived partition key prunes like any column.
+    "pipeline_generated_column" -> ((s, dir) => {
+      import s.implicits._
+      val store = new graft.pipeline.CustomerStore(s, genIMATemplate(s, dir))
+      val live = store.all()
+        .groupBy(coalesce(col("band"), lit(-1L)).as("band"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("id_sum"))
+        .withColumn("src", lit("live"))
+      val feed = store.changeFeed()
+        .groupBy(concat(lit("feed_"), col("change_type")).as("src"),
+          coalesce(col("band"), lit(-1L)).as("band"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("id_sum"))
+      val out = live.select("src", "band", "n_rows", "id_sum")
+        .unionByName(feed.select("src", "band", "n_rows", "id_sum"))
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      out.toDF("src", "band", "n_rows", "id_sum")
+        .orderBy(col("src"), col("band"))
     }),
 
     // The incremental CDC consumer: the change-feed directory consumed
@@ -3368,6 +3422,29 @@ object PipelineParity extends QueryGroup {
            n - k AS n_asof1,
            n + f - k AS n_asof2
          FROM b""",
+    // Re-derive every generated band: base rows pre-evolution (-1 =
+    // NULL) except the %3 slice recomputed at the merge (phone 999- →
+    // ascii 57), fresh %10 rows computed at insert (555- → 53); the
+    // feed carries v1 inserts pre-evolution, v4 inserts computed, and
+    // the %3 update pair as (stored NULL pre, recomputed post).
+    "pipeline_generated_column" ->
+      """WITH c AS (SELECT c_custkey AS id FROM customer),
+          u AS (SELECT id, CAST(-1 AS BIGINT) AS band FROM c WHERE id % 3 <> 0
+            UNION ALL SELECT id, id % 7 + 57 FROM c WHERE id % 3 = 0
+            UNION ALL SELECT id + 40000000, (id + 40000000) % 7 + 53
+              FROM c WHERE id % 10 = 0),
+          f AS (SELECT 'feed_insert' AS src, id, CAST(-1 AS BIGINT) AS band FROM c
+            UNION ALL SELECT 'feed_insert', id + 40000000,
+              (id + 40000000) % 7 + 53 FROM c WHERE id % 10 = 0
+            UNION ALL SELECT 'feed_update_pre', id, CAST(-1 AS BIGINT)
+              FROM c WHERE id % 3 = 0
+            UNION ALL SELECT 'feed_update', id, id % 7 + 57
+              FROM c WHERE id % 3 = 0),
+          g AS (SELECT 'live' AS src, band, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(id) AS BIGINT) AS id_sum FROM u GROUP BY band
+            UNION ALL SELECT src, band, CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(id) AS BIGINT) FROM f GROUP BY src, band)
+          SELECT src, band, n_rows, id_sum FROM g ORDER BY src, band""",
     // Identical arithmetic to streaming_cdc_resume: the connector's
     // streaming source must deliver exactly the same feed rows across
     // the checkpointed restart as the file stream over _changelog/.

@@ -192,6 +192,22 @@ object StoreProcedures {
       override def run(store: CustomerStore, in: InternalRow): Seq[Long] =
         Seq(store.cloneTo(in.getUTF8String(1).toString))
     },
+    new StoreProc("add_generated_column",
+      "add a GENERATED ALWAYS AS column: the store computes the value " +
+        "from the row's other columns at every write (and recomputes " +
+        "it on merge updates); explicit values must match or the " +
+        "transaction rejects (auto CHECK constraint). type is one of " +
+        "int/bigint/string/boolean/timestamp",
+      Array(p("path", StringType), p("name", StringType),
+        p("type", StringType), p("expr", StringType)),
+      Seq("version")) {
+      override def run(store: CustomerStore, in: InternalRow): Seq[Long] =
+        Seq(store.addGeneratedColumn(
+          in.getUTF8String(1).toString,
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseDataType(in.getUTF8String(2).toString),
+          in.getUTF8String(3).toString))
+    },
     new StoreProc("purge",
       "right-to-be-forgotten erasure: excise the comma-separated keys " +
         "from live data (feed-silent PURGE commit), retained feed " +
