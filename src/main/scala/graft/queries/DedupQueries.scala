@@ -344,17 +344,41 @@ object DedupQueries extends QueryGroup {
           tri.as("tg"))
       val a = cust.select(col("blk"), col("c_custkey").as("cust_a"), col("tg").as("tg_a"))
       val b = cust.select(col("blk"), col("c_custkey").as("cust_b"), col("tg").as("tg_b"))
-      val cand = a.join(b, Seq("blk")).filter(col("cust_a") < col("cust_b"))
+      // r15 optimization round (guide §1.2: first-principles minimum).
+      // The minimum unavoidable work here is ONE Jaccard per in-block
+      // pair; everything else the old plan did on the pair mass was
+      // derivable without it and is now computed small:
+      //  - n_cands = C(block size, 2) comes from a per-block COUNT of
+      //    the 15k-row customer side — the pair join no longer feeds
+      //    an all-pairs aggregate at all (the before plan aggregated
+      //    7.4M pair rows per block TWICE, once per output branch);
+      //  - the per-pair Jaccard computes array_intersect ONCE and
+      //    derives |A∪B| = |tg_a| + |tg_b| − |A∩B| (the arrays are
+      //    array_distinct'd sets, so the identity is exact) — the old
+      //    expression paid a second same-cost array_union walk;
+      //  - only MATCHED pairs (sim ≥ ER_T) survive the join stage, and
+      //    that tiny set is checkpointed once for its two consumers
+      //    (pair count + distinct-customer count per block).
+      // Blocks appear in the output iff they have ≥1 pair (old
+      // behavior: the self-join emits nothing for singleton blocks),
+      // hence the n_members >= 2 filter.
+      val nc = cust.groupBy(col("blk")).agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") >= 2)
+        .select(col("blk"), expr("n_members * (n_members - 1) DIV 2").as("n_cands"))
+      val matches = a.join(b, Seq("blk")).filter(col("cust_a") < col("cust_b"))
+        .withColumn("ni", expr("size(array_intersect(tg_a, tg_b))"))
         .withColumn("sim_ppm",
-          expr("size(array_intersect(tg_a, tg_b)) * 1000000L DIV size(array_union(tg_a, tg_b))"))
-      val matches = cand.filter(col("sim_ppm") >= ER_T)
+          expr("ni * 1000000L DIV (size(tg_a) + size(tg_b) - ni)"))
+        .filter(col("sim_ppm") >= ER_T)
+        .select(col("blk"), col("cust_a"), col("cust_b"))
+        .localCheckpoint(true)
+      val nm = matches.groupBy(col("blk")).agg(count(lit(1)).as("n_matches"))
       val matched = matches
         .select(col("blk"), explode(array(col("cust_a"), col("cust_b"))).as("c"))
         .distinct().groupBy(col("blk")).agg(count(lit(1)).as("n_matched_custs"))
-      cand.groupBy(col("blk")).agg(count(lit(1)).as("n_cands"),
-          count(when(col("sim_ppm") >= ER_T, 1)).as("n_matches"))
-        .join(matched, Seq("blk"), "left")
-        .select(col("blk"), col("n_cands"), col("n_matches"),
+      nc.join(nm, Seq("blk"), "left").join(matched, Seq("blk"), "left")
+        .select(col("blk"), col("n_cands"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
           coalesce(col("n_matched_custs"), lit(0L)).as("n_matched_custs"))
         .orderBy(col("blk"))
     }),

@@ -26,6 +26,37 @@ object PipelineParity extends QueryGroup {
   import graft.util.Fs
   private def withTempDir[T](prefix: String)(f: java.nio.file.Path => T): T =
     Fs.withTempDir(prefix)(f)
+
+  /** [[withTempDir]] plus a scoped shuffle-partition reduction for the
+    * gates that RUN A STREAM (r15 optimization round, guide §2.2/§2.5:
+    * partition count is a scale dial, and here it is the number of
+    * state-store instances and sink files every micro-batch commits).
+    * The fixture streams carry a few thousand rows per trigger, and 32
+    * HDFS-backed state stores / 32-way micro-batch shuffles cost more
+    * in per-store init+commit+fsync than they buy in parallelism —
+    * StreamingParity has run its gates at 4 since round 7 (measured
+    * there: stream-stream join 13.7s → 4.4s). Results are unchanged by
+    * construction: partition count never changes what a keyed state or
+    * an aggregate computes, and every gate's output is an aggregate or
+    * a REQUIREd comparison, not a file layout. The partition count is
+    * baked into each checkpoint at query start; both runs of a
+    * resume-style gate execute inside ONE scope, so the checkpoint
+    * stays self-consistent. A production stream sizes this to its key
+    * cardinality instead (the same note as StreamingParity's).
+    *
+    * Single-threaded assumption (same as StreamingParity): the
+    * override mutates the session-wide conf for the call's duration;
+    * Verify/Bench run queries sequentially, and the bench's concurrent
+    * template PREBUILD finishes before pass 1 starts.
+    */
+  private def withStreamTempDir[T](s: SparkSession, prefix: String)(
+      f: java.nio.file.Path => T): T =
+    Fs.withTempDir(prefix) { tmp =>
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try f(tmp)
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
   private def appendLines(dir: java.nio.file.Path, lines: Seq[String]): Unit =
     Fs.appendToPartFile(dir, lines)
 
@@ -1920,7 +1951,7 @@ object PipelineParity extends QueryGroup {
     "streaming_cdc_resume" -> ((s, dir) => {
       import s.implicits._
       val (base, _) = mergeFixtures(s, dir)
-      val out = withTempDir("graft-cdc-stream-") { tmp =>
+      val out = withStreamTempDir(s, "graft-cdc-stream-") { tmp =>
         // Clone of the insert+merge layer: the ack commit must land
         // while the stream is down, so the gate owns a mutable copy.
         val store = cloneStore(s, mergeIMTemplate(s, dir), tmp)
@@ -1964,7 +1995,7 @@ object PipelineParity extends QueryGroup {
     "streaming_store_sink_parity" -> ((s, dir) => {
       import s.implicits._
       val base = baseCols(s, dir)
-      val out = withTempDir("graft-sink-stream-") { tmp =>
+      val out = withStreamTempDir(s, "graft-sink-stream-") { tmp =>
         val in = s"$tmp/in"
         // One FILE per block (single-part writes renamed into the
         // watched dir): with maxFilesPerTrigger=1 the file stream
@@ -2032,7 +2063,7 @@ object PipelineParity extends QueryGroup {
     "pipeline_replication" -> ((s, dir) => {
       import s.implicits._
       val srcPath = mergeIMATemplate(s, dir)
-      val out = withTempDir("graft-repl-") { tmp =>
+      val out = withStreamTempDir(s, "graft-repl-") { tmp =>
         val dstPath = s"$tmp/replica"
         s.readStream.format("graft-store")
           .option("path", srcPath)
@@ -2087,7 +2118,7 @@ object PipelineParity extends QueryGroup {
     "streaming_catalog_cdc_parity" -> ((s, dir) => {
       import s.implicits._
       val (base, _) = mergeFixtures(s, dir)
-      val out = withTempDir("graft-cdc-cat-") { tmp =>
+      val out = withStreamTempDir(s, "graft-cdc-cat-") { tmp =>
         // Clone of the insert+merge layer: the ack commit must land
         // while the stream is down, so the gate owns a mutable copy.
         val store = cloneStore(s, mergeIMTemplate(s, dir), tmp)
@@ -2138,7 +2169,7 @@ object PipelineParity extends QueryGroup {
     "streaming_scd2_parity" -> ((s, dir) => {
       import s.implicits._
       val (base, _) = mergeFixtures(s, dir)
-      val out = withTempDir("graft-scd2-stream-") { tmp =>
+      val out = withStreamTempDir(s, "graft-scd2-stream-") { tmp =>
         val store = cloneStore(s, mergeIMTemplate(s, dir), tmp)
         def consume(): Long = {
           val changes = s.readStream.format("graft-store")
@@ -2408,7 +2439,7 @@ object PipelineParity extends QueryGroup {
     "streaming_mv_resume" -> ((s, dir) => {
       import s.implicits._
       val (base, _) = mergeFixtures(s, dir)
-      val out = withTempDir("graft-smv-") { tmp =>
+      val out = withStreamTempDir(s, "graft-smv-") { tmp =>
         // Clone of the insert+merge layer (the ack lands mid-restart).
         val store = cloneStore(s, mergeIMTemplate(s, dir), tmp)
         val feedSchema = store.changeFeed().schema
@@ -2496,7 +2527,7 @@ object PipelineParity extends QueryGroup {
         .withColumn("email", concat(lit("new"), col("id"), lit("@example.com")))
       val idConflict = base.filter(col("id") % 10 === 3)
         .withColumn("email", concat(lit("conflict"), col("id"), lit("@example.com")))
-      val out = withTempDir("graft-merge-stream-") { tmp =>
+      val out = withStreamTempDir(s, "graft-merge-stream-") { tmp =>
         val stage = s"$tmp/stage"
         lines(changed.unionByName(identical).unionByName(fresh).unionByName(idConflict))
           .orderBy(col("id")).select(col("line")).coalesce(1).write.text(stage)

@@ -231,13 +231,18 @@ object Similarity extends QueryGroup {
     * partition-order-independent).
     */
   private def listCentroids(assigned: DataFrame): DataFrame =
+    // One hash aggregate with VEC_DIM per-position SUMs (map-side
+    // partials, one exchange of 32 centroid-sized partials per
+    // partition) — r15 optimization round. The previous shape
+    // posexplode'd every member into 64 (list, pos, v) rows and paid
+    // TWO exchanges (64×n rows into groupBy(list, pos), then a
+    // collect_list re-assembly); integer per-position sums are
+    // identical either way, so every Lloyd round and every consumer
+    // is unchanged row-for-row (oracle re-gated at all 3 SFs).
     assigned
-      .select(col("list_id"), posexplode(col("qv")).as(Seq("pos", "v")))
-      .groupBy(col("list_id"), col("pos"))
-      .agg(sum(col("v")).as("sv"))
       .groupBy(col("list_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("sv")))).as("ps"))
-      .select(col("list_id"), transform(col("ps"), p => p("sv")).as("cv"))
+      .agg(array((0 until VEC_DIM).map(i =>
+        sum(element_at(col("qv"), i + 1))): _*).as("cv"))
       .withColumn("c_sq", qnormSq(col("cv")))
 
   /** Top-`r` nearest-centroid assignment (broadcast centroids,
@@ -364,9 +369,21 @@ object Similarity extends QueryGroup {
       // one integer dot, shuffling it costs 1 KB of network).
       .withColumn("cos_ppm", cosPpm(qdot(col("q_qv"), col("qv")), col("q_sq"), col("sq")))
       .select(col("query_id"), col("neighbor_id"), col("cos_ppm"))
-      .distinct()
-      .withColumn("rank", row_number().over(w).cast("long"))
+      // Dedupe multi-assignment duplicates AFTER the rank window, not
+      // before (r15 optimization round): a duplicate candidate carries
+      // the IDENTICAL (cos_ppm, neighbor_id) order key, so dense_rank
+      // over the multiset equals row_number over the dedup set — the
+      // order key is injective on distinct pairs (neighbor_id breaks
+      // cos ties) and duplicates tie exactly. The old
+      // distinct-then-row_number paid a full-candidate-mass exchange
+      // on (query, neighbor, score) BEFORE the window; now the only
+      // full-mass operator is the window's WindowGroupLimit partial
+      // top-k (rank ≤ k per map partition, duplicates can only WIDEN
+      // what survives), the exchange moves ~k rows per query, and the
+      // post-filter distinct dedupes a k-bounded set.
+      .withColumn("rank", dense_rank().over(w).cast("long"))
       .filter(col("rank") <= k)
+      .distinct()
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_ppm"))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -417,13 +434,13 @@ object Similarity extends QueryGroup {
     * centroid (cosine is scale-invariant; see [[listCentroids]]).
     */
   private def pqCentroids(assigned: DataFrame): DataFrame =
+    // Same one-aggregate shape as [[listCentroids]] (r15 optimization
+    // round): PQ_SUB per-position SUMs instead of posexplode + two
+    // exchanges. Integer sums per (m, code, position) are identical.
     assigned
-      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
-      .groupBy(col("m"), col("code"), col("pos"))
-      .agg(sum(col("v")).as("sv"))
       .groupBy(col("m"), col("code"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("sv")))).as("ps"))
-      .select(col("m"), col("code"), transform(col("ps"), p => p("sv")).as("cv"))
+      .agg(array((0 until PQ_SUB).map(i =>
+        sum(element_at(col("sv"), i + 1))): _*).as("cv"))
       .withColumn("c_sq", qnormSq(col("cv")))
 
   /** Nearest-centroid code per (vector, subspace) — deterministic
@@ -453,17 +470,20 @@ object Similarity extends QueryGroup {
       cent = pqCentroids(assigned).localCheckpoint(true)
     }
     val finalAssign = pqAssign(sub, cent).localCheckpoint(true)
-    val cnt = finalAssign.groupBy(col("m"), col("code")).agg(count(lit(1)).as("n"))
+    // One aggregate serves BOTH the member count and the per-position
+    // sums (r15 optimization round) — the previous shape posexplode'd
+    // the members, aggregated (m, code, pos) rows, and JOINED a
+    // separately-aggregated count back on (m, code). The floor-
+    // quantized mean is the same double expression element-wise, so
+    // the codebook is bit-identical (oracle re-gated at all 3 SFs).
     val codebook = finalAssign
-      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
-      .groupBy(col("m"), col("code"), col("pos"))
-      .agg(sum(col("v")).as("sv"))
-      .join(cnt, Seq("m", "code"))
-      .withColumn("r",
-        floor(col("sv").cast("double") * lit(1000.0) / col("n")).cast("long"))
       .groupBy(col("m"), col("code"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("r")))).as("ps"))
-      .select(col("m"), col("code"), transform(col("ps"), p => p("r")).as("rv"))
+      .agg(count(lit(1)).as("n"),
+        array((0 until PQ_SUB).map(i =>
+          sum(element_at(col("sv"), i + 1))): _*).as("svs"))
+      .select(col("m"), col("code"),
+        transform(col("svs"), sv =>
+          floor(sv.cast("double") * lit(1000.0) / col("n")).cast("long")).as("rv"))
       .withColumn("r_sq", qnormSq(col("rv")))
     (finalAssign.select(col("vec_id"), col("m"), col("code")), codebook)
   }
@@ -635,9 +655,17 @@ object Similarity extends QueryGroup {
     * (integer arithmetic; the transition gates of sim_ivf_lifecycle).
     */
   private def requireRecall(stage: String, ann: DataFrame, truth: DataFrame): Unit = {
-    val total = truth.count()
-    val hit = ann.select(col("query_id"), col("neighbor_id"))
-      .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
+    // ONE action for (total, hits) — the old two-action shape (count,
+    // then semi-join count) evaluated the brute-force truth side
+    // TWICE per transition (r15 optimization round). ANN pairs are
+    // distinct by construction (rank ≤ k output), so the left outer
+    // join preserves truth's cardinality and count(_hit) counts
+    // exactly the semi-join survivors.
+    val r = truth
+      .join(ann.select(col("query_id"), col("neighbor_id"), lit(1).as("_hit")),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .agg(count(lit(1)), count(col("_hit"))).head()
+    val (total, hit) = (r.getLong(0), r.getLong(1))
     require(hit * 10L >= total * 9L, s"$stage recall $hit/$total fell below 0.9")
   }
 
@@ -876,8 +904,12 @@ object Similarity extends QueryGroup {
       // v2 DELETE, merge-on-read: anti-join tombstones at probe time.
       val tomb = liveA.filter(col("vec_id") % 9 === 4).select(col("vec_id"))
       val liveB = liveA.join(tomb, Seq("vec_id"), "left_anti")
+      // probeB/probeD feed two actions each (recall REQUIRE + the
+      // collect-compare / the returned frame): checkpoint so each
+      // probe's join+window runs once (r15 optimization round).
       val probeB = ivfProbe(queries,
         v1.join(tomb, Seq("vec_id"), "left_anti"), cent, IVF_INC_PROBES)
+        .localCheckpoint(true)
       requireRecall("delete-v2", probeB, bruteTopK(queries, liveB, TOP_K))
       // v3 COMPACT: derive from the INDEX (never the corpus), persist.
       val v3 = graft.util.IndexStore.loadOrBuild(s, dir, v1Name + "_compact_m9")(
@@ -902,6 +934,7 @@ object Similarity extends QueryGroup {
       require(composed.exceptAll(fresh).isEmpty && fresh.exceptAll(composed).isEmpty,
         "lifecycle-composed postings drifted from a fresh rebuild")
       val probeD = ivfProbe(queries, v4, cent, IVF_INC_PROBES)
+        .localCheckpoint(true)
       requireRecall("insert-v4", probeD, bruteTopK(queries, liveD, TOP_K))
       probeD
     }),
@@ -931,14 +964,21 @@ object Similarity extends QueryGroup {
       postings.select(col("vec_id").as("neighbor_id"), col("qv"), col("sq"), col("list_id"))
         .join(qProbes, Seq("list_id"))
         .filter(col("neighbor_id") =!= col("query_id"))
-        // Score-then-dedupe (see ivfProbe): the distinct shuffles
-        // 24-byte score rows, never the vectors.
+        // Score, THRESHOLD-FILTER, then dedupe inside the aggregate
+        // (r15 optimization round): the radius predicate drops
+        // non-matching candidates before any exchange, and
+        // countDistinct(neighbor_id) absorbs multi-assignment
+        // duplicates exactly as the old standalone distinct did —
+        // cos_ppm is a pure function of the pair, so duplicates
+        // change neither the distinct-neighbor count nor the max.
+        // The old shape exchanged the FULL candidate mass for the
+        // distinct and only then filtered.
         .withColumn("cos_ppm", cosPpm(qdot(col("q_qv"), col("qv")), col("q_sq"), col("sq")))
-        .select(col("query_id"), col("neighbor_id"), col("cos_ppm"))
-        .distinct()
         .filter(col("cos_ppm") >= RANGE_T)
+        .select(col("query_id"), col("neighbor_id"), col("cos_ppm"))
         .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n_in_radius"), max(col("cos_ppm")).as("best_cos_ppm"))
+        .agg(countDistinct(col("neighbor_id")).as("n_in_radius"),
+          max(col("cos_ppm")).as("best_cos_ppm"))
         .orderBy(col("query_id"))
     }),
 
