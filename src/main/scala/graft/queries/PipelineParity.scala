@@ -555,7 +555,12 @@ object PipelineParity extends QueryGroup {
     // construction: FixtureStores.template handles racing builders,
     // stores live at distinct paths (per-path promotion locks), and
     // the shared SparkSession schedules jobs from many threads.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // 8 threads (r15 optimization round): 15 templates at ~4-8
+    // latency-bound commits each left a 4-thread pool with a long
+    // critical path (fixture_s ≈ 22s measured); 8 halves the depth
+    // while staying far below the scheduler's capacity for these
+    // 1-2-task jobs.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     try {
       val futures = builds.map { b =>
         pool.submit(new Runnable {

@@ -1212,9 +1212,20 @@ object Similarity extends QueryGroup {
       var beam = visited.withColumn("rn", row_number().over(wB))
         .filter(col("rn") <= BEAM_W).select(col("query_id"), col("neighbor_id"))
       for (_ <- 1 to BEAM_HOPS) {
+        // Score only FRESH pairs (r15 optimization round): anti-join
+        // the expansion against the visited set BEFORE scoring, so a
+        // hop re-scores nothing and the union needs no distinct — the
+        // invariant "visited holds distinct pairs" is preserved by
+        // construction (entry set distinct; each hop adds only pairs
+        // provably absent). The old shape re-scored every revisited
+        // neighbor and paid a full distinct exchange over the whole
+        // visited set per hop; identical rows either way (cos_ppm is
+        // a pure function of the pair).
         val expand = beam.join(edges, beam("neighbor_id") === edges("src"))
           .select(col("query_id"), col("dst").as("neighbor_id")).distinct()
-        visited = visited.unionByName(scored(expand)).distinct()
+          .join(visited.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_anti")
+        visited = visited.unionByName(scored(expand))
           .localCheckpoint(true) // bound lineage per hop
         beam = visited.withColumn("rn", row_number().over(wB))
           .filter(col("rn") <= BEAM_W).select(col("query_id"), col("neighbor_id"))
