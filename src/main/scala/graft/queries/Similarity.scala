@@ -931,7 +931,15 @@ object Similarity extends QueryGroup {
       val postCols = Seq("vec_id", "label", "qv", "sq", "list_id", "rn").map(col)
       val fresh = assign(liveD, cent, IVF_ASSIGN_R).select(postCols: _*)
       val composed = v4.select(postCols: _*)
-      require(composed.exceptAll(fresh).isEmpty && fresh.exceptAll(composed).isEmpty,
+      // Multiset equality in ONE action (r15 optimization round): sum of
+      // ±1 per row-value is zero everywhere iff BOTH exceptAlls are
+      // empty — the old shape ran two exceptAll jobs, each evaluating
+      // both sides.
+      val drift = composed.withColumn("_s", lit(1L))
+        .unionByName(fresh.withColumn("_s", lit(-1L)))
+        .groupBy(postCols: _*).agg(sum(col("_s")).as("_d"))
+        .filter(col("_d") =!= 0L).limit(1).count()
+      require(drift == 0L,
         "lifecycle-composed postings drifted from a fresh rebuild")
       val probeD = ivfProbe(queries, v4, cent, IVF_INC_PROBES)
         .localCheckpoint(true)
