@@ -163,22 +163,30 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     if (!tableExists) return 0L
     recover()
     val keys = emails.select(col("email").as("_del")).distinct()
-    val hit = allWithFile()
-      .join(keys, col("email") === col("_del"), "left_semi")
-      .withColumn("_file", element_at(split(col("_file"), "/"), -1))
-      .localCheckpoint(true)
+    val hit = graft.util.Labeled(spark, "store: delete probe") {
+      allWithFile()
+        .join(keys, col("email") === col("_del"), "left_semi")
+        .withColumn("_file", element_at(split(col("_file"), "/"), -1))
+        .localCheckpoint(true)
+    }
     val n = hit.count()
     if (n == 0) return 0L
     val tmp = freshStagingTmp()
     val dvDir = new java.io.File(tmp, "deletes")
-    hit.select(col("_file").as("file"), col("email")).write.parquet(dvDir.toString)
-    val commitId = java.util.UUID.randomUUID().toString.take(8)
-    dvDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
-      require(f.renameTo(new java.io.File(dvDir, s"del-$commitId-${f.getName}")),
-        s"staging rename failed for $f")
-    }
-    val v = stageChanges(tmp,
-      changeRows(hit.drop("_file", "_del"), "delete_pre"), "DELETE")
+    val v = currentVersion() + 1
+    stageConcurrently(
+      () => {
+        graft.util.Labeled(spark, "store: stage data") {
+          hit.select(col("_file").as("file"), col("email")).write.parquet(dvDir.toString)
+        }
+        val commitId = java.util.UUID.randomUUID().toString.take(8)
+        dvDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+          require(f.renameTo(new java.io.File(dvDir, s"del-$commitId-${f.getName}")),
+            s"staging rename failed for $f")
+        }
+      },
+      () => stageChanges(tmp,
+        changeRows(hit.drop("_file", "_del"), "delete_pre"), "DELETE", v))
     commitStaged(tmp, v)
     n
   }
@@ -209,15 +217,24 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     enforceCheckConstraints(fresh, "insert")
     val tmp = freshStagingTmp()
     val stage = new java.io.File(tmp, "pending-append")
-    toPhysical(fresh.drop("uploaded"), dataLogicalSchema)
-      .write.parquet(stage.toString)
-    val commitId = java.util.UUID.randomUUID().toString.take(8)
-    stage.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
-      require(f.renameTo(new java.io.File(stage, s"ins-$commitId-${f.getName}")),
-        s"staging rename failed for $f")
-    }
-    val v = stageChanges(tmp, changeRows(fresh, "insert"), "WRITE")
-    stageStats(tmp, v)
+    val v = currentVersion() + 1
+    // Two independent chains (guide §2.6): [data write → rename →
+    // stats] overlaps [change-feed write → markers]; stats needs the
+    // staged DATA files only, never the changelog.
+    stageConcurrently(
+      () => {
+        graft.util.Labeled(spark, "store: stage data") {
+          toPhysical(fresh.drop("uploaded"), dataLogicalSchema)
+            .write.parquet(stage.toString)
+        }
+        val commitId = java.util.UUID.randomUUID().toString.take(8)
+        stage.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+          require(f.renameTo(new java.io.File(stage, s"ins-$commitId-${f.getName}")),
+            s"staging rename failed for $f")
+        }
+        stageStats(tmp, v)
+      },
+      () => stageChanges(tmp, changeRows(fresh, "insert"), "WRITE", v))
     commitStaged(tmp, v)
   }
 
@@ -2028,16 +2045,19 @@ class CustomerStore(protected val spark: SparkSession, path: String,
         allWithFile().filter(!col("uploaded"))
     // Pre-image first (the rows about to flip), pinned before any file
     // moves; the post-image derives from it so both reflect ONE scan.
-    val movedPre = candidates.join(acked, col("email") === col("_ack"), "left_semi")
-      .select(col("_file") +: tableSchema.fieldNames.map(col): _*)
-      .localCheckpoint(true)
-    val touched = movedPre.select(col("_file")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val moved = movedPre.drop("_file")
-      .withColumn("uploaded", lit(true))
-      .withColumn("modified_ts", current_timestamp())
-      .select(tableSchema.fieldNames.map(col): _*)
-      .localCheckpoint(true) // one evaluation feeds both the commit and its changelog
+    val (movedPre, touched, moved) = graft.util.Labeled(spark, "store: ack preimage") {
+      val pre = candidates.join(acked, col("email") === col("_ack"), "left_semi")
+        .select(col("_file") +: tableSchema.fieldNames.map(col): _*)
+        .localCheckpoint(true)
+      (pre,
+        pre.select(col("_file")).distinct()
+          .collect().map(_.getString(0)).toSet,
+        pre.drop("_file")
+          .withColumn("uploaded", lit(true))
+          .withColumn("modified_ts", current_timestamp())
+          .select(tableSchema.fieldNames.map(col): _*)
+          .localCheckpoint(true)) // one evaluation feeds both the commit and its changelog
+    }
     val survivors =
       if (touched.isEmpty)
         spark.createDataFrame(
@@ -2271,12 +2291,14 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     val withFile = allWithFile()
     // Pre-image: the stored rows the updates replace, pinned before
     // the staged rewrite starts moving the files they live in.
-    val updatesPre = withFile
-      .join(updates.select(col("email").as("_ue")), col("email") === col("_ue"), "left_semi")
-      .select(col("_file") +: tableSchema.fieldNames.map(col): _*)
-      .localCheckpoint(true)
-    val touched = updatesPre.select(col("_file")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val (updatesPre, touched) = graft.util.Labeled(spark, "store: merge preimage") {
+      val pre = withFile
+        .join(updates.select(col("email").as("_ue")), col("email") === col("_ue"), "left_semi")
+        .select(col("_file") +: tableSchema.fieldNames.map(col): _*)
+        .localCheckpoint(true)
+      (pre, pre.select(col("_file")).distinct()
+        .collect().map(_.getString(0)).toSet)
+    }
     val survivors =
       if (touched.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
@@ -2303,12 +2325,18 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       op: String): Unit = {
     val tmp = freshStagingTmp()
     val commitId = java.util.UUID.randomUUID().toString.take(8)
-    Seq(("merge-pending", "remove-pending", false),
-        ("merge-done", "remove-done", true)).foreach { case (add, rm, up) =>
+    val v = currentVersion() + 1
+    // Three independent chains (guide §2.6): the two partition
+    // replacement writes and the change-feed write share no files;
+    // stats follows the parallel block (it scans both staged data dirs
+    // and keys on the commit-unique promoted basenames).
+    def partitionChain(add: String, rm: String, up: Boolean): Unit = {
       val stage = new java.io.File(tmp, add)
-      toPhysical(replacement.filter(col("uploaded") === up).drop("uploaded"),
-          dataLogicalSchema)
-        .write.parquet(stage.toString)
+      graft.util.Labeled(spark, "store: stage data") {
+        toPhysical(replacement.filter(col("uploaded") === up).drop("uploaded"),
+            dataLogicalSchema)
+          .write.parquet(stage.toString)
+      }
       stage.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
         require(f.renameTo(new java.io.File(stage, s"mrg-$commitId-${f.getName}")),
           s"staging rename failed for $f")
@@ -2320,7 +2348,10 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       java.nio.file.Files.write(new java.io.File(tmp, rm).toPath,
         names.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     }
-    val v = stageChanges(tmp, changes, op)
+    stageConcurrently(
+      () => partitionChain("merge-pending", "remove-pending", up = false),
+      () => partitionChain("merge-done", "remove-done", up = true),
+      () => stageChanges(tmp, changes, op, v))
     stageStats(tmp, v)
     commitStaged(tmp, v)
   }
@@ -2335,10 +2366,19 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       changes: DataFrame, op: String,
       truncateDeletes: Boolean = false): Unit = {
     val tmp = freshStagingTmp()
-    toPhysical(pending.drop("uploaded"), dataLogicalSchema)
-      .write.parquet(new java.io.File(tmp, "pending").toString)
-    toPhysical(done.drop("uploaded"), dataLogicalSchema)
-      .write.parquet(new java.io.File(tmp, "done").toString)
+    val v = currentVersion() + 1
+    // Three independent chains (guide §2.6): two partition writes plus
+    // the change-feed write; stats follows the parallel block.
+    stageConcurrently(
+      () => graft.util.Labeled(spark, "store: stage data") {
+        toPhysical(pending.drop("uploaded"), dataLogicalSchema)
+          .write.parquet(new java.io.File(tmp, "pending").toString)
+      },
+      () => graft.util.Labeled(spark, "store: stage data") {
+        toPhysical(done.drop("uploaded"), dataLogicalSchema)
+          .write.parquet(new java.io.File(tmp, "done").toString)
+      },
+      () => stageChanges(tmp, changes, op, v))
     // A full replace materializes every deletion-vector tombstone, so
     // the rewrite commits stage a truncation marker and promotion
     // clears `_deletes/` INSIDE the idempotent replay — a crash
@@ -2347,7 +2387,6 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     if (truncateDeletes)
       java.nio.file.Files.write(new java.io.File(tmp, "truncate-deletes").toPath,
         Array.emptyByteArray): Unit
-    val v = stageChanges(tmp, changes, op)
     stageStats(tmp, v)
     // Full replace: ANY interleaved commit conflicts (the rewrite was
     // derived from the whole pre-commit table).
@@ -2370,12 +2409,13 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     * [[history]] can describe commits whose feed dirs are long retired.
     */
   private def stageChanges(tmp: java.io.File, changes: DataFrame,
-      op: String): Long = {
-    val v = currentVersion() + 1
+      op: String, v: Long): Unit = {
     val dir = new java.io.File(tmp, "changelog")
-    toPhysical(changes.withColumn("commit_version", lit(v))
-        .select(changeSchema.fieldNames.map(col): _*), changeSchema)
-      .write.parquet(dir.toString)
+    graft.util.Labeled(spark, "store: stage changes") {
+      toPhysical(changes.withColumn("commit_version", lit(v))
+          .select(changeSchema.fieldNames.map(col): _*), changeSchema)
+        .write.parquet(dir.toString)
+    }
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
       require(f.renameTo(new java.io.File(dir, s"chg-$commitId-${f.getName}")),
@@ -2389,8 +2429,36 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       nextCommitTs().toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.write(new java.io.File(tmp, "operation").toPath,
       s"$op\n${parquetRowCount(dir)}"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    v
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
+
+  /** Run independent staging chains concurrently (guide §2.6 "overlap
+    * independent jobs"). Every chain writes DISJOINT files inside the
+    * same not-yet-committed staging dir, so overlap cannot change what
+    * the commit contains: the commit point is still the single atomic
+    * rename AFTER every chain completes, and any chain failure
+    * abandons the staging dir unpromoted (exception rethrown, nothing
+    * ever commits half-staged). Fresh threads rather than a shared
+    * pool, so Spark's inheritable thread-local job properties
+    * (description, execution id) come from THIS caller at spawn and
+    * can never be a stale snapshot of an unrelated submitter. The
+    * chains' inputs are either caller-materialized checkpoints or
+    * plans whose concurrent re-evaluation equals today's sequential
+    * re-evaluation (each chain was its own action before).
+    */
+  private def stageConcurrently(chains: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = chains.drop(1).map { c =>
+      val t = new Thread(() => try c()
+        catch { case e: Throwable => errs.add(e): Unit })
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    try chains.head()
+    catch { case e: Throwable => errs.add(e): Unit }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
   }
 
   /** Total row count of the parquet files in `dir` — footer-only,
@@ -2479,42 +2547,47 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       .parquet(dataDirs.map(_.toString): _*)
       .select(Seq(element_at(split(input_file_name(), "/"), -1).as("file"),
         col("id"), col("email")) ++ evoNum.map { case (p, _) => col(p) }: _*)
-      .cache()
-    try {
-      // Both stats grains in ONE staged write (zone rows kind='z',
-      // bloom-word rows kind='b') — commit overhead is one Spark job,
-      // not one per stats family; the cache makes the second branch
-      // reuse the first's scan inside that job.
-      // The per-file KMV sample rides the SAME per-file aggregation as
-      // the zone stats (TopKAggregator fed −h keeps the k smallest
-      // md5-word hashes — map-side bounded partials, no extra shuffle
-      // stage per commit), then unnests into kind='s' rows.
+    graft.util.Labeled(spark, "store: stage stats") {
+      // ALL stats grains from ONE per-file hash aggregate over ONE scan
+      // of the staged files (r16; guide §2.3 "aggregate before you
+      // shuffle", §2.4 "remove shuffles outright"): zones (row count,
+      // min/max id, min/max hash bucket), the bottom-SampleK KMV sample
+      // (TopKAggregator — map-side bounded partials), evolved-column
+      // extrema, AND the per-file Bloom bitset as a dense word array
+      // (BloomWordsAggregator fed the SAME pmod(xxhash64(email, seed))
+      // positions the manifest has always recorded, so the emitted
+      // (w, bits) rows are bit-identical to the old explode ×seeds →
+      // groupBy(file, word) second shuffle stage, which is gone). The
+      // aggregate's result is manifest-sized (one row per staged file),
+      // so it is pinned once (localCheckpoint — within-commit reuse,
+      // never cross-run) and the four manifest projections below are
+      // driver-cheap unions over it: a commit's stats cost is one
+      // aggregation job plus one tiny write, whatever the schema.
       val bottomK = udaf(new graft.functions.TopKAggregator(SampleK))
-      // Evolved-column min/max ride the SAME per-file aggregate as the
-      // zones — still one stats job per commit whatever the schema.
+      val bloomWords = udaf(new graft.functions.BloomWordsAggregator(bloomBits))
       val evoAggs = evoNum.flatMap { case (p, _) => Seq(
         min(col(p).cast("long")).as(s"_emin_$p"),
         max(col(p).cast("long")).as(s"_emax_$p")) }
-      val zonesAgg = staged
+      val fileAgg = staged
         .withColumn("neg_h",
           -conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10).cast("long"))
+        .withColumn("bpos", array((0 until BloomSeeds).map(s =>
+          pmod(xxhash64(col("email"), lit(s)), lit(bloomBits))): _*))
         .groupBy(col("file"))
         .agg(count(lit(1)).as("n_rows"),
           Seq(min(col("id")).as("min_id"), max(col("id")).as("max_id"),
           min(CustomerStore.hashBucket(col("id"))).as("min_hb"),
           max(CustomerStore.hashBucket(col("id"))).as("max_hb"),
-          bottomK(col("neg_h"), col("id")).as("sample")) ++ evoAggs: _*)
-      // zones and sample are two projections of the SAME per-file
-      // aggregate; both evaluate inside the single union write below,
-      // each from the cached staged keys — commit overhead stays one
-      // stats job, not one per stats family.
-      val zones = zonesAgg
+          bottomK(col("neg_h"), col("id")).as("sample"),
+          bloomWords(col("bpos")).as("bwords")) ++ evoAggs: _*)
+        .localCheckpoint(true)
+      val zones = fileAgg
         .select(col("file"), lit("z").as("kind"), lit(null).cast("long").as("w"),
           lit(null).cast("long").as("bits"), lit(null).cast("long").as("nbits"),
           col("n_rows"), col("min_id"), col("max_id"),
           col("min_hb"), col("max_hb"),
           lit(null).cast("long").as("s_h"), lit(null).cast("long").as("s_id"))
-      val sample = zonesAgg
+      val sample = fileAgg
         .select(col("file"), explode(col("sample")).as("p"))
         .select(col("file"), lit("s").as("kind"), lit(null).cast("long").as("w"),
           lit(null).cast("long").as("bits"), lit(null).cast("long").as("nbits"),
@@ -2522,23 +2595,22 @@ class CustomerStore(protected val spark: SparkSession, path: String,
           lit(null).cast("long").as("min_id"), lit(null).cast("long").as("max_id"),
           lit(null).cast("long").as("min_hb"), lit(null).cast("long").as("max_hb"),
           (-col("p._1")).as("s_h"), col("p._2").as("s_id"))
-      val bloom = staged.select(col("file"),
-          explode(array((0 until BloomSeeds).map(s =>
-            pmod(xxhash64(col("email"), lit(s)), lit(bloomBits))): _*)).as("p"))
-        .select(col("file"), expr("p DIV 64").as("w"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("b"))
-        .groupBy(col("file"), col("w")).agg(expr("bit_or(b)").as("bits"))
-        .select(col("file"), lit("b").as("kind"), col("w"), col("bits"),
+      // Only words with a set bit are manifest rows — same sparse
+      // representation the old bit_or aggregation emitted.
+      val bloom = fileAgg
+        .select(col("file"), posexplode(col("bwords")).as(Seq("w", "bits")))
+        .filter(col("bits") =!= 0L)
+        .select(col("file"), lit("b").as("kind"), col("w").cast("long").as("w"),
+          col("bits"),
           lit(bloomBits).as("nbits"), lit(null).cast("long").as("n_rows"),
           lit(null).cast("long").as("min_id"), lit(null).cast("long").as("max_id"),
           lit(null).cast("long").as("min_hb"), lit(null).cast("long").as("max_hb"),
           lit(null).cast("long").as("s_h"), lit(null).cast("long").as("s_id"))
-      // kind='e' rows: one per (file, evolved numeric column), from
-      // the same cached aggregate. An all-NULL column (a commit whose
-      // batch never carried it) yields NULL min/max — pruning treats
-      // that as no coverage for the file.
+      // kind='e' rows: one per (file, evolved numeric column). An
+      // all-NULL column (a commit whose batch never carried it) yields
+      // NULL min/max — pruning treats that as no coverage for the file.
       val evoRows = evoNum.map { case (p, _) =>
-        zonesAgg.select(col("file"), lit("e").as("kind"),
+        fileAgg.select(col("file"), lit("e").as("kind"),
           lit(p).as("ecol"),
           col(s"_emin_$p").as("min_v"), col(s"_emax_$p").as("max_v"))
       }.reduceOption(_ unionByName _)
@@ -2553,7 +2625,7 @@ class CustomerStore(protected val spark: SparkSession, path: String,
         require(f.renameTo(new java.io.File(dir, s"sts-$commitId-${f.getName}")),
           s"staging rename failed for $f")
       }
-    } finally staged.unpersist(): Unit
+    }
   }
 
   /** Write both partition outputs to `_staging.tmp` and atomically
@@ -2565,19 +2637,31 @@ class CustomerStore(protected val spark: SparkSession, path: String,
   private[pipeline] def stageCommit(moved: DataFrame, kept: DataFrame,
       changes: DataFrame): Unit = {
     val tmp = freshStagingTmp()
-    toPhysical(moved.drop("uploaded"), dataLogicalSchema)
-      .write.parquet(new java.io.File(tmp, "done-append").toString)
-    toPhysical(kept.drop("uploaded"), dataLogicalSchema)
-      .write.parquet(new java.io.File(tmp, "pending").toString)
-    val v = stageChanges(tmp, changes, "UPDATE")
-    // Commit-unique file names now, so replay after a crash cannot
-    // clobber files a previous commit already promoted.
-    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val v = currentVersion() + 1
+    // Three independent chains (guide §2.6): the two partition writes
+    // and the change-feed write share no files. Stats runs after the
+    // parallel block — it scans BOTH staged data dirs and keys on the
+    // commit-unique promoted basenames.
     val doneStage = new java.io.File(tmp, "done-append")
-    doneStage.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
-      require(f.renameTo(new java.io.File(doneStage, s"ack-$commitId-${f.getName}")),
-        s"staging rename failed for $f")
-    }
+    stageConcurrently(
+      () => graft.util.Labeled(spark, "store: stage data") {
+        toPhysical(kept.drop("uploaded"), dataLogicalSchema)
+          .write.parquet(new java.io.File(tmp, "pending").toString)
+      },
+      () => {
+        graft.util.Labeled(spark, "store: stage data") {
+          toPhysical(moved.drop("uploaded"), dataLogicalSchema)
+            .write.parquet(doneStage.toString)
+        }
+        // Commit-unique file names now, so replay after a crash cannot
+        // clobber files a previous commit already promoted.
+        val commitId = java.util.UUID.randomUUID().toString.take(8)
+        doneStage.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+          require(f.renameTo(new java.io.File(doneStage, s"ack-$commitId-${f.getName}")),
+            s"staging rename failed for $f")
+        }
+      },
+      () => stageChanges(tmp, changes, "UPDATE", v))
     stageStats(tmp, v) // after the renames: stats key on promoted basenames
     // The `pending` stage swaps that whole partition — a full replace
     // of the read set, so any interleaved commit conflicts.

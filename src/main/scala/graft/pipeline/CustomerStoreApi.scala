@@ -172,15 +172,17 @@ trait CustomerStoreApi {
       if (batch.columns.contains("_seq")) batch
       else batch.withColumn("_seq", monotonically_increasing_id())
     val existing = all().select(col("id").as("_eid"), col("email").as("_eemail"))
-    var remaining = seqd
-      .join(existing.select("_eid"), col("id") === col("_eid"), "left_anti")
-      .join(existing.select("_eemail"), col("email") === col("_eemail"), "left_anti")
-      .localCheckpoint(true)
+    var remaining = graft.util.Labeled(spark, "store: insert classify") {
+      seqd
+        .join(existing.select("_eid"), col("id") === col("_eid"), "left_anti")
+        .join(existing.select("_eemail"), col("email") === col("_eemail"), "left_anti")
+        .localCheckpoint(true)
+    }
     val byId = Window.partitionBy(col("id"))
     val byEmail = Window.partitionBy(col("email"))
     var survivors: DataFrame = null
     var remainingCount = remaining.count()
-    while (remainingCount > 0) {
+    while (remainingCount > 0) graft.util.Labeled(spark, "store: insert classify") {
       val winners = remaining
         .withColumn("_mi", min(col("_seq")).over(byId))
         .withColumn("_me", min(col("_seq")).over(byEmail))
@@ -238,16 +240,19 @@ trait CustomerStoreApi {
     */
   def merge(batch: DataFrame): MergeResult = {
     val (latest, matched, updates, inserts) = classifyMergeStages(batch)
-    val nMatched = matched.count()
-    val nUpdated = updates.count()
-    val nInserted = inserts.count()
+    val (nMatched, nUpdated, nInserted) =
+      graft.util.Labeled(spark, "store: merge counts") {
+        (matched.count(), updates.count(), inserts.count())
+      }
     // One normalized row per email — counted from the already-pinned
     // `latest` stage, NOT a second pass over the raw batch (round-14
     // ADVICE: batch.select(email).distinct().count() re-ran the whole
     // upstream plan solely for this figure). Whoever is neither
     // matched nor inserted was salvaged away on an id conflict —
     // counted, never silent.
-    val nEmails = latest.count()
+    val nEmails = graft.util.Labeled(spark, "store: merge counts") {
+      latest.count()
+    }
     applyMerge(updates, inserts)
     MergeResult(nUpdated, nInserted, nMatched - nUpdated,
       nEmails - nMatched - nInserted)
@@ -272,7 +277,9 @@ trait CustomerStoreApi {
   private[pipeline] def classifyMergeStages(batch: DataFrame,
       materialize: Boolean = true): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     def pin(df: DataFrame): DataFrame =
-      if (materialize) df.localCheckpoint(true) else df
+      if (materialize)
+        graft.util.Labeled(spark, "store: merge classify")(df.localCheckpoint(true))
+      else df
     val seqd =
       if (batch.columns.contains("_seq")) batch
       else batch.withColumn("_seq", monotonically_increasing_id())
