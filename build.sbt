@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through RAW (no "[info] " logger prefix):
+// the bench's one-line JSON summary must be parseable as a bare JSON
+// line by the harness that collects it — with the default LoggedOutput
+// strategy every line arrives as "[info] {...}" and a strict
+// line-parser sees no JSON (BENCH r8-r15 all carry parsed:null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
