@@ -1198,24 +1198,36 @@ class CustomerStore(protected val spark: SparkSession, path: String,
     val probe = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(emailCol,
         org.apache.spark.sql.types.StringType)))
+    // ONE probe job yields the touched files AND their hit counts
+    // (r16; guide §1.2): the old shape re-read every touched file to
+    // count its hits and again to test emptiness — per-file jobs the
+    // probe aggregate already answers, with "fully excised" decided
+    // from the file's footer row count (driver-side, no job).
     val touched = spark.read.schema(probe)
       .parquet(files.map(_.getAbsolutePath).toIndexedSeq: _*)
       .withColumn("_f", input_file_name())
       .filter(col(emailCol).isInCollection(keys))
-      .select(col("_f")).distinct().collect()
-      .map(r => new java.io.File(new java.net.URI(r.getString(0)).getPath))
-    touched.map { f =>
+      .groupBy(col("_f")).agg(count(lit(1)).as("_n")).collect()
+      .map(r => (new java.io.File(new java.net.URI(r.getString(0)).getPath),
+        r.getLong(1)))
+    def footerRows(f: java.io.File): Long = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          new org.apache.hadoop.conf.Configuration(false)))
+      try r.getRecordCount finally r.close()
+    }
+    touched.map { case (f, hits) =>
       // Hadoop's LocalFileSystem keeps a `.<name>.crc` sidecar; a swap
       // must retire it with the bytes it checksums or readers fail
       // with ChecksumException against the replacement.
       val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
-      val df = spark.read.parquet(f.getAbsolutePath)
-      val hits = df.filter(col(emailCol).isInCollection(keys)).count()
-      val keep = df.filter(!col(emailCol).isInCollection(keys))
-      if (keep.isEmpty) {
+      if (footerRows(f) == hits) {
         require(f.delete(), s"purge: could not remove fully-excised $f")
         if (crc.exists()) crc.delete(): Unit
       } else {
+        val keep = spark.read.parquet(f.getAbsolutePath)
+          .filter(!col(emailCol).isInCollection(keys))
         // Dot-prefixed sibling dir: invisible to Spark's globs, same
         // filesystem as the target so the final move is an atomic
         // rename; stale leftovers from a crashed attempt are swept.

@@ -183,18 +183,28 @@ trait CustomerStoreApi {
     var survivors: DataFrame = null
     var remainingCount = remaining.count()
     while (remainingCount > 0) graft.util.Labeled(spark, "store: insert classify") {
-      val winners = remaining
+      // ONE checkpoint per round carries the win flag (r16; guide
+      // §1.2): winners and losers are both cheap filters of it, so the
+      // window evaluates once, and the common no-conflict batch (zero
+      // losers) ends the fixpoint without ever paying the anti-join
+      // the old shape ran just to discover it had nothing to remove.
+      val marked = remaining
         .withColumn("_mi", min(col("_seq")).over(byId))
         .withColumn("_me", min(col("_seq")).over(byEmail))
-        .filter(col("_seq") === col("_mi") && col("_seq") === col("_me"))
+        .withColumn("_win", col("_seq") === col("_mi") && col("_seq") === col("_me"))
         .drop("_mi", "_me")
         .localCheckpoint(true)
+      val winners = marked.filter(col("_win")).drop("_win")
       survivors = if (survivors == null) winners else survivors.unionByName(winners)
-      remaining = remaining
-        .join(winners.select(col("id").as("_wid")), col("id") === col("_wid"), "left_anti")
-        .join(winners.select(col("email").as("_wem")), col("email") === col("_wem"), "left_anti")
-        .localCheckpoint(true)
-      remainingCount = remaining.count()
+      val losers = marked.filter(!col("_win")).drop("_win")
+      if (losers.isEmpty) remainingCount = 0
+      else {
+        remaining = losers
+          .join(winners.select(col("id").as("_wid")), col("id") === col("_wid"), "left_anti")
+          .join(winners.select(col("email").as("_wem")), col("email") === col("_wem"), "left_anti")
+          .localCheckpoint(true)
+        remainingCount = remaining.count()
+      }
     }
     if (survivors == null) return 0 // empty batch: reference panics here (SURVEY §2.1 S3)
     appendRows(aligned(survivors.drop("_seq")))

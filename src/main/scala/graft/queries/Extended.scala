@@ -251,8 +251,7 @@ object Extended extends QueryGroup {
         bottomK(o.filter(col("k") % 2 === 0))
           .unionByName(bottomK(o.filter(col("k") % 2 === 1))))
         .localCheckpoint(true)
-      val mergeExact = mergedSk.exceptAll(whole).isEmpty &&
-        whole.exceptAll(mergedSk).isEmpty
+      val mergeExact = graft.util.MultisetEq(mergedSk, whole)
       require(mergeExact, "KMV merge must equal the whole-data sketch exactly")
       val nExact = o.count()
       val kthHash = whole.agg(max(col("h"))).head().getLong(0)

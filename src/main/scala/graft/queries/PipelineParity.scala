@@ -717,7 +717,7 @@ object PipelineParity extends QueryGroup {
         store.restore(1L) // v4
         val after = store.all().localCheckpoint(true)
         val tgt = store.asOf(1L)
-        require(after.exceptAll(tgt).isEmpty && tgt.exceptAll(after).isEmpty,
+        require(graft.util.MultisetEq(after, tgt),
           "restore did not reproduce the target version row-for-row")
         val weighted = store.changeFeed()
           .withColumn("w", when(col("change_type").endsWith("_pre"), -1L).otherwise(1L))
@@ -1237,8 +1237,7 @@ object PipelineParity extends QueryGroup {
         r.load()
       }
       val full = cdc(0L, None)
-      require(full.exceptAll(store.changeFeed()).isEmpty &&
-          store.changeFeed().exceptAll(full).isEmpty,
+      require(graft.util.MultisetEq(full, store.changeFeed()),
         "connector feed read diverged from the API changeFeed")
       val slice = cdc(1L, Some(3L))
       require(slice.rdd.getNumPartitions == 2,
@@ -1724,11 +1723,12 @@ object PipelineParity extends QueryGroup {
       }
       // 1. Full catalog read ≡ API read.
       val full = cat()
-      require(full.exceptAll(store.all()).isEmpty &&
-        store.all().exceptAll(full).isEmpty,
+      require(graft.util.MultisetEq(full, store.all()),
         "catalog full read diverged from store.all()")
-      val nTotal = full.count()
-      val nUploaded = full.filter(col("uploaded")).count()
+      // One aggregate answers both counts (r16; one catalog scan).
+      val totUp = full.agg(count(lit(1)),
+        coalesce(sum(when(col("uploaded"), 1L).otherwise(0L)), lit(0L))).head()
+      val (nTotal, nUploaded) = (totUp.getLong(0), totUp.getLong(1))
       // 2. Quartile id-range over the pending partition: pushed +
       // file-pruned (the merge's +20M fresh file must zone-skip).
       val mm = baseCols(s, dir).agg(min("id"), max("id")).head()
@@ -1747,8 +1747,7 @@ object PipelineParity extends QueryGroup {
       val pr = probe.agg(count(lit(1)), coalesce(sum(col("id")), lit(0L))).head()
       // 4. Time travel through the connector ≡ asOf.
       val asof2 = cat("versionAsOf" -> "2")
-      require(asof2.exceptAll(store.asOf(2L)).isEmpty &&
-        store.asOf(2L).exceptAll(asof2).isEmpty,
+      require(graft.util.MultisetEq(asof2, store.asOf(2L)),
         "catalog versionAsOf=2 diverged from store.asOf(2)")
       Seq((nTotal, nUploaded, nTotal - nUploaded,
           rr.getLong(0), rr.getLong(1), pr.getLong(0), pr.getLong(1),
@@ -1904,10 +1903,12 @@ object PipelineParity extends QueryGroup {
         val (nLive, nFeed, nSnap, nDv) = store.purgeEmails(keys)
         require(nSnap == 0L && nDv == 0L,
           "template has no snapshots or vectors — purge reported some")
-        val live = store.all().localCheckpoint(true)
+        // One aggregate over the live table answers all three live
+        // figures (r16) — no checkpoint, no per-figure rescans.
+        val liveAgg = store.all().agg(count(lit(1)), sum(col("id")),
+          sum(when(col("uploaded"), 1L).otherwise(0L))).head()
         (nLive, nFeed, store.currentVersion(),
-          live.count(), live.agg(sum(col("id"))).head().getLong(0),
-          live.filter(col("uploaded")).count(),
+          liveAgg.getLong(0), liveAgg.getLong(1), liveAgg.getLong(2),
           store.changeFeed().count(),
           store.asOf(1L).count(), store.asOf(2L).count())
       }
@@ -2095,7 +2096,7 @@ object PipelineParity extends QueryGroup {
         val ent = Seq("id", "email", "first_name", "last_name", "phone")
         val a = src.all().select(ent.map(col): _*)
         val b = replica.all().select(ent.map(col): _*)
-        require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        require(graft.util.MultisetEq(a, b),
           "replica entity state must equal the source row-for-row")
         replica.all()
           .groupBy(substring(col("email"), 1, 1).as("block"))
@@ -2232,8 +2233,7 @@ object PipelineParity extends QueryGroup {
           .select(col("email"), col("id"), col("change_type"),
             col("commit_version").as("valid_from"))
           .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
-        require(dim.exceptAll(batchDim).isEmpty &&
-            batchDim.exceptAll(dim).isEmpty,
+        require(graft.util.MultisetEq(dim, batchDim),
           "streaming SCD2 dimension diverged from the batch lead-window twin")
         dim.groupBy(
             when(col("valid_to").isNull, lit("current"))
@@ -2271,7 +2271,7 @@ object PipelineParity extends QueryGroup {
       val live = store.all()
         .select("id", "email", "phone", "uploaded").localCheckpoint(true)
       val head = store.asOf(3L).select("id", "email", "phone", "uploaded")
-      require(head.exceptAll(live).isEmpty && live.exceptAll(head).isEmpty,
+      require(graft.util.MultisetEq(head, live),
         "asOf(currentVersion) diverged from the live table")
       val out = (1L to 3L).map { v =>
         val snap = store.asOf(v)
@@ -2311,8 +2311,7 @@ object PipelineParity extends QueryGroup {
         }.sum
         // Compaction is physical only: the table must be unchanged.
         val liveAfter = store.all().select("id", "email", "phone", "uploaded")
-        require(liveAfter.exceptAll(liveBefore).isEmpty &&
-          liveBefore.exceptAll(liveAfter).isEmpty,
+        require(graft.util.MultisetEq(liveAfter, liveBefore),
           "compaction changed the logical table contents")
         val snapV = store.writeSnapshot()
         val nVacuumed = store.vacuumFeed().toLong
@@ -2424,7 +2423,7 @@ object PipelineParity extends QueryGroup {
         val batch = store.all().select(grp.as("g"), col("id"))
           .groupBy(col("g")).agg(min(col("id")).as("mn"),
             max(col("id")).as("mx"), count(lit(1)).as("n"))
-        require(view.exceptAll(batch).isEmpty && batch.exceptAll(view).isEmpty,
+        require(graft.util.MultisetEq(view, batch),
           "maintained min/max view diverged from the batch recompute")
         view.localCheckpoint(true)
       }
