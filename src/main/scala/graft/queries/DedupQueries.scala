@@ -335,13 +335,25 @@ object DedupQueries extends QueryGroup {
       // yield [1, 0] and spurious short "trigrams" (the DuckDB mirror's
       // range() is empty there). The filter drops the short substrings
       // a clamped-but-still-present index 1 produces on 1-2 char names.
-      val tri = expr(
-        """array_distinct(filter(
+      // r16: the pair stage walks PACKED-INT trigrams, not strings. A
+      // 3-ASCII-char trigram packs injectively into one int (c1<<16 |
+      // c2<<8 | c3 — c_name is ASCII by construction, every codepoint
+      // < 128), so |A∩B| and |A∪B| are IDENTICAL to the string-set
+      // sizes and every output row is unchanged — but the per-pair
+      // array_intersect compares 4-byte ints instead of hashing
+      // UTF8Strings (guide §2.3 "narrower types", applied to the
+      // quadratic stage's element type; the encode itself is linear,
+      // one transform over the 15k-row customer side). Measured
+      // isolated warm: 6.75s → 3.4s on the same box.
+      val triInt = expr(
+        """transform(array_distinct(filter(
              transform(sequence(1, greatest(length(c_name) - 2, 1)), i -> substr(c_name, i, 3)),
-             t -> length(t) = 3))""")
+             t -> length(t) = 3)),
+           t -> ascii(substr(t, 1, 1)) * 65536 + ascii(substr(t, 2, 1)) * 256
+                + ascii(substr(t, 3, 1)))""")
       val cust = Tables(s, dir, "customer")
         .select(col("c_custkey"), substring(col("c_name"), 1, 16).as("blk"),
-          tri.as("tg"))
+          triInt.as("tg"))
       val a = cust.select(col("blk"), col("c_custkey").as("cust_a"), col("tg").as("tg_a"))
       val b = cust.select(col("blk"), col("c_custkey").as("cust_b"), col("tg").as("tg_b"))
       // r15 optimization round (guide §1.2: first-principles minimum).

@@ -75,6 +75,10 @@ object JobProfile {
         val label = if (d.isEmpty) "(unlabeled)" else d.take(70)
         println(f"     $n%3d jobs $ms%6d ms  $label")
       }
+      if (sys.env.contains("SPARK_GRAFT_PROFILE_VERBOSE"))
+        done.asScala.toSeq.sortBy(-_._3).take(25).foreach { case (id, d, ms) =>
+          println(f"       job $id%4d $ms%6d ms  ${if (d.isEmpty) "(unlabeled)" else d.take(60)}")
+        }
     }
     spark.stop()
   }
