@@ -2575,6 +2575,10 @@ class CustomerStore(protected val spark: SparkSession, path: String,
       // never cross-run) and the four manifest projections below are
       // driver-cheap unions over it: a commit's stats cost is one
       // aggregation job plus one tiny write, whatever the schema.
+      // (A cache() + single-write variant was measured and REJECTED:
+      // the union's branch tasks race the first fill and re-run the
+      // aggregate up to once per branch — workqueue/merge gates read
+      // 0.4-0.6s slower than this two-job shape.)
       val bottomK = udaf(new graft.functions.TopKAggregator(SampleK))
       val bloomWords = udaf(new graft.functions.BloomWordsAggregator(bloomBits))
       val evoAggs = evoNum.flatMap { case (p, _) => Seq(
