@@ -44,19 +44,35 @@ object PipelineParity extends QueryGroup {
     * stays self-consistent. A production stream sizes this to its key
     * cardinality instead (the same note as StreamingParity's).
     *
-    * Single-threaded assumption (same as StreamingParity): the
-    * override mutates the session-wide conf for the call's duration;
-    * Verify/Bench run queries sequentially, and the bench's concurrent
-    * template PREBUILD finishes before pass 1 starts.
+    * Concurrency guard (r16, closing the r15 ADVICE item): the
+    * override still mutates the session-wide conf — a `newSession()`
+    * scoping was MEASURED and REJECTED (each cloned session rebuilds
+    * its SessionState and plan caches: the 8 stream gates read
+    * +0.3-0.8s each, ~+6s across the 19 scoped gates) — but the
+    * single-writer assumption is now ENFORCED, not assumed: a second
+    * concurrent scope on the same session fails loudly instead of
+    * silently running unrelated work at 4 partitions.
     */
   private def withStreamTempDir[T](s: SparkSession, prefix: String)(
-      f: java.nio.file.Path => T): T =
+      f: (SparkSession, java.nio.file.Path) => T): T =
     Fs.withTempDir(prefix) { tmp =>
+      require(PipelineParity.streamScopes.incrementAndGet() == 1,
+        "withStreamTempDir mutates the session-global shuffle-partition " +
+          "conf; concurrent stream gates on one session are not supported")
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      try f(tmp)
-      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      try f(s, tmp)
+      finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        PipelineParity.streamScopes.decrementAndGet(): Unit
+      }
     }
+
+  /** In-flight [[withStreamTempDir]] scopes (shared with
+    * StreamingParity's twin helper — one session, one guard).
+    */
+  private[queries] val streamScopes =
+    new java.util.concurrent.atomic.AtomicInteger(0)
   private def appendLines(dir: java.nio.file.Path, lines: Seq[String]): Unit =
     Fs.appendToPartFile(dir, lines)
 
@@ -1957,7 +1973,7 @@ object PipelineParity extends QueryGroup {
     "streaming_cdc_resume" -> ((s, dir) => {
       import s.implicits._
       val (base, _) = mergeFixtures(s, dir)
-      val out = withStreamTempDir(s, "graft-cdc-stream-") { tmp =>
+      val out = withStreamTempDir(s, "graft-cdc-stream-") { (s, tmp) =>
         // Clone of the insert+merge layer: the ack commit must land
         // while the stream is down, so the gate owns a mutable copy.
         val store = cloneStore(s, mergeIMTemplate(s, dir), tmp)
@@ -2001,7 +2017,7 @@ object PipelineParity extends QueryGroup {
     "streaming_store_sink_parity" -> ((s, dir) => {
       import s.implicits._
       val base = baseCols(s, dir)
-      val out = withStreamTempDir(s, "graft-sink-stream-") { tmp =>
+      val out = withStreamTempDir(s, "graft-sink-stream-") { (s, tmp) =>
         val in = s"$tmp/in"
         // One FILE per block (single-part writes renamed into the
         // watched dir): with maxFilesPerTrigger=1 the file stream
@@ -2069,7 +2085,7 @@ object PipelineParity extends QueryGroup {
     "pipeline_replication" -> ((s, dir) => {
       import s.implicits._
       val srcPath = mergeIMATemplate(s, dir)
-      val out = withStreamTempDir(s, "graft-repl-") { tmp =>
+      val out = withStreamTempDir(s, "graft-repl-") { (s, tmp) =>
         val dstPath = s"$tmp/replica"
         s.readStream.format("graft-store")
           .option("path", srcPath)
@@ -2124,7 +2140,7 @@ object PipelineParity extends QueryGroup {
     "streaming_catalog_cdc_parity" -> ((s, dir) => {
       import s.implicits._
       val (base, _) = mergeFixtures(s, dir)
-      val out = withStreamTempDir(s, "graft-cdc-cat-") { tmp =>
+      val out = withStreamTempDir(s, "graft-cdc-cat-") { (s, tmp) =>
         // Clone of the insert+merge layer: the ack commit must land
         // while the stream is down, so the gate owns a mutable copy.
         val store = cloneStore(s, mergeIMTemplate(s, dir), tmp)
@@ -2175,7 +2191,7 @@ object PipelineParity extends QueryGroup {
     "streaming_scd2_parity" -> ((s, dir) => {
       import s.implicits._
       val (base, _) = mergeFixtures(s, dir)
-      val out = withStreamTempDir(s, "graft-scd2-stream-") { tmp =>
+      val out = withStreamTempDir(s, "graft-scd2-stream-") { (s, tmp) =>
         val store = cloneStore(s, mergeIMTemplate(s, dir), tmp)
         def consume(): Long = {
           val changes = s.readStream.format("graft-store")
@@ -2443,7 +2459,7 @@ object PipelineParity extends QueryGroup {
     "streaming_mv_resume" -> ((s, dir) => {
       import s.implicits._
       val (base, _) = mergeFixtures(s, dir)
-      val out = withStreamTempDir(s, "graft-smv-") { tmp =>
+      val out = withStreamTempDir(s, "graft-smv-") { (s, tmp) =>
         // Clone of the insert+merge layer (the ack lands mid-restart).
         val store = cloneStore(s, mergeIMTemplate(s, dir), tmp)
         val feedSchema = store.changeFeed().schema
@@ -2531,7 +2547,7 @@ object PipelineParity extends QueryGroup {
         .withColumn("email", concat(lit("new"), col("id"), lit("@example.com")))
       val idConflict = base.filter(col("id") % 10 === 3)
         .withColumn("email", concat(lit("conflict"), col("id"), lit("@example.com")))
-      val out = withStreamTempDir(s, "graft-merge-stream-") { tmp =>
+      val out = withStreamTempDir(s, "graft-merge-stream-") { (s, tmp) =>
         val stage = s"$tmp/stage"
         lines(changed.unionByName(identical).unionByName(fresh).unionByName(idConflict))
           .orderBy(col("id")).select(col("line")).coalesce(1).write.text(stage)

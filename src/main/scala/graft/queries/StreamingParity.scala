@@ -75,20 +75,27 @@ object StreamingParity extends QueryGroup {
     * compute serializes. A production stream sizes this to its key
     * cardinality instead.
     *
-    * Single-threaded assumption: the override mutates the SESSION-wide
-    * shuffle-partition conf for the call's duration, so a driver
-    * evaluating other queries concurrently on the same session would
-    * silently run them with 8 partitions. Verify and Bench both run
-    * queries sequentially; a concurrent driver must scope the setting
-    * to a dedicated `spark.newSession()` instead.
+    * Concurrency guard (r16, closing the r15 ADVICE item): the
+    * override still mutates the session-wide conf — a `newSession()`
+    * scoping was measured and rejected in PipelineParity (cloned
+    * sessions rebuild SessionState/plan caches, +0.3-0.8s per gate) —
+    * but the single-writer assumption is now ENFORCED: a second
+    * concurrent scope fails loudly instead of silently running
+    * unrelated work at the stream partition count.
     */
   private def withTempDir[T](s: SparkSession, prefix: String)(
-      f: java.nio.file.Path => T): T =
+      f: (SparkSession, java.nio.file.Path) => T): T =
     graft.util.Fs.withTempDir(prefix) { tmp =>
+      require(PipelineParity.streamScopes.incrementAndGet() == 1,
+        "stream-gate scope mutates the session-global shuffle-partition " +
+          "conf; concurrent stream gates on one session are not supported")
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", StreamPartitions.toString)
-      try f(tmp)
-      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      try f(s, tmp)
+      finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        PipelineParity.streamScopes.decrementAndGet(): Unit
+      }
     }
 
   private val StreamPartitions = 4
@@ -126,7 +133,7 @@ object StreamingParity extends QueryGroup {
       val batch = Tables(s, dir, "events").withColumn("us", expr("ts DIV 1000"))
 
       // --- streaming side: file source → completedSessions → parquet sink
-      val streamed = withTempDir(s, "graft-parity-") { tmp =>
+      val streamed = withTempDir(s, "graft-parity-") { (s, tmp) =>
         // events.parquet is a single FILE; the file stream source
         // derives basePath from the path and requires a directory, so
         // address the file through a glob — globbed paths resolve
@@ -198,7 +205,7 @@ object StreamingParity extends QueryGroup {
       val batchFps = Tables(s, dir, "documents")
         .select(contentFingerprint(col("text")).as("fp")).distinct()
         .localCheckpoint(true)
-      val streamedFps = withTempDir(s, "graft-dedup-parity-") { tmp =>
+      val streamedFps = withTempDir(s, "graft-dedup-parity-") { (s, tmp) =>
         s.readStream.schema(documentsSchema)
           .parquet(s"$dir/{documents.parquet}")
           .select(contentFingerprint(col("text")).as("fp"))
@@ -233,7 +240,7 @@ object StreamingParity extends QueryGroup {
       val batchKept = model.feats
         .filter(TextAnalysis.pocketDot(model.pocketW) > 0)
         .select(col("doc_id")).localCheckpoint(true)
-      val streamedKept = withTempDir(s, "graft-modelfilter-parity-") { tmp =>
+      val streamedKept = withTempDir(s, "graft-modelfilter-parity-") { (s, tmp) =>
         TextAnalysis.classifierFeatures(
             s.readStream.schema(documentsSchema)
               .parquet(s"$dir/{documents.parquet}"))
@@ -273,7 +280,7 @@ object StreamingParity extends QueryGroup {
         DedupQueries.contamGrams(s, dir).filter(col("split") === "eval")
           .select(col("doc_id"), col("g")),
         mBits, bloom).localCheckpoint(true)
-      val streamFlagged = withTempDir(s, "graft-bloomfilter-parity-") { tmp =>
+      val streamFlagged = withTempDir(s, "graft-bloomfilter-parity-") { (s, tmp) =>
         val evalStream = DedupQueries.contamGramsOf(
           s.readStream.schema(documentsSchema)
             .parquet(s"$dir/{documents.parquet}")
@@ -304,7 +311,7 @@ object StreamingParity extends QueryGroup {
     "streaming_hourly_parity" -> ((s, dir) => {
       import s.implicits._
       val batch = Tables(s, dir, "events").withColumn("us", expr("ts DIV 1000"))
-      val streamed = withTempDir(s, "graft-hourly-parity-") { tmp =>
+      val streamed = withTempDir(s, "graft-hourly-parity-") { (s, tmp) =>
         EventStreams.hourlyCounts(
             s.readStream.schema(eventsSchema)
               .parquet(s"$dir/{events.parquet}")
@@ -354,7 +361,7 @@ object StreamingParity extends QueryGroup {
       import s.implicits._
       val w = Events.ATTR_W_US
       val batch = Tables(s, dir, "events").withColumn("us", expr("ts DIV 1000"))
-      val streamed = withTempDir(s, "graft-parity-") { tmp =>
+      val streamed = withTempDir(s, "graft-parity-") { (s, tmp) =>
         val stream = s.readStream.schema(eventsSchema)
           .parquet(s"$dir/{events.parquet}")
           .select(col("user_id"), col("event_id"), col("ts"),
@@ -413,7 +420,7 @@ object StreamingParity extends QueryGroup {
       import s.implicits._
       val w = Events.FUNNEL_W_US
       val batch = Tables(s, dir, "events").withColumn("us", expr("ts DIV 1000"))
-      val streamed = withTempDir(s, "graft-parity-") { tmp =>
+      val streamed = withTempDir(s, "graft-parity-") { (s, tmp) =>
         val stream = s.readStream.schema(eventsSchema)
           .parquet(s"$dir/{events.parquet}")
           .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
@@ -465,7 +472,7 @@ object StreamingParity extends QueryGroup {
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("ts DIV 1000").as("us"))
         .localCheckpoint(true)
-      val streamed = withTempDir(s, "graft-join-parity-") { tmp =>
+      val streamed = withTempDir(s, "graft-join-parity-") { (s, tmp) =>
         EventStreams.viewsBeforePurchases(
             s.readStream.schema(eventsSchema)
               .parquet(s"$dir/{events.parquet}")
@@ -512,7 +519,7 @@ object StreamingParity extends QueryGroup {
     "streaming_sessionwindow_parity" -> ((s, dir) => {
       import s.implicits._
       val batch = Tables(s, dir, "events").withColumn("us", expr("ts DIV 1000"))
-      val streamed = withTempDir(s, "graft-sessionwin-parity-") { tmp =>
+      val streamed = withTempDir(s, "graft-sessionwin-parity-") { (s, tmp) =>
         EventStreams.sessionCounts(
             s.readStream.schema(eventsSchema)
               .parquet(s"$dir/{events.parquet}")
@@ -570,7 +577,7 @@ object StreamingParity extends QueryGroup {
       val docs = Tables(s, dir, "documents")
       val batchFps = docs.select(contentFingerprint(col("text")).as("fp"))
         .distinct().localCheckpoint(true)
-      val streamedFps = withTempDir(s, "graft-resume-") { tmp =>
+      val streamedFps = withTempDir(s, "graft-resume-") { (s, tmp) =>
         def addHalf(pred: org.apache.spark.sql.Column, name: String): Unit = {
           val stage = s"$tmp/stage_$name"
           docs.filter(pred).coalesce(1).write.parquet(stage)
@@ -613,7 +620,7 @@ object StreamingParity extends QueryGroup {
       val batchCounts = Tables(s, dir, "events")
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
         .localCheckpoint(true)
-      val streamedCounts = withTempDir(s, "graft-totals-parity-") { tmp =>
+      val streamedCounts = withTempDir(s, "graft-totals-parity-") { (s, tmp) =>
         EventStreams.runningUserTotals(
             s.readStream.schema(eventsSchema)
               .parquet(s"$dir/{events.parquet}")
@@ -675,7 +682,7 @@ object StreamingParity extends QueryGroup {
         .select(hOf.as("h"), col("event_id"))
         .orderBy(col("h"), col("event_id")).limit(K)
         .localCheckpoint(true)
-      val streamedSketch = withTempDir(s, "graft-kmv-parity-") { tmp =>
+      val streamedSketch = withTempDir(s, "graft-kmv-parity-") { (s, tmp) =>
         val topk = new graft.functions.TopKAggregator(K).toColumn
         s.readStream.schema(eventsSchema)
           .parquet(s"$dir/{events.parquet}")
