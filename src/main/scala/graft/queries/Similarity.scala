@@ -353,6 +353,11 @@ object Similarity extends QueryGroup {
       .filter(col("p_rn") <= probes)
       .select(Seq(col("query_id"), col("q_qv"), col("q_sq"), col("list_id")) ++
         (if (sameLabel) Seq(col("q_label")) else Nil): _*)
+    // COUPLING (r15 ADVICE): the neighbor_id tiebreaker makes this
+    // order key INJECTIVE on distinct (query, neighbor) pairs — the
+    // dense_rank-equals-row_number-on-distinct dedupe below depends on
+    // it. Do not drop or reorder the tiebreaker without restoring the
+    // pre-window distinct.
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_ppm").desc, col("neighbor_id"))
     postings.select(Seq(col("vec_id").as("neighbor_id"), col("qv"), col("sq"),
@@ -677,6 +682,11 @@ object Similarity extends QueryGroup {
     // distinct by construction (rank ≤ k output), so the left outer
     // join preserves truth's cardinality and count(_hit) counts
     // exactly the semi-join survivors.
+    // INVARIANT (r15 ADVICE): every caller passes ivfProbe output,
+    // which ends in .distinct() — a duplicated (query_id, neighbor_id)
+    // pair would duplicate matched truth rows and inflate recall. If a
+    // future caller cannot guarantee distinct pairs, add .distinct()
+    // to the ann projection below.
     val r = truth
       .join(ann.select(col("query_id"), col("neighbor_id"), lit(1).as("_hit")),
         Seq("query_id", "neighbor_id"), "left_outer")
